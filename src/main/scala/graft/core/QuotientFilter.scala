@@ -1,0 +1,322 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Quotient filter (Bender et al. style, 3 metadata bits per slot).
+  *
+  * Behaviour and wire format replicated from the reference's vendor
+  * implementation (src/vendor/quotient-filter/quotient_filter.{hpp,cpp}):
+  *  - 2^q slots of (r+3) bits: [is_occupied][is_continuation][is_shifted]
+  *    metadata plus an r-bit remainder (quotient_filter.cpp:99-157)
+  *  - insert keeps runs sorted by remainder; duplicates are no-ops
+  *    (quotient_filter.cpp:204-258)
+  *  - wire format: a 40-byte little-endian header mirroring the C struct
+  *    `QuotientFilterValues` INCLUDING its alignment padding byte
+  *    (u8 q, u8 r, u8 elem_bits, u8 pad, u32 entries, u64 index_mask,
+  *    u64 rmask, u64 elem_mask, u64 max_size; quotient_filter.hpp:14-28,91-98)
+  *    followed by ceil(2^q * (r+3) / 8) table bytes.
+  *  - merge: new filter with q = max(q1,q2), r = max(r1,r2), all stored
+  *    (quotient<<r | remainder) values reinserted (quotient_filter.cpp:388-406).
+  *    NOTE the reference ignores insert() overflow during merge (cpp:399,403),
+  *    silently dropping keys; we replicate that for bit-compatibility.
+  *
+  * Only the lowest q+r bits of a hash participate.
+  */
+final class QuotientFilter private (
+    val qbits: Int,
+    val rbits: Int,
+    private var _entries: Long,
+    val table: Array[Long]) {
+
+  import QuotientFilter._
+
+  private val elemBits: Int = rbits + 3
+  private val indexMask: Long = lowMask(qbits)
+  private val rMask: Long = lowMask(rbits)
+  private val elemMask: Long = lowMask(elemBits)
+  val maxSize: Long = 1L << qbits
+
+  def entries: Long = _entries
+
+  /** Read slot idx (low `elemBits` bits); reference quotient_filter.cpp:60-73. */
+  @inline private def getElem(idx: Long): Long = {
+    val bitpos = elemBits * idx
+    val tabpos = (bitpos >>> 6).toInt
+    val slotpos = (bitpos & 63).toInt
+    val spill = slotpos + elemBits - 64
+    var elt = (table(tabpos) >>> slotpos) & elemMask
+    if (spill > 0) {
+      val x = table(tabpos + 1) & lowMask(spill)
+      elt |= x << (elemBits - spill)
+    }
+    elt
+  }
+
+  /** Write slot idx; reference quotient_filter.cpp:76-89. */
+  @inline private def setElem(idx: Long, elt0: Long): Unit = {
+    val bitpos = elemBits * idx
+    val tabpos = (bitpos >>> 6).toInt
+    val slotpos = (bitpos & 63).toInt
+    val spill = slotpos + elemBits - 64
+    val elt = elt0 & elemMask
+    table(tabpos) &= ~(elemMask << slotpos)
+    table(tabpos) |= elt << slotpos
+    if (spill > 0) {
+      table(tabpos + 1) &= ~lowMask(spill)
+      table(tabpos + 1) |= elt >>> (elemBits - spill)
+    }
+  }
+
+  @inline private def incr(idx: Long): Long = (idx + 1) & indexMask
+  @inline private def decr(idx: Long): Long = (idx - 1) & indexMask
+
+  @inline private def hashToQuotient(hash: Long): Long = (hash >>> rbits) & indexMask
+  @inline private def hashToRemainder(hash: Long): Long = hash & rMask
+
+  /** Find start of the run for quotient fq; reference cpp:160-179. */
+  private def findRunIndex(fq: Long): Long = {
+    var b = fq
+    while (isShifted(getElem(b))) b = decr(b)
+    var s = b
+    while (b != fq) {
+      do s = incr(s) while (isContinuation(getElem(s)))
+      do b = incr(b) while (!isOccupied(getElem(b)))
+    }
+    s
+  }
+
+  /** Insert elt at s, shifting the cluster right; reference cpp:182-202. */
+  private def insertInto(s0: Long, elt: Long): Unit = {
+    var s = s0
+    var curr = elt
+    var empty = false
+    do {
+      var prev = getElem(s)
+      empty = isEmptyElement(prev)
+      if (!empty) {
+        prev = setShifted(prev)
+        if (isOccupied(prev)) {
+          curr = setOccupied(curr)
+          prev = clrOccupied(prev)
+        }
+      }
+      setElem(s, curr)
+      curr = prev
+      s = incr(s)
+    } while (!empty)
+  }
+
+  /** Returns false iff the filter is full; reference cpp:204-258. */
+  def insert(hash: Long): Boolean = {
+    if (_entries >= maxSize) return false
+    val fq = hashToQuotient(hash)
+    val fr = hashToRemainder(hash)
+    val tFq = getElem(fq)
+    var entry = (fr << 3) & ~7L
+
+    if (isEmptyElement(tFq)) {
+      setElem(fq, setOccupied(entry))
+      _entries += 1
+      return true
+    }
+
+    if (!isOccupied(tFq)) setElem(fq, setOccupied(tFq))
+
+    val start = findRunIndex(fq)
+    var s = start
+
+    if (isOccupied(tFq)) {
+      var continue = true
+      while (continue) {
+        val rem = getRemainder(getElem(s))
+        if (rem == fr) return true // duplicate
+        else if (java.lang.Long.compareUnsigned(rem, fr) > 0) continue = false
+        else {
+          s = incr(s)
+          if (!isContinuation(getElem(s))) continue = false
+        }
+      }
+      if (s == start) {
+        val oldHead = getElem(start)
+        setElem(start, setContinuation(oldHead))
+      } else {
+        entry = setContinuation(entry)
+      }
+    }
+
+    if (s != fq) entry = setShifted(entry)
+
+    insertInto(s, entry)
+    _entries += 1
+    true
+  }
+
+  /** No false negatives for inserted (q+r)-bit values; reference cpp:260-282. */
+  def mayContain(hash: Long): Boolean = {
+    val fq = hashToQuotient(hash)
+    val fr = hashToRemainder(hash)
+    if (!isOccupied(getElem(fq))) return false
+    var s = findRunIndex(fq)
+    var continue = true
+    while (continue) {
+      val rem = getRemainder(getElem(s))
+      if (rem == fr) return true
+      else if (java.lang.Long.compareUnsigned(rem, fr) > 0) return false
+      s = incr(s)
+      continue = isContinuation(getElem(s))
+    }
+    false
+  }
+
+  /** Union-merge; reference cpp:388-406 (including its drop-on-overflow quirk). */
+  def merge(other: QuotientFilter): QuotientFilter = {
+    val out = QuotientFilter.create(math.max(qbits, other.qbits), math.max(rbits, other.rbits))
+    val it1 = new QuotientFilterIterator(this)
+    while (!it1.done) out.insert(it1.next())
+    val it2 = new QuotientFilterIterator(other)
+    while (!it2.done) out.insert(it2.next())
+    out
+  }
+
+  /** Wire format: 40-byte header + table bytes; reference hpp:91-98. */
+  def serialize(): Array[Byte] = {
+    val tableBytes = QuotientFilter.tableSizeBytes(qbits, rbits)
+    val out = ByteBuffer.allocate(40 + tableBytes).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(qbits.toByte)
+    out.put(rbits.toByte)
+    out.put(elemBits.toByte)
+    out.put(0.toByte) // struct alignment padding
+    out.putInt(_entries.toInt) // u32 entries
+    out.putLong(indexMask)
+    out.putLong(rMask)
+    out.putLong(elemMask)
+    out.putLong(maxSize)
+    // table payload: first `tableBytes` bytes of the little-endian u64 array
+    var i = 0
+    while (i < tableBytes) {
+      out.put(((table(i >>> 3) >>> ((i & 7) * 8)) & 0xff).toByte)
+      i += 1
+    }
+    out.array()
+  }
+}
+
+object QuotientFilter {
+
+  @inline private def lowMask(n: Int): Long = if (n >= 64) -1L else (1L << n) - 1L
+
+  @inline private[core] def isOccupied(elt: Long): Boolean = (elt & 1) != 0
+  @inline private[core] def setOccupied(elt: Long): Long = elt | 1
+  @inline private[core] def clrOccupied(elt: Long): Long = elt & ~1L
+  @inline private[core] def isContinuation(elt: Long): Boolean = (elt & 2) != 0
+  @inline private[core] def setContinuation(elt: Long): Long = elt | 2
+  @inline private[core] def isShifted(elt: Long): Boolean = (elt & 4) != 0
+  @inline private[core] def setShifted(elt: Long): Long = elt | 4
+  @inline private[core] def getRemainder(elt: Long): Long = elt >>> 3
+  @inline private[core] def isEmptyElement(elt: Long): Boolean = (elt & 7) == 0
+  @inline private[core] def isClusterStart(elt: Long): Boolean =
+    isOccupied(elt) && !isContinuation(elt) && !isShifted(elt)
+  @inline private[core] def isRunStart(elt: Long): Boolean =
+    !isContinuation(elt) && (isOccupied(elt) || isShifted(elt))
+
+  /** Serialized table payload size; reference quotient_filter.cpp:419-423. */
+  def tableSizeBytes(q: Int, r: Int): Int = {
+    val bits = (1L << q) * (r + 3)
+    val bytes = bits / 8
+    (if (bits % 8 != 0) bytes + 1 else bytes).toInt
+  }
+
+  def create(q: Int, r: Int): QuotientFilter = {
+    require(q > 0, "Quotient filter q must be > 0")
+    require(r > 0, "Quotient filter r must be > 0")
+    require(q + r <= 64, "Quotient filter q + r must be <= 64")
+    require(q <= 28, s"Quotient filter q=$q too large for in-memory table")
+    val bits = (1L << q) * (r + 3)
+    val words = ((bits + 63) / 64).toInt
+    new QuotientFilter(q, r, 0L, new Array[Long](words))
+  }
+
+  def deserialize(blob: Array[Byte]): QuotientFilter = {
+    if (blob.length < 40)
+      throw new IllegalArgumentException("Data size is too small to contain QuotientFilter header")
+    val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    val q = bb.get(0) & 0xff
+    val r = bb.get(1) & 0xff
+    val entries = bb.getInt(4).toLong & 0xffffffffL
+    val tableBytes = tableSizeBytes(q, r)
+    if (blob.length < 40 + tableBytes)
+      throw new IllegalArgumentException("Data size is too small to contain QuotientFilter table")
+    val words = new Array[Long]((tableBytes + 7) / 8)
+    var i = 0
+    while (i < tableBytes) {
+      words(i >>> 3) |= (blob(40 + i) & 0xffL) << ((i & 7) * 8)
+      i += 1
+    }
+    new QuotientFilter(q, r, entries, words)
+  }
+}
+
+/** Enumerates stored (quotient << r | remainder) values in cluster order;
+  * reference quotient_filter.cpp:425-477. Used by merge.
+  */
+final class QuotientFilterIterator(qf: QuotientFilter) {
+  import QuotientFilter._
+
+  private var visited: Long = qf.entries
+  private var index: Long = 0L
+  private var quotient: Long = 0L
+
+  // locate the first cluster start
+  if (qf.entries > 0) {
+    var start = 0L
+    var found = false
+    while (start < qf.maxSize && !found) {
+      if (isClusterStart(elemAt(start))) found = true else start += 1
+    }
+    visited = 0
+    index = start
+  }
+
+  @inline private def elemAt(i: Long): Long = {
+    // QuotientFilter.getElem is private; recompute via reflection-free access:
+    qfGetElem(i)
+  }
+
+  // mirror of QuotientFilter.getElem over the public table
+  @inline private def qfGetElem(idx: Long): Long = {
+    val elemBits = qf.rbits + 3
+    val elemMask = if (elemBits >= 64) -1L else (1L << elemBits) - 1L
+    val bitpos = elemBits * idx
+    val tabpos = (bitpos >>> 6).toInt
+    val slotpos = (bitpos & 63).toInt
+    val spill = slotpos + elemBits - 64
+    var elt = (qf.table(tabpos) >>> slotpos) & elemMask
+    if (spill > 0) {
+      val x = qf.table(tabpos + 1) & ((1L << spill) - 1L)
+      elt |= x << (elemBits - spill)
+    }
+    elt
+  }
+
+  @inline private def incr(i: Long): Long = (i + 1) & (qf.maxSize - 1)
+
+  def done: Boolean = qf.entries == visited
+
+  def next(): Long = {
+    while (!done) {
+      val elt = elemAt(index)
+      if (isClusterStart(elt)) quotient = index
+      else if (isRunStart(elt)) {
+        var quot = quotient
+        do quot = incr(quot) while (!isOccupied(elemAt(quot)))
+        quotient = quot
+      }
+      index = incr(index)
+      if (!isEmptyElement(elt)) {
+        visited += 1
+        return (quotient << qf.rbits) | getRemainder(elt)
+      }
+    }
+    throw new IllegalStateException("QuotientFilterIterator exhausted")
+  }
+}
