@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Registration of the graft SQL function surface (13 functions mirroring the
+  * reference's shipped surface; reference src/bitfilters_extension.cpp:16-25).
+  *
+  * Two entry points:
+  *  - `GraftFunctions.registerAll(spark)` — programmatic, for tests/apps
+  *  - `spark.sql.extensions=graft.GraftSparkExtensions` — config-driven
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(getClass.getName, null, name, usage, "", "", "", "agg_funcs", "4.0.0", "", "built-in")
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.size != n)
+      throw new IllegalArgumentException(s"$name requires exactly $n arguments, got ${args.size}")
+
+  private def atLeast(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.size < n)
+      throw new IllegalArgumentException(s"$name requires at least $n arguments, got ${args.size}")
+
+  /** (name, usage, builder) for every SQL function we expose. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("quotient_filter",
+      "quotient_filter(q, r, hash_or_blob) - aggregate hashes (BIGINT) into a quotient filter BLOB, or union-merge filter BLOBs",
+      args => { arity("quotient_filter", 3, args); QuotientFilterAgg(args(0), args(1), args(2)) }),
+    ("quotient_filter_contains",
+      "quotient_filter_contains(filter, hash) - probe a quotient filter",
+      args => { arity("quotient_filter_contains", 2, args); QuotientFilterContains(args(0), args(1)) }),
+    ("xor8_filter",
+      "xor8_filter(hash) - aggregate hashes into an xor8 filter BLOB (~0.4% FPR)",
+      args => { arity("xor8_filter", 1, args); XorFilterAgg(args(0), 8) }),
+    ("xor16_filter",
+      "xor16_filter(hash) - aggregate hashes into an xor16 filter BLOB (~0.0015% FPR)",
+      args => { arity("xor16_filter", 1, args); XorFilterAgg(args(0), 16) }),
+    ("xor8_filter_contains",
+      "xor8_filter_contains(filter, hash) - probe an xor8 filter",
+      args => { arity("xor8_filter_contains", 2, args); XorFilterContains(args(0), args(1), 8) }),
+    ("xor16_filter_contains",
+      "xor16_filter_contains(filter, hash) - probe an xor16 filter",
+      args => { arity("xor16_filter_contains", 2, args); XorFilterContains(args(0), args(1), 16) }),
+    ("binary_fuse8_filter",
+      "binary_fuse8_filter(hash) - aggregate hashes into a binary fuse8 filter BLOB (~0.4% FPR)",
+      args => { arity("binary_fuse8_filter", 1, args); BinaryFuseFilterAgg(args(0), 8) }),
+    ("binary_fuse16_filter",
+      "binary_fuse16_filter(hash) - aggregate hashes into a binary fuse16 filter BLOB (~0.0015% FPR)",
+      args => { arity("binary_fuse16_filter", 1, args); BinaryFuseFilterAgg(args(0), 16) }),
+    ("binary_fuse8_filter_contains",
+      "binary_fuse8_filter_contains(filter, hash) - probe a binary fuse8 filter",
+      args => { arity("binary_fuse8_filter_contains", 2, args); BinaryFuseFilterContains(args(0), args(1), 8) }),
+    ("binary_fuse16_filter_contains",
+      "binary_fuse16_filter_contains(filter, hash) - probe a binary fuse16 filter",
+      args => { arity("binary_fuse16_filter_contains", 2, args); BinaryFuseFilterContains(args(0), args(1), 16) }),
+    ("bitfilters_duckdb_hash",
+      "bitfilters_duckdb_hash(version, v1[, v2, ...]) - DuckDB-internal hash for a pinned version",
+      args => { atLeast("bitfilters_duckdb_hash", 2, args); DuckDbHashExpr(args) }),
+    ("bitfilters_duckdb_bloom_filter_create",
+      "bitfilters_duckdb_bloom_filter_create(version, num_sectors, hash) - DuckDB-compatible bloom filter aggregate",
+      args => { arity("bitfilters_duckdb_bloom_filter_create", 3, args); DuckDbBloomFilterCreateAgg(args(0), args(1), args(2)) }),
+    ("bitfilters_duckdb_bloom_filter_probe",
+      "bitfilters_duckdb_bloom_filter_probe(version, filter, v1[, v2, ...]) - probe a DuckDB-compatible bloom filter",
+      args => { atLeast("bitfilters_duckdb_bloom_filter_probe", 3, args); DuckDbBloomFilterProbe(args) }),
+  )
+
+  /** Idempotent programmatic registration into the session's function registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, usage, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
+    }
+  }
+}
+
+/** For `spark.sql.extensions=graft.GraftSparkExtensions`. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      extensions.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftFunctions", null, name, usage, "", "", "", "", "4.0.0", "", "built-in"),
+        builder))
+    }
+  }
+}

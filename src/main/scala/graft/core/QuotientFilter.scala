@@ -236,6 +236,67 @@ object QuotientFilter {
     new QuotientFilter(q, r, 0L, new Array[Long](words))
   }
 
+  /** Zero-copy membership probe directly against a serialized blob: reads
+    * packed (r+3)-bit slots straight out of the blob bytes, allocating
+    * nothing. Semantics identical to [[QuotientFilter.mayContain]]
+    * (reference quotient_filter.cpp:260-282) — this is the hot path for the
+    * `quotient_filter_contains` SQL expression where the filter column is not
+    * constant and a per-row table materialization would dominate.
+    */
+  def probeBlob(blob: Array[Byte], hash: Long): Boolean = {
+    val r = blob(1) & 0xff
+    val q = blob(0) & 0xff
+    val elemBits = r + 3
+    val indexMask = lowMask(q)
+    val rMask = lowMask(r)
+    val elemMask = lowMask(elemBits)
+
+    // read the element at slot idx from the packed table starting at byte 40
+    def elem(idx: Long): Long = {
+      val bitpos = elemBits * idx
+      var bytePos = 40 + (bitpos >>> 3).toInt
+      val shift = (bitpos & 7).toInt
+      // gather up to (shift + elemBits) <= 71 bits, little-endian
+      var lo = 0L
+      var i = 0
+      val end = math.min(8, blob.length - bytePos)
+      while (i < end) { lo |= (blob(bytePos + i) & 0xffL) << (8 * i); i += 1 }
+      var elt = (lo >>> shift) & elemMask
+      val got = 64 - shift
+      if (got < elemBits && bytePos + 8 < blob.length) {
+        val hi = blob(bytePos + 8) & 0xffL
+        elt |= (hi << got) & elemMask
+      }
+      elt
+    }
+
+    def incr(i: Long): Long = (i + 1) & indexMask
+    def decr(i: Long): Long = (i - 1) & indexMask
+
+    val fq = (hash >>> r) & indexMask
+    val fr = hash & rMask
+    if (!isOccupied(elem(fq))) return false
+
+    // find run start
+    var b = fq
+    while (isShifted(elem(b))) b = decr(b)
+    var s = b
+    while (b != fq) {
+      do s = incr(s) while (isContinuation(elem(s)))
+      do b = incr(b) while (!isOccupied(elem(b)))
+    }
+    // scan the sorted run
+    var continue = true
+    while (continue) {
+      val rem = getRemainder(elem(s))
+      if (rem == fr) return true
+      else if (java.lang.Long.compareUnsigned(rem, fr) > 0) return false
+      s = incr(s)
+      continue = isContinuation(elem(s))
+    }
+    false
+  }
+
   def deserialize(blob: Array[Byte]): QuotientFilter = {
     if (blob.length < 40)
       throw new IllegalArgumentException("Data size is too small to contain QuotientFilter header")

@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.GraftFunctions
+
+/** End-to-end SQL tests mirroring the reference's sqllogictests
+  * (test/sql/bitfilters.test, test/sql/duckdb_bloom_filter.test) through a
+  * real SparkSession, including parallel partial/final aggregation.
+  */
+class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(spark)
+    // series_data fixture: reference test/sql/bitfilters.test:9-10
+    spark.range(1, 100001).toDF("id").createOrReplaceTempView("series_data")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sqlRows(q: String): Seq[Seq[Any]] =
+    spark.sql(q).collect().toSeq.map(_.toSeq)
+
+  test("duckdb hash SQL: certified vectors") {
+    val rows = sqlRows("""
+      SELECT bitfilters_duckdb_hash('v1.5.1', 42),
+             bitfilters_duckdb_hash('v1.5.1', CAST(42 AS BIGINT)),
+             bitfilters_duckdb_hash('v1.5.1', 'hello'),
+             bitfilters_duckdb_hash('v1.5.1', 42, 'hello'),
+             bitfilters_duckdb_hash('v1.5.1', 1, 2, 3)
+    """)
+    val r = rows.head
+    assert(r(0) == java.lang.Long.parseUnsignedLong("7199933130570745587"))
+    assert(r(1) == java.lang.Long.parseUnsignedLong("7199933130570745587"))
+    assert(r(2) == java.lang.Long.parseUnsignedLong("8628213525773890682"))
+    assert(r(3) == java.lang.Long.parseUnsignedLong("17001236256828606196"))
+    assert(r(4) == java.lang.Long.parseUnsignedLong("12722334483198565868"))
+  }
+
+  test("quotient filter SQL: golden FP counts via grouped agg + join") {
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW quotient_filters AS
+      SELECT id % 2 AS remainder,
+             quotient_filter(16, 4, bitfilters_duckdb_hash('v1.5.1', id)) AS filter
+      FROM series_data GROUP BY id % 2
+    """)
+    val rows = sqlRows("""
+      SELECT remainder,
+             count(CASE WHEN quotient_filter_contains(filter, bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS fp
+      FROM series_data, quotient_filters
+      WHERE series_data.id % 2 != quotient_filters.remainder
+      GROUP BY remainder ORDER BY remainder
+    """)
+    assert(rows == Seq(Seq(0L, 2264L), Seq(1L, 2273L)))
+  }
+
+  test("binary fuse filters SQL: membership + golden FP counts") {
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW fuse_filters AS
+      SELECT id % 2 AS remainder,
+             binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS f16,
+             binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS f8
+      FROM series_data GROUP BY id % 2
+    """)
+    val members = sqlRows("""
+      SELECT remainder,
+             count(CASE WHEN binary_fuse16_filter_contains(f16, bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END),
+             count(CASE WHEN binary_fuse8_filter_contains(f8, bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END)
+      FROM series_data, fuse_filters
+      WHERE series_data.id % 2 = fuse_filters.remainder
+      GROUP BY remainder ORDER BY remainder
+    """)
+    assert(members == Seq(Seq(0L, 50000L, 50000L), Seq(1L, 50000L, 50000L)))
+    val fps = sqlRows("""
+      SELECT remainder,
+             count(CASE WHEN binary_fuse16_filter_contains(f16, bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END),
+             count(CASE WHEN binary_fuse8_filter_contains(f8, bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END)
+      FROM series_data, fuse_filters
+      WHERE series_data.id % 2 != fuse_filters.remainder
+      GROUP BY remainder ORDER BY remainder
+    """)
+    assert(fps == Seq(Seq(0L, 1L, 171L), Seq(1L, 1L, 199L)))
+  }
+
+  test("xor filters SQL: zero false negatives (FP counts are order-dependent by design)") {
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW xor_filters AS
+      SELECT id % 2 AS remainder,
+             xor16_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS x16,
+             xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS x8
+      FROM series_data GROUP BY id % 2
+    """)
+    val members = sqlRows("""
+      SELECT remainder,
+             count(CASE WHEN xor16_filter_contains(x16, bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END),
+             count(CASE WHEN xor8_filter_contains(x8, bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END)
+      FROM series_data, xor_filters
+      WHERE series_data.id % 2 = xor_filters.remainder
+      GROUP BY remainder ORDER BY remainder
+    """)
+    assert(members == Seq(Seq(0L, 50000L, 50000L), Seq(1L, 50000L, 50000L)))
+  }
+
+  test("duckdb bloom SQL: roundtrip + FPR bound (reference duckdb_bloom_filter.test:347-370)") {
+    spark.range(1, 1001).toDF("key").createOrReplaceTempView("bf_keys")
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW bf AS
+      SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 16384,
+               bitfilters_duckdb_hash('v1.5.1', key)) AS filter
+      FROM bf_keys
+    """)
+    val hits = sqlRows("""
+      SELECT count(*) FROM bf_keys, bf
+      WHERE bitfilters_duckdb_bloom_filter_probe('v1.5.1', filter, key)
+    """)
+    assert(hits.head.head == 1000L)
+    val fps = sqlRows("""
+      SELECT count(*) FROM (SELECT id AS key FROM range(100001, 110001)) nm, bf
+      WHERE bitfilters_duckdb_bloom_filter_probe('v1.5.1', filter, key)
+    """)
+    assert(fps.head.head.asInstanceOf[Long] < 200L, s"FPs: ${fps.head.head}")
+  }
+
+  test("duckdb bloom SQL: multi-key probe") {
+    spark.sql("SELECT id AS k1, id * 7 AS k2 FROM range(1, 501)").createOrReplaceTempView("mk")
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW mkbf AS
+      SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 8192,
+               bitfilters_duckdb_hash('v1.5.1', k1, k2)) AS filter
+      FROM mk
+    """)
+    val hits = sqlRows("""
+      SELECT count(*) FROM mk, mkbf
+      WHERE bitfilters_duckdb_bloom_filter_probe('v1.5.1', filter, k1, k2)
+    """)
+    assert(hits.head.head == 500L)
+  }
+
+  test("quotient merge overload: aggregate blobs into one filter") {
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW per_group AS
+      SELECT id % 4 AS g, quotient_filter(16, 4, bitfilters_duckdb_hash('v1.5.1', id)) AS filter
+      FROM series_data WHERE id <= 1000 GROUP BY id % 4
+    """)
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW merged AS
+      SELECT quotient_filter(16, 4, filter) AS filter FROM per_group
+    """)
+    val all = sqlRows("""
+      SELECT count(*) FROM series_data, merged
+      WHERE id <= 1000 AND quotient_filter_contains(filter, bitfilters_duckdb_hash('v1.5.1', id))
+    """)
+    assert(all.head.head == 1000L)
+  }
+
+  test("null semantics: empty group is NULL, NULL inputs ignored, contains propagates NULL") {
+    // empty aggregate -> NULL (reference duckdb_bloom_filter.test:439-445)
+    val empty = sqlRows("""
+      SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 64, bitfilters_duckdb_hash('v1.5.1', id)),
+             quotient_filter(8, 4, bitfilters_duckdb_hash('v1.5.1', id)),
+             xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)),
+             binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id))
+      FROM series_data WHERE id < 0
+    """)
+    assert(empty.head.forall(_ == null))
+    // NULL hash inputs are skipped
+    val skipNulls = sqlRows("""
+      SELECT quotient_filter_contains(
+        (SELECT quotient_filter(8, 4, CASE WHEN id <= 5 THEN bitfilters_duckdb_hash('v1.5.1', id) END)
+         FROM series_data WHERE id <= 10),
+        bitfilters_duckdb_hash('v1.5.1', 3))
+    """)
+    assert(skipNulls.head.head == true)
+    // scalar NULL propagation
+    val np = sqlRows("SELECT quotient_filter_contains(CAST(NULL AS BINARY), CAST(1 AS BIGINT))")
+    assert(np.head.head == null)
+  }
+
+  test("error paths: bad version, non-power-of-2 sectors, non-constant q") {
+    def fails(q: String): Boolean =
+      try { spark.sql(q).collect(); false } catch { case _: Exception => true }
+    assert(fails("SELECT bitfilters_duckdb_hash('v9.9.9', 1)"))
+    assert(fails("SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 1000, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(10)"))
+    assert(fails("SELECT quotient_filter(id, 4, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(10)"))
+  }
+}
