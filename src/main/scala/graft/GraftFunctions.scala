@@ -68,6 +68,23 @@ object GraftFunctions {
     ("bitfilters_duckdb_bloom_filter_probe",
       "bitfilters_duckdb_bloom_filter_probe(version, filter, v1[, v2, ...]) - probe a DuckDB-compatible bloom filter",
       args => { atLeast("bitfilters_duckdb_bloom_filter_probe", 3, args); DuckDbBloomFilterProbe(args) }),
+    // sketch aggregates for the training-data pipeline operators
+    ("minhash_agg",
+      "minhash_agg(hash, k) - MinHash signature (ARRAY<BIGINT> of k minima) over pre-hashed shingles",
+      args => { arity("minhash_agg", 2, args)
+        graft.operators.MinHashAgg(args(0), AggUtil.foldableLong(args(1), "minhash_agg k").toInt) }),
+    ("simhash_agg",
+      "simhash_agg(hash) - 64-bit SimHash fingerprint over pre-hashed tokens",
+      args => { arity("simhash_agg", 1, args); graft.operators.SimHashAgg(args(0)) }),
+    ("hyperplane_signature",
+      "hyperplane_signature(vec[, bits[, seed]]) - random-hyperplane LSH signature of an embedding",
+      args => {
+        if (args.isEmpty || args.size > 3)
+          throw new IllegalArgumentException("hyperplane_signature takes 1-3 arguments")
+        val bits = if (args.size >= 2) AggUtil.foldableLong(args(1), "bits").toInt else 64
+        val seed = if (args.size >= 3) AggUtil.foldableLong(args(2), "seed") else 42L
+        graft.operators.HyperplaneSignature(args(0), bits, seed)
+      }),
   )
 
   /** Idempotent programmatic registration into the session's function registry. */

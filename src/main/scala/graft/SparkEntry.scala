@@ -1,13 +1,399 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Embeddings, Multimodal, TextAnalysis}
+
+/** Driver contract — the complete operator surface exposed as named queries
+  * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
+  *
+  * Oracle notes:
+  *  - DuckDB's integer `hash()` is bit-identical to our v1.5.1
+  *    implementation (stable since long before 1.0), so per-row hash queries
+  *    get LIVE oracles. String/multi-arg hashes changed across DuckDB
+  *    versions, so those check against the certified vectors from the
+  *    reference's generated goldens (test/generate/hash_values_v1.5.1.json).
+  *  - Filter membership queries probe only known members: the no-false-
+  *    negative contract makes counts exactly equal to plain semi-join counts.
+  *  - Golden FP-count queries pin the reference's published deterministic
+  *    values (test/sql/bitfilters.test:45-117) as literal oracles.
+  *  - Aggregates over DOUBLE columns go through ROUND(x*10^k) -> BIGINT so
+  *    both engines sum exact integers (no float-summation-order flakiness).
+  */
 object SparkEntry {
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** TIMESTAMP(NANOS) parquet columns (Spark has no nanos timestamp type:
+    * they are read as nanos-since-epoch longs and rebuilt as microsecond
+    * timestamps, matching what DuckDB sees).
+    */
+  private val nanoTimestampCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
+
+  private val prepared = scala.collection.mutable.Set[(SparkSession, String)]()
+
+  /** Register graft functions + parquet views for `dir` on this session
+    * (memoized: repeated queries in one session skip re-registration).
+    */
+  def prepare(spark: SparkSession, dir: String): SparkSession = synchronized {
+    if (prepared((spark, dir))) return spark
+    prepared += ((spark, dir))
+    GraftFunctions.registerAll(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables.foreach { t =>
+      val raw = spark.read.parquet(s"$dir/$t.parquet")
+      val fixed = nanoTimestampCols.getOrElse(t, Nil).foldLeft(raw) { (df, c) =>
+        if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn(c, timestamp_micros((col(c) / 1000).cast("long")))
+        else df
+      }
+      fixed.createOrReplaceTempView(t)
+    }
+    spark
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    prepare(spark, "/root/testdata/sf0.001")
+    spark.sql(Sql.q1Agg)
+  }
+
+  private object Sql {
+    val q1Agg: String = """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+             CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+             CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""
+
+    val q2JoinAgg: String = """
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+
+    val qTopSuppliers: String = """
+      SELECT s_nationkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS active_suppliers,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS volume_e2
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey"""
+  }
+
+  /** One entry per implemented operator from SURVEY.md par.2 (+ pipeline ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    def q(sql: String)(s: SparkSession, dir: String): DataFrame = {
+      prepare(s, dir); s.sql(sql)
+    }
+    Map(
+      // --- relational / delegated-to-Spark operators --------------------
+      "q1_agg" -> q(Sql.q1Agg) _,
+      "q2_join_agg" -> q(Sql.q2JoinAgg) _,
+      "q3_supplier_join" -> q(Sql.qTopSuppliers) _,
+      "q_events_window" -> q("""
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_e2
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""") _,
+
+      // --- duckdb hash surface ------------------------------------------
+      "q_duckdb_hash" -> q("""
+        SELECT o_orderkey, conv(hex(bitfilters_duckdb_hash('v1.5.1', o_orderkey)), 16, 10) AS h
+        FROM orders ORDER BY o_orderkey""") _,
+      "q_duckdb_hash_vectors" -> q("""
+        SELECT 'i42' AS name, conv(hex(bitfilters_duckdb_hash('v1.5.1', 42)), 16, 10) AS h
+        UNION ALL SELECT 'l42', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(42 AS BIGINT))), 16, 10)
+        UNION ALL SELECT 'f42', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(42 AS FLOAT))), 16, 10)
+        UNION ALL SELECT 'd42', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(42 AS DOUBLE))), 16, 10)
+        UNION ALL SELECT 'zero_f', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(0.0 AS FLOAT))), 16, 10)
+        UNION ALL SELECT 'neg1_i', conv(hex(bitfilters_duckdb_hash('v1.5.1', -1)), 16, 10)
+        UNION ALL SELECT 'neg1_l', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(-1 AS BIGINT))), 16, 10)
+        UNION ALL SELECT 'hello', conv(hex(bitfilters_duckdb_hash('v1.5.1', 'hello')), 16, 10)
+        UNION ALL SELECT 'empty_s', conv(hex(bitfilters_duckdb_hash('v1.5.1', '')), 16, 10)
+        UNION ALL SELECT 'multi_42_hello', conv(hex(bitfilters_duckdb_hash('v1.5.1', 42, 'hello')), 16, 10)
+        UNION ALL SELECT 'multi_1_2_3', conv(hex(bitfilters_duckdb_hash('v1.5.1', 1, 2, 3)), 16, 10)
+        ORDER BY name""") _,
+
+      // --- duckdb bloom filter family -----------------------------------
+      "q_bloom_semijoin" -> q("""
+        WITH flt AS (
+          SELECT c_nationkey,
+                 bitfilters_duckdb_bloom_filter_create('v1.5.1', 4096,
+                   bitfilters_duckdb_hash('v1.5.1', c_custkey)) AS f
+          FROM customer GROUP BY c_nationkey)
+        SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer c JOIN flt ON c.c_nationkey = flt.c_nationkey
+        WHERE bitfilters_duckdb_bloom_filter_probe('v1.5.1', f, c_custkey)
+        GROUP BY c.c_nationkey ORDER BY c.c_nationkey""") _,
+      "q_bloom_orders_lineitem" -> q("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+        WHERE bitfilters_duckdb_bloom_filter_probe('v1.5.1',
+          (SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 16384,
+             bitfilters_duckdb_hash('v1.5.1', o_orderkey)) FROM orders),
+          l_orderkey)""") _,
+
+      // --- quotient filter family ---------------------------------------
+      // scalar-subquery (foldable-filter) form: the filter blob is evaluated
+      // once and inlined, so probes run inside whole-stage codegen with no
+      // blob-carrying join — the pattern that scales
+      "q_quotient_golden" -> q("""
+        SELECT 0 AS filter_rem, CAST(COUNT(*) AS BIGINT) AS fp
+        FROM range(1, 100001) WHERE id % 2 = 1 AND quotient_filter_contains(
+          (SELECT quotient_filter(16, 4, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
+          bitfilters_duckdb_hash('v1.5.1', id))
+        UNION ALL
+        SELECT 1 AS filter_rem, CAST(COUNT(*) AS BIGINT) AS fp
+        FROM range(1, 100001) WHERE id % 2 = 0 AND quotient_filter_contains(
+          (SELECT quotient_filter(16, 4, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
+          bitfilters_duckdb_hash('v1.5.1', id))
+        ORDER BY filter_rem""") _,
+      "q_quotient_merge" -> q("""
+        WITH per AS (
+          SELECT c_mktsegment, quotient_filter(16, 4, bitfilters_duckdb_hash('v1.5.1', c_custkey)) AS f
+          FROM customer GROUP BY c_mktsegment),
+        m AS (SELECT quotient_filter(16, 4, f) AS f FROM per)
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer, m
+        WHERE quotient_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', c_custkey))""") _,
+
+      // --- binary fuse filter family ------------------------------------
+      "q_fuse_golden" -> q("""
+        SELECT 0 AS filter_rem,
+               CAST(COUNT(CASE WHEN binary_fuse16_filter_contains(
+                 (SELECT binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp16,
+               CAST(COUNT(CASE WHEN binary_fuse8_filter_contains(
+                 (SELECT binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp8
+        FROM range(1, 100001) WHERE id % 2 = 1
+        UNION ALL
+        SELECT 1 AS filter_rem,
+               CAST(COUNT(CASE WHEN binary_fuse16_filter_contains(
+                 (SELECT binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp16,
+               CAST(COUNT(CASE WHEN binary_fuse8_filter_contains(
+                 (SELECT binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp8
+        FROM range(1, 100001) WHERE id % 2 = 0
+        ORDER BY filter_rem""") _,
+      "q_fuse_semijoin" -> q("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+        WHERE binary_fuse16_filter_contains(
+          (SELECT binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', p_partkey)) FROM part),
+          bitfilters_duckdb_hash('v1.5.1', l_partkey))""") _,
+
+      // --- xor filter family --------------------------------------------
+      "q_xor_members" -> q("""
+        SELECT 0 AS filter_rem,
+               CAST(COUNT(CASE WHEN xor16_filter_contains(
+                 (SELECT xor16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m16,
+               CAST(COUNT(CASE WHEN xor8_filter_contains(
+                 (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m8
+        FROM range(1, 100001) WHERE id % 2 = 0
+        UNION ALL
+        SELECT 1 AS filter_rem,
+               CAST(COUNT(CASE WHEN xor16_filter_contains(
+                 (SELECT xor16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m16,
+               CAST(COUNT(CASE WHEN xor8_filter_contains(
+                 (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m8
+        FROM range(1, 100001) WHERE id % 2 = 1
+        ORDER BY filter_rem""") _,
+      "q_xor_semijoin" -> q("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+        WHERE xor8_filter_contains(
+          (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', s_suppkey)) FROM supplier),
+          bitfilters_duckdb_hash('v1.5.1', l_suppkey))""") _,
+
+      // --- dedup operators ----------------------------------------------
+      "q_dedup_exact" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Dedup.exactDuplicateStats(s.table("documents"), "text")
+          .selectExpr("CAST(docs AS BIGINT) AS docs",
+            "CAST(distinct_docs AS BIGINT) AS distinct_docs",
+            "CAST(duplicate_docs AS BIGINT) AS duplicate_docs")
+      }),
+      "q_minhash_near_dup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Dedup.minHashNearDuplicates(s.table("documents"), "text", "doc_id",
+            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2)
+          .agg(count(lit(1)).cast("long").as("pairs"))
+      }),
+      "q_simhash_near_dup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Dedup.simHashNearDuplicates(s.table("documents"), "text", "doc_id", maxHamming = 3)
+          .agg(count(lit(1)).cast("long").as("pairs"))
+      }),
+      "q_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Dedup.exactJaccardPairs(Dedup.shingleHashes(s.table("documents"), "text", "doc_id", 3))
+          .where(col("jaccard") >= 0.2)
+          .agg(count(lit(1)).cast("long").as("pairs"))
+      }),
+
+      // --- similarity search --------------------------------------------
+      "q_ann_topk" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      }),
+      "q_ann_lsh" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Embeddings.lshTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5, prefixBits = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      }),
+
+      // --- text analysis ------------------------------------------------
+      "q_text_stats" -> q("""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(size(split(text, ' '))) AS BIGINT) AS total_words
+        FROM documents GROUP BY lang ORDER BY lang""") _,
+      "q_token_count" -> q("""
+        SELECT CAST(SUM(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))) AS BIGINT) AS tokens,
+               CAST(COUNT(*) AS BIGINT) AS docs
+        FROM documents""") _,
+      "q_lang_id" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.table("documents")
+          .select(TextAnalysis.langId(col("text")).as("lang_detected"))
+          .groupBy("lang_detected").agg(count(lit(1)).cast("long").as("docs"))
+          .orderBy("lang_detected")
+      }),
+      "q_quality_score" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.withQualityMetrics(s.table("documents"), "text")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum(round(col("punct_ratio") * 1e6).cast("long")).as("punct_e6"),
+            sum(round(col("mean_word_len") * 1e6).cast("long")).as("mwl_e6"),
+            sum(round(col("quality_score") * 1e6).cast("long")).as("quality_e6"))
+      }),
+      "q_fingerprint" -> q("""
+        SELECT doc_id, conv(hex(bitfilters_duckdb_hash('v1.5.1',
+                 regexp_replace(lower(text), '\\s+', ' '))), 16, 10) AS fp
+        FROM documents ORDER BY doc_id""") _,
+
+      // --- multimodal plumbing (stub codec, real Spark plumbing) --------
+      "q_multimodal_decode" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val payloads = s.table("documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val decoded = Multimodal.decodeAndFeaturize(payloads, "doc_id", "payload", "image", 16)
+        Multimodal.withResizePlan(decoded, 256)
+          .agg(count(lit(1)).cast("long").as("medias"),
+            sum(col("meta.width").cast("long")).as("sum_w"),
+            sum(col("target_width").cast("long")).as("sum_tw"),
+            sum(round(element_at(col("features"), 1) * 1e6).cast("long")).as("f0_e6"))
+      }),
+    )
+  }
+
+  /** DuckDB-runnable oracle SQL per query (same column names + ordering). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+             CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+             CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q2_join_agg" -> """
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q3_supplier_join" -> """
+      SELECT s_nationkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS active_suppliers,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS volume_e2
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q_events_window" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_e2
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_duckdb_hash" -> """
+      SELECT o_orderkey, CAST(hash(o_orderkey) AS VARCHAR) AS h
+      FROM orders ORDER BY o_orderkey""",
+    // certified golden vectors from the reference's hash_values_v1.5.1.json
+    "q_duckdb_hash_vectors" -> """
+      SELECT name, h FROM (VALUES
+        ('i42', '7199933130570745587'),
+        ('l42', '7199933130570745587'),
+        ('f42', '15290891319722589465'),
+        ('d42', '870828535671730594'),
+        ('zero_f', '0'),
+        ('neg1_i', '4739667815145166545'),
+        ('neg1_l', '4939931809569846361'),
+        ('hello', '8628213525773890682'),
+        ('empty_s', '5104928228550385088'),
+        ('multi_42_hello', '17001236256828606196'),
+        ('multi_1_2_3', '12722334483198565868')) t(name, h)
+      ORDER BY name""",
+    "q_bloom_semijoin" -> """
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_bloom_orders_lineitem" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+    // golden FP counts from reference test/sql/bitfilters.test:45-53,110-117
+    "q_quotient_golden" -> """
+      SELECT CAST(filter_rem AS INT) AS filter_rem, CAST(fp AS BIGINT) AS fp
+      FROM (VALUES (0, 2264), (1, 2273)) t(filter_rem, fp) ORDER BY filter_rem""",
+    "q_quotient_merge" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM customer",
+    "q_fuse_golden" -> """
+      SELECT CAST(filter_rem AS INT) AS filter_rem, CAST(fp16 AS BIGINT) AS fp16, CAST(fp8 AS BIGINT) AS fp8
+      FROM (VALUES (0, 1, 171), (1, 1, 199)) t(filter_rem, fp16, fp8) ORDER BY filter_rem""",
+    "q_fuse_semijoin" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+    "q_xor_members" -> """
+      SELECT CAST(filter_rem AS INT) AS filter_rem, CAST(m16 AS BIGINT) AS m16, CAST(m8 AS BIGINT) AS m8
+      FROM (VALUES (0, 50000, 50000), (1, 50000, 50000)) t(filter_rem, m16, m8) ORDER BY filter_rem""",
+    "q_xor_semijoin" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+    "q_dedup_exact" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_docs,
+             CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS duplicate_docs
+      FROM documents""",
+    "q_text_stats" -> """
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "q_token_count" -> """
+      SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS tokens,
+             CAST(COUNT(*) AS BIGINT) AS docs
+      FROM documents""",
+    "q_ann_topk" -> """
+      SELECT query_id, rank, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                          e.vec_id) AS rank
+        FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        WHERE e.vec_id != q.vec_id) ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+  )
 }

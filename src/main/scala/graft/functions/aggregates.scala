@@ -51,7 +51,7 @@ object LongKeyBuffer {
   }
 }
 
-private[functions] object AggUtil {
+private[graft] object AggUtil {
   /** Evaluate a required-foldable constructor argument. */
   def foldableLong(e: Expression, what: String): Long = e.eval(null) match {
     case null => throw new IllegalArgumentException(s"$what cannot be NULL")

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are pure DataFrame transformations built from codegen'd
+  * native functions plus the custom sketch aggregates ([[MinHashAgg]],
+  * [[SimHashAgg]]); nothing collects to the driver, every stage is
+  * partition-parallel, and the only shuffles are the groupBy/join keys named
+  * in each method.
+  */
+object Dedup {
+
+  /** Exact duplicate statistics by content hash (md5 for oracle parity). */
+  def exactDuplicateStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("docs"),
+      countDistinct(md5(col(textCol))).as("distinct_docs"),
+      (count(lit(1)) - countDistinct(md5(col(textCol)))).as("duplicate_docs"))
+
+  /** Exact dedup: keep one representative row per distinct content hash.
+    * Scale note: a single shuffle on the content hash; skew-free because
+    * md5 keys are uniform.
+    */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (id, shingle_hash) pairs: lowercased whitespace tokens -> word n-grams
+    * -> xxhash64. DISTINCT per document so Jaccard math is set-based.
+    */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= shingleSize)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (shingleSize - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(shingleSize)))))).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: one custom aggregate pass over shingle hashes. */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
+    shingles.groupBy("doc_id")
+      .agg(ColumnBridge.column(MinHashAgg(ColumnBridge.expression(col("shingle")), numHashes).toAggregateExpression()).as("sig"))
+
+  /** LSH banding: documents sharing any band bucket become candidate pairs.
+    * Shuffles on (band_id, band_hash); bucket sizes stay small for sane
+    * band widths, so the per-bucket pair expansion is bounded.
+    */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
+    val numHashes = signatures.selectExpr("size(sig)").head().getInt(0)
+    val rowsPerBand = math.max(1, numHashes / bands)
+    val banded = signatures.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .toDF("doc_id", "band_id", "band_hash")
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard = fraction of matching signature positions. */
+  def withJaccardEstimate(pairs: DataFrame, signatures: DataFrame): DataFrame =
+    pairs
+      .join(signatures.withColumnRenamed("doc_id", "id1").withColumnRenamed("sig", "sig1"), "id1")
+      .join(signatures.withColumnRenamed("doc_id", "id2").withColumnRenamed("sig", "sig2"), "id2")
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / size(col("sig1")))
+
+  /** Exact n-gram Jaccard for candidate pairs via a shingle-level join.
+    * `maxDocFreq` drops ubiquitous shingles first (classic skew guard: a
+    * shingle occurring in thousands of docs would explode the join).
+    */
+  def exactJaccardPairs(shingles: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+    val filtered = shingles.join(
+      shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDocFreq).select("shingle"),
+      "shingle")
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = filtered.as("a").join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard", col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+  }
+
+  /** Full MinHash-LSH near-duplicate pipeline: shingle -> minhash -> band ->
+    * candidate pairs -> signature-estimate filter.
+    */
+  def minHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val sh = shingleHashes(df, textCol, idCol, shingleSize)
+    val sigs = minHashSignatures(sh, numHashes)
+    withJaccardEstimate(lshCandidatePairs(sigs, bands), sigs)
+      .where(col("jaccard_est") >= threshold)
+      .select("id1", "id2", "jaccard_est")
+  }
+
+  /** SimHash fingerprints per document. */
+  def simHashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(ColumnBridge.column(SimHashAgg(ColumnBridge.expression(col("h"))).toAggregateExpression()).as("simhash"))
+
+  /** SimHash near-duplicates: block on 4x16-bit bands (any equal band is a
+    * candidate: a pair within Hamming distance 3 shares at least one intact
+    * 16-bit quarter by pigeonhole), verify with bit_count(xor) <= maxHamming.
+    */
+  def simHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = simHashFingerprints(df, textCol, idCol)
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band_id"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val")))
+    val banded = fps.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Hashing
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`).
+  *
+  * Two paths, as a training-data pipeline needs both:
+  *  - brute-force cosine top-k: exact baseline; the query side is broadcast
+  *    so the big embeddings table is scanned exactly once with no shuffle.
+  *  - random-hyperplane LSH: the scale path; a 64-bit signature per vector,
+  *    bucketed by signature prefix, candidates ranked by exact cosine. At
+  *    100 TB the bucket join replaces the O(n*q) scan with a co-partitioned
+  *    equi-join on bucket ids.
+  */
+object Embeddings {
+
+  /** Cosine similarity of two ARRAY<FLOAT>/ARRAY<DOUBLE> columns, built from
+    * codegen'd native higher-order functions (no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast); the embeddings table streams through one stage.
+    */
+  def bruteForceTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = embeddings.crossJoin(broadcast(queries))
+      .where(col(idCol) =!= col(queryIdCol))
+      .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
+  }
+
+  /** 64-bit random-hyperplane signature column (deterministic from `seed`). */
+  def hyperplaneSignature(vec: Column, numBits: Int = 64, seed: Long = 42L): Column =
+    ColumnBridge.column(HyperplaneSignature(ColumnBridge.expression(vec), numBits, seed))
+
+  /** LSH-bucketed approximate top-k: candidates share a `prefixBits`-wide
+    * signature prefix with the query, ranked by exact cosine. Trades recall
+    * for a bucket-equi-join instead of a full scan.
+    */
+  def lshTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, prefixBits: Int = 12, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (sig: Column) => shiftrightunsigned(sig, 64 - prefixBits)
+    val embB = embeddings.withColumn("__bucket", bucket(hyperplaneSignature(col(vecCol), 64, seed)))
+    val qryB = queries.withColumn("__bucket", bucket(hyperplaneSignature(col(queryVecCol), 64, seed)))
+    val cands = embB.join(broadcast(qryB), "__bucket")
+      .where(col(idCol) =!= col(queryIdCol))
+      .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
+  }
+
+  /** All pairs with cosine >= threshold via LSH buckets + exact verify.
+    * The embedding-cosine near-duplicate detector for dedup pipelines.
+    */
+  def cosineNearDuplicates(embeddings: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, prefixBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val sigged = embeddings.withColumn("__bucket",
+      shiftrightunsigned(hyperplaneSignature(col(vecCol), 64, seed), 64 - prefixBits))
+    sigged.as("a").join(sigged.as("b"),
+        col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("sim", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .where(col("sim") >= threshold)
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("sim"))
+  }
+}
+
+/** Random-hyperplane signature: bit j of the result is the sign of
+  * dot(vec, plane_j), planes drawn deterministically from splitmix64(seed)
+  * with components uniform in [-1, 1). One fused pass over the vector.
+  */
+case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  require(numBits > 0 && numBits <= 64, "numBits must be in (0, 64]")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_signature requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // planes(j)(i): lazily sized to the first vector's length, deterministic in (seed, numBits)
+  @transient private var planes: Array[Array[Double]] = _
+
+  private def planesFor(dim: Int): Array[Array[Double]] = {
+    if (planes == null || planes(0).length != dim) {
+      val rng = new Hashing.SplitMix64(seed)
+      planes = Array.fill(numBits) {
+        Array.fill(dim)((rng.next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+      }
+    }
+    planes
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val ps = planesFor(dim)
+    var sig = 0L
+    var j = 0
+    while (j < numBits) {
+      val p = ps(j)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += v * p(i)
+        i += 1
+      }
+      if (dot > 0) sig |= 1L << (63 - j)
+      j += 1
+    }
+    sig
+  }
+
+  override def prettyName: String = "hyperplane_signature"
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}

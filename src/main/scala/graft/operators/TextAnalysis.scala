@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, document fingerprinting. All
+  * composed from codegen'd native functions — no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** BPE-ish tokenizer regex: words, numbers, or single non-space symbols. */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token count via the BPE-ish regex (regexp_extract_all is codegen'd). */
+  def tokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit(TokenPattern), lit(0)))
+
+  /** Whitespace word count (matches DuckDB len(string_split(x, ' '))). */
+  def wordCount(text: Column): Column = size(split(text, " "))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "in", "to", "is", "it", "that", "for", "on", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "oder", "von", "zu", "ist", "es", "ein", "eine", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "ou", "de", "un", "une", "est", "que", "pour", "dans", "avec"),
+    "es" -> Seq("el", "la", "los", "las", "y", "o", "de", "un", "una", "es", "que", "por", "con", "para"))
+
+  /** Fraction of whitespace words that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    val toks = split(lower(text), "\\s+")
+    size(filter(toks, t => array_contains(sw, t))).cast("double") / greatest(size(toks), lit(1))
+  }
+
+  /** Heuristic language ID: argmax stopword-hit ratio across known languages;
+    * 'und' (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { lang =>
+      struct(stopwordRatio(text, lang).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality heuristics bundle: length, word stats, symbol/digit/upper
+    * ratios, and a composite [0,1] score (longer, wordier, low-symbol text
+    * scores higher — the usual pre-training quality gates).
+    */
+  def withQualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = length(t).cast("double")
+    val words = wordCount(t).cast("double")
+    val punct = length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double")
+    val digits = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val meanWordLen = chars / greatest(words, lit(1.0))
+    df.withColumn("n_chars_m", chars)
+      .withColumn("n_words", words)
+      .withColumn("punct_ratio", punct / greatest(chars, lit(1.0)))
+      .withColumn("digit_ratio", digits / greatest(chars, lit(1.0)))
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("stopword_ratio_en", stopwordRatio(t, "en"))
+      .withColumn("quality_score",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.4) * least(words / 100.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0)))
+            + lit(0.3) * least(col("stopword_ratio_en") * 4.0, lit(1.0)))))
+  }
+
+  /** 64-bit content fingerprint of whitespace-normalized lowercased text,
+    * using the DuckDB-compatible hash (so fingerprints are stable across
+    * engines that implement the same hash).
+    */
+  def fingerprint(text: Column): Column =
+    call_function("bitfilters_duckdb_hash", lit("v1.5.1"),
+      regexp_replace(lower(text), lit("\\s+"), lit(" ")))
+}

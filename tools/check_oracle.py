@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Replays oracle_sql.json in DuckDB against the same parquet tables and
+compares with the Spark-written parquet outputs (the driver's gate, locally)."""
+import duckdb, json, sys, glob, os
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok = fail = 0
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    spark_df = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    if name not in oracles:
+        print(f"  [rows-only] {name}: {len(spark_df)} rows")
+        continue
+    try:
+        oracle_df = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        print(f"✗ {name}: oracle SQL failed: {e}")
+        fail += 1
+        continue
+    s = spark_df[sorted(spark_df.columns)].astype(str).sort_values(by=sorted(spark_df.columns)).reset_index(drop=True)
+    o = oracle_df[sorted(oracle_df.columns)].astype(str).sort_values(by=sorted(oracle_df.columns)).reset_index(drop=True)
+    if list(s.columns) != list(o.columns):
+        print(f"✗ {name}: column mismatch {list(s.columns)} vs {list(o.columns)}")
+        fail += 1
+    elif len(s) != len(o):
+        print(f"✗ {name}: row count {len(s)} vs {len(o)}")
+        fail += 1
+    elif not s.equals(o):
+        diff = (s != o).any(axis=1)
+        print(f"✗ {name}: {diff.sum()} differing rows, first:")
+        print("  spark :", s[diff].head(2).to_dict('records'))
+        print("  oracle:", o[diff].head(2).to_dict('records'))
+        fail += 1
+    else:
+        print(f"✓ {name}: {len(s)} rows match")
+        ok += 1
+print(f"\n{ok} matched, {fail} failed")
+sys.exit(1 if fail else 0)
