@@ -95,19 +95,21 @@ case class BinaryFuseFilterContains(left: Expression, right: Expression, bits: I
 
 private[functions] object HashDispatch {
   /** Per-type hasher matching DuckDB physical-type dispatch
-    * (reference src/bitfilters_duckdb_bloom_filter.cpp:193-235). NULL values
-    * hash to 0, exactly like the reference's HashVectorTyped (cpp:183-189).
+    * (reference src/bitfilters_duckdb_bloom_filter.cpp:193-235). NULL inputs
+    * never reach these: the expressions propagate NULL first, matching
+    * DuckDB's default scalar null handling
+    * (test/sql/duckdb_bloom_filter.test:137-141).
     */
   def hasherFor(dt: DataType, name: String): Any => Long = dt match {
-    case BooleanType => v => if (v == null) 0L else DuckDbHash.hashBoolean(v.asInstanceOf[Boolean])
-    case ByteType => v => if (v == null) 0L else DuckDbHash.hashInt32Like(v.asInstanceOf[Byte].toInt)
-    case ShortType => v => if (v == null) 0L else DuckDbHash.hashInt32Like(v.asInstanceOf[Short].toInt)
-    case IntegerType => v => if (v == null) 0L else DuckDbHash.hashInt32Like(v.asInstanceOf[Int])
-    case LongType => v => if (v == null) 0L else DuckDbHash.hashLong(v.asInstanceOf[Long])
-    case FloatType => v => if (v == null) 0L else DuckDbHash.hashFloat(v.asInstanceOf[Float])
-    case DoubleType => v => if (v == null) 0L else DuckDbHash.hashDouble(v.asInstanceOf[Double])
-    case _: StringType => v => if (v == null) 0L else DuckDbHash.hashBytes(v.asInstanceOf[UTF8String].getBytes)
-    case BinaryType => v => if (v == null) 0L else DuckDbHash.hashBytes(v.asInstanceOf[Array[Byte]])
+    case BooleanType => v => DuckDbHash.hashBoolean(v.asInstanceOf[Boolean])
+    case ByteType => v => DuckDbHash.hashInt32Like(v.asInstanceOf[Byte].toInt)
+    case ShortType => v => DuckDbHash.hashInt32Like(v.asInstanceOf[Short].toInt)
+    case IntegerType => v => DuckDbHash.hashInt32Like(v.asInstanceOf[Int])
+    case LongType => v => DuckDbHash.hashLong(v.asInstanceOf[Long])
+    case FloatType => v => DuckDbHash.hashFloat(v.asInstanceOf[Float])
+    case DoubleType => v => DuckDbHash.hashDouble(v.asInstanceOf[Double])
+    case _: StringType => v => DuckDbHash.hashBytes(v.asInstanceOf[UTF8String].getBytes)
+    case BinaryType => v => DuckDbHash.hashBytes(v.asInstanceOf[Array[Byte]])
     case other => throw new IllegalArgumentException(s"$name: unsupported type ${other.sql}")
   }
 
@@ -130,19 +132,24 @@ private[functions] object HashDispatch {
     case _ => false
   }
 
-  /** Generate Java that leaves the combined hash of `values` in `hVar`. */
-  def genCombinedHash(ctx: CodegenContext, values: Seq[Expression], hVar: String): String = {
+  /** Generate Java leaving the combined hash in `hVar` and the NULL flag in
+    * `anyNullVar` (any NULL value argument -> NULL result, like DuckDB's
+    * default scalar null handling).
+    */
+  def genCombinedHash(ctx: CodegenContext, values: Seq[Expression],
+      hVar: String, anyNullVar: String): String = {
     val pieces = values.zipWithIndex.map { case (child, i) =>
       val c = child.genCode(ctx)
-      val hashed =
-        if (child.nullable) s"${c.isNull} ? 0L : ${hashCallJava(child.dataType, c.value.toString)}"
-        else hashCallJava(child.dataType, c.value.toString)
-      val assign =
+      val hashed = hashCallJava(child.dataType, c.value.toString)
+      val combineStmt =
         if (i == 0) s"$hVar = $hashed;"
         else s"$hVar = graft.core.DuckDbHash.combine($hVar, $hashed);"
-      c.code.toString + "\n" + assign
+      val guarded =
+        if (child.nullable) s"if (${c.isNull}) { $anyNullVar = true; } else { $combineStmt }"
+        else combineStmt
+      c.code.toString + "\n" + guarded
     }
-    s"long $hVar = 0L;\n" + pieces.mkString("\n")
+    s"long $hVar = 0L;\nboolean $anyNullVar = false;\n" + pieces.mkString("\n")
   }
 }
 
@@ -153,7 +160,7 @@ private[functions] object HashDispatch {
 case class DuckDbHashExpr(children: Seq[Expression]) extends Expression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false // NULL values hash to 0, like the reference
+  override def nullable: Boolean = children.exists(_.nullable)
   override def foldable: Boolean = children.forall(_.foldable)
 
   private def versionExpr = children.head
@@ -178,10 +185,12 @@ case class DuckDbHashExpr(children: Seq[Expression]) extends Expression {
   @transient private lazy val valueArr: Array[Expression] = valueExprs.toArray
 
   override def eval(input: InternalRow): Any = {
-    var h = hashers(0)(valueArr(0).eval(input))
-    var i = 1
+    var h = 0L
+    var i = 0
     while (i < valueArr.length) {
-      h = DuckDbHash.combine(h, hashers(i)(valueArr(i).eval(input)))
+      val v = valueArr(i).eval(input)
+      if (v == null) return null // NULL propagates (duckdb_bloom_filter.test:137-141)
+      h = if (i == 0) hashers(0)(v) else DuckDbHash.combine(h, hashers(i)(v))
       i += 1
     }
     h
@@ -189,13 +198,13 @@ case class DuckDbHashExpr(children: Seq[Expression]) extends Expression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val hVar = ctx.freshName("ddbHash")
-    val hashCode = HashDispatch.genCombinedHash(ctx, valueExprs, hVar)
-    ev.copy(
-      code = code"""
+    val nullVar = ctx.freshName("ddbAnyNull")
+    val hashCode = HashDispatch.genCombinedHash(ctx, valueExprs, hVar, nullVar)
+    ev.copy(code = code"""
         $hashCode
+        boolean ${ev.isNull} = $nullVar;
         long ${ev.value} = $hVar;
-      """,
-      isNull = FalseLiteral)
+      """)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): DuckDbHashExpr =
@@ -243,10 +252,12 @@ case class DuckDbBloomFilterProbe(children: Seq[Expression]) extends Expression 
   override def eval(input: InternalRow): Any = {
     val blob = filterExpr.eval(input).asInstanceOf[Array[Byte]]
     if (blob == null) return null
-    var h = hashers(0)(valueArr(0).eval(input))
-    var i = 1
+    var h = 0L
+    var i = 0
     while (i < valueArr.length) {
-      h = DuckDbHash.combine(h, hashers(i)(valueArr(i).eval(input)))
+      val v = valueArr(i).eval(input)
+      if (v == null) return null // NULL propagates like the hash function
+      h = if (i == 0) hashers(0)(v) else DuckDbHash.combine(h, hashers(i)(v))
       i += 1
     }
     DuckDbBloomFilter.probeBlob(blob, h)
@@ -255,7 +266,8 @@ case class DuckDbBloomFilterProbe(children: Seq[Expression]) extends Expression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = filterExpr.genCode(ctx)
     val hVar = ctx.freshName("ddbHash")
-    val hashCode = HashDispatch.genCombinedHash(ctx, valueExprs, hVar)
+    val nullVar = ctx.freshName("ddbAnyNull")
+    val hashCode = HashDispatch.genCombinedHash(ctx, valueExprs, hVar, nullVar)
     val isNullVar = ctx.freshName("probeIsNull")
     val valueVar = ctx.freshName("probeValue")
     ev.copy(code = code"""
@@ -264,8 +276,10 @@ case class DuckDbBloomFilterProbe(children: Seq[Expression]) extends Expression 
       boolean $valueVar = false;
       if (!(${f.isNull})) {
         $hashCode
-        $isNullVar = false;
-        $valueVar = graft.core.DuckDbBloomFilter.probeBlob(${f.value}, $hVar);
+        if (!$nullVar) {
+          $isNullVar = false;
+          $valueVar = graft.core.DuckDbBloomFilter.probeBlob(${f.value}, $hVar);
+        }
       }
       boolean ${ev.isNull} = $isNullVar;
       boolean ${ev.value} = $valueVar;

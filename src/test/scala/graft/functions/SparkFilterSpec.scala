@@ -185,6 +185,17 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scalar NULL propagation
     val np = sqlRows("SELECT quotient_filter_contains(CAST(NULL AS BINARY), CAST(1 AS BIGINT))")
     assert(np.head.head == null)
+    // hash NULL propagation (reference duckdb_bloom_filter.test:137-141)
+    val hn = sqlRows("""
+      SELECT bitfilters_duckdb_hash('v1.5.1', CAST(NULL AS INT)),
+             bitfilters_duckdb_hash('v1.5.1', 42, CAST(NULL AS STRING))""")
+    assert(hn.head.forall(_ == null))
+    // per-row hash NULL propagation through codegen over a table
+    val tbl = sqlRows("""
+      SELECT count(CASE WHEN h IS NULL THEN 1 END) FROM (
+        SELECT bitfilters_duckdb_hash('v1.5.1', CASE WHEN id % 3 = 0 THEN NULL ELSE id END) AS h
+        FROM range(0, 99))""")
+    assert(tbl.head.head == 33L)
   }
 
   test("error paths: bad version, non-power-of-2 sectors, non-constant q") {

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.GraftFunctions
+
+class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-operators-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    val nearDup = base.replace("tonight", "today") // 1 word of 17 changed
+    val other = "completely different content about databases spark clusters and large scale query processing engines"
+    spark.createDataFrame(Seq(
+      (1L, base), (2L, nearDup), (3L, other), (4L, base) // 4 is an exact dup of 1
+    )).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: stats and drop") {
+    val stats = Dedup.exactDuplicateStats(docsDf, "text").collect().head
+    assert(stats.getLong(0) == 4 && stats.getLong(1) == 3 && stats.getLong(2) == 1)
+    val kept = Dedup.dropExactDuplicates(docsDf, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("minhash-lsh: finds the near-duplicate pair, estimate tracks exact jaccard") {
+    val pairs = Dedup.minHashNearDuplicates(docsDf, "text", "doc_id",
+      numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 2 }, s"missing (1,2) in ${pairs.mkString(",")}")
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 4 }) // exact dup pair
+    assert(!pairs.exists { case (a, b, _) => b == 3 || a == 3 }) // unrelated doc out
+    // exact jaccard of doc1 vs doc2: shingles differ only around the last word
+    val exact = Dedup.exactJaccardPairs(Dedup.shingleHashes(docsDf, "text", "doc_id", 3))
+      .where(col("id1") === 1 && col("id2") === 2).select("jaccard").head().getDouble(0)
+    val est = pairs.find(p => p._1 == 1 && p._2 == 2).get._3
+    assert(math.abs(est - exact) < 0.15, s"estimate $est vs exact $exact")
+    // exact dup pair must have jaccard estimate 1.0
+    assert(pairs.find(p => p._1 == 1 && p._2 == 4).get._3 == 1.0)
+  }
+
+  test("minhash signatures are partitioning-invariant (merge correctness)") {
+    val sh = Dedup.shingleHashes(docsDf, "text", "doc_id", 3)
+    val sig1 = Dedup.minHashSignatures(sh.repartition(1), 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sig8 = Dedup.minHashSignatures(sh.repartition(8), 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig1 == sig8)
+  }
+
+  test("simhash: near-dups within small hamming, unrelated far") {
+    val fps = Dedup.simHashFingerprints(docsDf, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1) == fps(4)) // identical docs -> identical fingerprints
+    val h12 = java.lang.Long.bitCount(fps(1) ^ fps(2))
+    val h13 = java.lang.Long.bitCount(fps(1) ^ fps(3))
+    assert(h12 < h13, s"near-dup hamming $h12 should be < unrelated $h13")
+    val pairs = Dedup.simHashNearDuplicates(docsDf, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("embeddings: cosine + brute-force top-k correctness") {
+    val sps = spark; import sps.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0)),   // closest to 1
+      (3L, Array(0.0, 1.0, 0.0)),
+      (4L, Array(-1.0, 0.0, 0.0))). // opposite of 1
+      toDF("vec_id", "vec")
+    val queries = vecs.where($"vec_id" === 1).select($"vec_id".as("qid"), $"vec".as("qvec"))
+    val top = Embeddings.bruteForceTopK(vecs, "vec", "vec_id", queries, "qvec", "qid", 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 2L), (2, 3L), (3, 4L)))
+    // exact cosine value check
+    val sim = vecs.where($"vec_id" === 2).crossJoin(vecs.where($"vec_id" === 1).select($"vec".as("v2")))
+      .select(Embeddings.cosine($"vec", $"v2")).head().getDouble(0)
+    assert(math.abs(sim - 0.9 / math.sqrt(0.82)) < 1e-12)
+  }
+
+  test("embeddings: hyperplane signature deterministic; identical vectors collide") {
+    val sps = spark; import sps.implicits._
+    val vecs = Seq((1L, Array(0.5, -0.25, 0.75)), (2L, Array(0.5, -0.25, 0.75)),
+      (3L, Array(-0.5, 0.25, -0.75))).toDF("vec_id", "vec")
+    val sigs = vecs.select($"vec_id", Embeddings.hyperplaneSignature($"vec").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1) == sigs(2))
+    assert(sigs(3) == ~sigs(1)) // antipodal vector flips every hyperplane side
+    val again = vecs.select(Embeddings.hyperplaneSignature($"vec").as("sig"))
+      .collect().map(_.getLong(0))
+    assert(again.head == sigs(1)) // deterministic across evaluations
+  }
+
+  test("text analysis: lang id, token count, quality metrics") {
+    val sps = spark; import sps.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist ein guter freund und das ist schoen"),
+      (3L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val langs = df.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1) == "en" && langs(2) == "de" && langs(3) == "und")
+    val tc = df.where($"doc_id" === 1).select(TextAnalysis.tokenCount($"text")).head().getInt(0)
+    assert(tc == 10)
+    val qm = TextAnalysis.withQualityMetrics(df, "text").where($"doc_id" === 1).head()
+    assert(qm.getAs[Double]("stopword_ratio_en") > 0.3)
+    assert(qm.getAs[Double]("quality_score") > 0.0 && qm.getAs[Double]("quality_score") <= 1.0)
+  }
+
+  test("multimodal: stub decode is deterministic and batch-size-invariant") {
+    val sps = spark; import sps.implicits._
+    val df = (1L to 100L).map(i => (i, s"payload-$i".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val a = Multimodal.decodeAndFeaturize(df, "media_id", "payload", "image", 8, batchSize = 3)
+      .select("media_id", "meta.width", "features").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).sortBy(_._1)
+    val b = Multimodal.decodeAndFeaturize(df.repartition(7), "media_id", "payload", "image", 8, batchSize = 1000)
+      .select("media_id", "meta.width", "features").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).sortBy(_._1)
+    assert(a.sameElements(b))
+    val resized = Multimodal.withResizePlan(
+      Multimodal.decodeAndFeaturize(df, "media_id", "payload", "image", 8), 128)
+      .select("target_width", "target_height").collect()
+    assert(resized.forall(r => r.getInt(0) <= 128 && r.getInt(1) <= 128))
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeAndFeaturize(df.limit(5), "media_id", "payload", "video", 8), 2.0)
+    assert(frames.count() > 5) // multiple frames per video
+  }
+
+  test("sketch aggregates via SQL surface") {
+    spark.range(0, 1000).createOrReplaceTempView("ids")
+    val r = spark.sql("""
+      SELECT size(minhash_agg(xxhash64(id), 32)) AS k,
+             simhash_agg(xxhash64(id)) AS sh,
+             hyperplane_signature(array(CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE))) AS hp
+      FROM ids""").head()
+    assert(r.getInt(0) == 32)
+    assert(r.get(1) != null && r.get(2) != null)
+  }
+}

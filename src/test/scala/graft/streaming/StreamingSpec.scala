@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.GraftFunctions
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming bloom filter aggregate folds state across micro-batches") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val keyed = input.toDF().toDF("grp", "key")
+      .selectExpr("grp", "bitfilters_duckdb_hash('v1.5.1', key) AS h")
+    val filters = StreamingFilters.streamingBloomFilters(keyed, "grp", "h", 1024)
+    val query = filters.writeStream.format("memory").queryName("bf_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((0L, 1L), (0L, 2L), (1L, 100L))
+      query.processAllAvailable()
+      input.addData((0L, 3L), (1L, 101L))
+      query.processAllAvailable()
+      val out = spark.table("bf_stream").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      // probe the streamed filters: all keys from both batches must be present
+      val f0 = graft.core.DuckDbBloomFilter.deserialize(out(0L))
+      val f1 = graft.core.DuckDbBloomFilter.deserialize(out(1L))
+      assert(Seq(1L, 2L, 3L).forall(k => f0.mightContain(graft.core.DuckDbHash.hashLong(k))))
+      assert(Seq(100L, 101L).forall(k => f1.mightContain(graft.core.DuckDbHash.hashLong(k))))
+    } finally query.stop()
+  }
+
+  test("watermarked windowed filter aggregation") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "key")
+      .selectExpr("ts", "bitfilters_duckdb_hash('v1.5.1', key) AS h")
+    val windowed = StreamingFilters.windowedKeyFilters(events, "ts", "h", "1 hour", "2 hours", 256)
+    val query = windowed.writeStream.format("memory").queryName("win_stream")
+      .outputMode("complete").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:15:00")
+      val t1 = Timestamp.valueOf("2024-01-01 11:30:00")
+      input.addData((t0, 1L), (t0, 2L), (t1, 3L))
+      query.processAllAvailable()
+      val rows = spark.table("win_stream").collect()
+      assert(rows.length == 2) // two hourly windows
+      assert(rows.map(_.getLong(2)).sum == 3)
+      rows.foreach(r => assert(r.getAs[Array[Byte]](1) != null))
+    } finally query.stop()
+  }
+}
