@@ -68,6 +68,12 @@ object GraftFunctions {
     ("bitfilters_duckdb_bloom_filter_probe",
       "bitfilters_duckdb_bloom_filter_probe(version, filter, v1[, v2, ...]) - probe a DuckDB-compatible bloom filter",
       args => { atLeast("bitfilters_duckdb_bloom_filter_probe", 3, args); DuckDbBloomFilterProbe(args) }),
+    ("bloomfilter",
+      "bloomfilter(capacity, fpr, value_or_blob) - classic bloom filter aggregate (typed values or blob merge)",
+      args => { arity("bloomfilter", 3, args); ClassicBloomFilterAgg(args(0), args(1), args(2)) }),
+    ("bloom_filter_contains",
+      "bloom_filter_contains(filter, value) - probe a classic bloom filter",
+      args => { arity("bloom_filter_contains", 2, args); ClassicBloomContains(args(0), args(1)) }),
     // sketch aggregates for the training-data pipeline operators
     ("minhash_agg",
       "minhash_agg(hash, k) - MinHash signature (ARRAY<BIGINT> of k minima) over pre-hashed shingles",

@@ -143,6 +143,13 @@ object SparkEntry {
              bitfilters_duckdb_hash('v1.5.1', o_orderkey)) FROM orders),
           l_orderkey)""") _,
 
+      // --- classic bloom family (disabled in the reference, shipped here) -
+      "q_bloomfilter_classic" -> q("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders
+        WHERE bloom_filter_contains(
+          (SELECT bloomfilter(200000, CAST(0.01 AS DOUBLE), o_custkey) FROM orders),
+          o_custkey)""") _,
+
       // --- quotient filter family ---------------------------------------
       // scalar-subquery (foldable-filter) form: the filter blob is evaluated
       // once and inlined, so probes run inside whole-stage codegen with no
@@ -359,6 +366,7 @@ object SparkEntry {
       SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_bloom_orders_lineitem" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+    "q_bloomfilter_classic" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders",
     // golden FP counts from reference test/sql/bitfilters.test:45-53,110-117
     "q_quotient_golden" -> """
       SELECT CAST(filter_rem AS INT) AS filter_rem, CAST(fp AS BIGINT) AS fp

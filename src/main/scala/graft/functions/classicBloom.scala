@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+
+import graft.core.{ClassicBloomFilter, DuckDbHash}
+
+/** Mutable holder so empty groups finalize to NULL. */
+final class ClassicBloomBuf(var filter: ClassicBloomFilter)
+
+/** SQL: `bloomfilter(capacity, fpr, value_or_blob)` — the reference's
+  * written-but-disabled classic bloom family
+  * (src/bitfilters_bloom_filter.cpp, disabled at CMakeLists.txt:18-19),
+  * shipped here for surface completeness. Like the reference: capacity/fpr
+  * are constants, a BINARY third argument switches to the OR-merge overload
+  * (cpp:180-218), typed values are accepted directly (hashed internally, no
+  * pre-hash step needed — the only family with that property, cpp:336-345).
+  */
+case class ClassicBloomFilterAgg(
+    capacityExpr: Expression,
+    fprExpr: Expression,
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ClassicBloomBuf] {
+
+  override def children: Seq[Expression] = Seq(capacityExpr, fprExpr, child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloomfilter"
+
+  private lazy val capacity: Long = AggUtil.foldableLong(capacityExpr, "Bloom filter capacity")
+  private lazy val fpr: Double = capacityToDouble(fprExpr.eval(null))
+  private lazy val mergeMode: Boolean = child.dataType == BinaryType
+  @transient private lazy val hasher: Any => Long =
+    if (mergeMode) null else HashDispatch.hasherFor(child.dataType, "bloomfilter")
+
+  private def capacityToDouble(v: Any): Double = v match {
+    case null => throw new IllegalArgumentException("Bloom false positive rate cannot be NULL")
+    case d: Double => d
+    case f: Float => f.toDouble
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case other => throw new IllegalArgumentException(s"Bloom false positive rate must be numeric, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val f0 = AggUtil.checkFoldable(capacityExpr, "Bloom filter capacity")
+    if (f0 != TypeCheckResult.TypeCheckSuccess) return f0
+    val f1 = AggUtil.checkFoldable(fprExpr, "Bloom false positive rate")
+    if (f1 != TypeCheckResult.TypeCheckSuccess) return f1
+    if (child.dataType == BinaryType || HashDispatch.supported(child.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloomfilter value must be a numeric/string/binary type or BINARY filter blob, got ${child.dataType.sql}")
+  }
+
+  override def createAggregationBuffer(): ClassicBloomBuf = new ClassicBloomBuf(null)
+
+  override def update(buf: ClassicBloomBuf, input: InternalRow): ClassicBloomBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (buf.filter == null) buf.filter = ClassicBloomFilter.create(capacity, fpr)
+      if (mergeMode) buf.filter.orMerge(ClassicBloomFilter.deserialize(v.asInstanceOf[Array[Byte]]))
+      else buf.filter.insert(hasher(v))
+    }
+    buf
+  }
+
+  override def merge(buf: ClassicBloomBuf, other: ClassicBloomBuf): ClassicBloomBuf = {
+    if (other.filter != null) {
+      if (buf.filter == null) buf.filter = other.filter
+      else buf.filter.orMerge(other.filter)
+    }
+    buf
+  }
+
+  override def eval(buf: ClassicBloomBuf): Any =
+    if (buf.filter == null) null else buf.filter.serialize()
+
+  override def serialize(buf: ClassicBloomBuf): Array[Byte] =
+    if (buf.filter == null) Array.emptyByteArray else buf.filter.serialize()
+  override def deserialize(bytes: Array[Byte]): ClassicBloomBuf =
+    if (bytes.isEmpty) new ClassicBloomBuf(null)
+    else new ClassicBloomBuf(ClassicBloomFilter.deserialize(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ClassicBloomFilterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ClassicBloomFilterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): ClassicBloomFilterAgg =
+    copy(capacityExpr = newChildren(0), fprExpr = newChildren(1), child = newChildren(2))
+}
+
+/** SQL: `bloom_filter_contains(filter, value)` — typed-value probe for the
+  * classic bloom family (reference cpp:246-294).
+  */
+case class ClassicBloomContains(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "bloom_filter_contains"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"bloom_filter_contains filter argument must be BINARY, got ${left.dataType.sql}")
+    else if (!HashDispatch.supported(right.dataType))
+      TypeCheckResult.TypeCheckFailure(s"bloom_filter_contains: unsupported value type ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val hasher: Any => Long =
+    HashDispatch.hasherFor(right.dataType, "bloom_filter_contains")
+
+  override def eval(input: InternalRow): Any = {
+    val v = right.eval(input)
+    if (v == null) return null
+    val blob = left.eval(input).asInstanceOf[Array[Byte]]
+    if (blob == null) return null
+    ClassicBloomFilter.probeBlob(blob, hasher(v))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, v) =>
+      s"graft.core.ClassicBloomFilter.probeBlob($f, ${HashDispatch.hashCallJava(right.dataType, v)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ClassicBloomContains =
+    copy(left = l, right = r)
+}

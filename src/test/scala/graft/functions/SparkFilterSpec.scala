@@ -198,6 +198,40 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.head.head == 33L)
   }
 
+  test("classic bloom SQL: typed values, membership, merge overload, FPR") {
+    // shape of the reference's disabled test (test/sql/bitfilters.test:12-33)
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW bloom_filters AS
+      SELECT id % 2 AS remainder, bloomfilter(10000, CAST(0.01 AS DOUBLE), id) AS filter
+      FROM series_data WHERE id <= 10000 GROUP BY id % 2
+    """)
+    val contained = sqlRows("""
+      SELECT remainder, count(CASE WHEN bloom_filter_contains(filter, id) THEN 1 END)
+      FROM series_data, bloom_filters
+      WHERE id <= 10000 AND series_data.id % 2 = bloom_filters.remainder
+      GROUP BY remainder ORDER BY remainder
+    """)
+    assert(contained == Seq(Seq(0L, 5000L), Seq(1L, 5000L)))
+    val fps = sqlRows("""
+      SELECT count(*) FROM range(200001, 210001) r, (SELECT filter FROM bloom_filters WHERE remainder = 0) f
+      WHERE bloom_filter_contains(f.filter, r.id)
+    """)
+    assert(fps.head.head.asInstanceOf[Long] < 300, s"classic bloom FPs: ${fps.head.head}")
+    // merge overload: union of per-group filters contains everything
+    val merged = sqlRows("""
+      SELECT count(*) FROM series_data,
+        (SELECT bloomfilter(10000, CAST(0.01 AS DOUBLE), filter) AS filter FROM bloom_filters) m
+      WHERE id <= 10000 AND bloom_filter_contains(m.filter, id)
+    """)
+    assert(merged.head.head == 10000L)
+    // string-typed values work too (the reference family was multi-typed)
+    val strs = sqlRows("""
+      SELECT bloom_filter_contains(bloomfilter(100, CAST(0.01 AS DOUBLE), s), 'b')
+      FROM (SELECT explode(array('a','b','c')) AS s)
+    """)
+    assert(strs.head.head == true)
+  }
+
   test("error paths: bad version, non-power-of-2 sectors, non-constant q") {
     def fails(q: String): Boolean =
       try { spark.sql(q).collect(); false } catch { case _: Exception => true }
