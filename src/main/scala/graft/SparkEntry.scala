@@ -111,19 +111,7 @@ object SparkEntry {
       "q_duckdb_hash" -> q("""
         SELECT o_orderkey, conv(hex(bitfilters_duckdb_hash('v1.5.1', o_orderkey)), 16, 10) AS h
         FROM orders ORDER BY o_orderkey""") _,
-      "q_duckdb_hash_vectors" -> q("""
-        SELECT 'i42' AS name, conv(hex(bitfilters_duckdb_hash('v1.5.1', 42)), 16, 10) AS h
-        UNION ALL SELECT 'l42', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(42 AS BIGINT))), 16, 10)
-        UNION ALL SELECT 'f42', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(42 AS FLOAT))), 16, 10)
-        UNION ALL SELECT 'd42', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(42 AS DOUBLE))), 16, 10)
-        UNION ALL SELECT 'zero_f', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(0.0 AS FLOAT))), 16, 10)
-        UNION ALL SELECT 'neg1_i', conv(hex(bitfilters_duckdb_hash('v1.5.1', -1)), 16, 10)
-        UNION ALL SELECT 'neg1_l', conv(hex(bitfilters_duckdb_hash('v1.5.1', CAST(-1 AS BIGINT))), 16, 10)
-        UNION ALL SELECT 'hello', conv(hex(bitfilters_duckdb_hash('v1.5.1', 'hello')), 16, 10)
-        UNION ALL SELECT 'empty_s', conv(hex(bitfilters_duckdb_hash('v1.5.1', '')), 16, 10)
-        UNION ALL SELECT 'multi_42_hello', conv(hex(bitfilters_duckdb_hash('v1.5.1', 42, 'hello')), 16, 10)
-        UNION ALL SELECT 'multi_1_2_3', conv(hex(bitfilters_duckdb_hash('v1.5.1', 1, 2, 3)), 16, 10)
-        ORDER BY name""") _,
+      "q_duckdb_hash_vectors" -> q(HashVectors.sparkSql) _,
 
       // --- duckdb bloom filter family -----------------------------------
       "q_bloom_semijoin" -> q("""
@@ -348,20 +336,7 @@ object SparkEntry {
       SELECT o_orderkey, CAST(hash(o_orderkey) AS VARCHAR) AS h
       FROM orders ORDER BY o_orderkey""",
     // certified golden vectors from the reference's hash_values_v1.5.1.json
-    "q_duckdb_hash_vectors" -> """
-      SELECT name, h FROM (VALUES
-        ('i42', '7199933130570745587'),
-        ('l42', '7199933130570745587'),
-        ('f42', '15290891319722589465'),
-        ('d42', '870828535671730594'),
-        ('zero_f', '0'),
-        ('neg1_i', '4739667815145166545'),
-        ('neg1_l', '4939931809569846361'),
-        ('hello', '8628213525773890682'),
-        ('empty_s', '5104928228550385088'),
-        ('multi_42_hello', '17001236256828606196'),
-        ('multi_1_2_3', '12722334483198565868')) t(name, h)
-      ORDER BY name""",
+    "q_duckdb_hash_vectors" -> HashVectors.oracleSqlText,
     "q_bloom_semijoin" -> """
       SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",

@@ -232,6 +232,32 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strs.head.head == true)
   }
 
+  test("typed Column API: end-to-end without SQL strings") {
+    import graft.functions.filters._
+    import org.apache.spark.sql.functions.{broadcast, col, count}
+    val dim = spark.range(1, 1001).toDF("key")
+    val facts = spark.range(1, 5001).toDF("fact_key")
+    val flt = dim.agg(xor8Filter(duckdbHash(col("key"))).as("f"))
+    val hits = facts.join(broadcast(flt))
+      .where(xor8FilterContains(col("f"), duckdbHash(col("fact_key"))))
+      .agg(count(col("*"))).head().getLong(0)
+    assert(hits >= 1000 && hits < 1100, s"members + bounded FPs, got $hits") // 1000 members, <2.5% FP on 4000
+    val q = dim.agg(quotientFilter(12, 8, duckdbHash(col("key"))).as("f"),
+      duckdbBloomFilter(1024, duckdbHash(col("key"))).as("b"),
+      bloomFilter(1000, 0.01, col("key")).as("c"))
+    val row = dim.crossJoin(broadcast(q))
+      .where(quotientFilterContains(col("f"), duckdbHash(col("key"))) &&
+        duckdbBloomFilterProbe(col("b"), col("key")) &&
+        bloomFilterContains(col("c"), col("key")))
+      .count()
+    assert(row == 1000L)
+  }
+
+  test("driver entry() smoke: flagship query returns rows") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
   test("error paths: bad version, non-power-of-2 sectors, non-constant q") {
     def fails(q: String): Boolean =
       try { spark.sql(q).collect(); false } catch { case _: Exception => true }
