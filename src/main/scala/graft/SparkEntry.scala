@@ -369,6 +369,30 @@ object SparkEntry {
       SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS tokens,
              CAST(COUNT(*) AS BIGINT) AS docs
       FROM documents""",
+    // mirrors TextAnalysis.withQualityMetrics op-for-op (note the 'g' flag:
+    // DuckDB regexp_replace is first-match-only by default, Spark's is global)
+    "q_quality_score" -> """
+      WITH m AS (
+        SELECT CAST(length(text) AS DOUBLE) AS chars,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> list_contains(['the','a','an','and','or','of','in','to','is','it','that','for','on','with','as'], x))) AS DOUBLE) AS sw_hits,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS toks
+        FROM documents),
+      p AS (
+        SELECT words, punct / greatest(chars, 1.0) AS punct_ratio,
+               chars / greatest(words, 1.0) AS mean_word_len,
+               sw_hits / greatest(toks, 1.0) AS sw_ratio
+        FROM m)
+      SELECT CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(CAST(round(punct_ratio * 1e6) AS BIGINT)) AS BIGINT) AS punct_e6,
+             CAST(sum(CAST(round(mean_word_len * 1e6) AS BIGINT)) AS BIGINT) AS mwl_e6,
+             CAST(sum(CAST(round(least(1.0, greatest(0.0,
+                 0.4 * least(words / 100.0, 1.0)
+               + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+               + 0.3 * least(sw_ratio * 4.0, 1.0))) * 1e6) AS BIGINT)) AS BIGINT) AS quality_e6
+      FROM p""",
     "q_ann_topk" -> """
       SELECT query_id, rank, neighbor_id FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -232,6 +232,28 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strs.head.head == true)
   }
 
+  test("duckdb bloom SQL: negative keys and large sector counts (FIXTURES par.2)") {
+    // bf_neg: negative ints exercise the sign-extension path (reference :447-462)
+    val neg = sqlRows("""
+      SELECT count(*) FROM range(-500, 0)
+      WHERE bitfilters_duckdb_bloom_filter_probe('v1.5.1',
+        (SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 1024,
+           bitfilters_duckdb_hash('v1.5.1', id)) FROM range(-500, 0)), id)""")
+    assert(neg.head.head == 500L)
+    // bf_large: 131072 sectors (reference :474-488); scalar-subquery form —
+    // a blob-column join would carry the 1MB filter on every probe row
+    val large = sqlRows("""
+      SELECT count(*) FROM range(0, 10000)
+      WHERE bitfilters_duckdb_bloom_filter_probe('v1.5.1',
+        (SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 131072,
+           bitfilters_duckdb_hash('v1.5.1', id)) FROM range(0, 10000)), id)""")
+    assert(large.head.head == 10000L)
+    val largeSize = sqlRows("""
+      SELECT octet_length((SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 131072,
+        bitfilters_duckdb_hash('v1.5.1', id)) FROM range(0, 10000)))""")
+    assert(largeSize.head.head == 8 * 131073)
+  }
+
   test("typed Column API: end-to-end without SQL strings") {
     import graft.functions.filters._
     import org.apache.spark.sql.functions.{broadcast, col, count}
