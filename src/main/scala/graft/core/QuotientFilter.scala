@@ -170,12 +170,32 @@ final class QuotientFilter private (
 
   /** Union-merge; reference cpp:388-406 (including its drop-on-overflow quirk). */
   def merge(other: QuotientFilter): QuotientFilter = {
-    val out = QuotientFilter.create(math.max(qbits, other.qbits), math.max(rbits, other.rbits))
-    val it1 = new QuotientFilterIterator(this)
-    while (!it1.done) out.insert(it1.next())
-    val it2 = new QuotientFilterIterator(other)
-    while (!it2.done) out.insert(it2.next())
-    out
+    if (qbits == other.qbits && rbits == other.rbits) {
+      // in-place absorb: same layout means this table IS the output layout.
+      // The reference rebuilds a fresh filter and reinserts both sides on
+      // every combine; under Spark's 32-way partial aggregation that would
+      // re-copy the accumulated state once per partition merge (O(P * n)
+      // inserts + P table allocations). Absorbing costs only other.entries
+      // inserts and is bit-identical: insert() is the same operation the
+      // rebuild would perform, in a table of the same geometry.
+      absorb(other)
+      this
+    } else {
+      val out = QuotientFilter.create(math.max(qbits, other.qbits), math.max(rbits, other.rbits))
+      val it1 = new QuotientFilterIterator(this)
+      while (!it1.done) out.insert(it1.next())
+      val it2 = new QuotientFilterIterator(other)
+      while (!it2.done) out.insert(it2.next())
+      out
+    }
+  }
+
+  /** Insert every stored value of `other` (same q,r) into this filter,
+    * ignoring overflow like the reference's merge (cpp:399,403).
+    */
+  private def absorb(other: QuotientFilter): Unit = {
+    val it = new QuotientFilterIterator(other)
+    while (!it.done) insert(it.next())
   }
 
   /** Wire format: 40-byte header + table bytes; reference hpp:91-98. */

@@ -238,10 +238,28 @@ case class QuotientFilterAgg(
   override def eval(buf: QuotientBuf): Any =
     if (buf.filter == null) null else buf.filter.serialize()
 
+  // Partial-state shuffle format: compact [u8 q][u8 r][u64 values...] of the
+  // stored (quotient<<r | remainder) values, NOT the dense table blob — a
+  // near-full q=24 filter is ~22MB dense but entries*8 bytes compact, and the
+  // final-side rebuild costs the same inserts an absorb-merge pays anyway.
   override def serialize(buf: QuotientBuf): Array[Byte] =
-    if (buf.filter == null) Array.emptyByteArray else buf.filter.serialize()
+    if (buf.filter == null) Array.emptyByteArray
+    else {
+      val f = buf.filter
+      val out = ByteBuffer.allocate(2 + 8 * f.entries.toInt).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(f.qbits.toByte).put(f.rbits.toByte)
+      val it = new graft.core.QuotientFilterIterator(f)
+      while (!it.done) out.putLong(it.next())
+      out.array()
+    }
   override def deserialize(bytes: Array[Byte]): QuotientBuf =
-    if (bytes.isEmpty) new QuotientBuf(null) else new QuotientBuf(QuotientFilter.deserialize(bytes))
+    if (bytes.isEmpty) new QuotientBuf(null)
+    else {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val f = QuotientFilter.create(bb.get() & 0xff, bb.get() & 0xff)
+      while (bb.remaining() >= 8) f.insert(bb.getLong())
+      new QuotientBuf(f)
+    }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuotientFilterAgg =
     copy(mutableAggBufferOffset = newOffset)
