@@ -52,8 +52,7 @@ object Dedup {
     * Shuffles on (band_id, band_hash); bucket sizes stay small for sane
     * band widths, so the per-bucket pair expansion is bounded.
     */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
-    val numHashes = signatures.selectExpr("size(sig)").head().getInt(0)
+  def lshCandidatePairs(signatures: DataFrame, bands: Int, numHashes: Int): DataFrame = {
     val rowsPerBand = math.max(1, numHashes / bands)
     val banded = signatures.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -80,7 +79,9 @@ object Dedup {
     * `maxDocFreq` drops ubiquitous shingles first (classic skew guard: a
     * shingle occurring in thousands of docs would explode the join).
     */
-  def exactJaccardPairs(shingles: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+  def exactJaccardPairs(shingles0: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+    // consumed by the df-stats join, both sides of the pair join, and sizes
+    val shingles = shingles0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = shingles.join(
       shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDocFreq).select("shingle"),
@@ -103,8 +104,11 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, shingleSize)
+    // signatures feed three joins (two estimate sides + banding); persist so
+    // the shingle+minhash aggregation runs once, not three times
     val sigs = minHashSignatures(sh, numHashes)
-    withJaccardEstimate(lshCandidatePairs(sigs, bands), sigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withJaccardEstimate(lshCandidatePairs(sigs, bands, numHashes), sigs)
       .where(col("jaccard_est") >= threshold)
       .select("id1", "id2", "jaccard_est")
   }
