@@ -286,5 +286,9 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fails("SELECT bitfilters_duckdb_hash('v9.9.9', 1)"))
     assert(fails("SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 1000, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(10)"))
     assert(fails("SELECT quotient_filter(id, 4, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(10)"))
+    // full quotient filter errors like the reference (bitfilters_quotient_filter.cpp:196-198)
+    assert(fails("SELECT quotient_filter(2, 4, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(100)"))
+    assert(fails("SELECT bloomfilter(0, CAST(0.1 AS DOUBLE), id) FROM range(10)"))
+    assert(fails("SELECT bloomfilter(10, CAST(1.5 AS DOUBLE), id) FROM range(10)"))
   }
 }

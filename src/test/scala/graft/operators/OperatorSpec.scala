@@ -144,6 +144,17 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.count() > 5) // multiple frames per video
   }
 
+  test("typed Dataset API over real testdata") {
+    val docs = typed.documents(spark, "/root/testdata/sf0.001")
+    assert(docs.head().text.nonEmpty)
+    val pairs = typed.nearDuplicates(docs, threshold = 0.1).collect()
+    pairs.foreach(p => assert(p.id1 < p.id2 && p.jaccard_est >= 0.1))
+    val embs = typed.embeddings(spark, "/root/testdata/sf0.001")
+    val nbrs = typed.topKNeighbors(embs, Set(0L, 1L), 3).collect()
+    assert(nbrs.count(_.query_id == 0L) == 3)
+    assert(nbrs.filter(_.query_id == 1L).map(_.rank).sorted.sameElements(Array(1, 2, 3)))
+  }
+
   test("sketch aggregates via SQL surface") {
     spark.range(0, 1000).createOrReplaceTempView("ids")
     val r = spark.sql("""
