@@ -76,12 +76,25 @@ object GraftFunctions {
       args => { arity("bloom_filter_contains", 2, args); ClassicBloomContains(args(0), args(1)) }),
     // sketch aggregates for the training-data pipeline operators
     ("minhash_agg",
-      "minhash_agg(hash, k) - MinHash signature (ARRAY<BIGINT> of k minima) over pre-hashed shingles",
-      args => { arity("minhash_agg", 2, args)
-        graft.operators.MinHashAgg(args(0), AggUtil.foldableLong(args(1), "minhash_agg k").toInt) }),
+      "minhash_agg(hash, k[, affine]) - MinHash signature (ARRAY<BIGINT> of k minima) over pre-hashed shingles; affine=true selects the SQL-portable mod-2^61-1 permutations",
+      args => {
+        if (args.size < 2 || args.size > 3)
+          throw new IllegalArgumentException(s"minhash_agg requires 2 or 3 arguments, got ${args.size}")
+        val affine = args.size == 3 && (args(2).eval(null) match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => throw new IllegalArgumentException(s"minhash_agg affine must be a boolean constant, got $other")
+        })
+        graft.operators.MinHashAgg(args(0), AggUtil.foldableLong(args(1), "minhash_agg k").toInt, affine)
+      }),
     ("simhash_agg",
       "simhash_agg(hash) - 64-bit SimHash fingerprint over pre-hashed tokens",
       args => { arity("simhash_agg", 1, args); graft.operators.SimHashAgg(args(0)) }),
+    ("lang_id",
+      "lang_id(text) - heuristic language code by stopword-hit argmax ('de'|'en'|'es'|'fr'|'und')",
+      args => { arity("lang_id", 1, args); graft.operators.LangIdExpr(args(0)) }),
+    ("rolling_hash",
+      "rolling_hash(text) - polynomial (Rabin-Karp) rolling-hash fingerprint over code points, mod 1e9+7",
+      args => { arity("rolling_hash", 1, args); graft.operators.RollingHashExpr(args(0)) }),
     ("hyperplane_signature",
       "hyperplane_signature(vec[, bits[, seed]]) - random-hyperplane LSH signature of an embedding",
       args => {

@@ -163,25 +163,22 @@ object SparkEntry {
         WHERE quotient_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', c_custkey))""") _,
 
       // --- binary fuse filter family ------------------------------------
+      // per-group filters built in ONE aggregation pass (both families share
+      // the scan), probed through a 2-row broadcast join — the "many filters
+      // per key" pattern that complements the scalar-subquery semijoins
       "q_fuse_golden" -> q("""
-        SELECT 0 AS filter_rem,
-               CAST(COUNT(CASE WHEN binary_fuse16_filter_contains(
-                 (SELECT binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
+        WITH flt AS (
+          SELECT id % 2 AS par,
+                 binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS f16,
+                 binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS f8
+          FROM range(1, 100001) GROUP BY id % 2)
+        SELECT CAST(flt.par AS INT) AS filter_rem,
+               CAST(COUNT(CASE WHEN binary_fuse16_filter_contains(f16,
                  bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp16,
-               CAST(COUNT(CASE WHEN binary_fuse8_filter_contains(
-                 (SELECT binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
+               CAST(COUNT(CASE WHEN binary_fuse8_filter_contains(f8,
                  bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp8
-        FROM range(1, 100001) WHERE id % 2 = 1
-        UNION ALL
-        SELECT 1 AS filter_rem,
-               CAST(COUNT(CASE WHEN binary_fuse16_filter_contains(
-                 (SELECT binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
-                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp16,
-               CAST(COUNT(CASE WHEN binary_fuse8_filter_contains(
-                 (SELECT binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
-                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp8
-        FROM range(1, 100001) WHERE id % 2 = 0
-        ORDER BY filter_rem""") _,
+        FROM range(1, 100001) r JOIN flt ON r.id % 2 <> flt.par
+        GROUP BY flt.par ORDER BY filter_rem""") _,
       "q_fuse_semijoin" -> q("""
         SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
         WHERE binary_fuse16_filter_contains(
@@ -189,25 +186,22 @@ object SparkEntry {
           bitfilters_duckdb_hash('v1.5.1', l_partkey))""") _,
 
       // --- xor filter family --------------------------------------------
+      // same one-pass grouped-build + broadcast-equi-join shape as
+      // q_fuse_golden; members probe their own parity's filter (no-false-
+      // negative contract => counts are exact)
       "q_xor_members" -> q("""
-        SELECT 0 AS filter_rem,
-               CAST(COUNT(CASE WHEN xor16_filter_contains(
-                 (SELECT xor16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
+        WITH flt AS (
+          SELECT id % 2 AS par,
+                 xor16_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS x16,
+                 xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS x8
+          FROM range(1, 100001) GROUP BY id % 2)
+        SELECT CAST(flt.par AS INT) AS filter_rem,
+               CAST(COUNT(CASE WHEN xor16_filter_contains(x16,
                  bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m16,
-               CAST(COUNT(CASE WHEN xor8_filter_contains(
-                 (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
+               CAST(COUNT(CASE WHEN xor8_filter_contains(x8,
                  bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m8
-        FROM range(1, 100001) WHERE id % 2 = 0
-        UNION ALL
-        SELECT 1 AS filter_rem,
-               CAST(COUNT(CASE WHEN xor16_filter_contains(
-                 (SELECT xor16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
-                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m16,
-               CAST(COUNT(CASE WHEN xor8_filter_contains(
-                 (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
-                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m8
-        FROM range(1, 100001) WHERE id % 2 = 1
-        ORDER BY filter_rem""") _,
+        FROM range(1, 100001) r JOIN flt ON r.id % 2 = flt.par
+        GROUP BY flt.par ORDER BY filter_rem""") _,
       "q_xor_semijoin" -> q("""
         SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
         WHERE xor8_filter_contains(
@@ -222,15 +216,18 @@ object SparkEntry {
             "CAST(distinct_docs AS BIGINT) AS distinct_docs",
             "CAST(duplicate_docs AS BIGINT) AS duplicate_docs")
       }),
+      // portable=true => md5-prefix hashes + affine mod-2^61-1 permutations,
+      // so the DuckDB oracle recomputes the identical signatures/fingerprints
       "q_minhash_near_dup" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         Dedup.minHashNearDuplicates(s.table("documents"), "text", "doc_id",
-            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2)
+            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true)
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
       "q_simhash_near_dup" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        Dedup.simHashNearDuplicates(s.table("documents"), "text", "doc_id", maxHamming = 3)
+        Dedup.simHashNearDuplicates(s.table("documents"), "text", "doc_id",
+            maxHamming = 3, portable = true)
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
       "q_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
@@ -287,9 +284,14 @@ object SparkEntry {
             sum(round(col("mean_word_len") * 1e6).cast("long")).as("mwl_e6"),
             sum(round(col("quality_score") * 1e6).cast("long")).as("quality_e6"))
       }),
+      // two portable fingerprints: md5 of whitespace-normalized text and the
+      // rolling_hash native expression — both independently recomputable in
+      // DuckDB, giving this gate a real per-row oracle (the duckdb-hash-based
+      // TextAnalysis.fingerprint stays covered by the certified hash vectors)
       "q_fingerprint" -> q("""
-        SELECT doc_id, conv(hex(bitfilters_duckdb_hash('v1.5.1',
-                 regexp_replace(lower(text), '\\s+', ' '))), 16, 10) AS fp
+        SELECT doc_id,
+               substring(md5(regexp_replace(lower(text), '\\s+', ' ')), 1, 16) AS fp_md5,
+               rolling_hash(text) AS fp_roll
         FROM documents ORDER BY doc_id""") _,
 
       // --- multimodal plumbing (stub codec, real Spark plumbing) --------
@@ -393,6 +395,112 @@ object SparkEntry {
                + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
                + 0.3 * least(sw_ratio * 4.0, 1.0))) * 1e6) AS BIGINT)) AS BIGINT) AS quality_e6
       FROM p""",
+    // full independent replication of the portable MinHash-LSH pipeline:
+    // string shingles -> md5-prefix 60-bit hashes -> the SAME affine
+    // permutations (constants embedded below from MinHashPerm.params) ->
+    // 32x4 band slices -> candidate pairs -> signature-estimate filter
+    "q_minhash_near_dup" -> {
+      val (a, b) = graft.operators.MinHashPerm.params(128)
+      s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      prm AS (
+        SELECT unnest(generate_series(1, 128)) AS j,
+               unnest(${a.mkString("[", ", ", "]")}) AS a,
+               unnest(${b.mkString("[", ", ", "]")}) AS b),
+      sigv AS (
+        SELECT sh.doc_id, prm.j,
+               MIN(CAST((CAST(prm.a AS HUGEINT) * sh.h + prm.b) % 2305843009213693951 AS BIGINT)) AS m
+        FROM sh, prm GROUP BY sh.doc_id, prm.j),
+      sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, bnd, list_slice(sig, bnd * 4 + 1, bnd * 4 + 4) AS slc
+        FROM sig, (SELECT unnest(generate_series(0, 31)) AS bnd)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        FROM banded x JOIN banded y
+          ON x.bnd = y.bnd AND x.slc = y.slc AND x.doc_id < y.doc_id),
+      est AS (
+        SELECT id1, id2,
+               len(list_filter(generate_series(1, 128), i -> s1.sig[i] = s2.sig[i])) / 128.0 AS je
+        FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id JOIN sig s2 ON cand.id2 = s2.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM est WHERE je >= 0.2"""
+    },
+    // independent replication of the portable SimHash pipeline: md5-prefix
+    // token hashes -> per-bit +1/-1 votes -> 64-bit fingerprint -> 4x16-bit
+    // band blocking -> hamming<=3 verify
+    "q_simhash_near_dup" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+      th AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+      votes AS (
+        SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) GROUP BY doc_id, bit),
+      fp AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS f
+        FROM votes GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, f, bb, (f >> (bb * 16)) & 65535 AS bv
+        FROM fp, (SELECT unnest(generate_series(0, 3)) AS bb)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2, bit_count(xor(x.f, y.f)) AS hamming
+        FROM banded x JOIN banded y
+          ON x.bb = y.bb AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM cand WHERE hamming <= 3""",
+    // exact n-gram Jaccard on STRING shingles (the Spark side hashes
+    // shingles to 64 bits first; at 500-doc scale collisions are absent, so
+    // set-based counts agree exactly)
+    "q_ngram_jaccard" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      flt AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      f AS (SELECT sh.doc_id, sh.s FROM sh JOIN flt USING (s)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM f GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (
+        SELECT c * 1.0 / (s1.sz + s2.sz - c) AS jac
+        FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
+                    JOIN sizes s2 ON common.id2 = s2.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM j WHERE jac >= 0.2""",
+    "q_fingerprint" -> """
+      SELECT doc_id,
+             substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp_md5,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 257 + b) % 1000000007) AS fp_roll
+      FROM documents ORDER BY doc_id""",
+    "q_lang_id" -> {
+      def inList(lang: String) =
+        graft.operators.LangId.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+      def hits(lang: String) =
+        s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(${inList(lang)}, x))) AS $lang"
+      s"""
+      WITH h AS (
+        SELECT ${hits("de")}, ${hits("en")}, ${hits("es")}, ${hits("fr")}
+        FROM documents),
+      l AS (
+        SELECT CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                    WHEN fr = greatest(de, en, es, fr) THEN 'fr'
+                    WHEN es = greatest(de, en, es, fr) THEN 'es'
+                    WHEN en = greatest(de, en, es, fr) THEN 'en'
+                    ELSE 'de' END AS lang_detected
+        FROM h)
+      SELECT lang_detected, CAST(COUNT(*) AS BIGINT) AS docs
+      FROM l GROUP BY lang_detected ORDER BY lang_detected"""
+    },
     "q_ann_topk" -> """
       SELECT query_id, rank, neighbor_id FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

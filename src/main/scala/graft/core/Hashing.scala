@@ -56,4 +56,27 @@ object Hashing {
 
   /** 32/16/8-bit fingerprint source: hash xor (hash >>> 32); xorfilter.h:67-69. */
   @inline def fingerprint64(hash: Long): Long = hash ^ (hash >>> 32)
+
+  /** Mersenne prime 2^61 - 1: the modulus for SQL-portable affine hashing
+    * (the largest prime whose products stay inside 128-bit signed math, so
+    * other engines can replay it with exact integer arithmetic).
+    */
+  final val Mersenne61 = (1L << 61) - 1
+
+  /** (a * b) mod (2^61 - 1) for 0 <= a, b < 2^61, branch-light:
+    * 2^64 = 8 (mod p) and 2^61 = 1 (mod p) fold the 128-bit product.
+    */
+  @inline def mulMod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b) // signed == unsigned: both < 2^61
+    val lo = a * b
+    var r = (hi << 3) + (lo >>> 61) + (lo & Mersenne61)
+    r = (r >>> 61) + (r & Mersenne61)
+    if (r >= Mersenne61) r - Mersenne61 else r
+  }
+
+  /** (a * h + b) mod (2^61 - 1); the SQL-portable affine permutation. */
+  @inline def affineMod61(a: Long, h: Long, b: Long): Long = {
+    val r = mulMod61(a, h) + b
+    if (r >= Mersenne61) r - Mersenne61 else r
+  }
 }

@@ -30,23 +30,37 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingle_hash) pairs: lowercased whitespace tokens -> word n-grams
-    * -> xxhash64. DISTINCT per document so Jaccard math is set-based.
+  /** 64-bit (60 effective bits) md5-prefix hash of a string column: slower
+    * than xxhash64 but exactly recomputable in any engine with md5 + hex
+    * parsing — the hash used by the SQL-portable (oracle-verifiable)
+    * pipeline variants.
     */
-  def shingleHashes(df: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame = {
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** (id, shingle_hash) pairs: lowercased whitespace tokens -> word n-grams
+    * -> 64-bit hash (xxhash64, or md5-prefix when `portable`). DISTINCT per
+    * document so Jaccard math is set-based.
+    */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, shingleSize: Int,
+      portable: Boolean = false): DataFrame = {
     val toks = split(lower(col(textCol)), "\\s+")
+    val hashFn: Column => Column = if (portable) portableHash64 else xxhash64(_)
     df.select(col(idCol).as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= shingleSize)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - (shingleSize - 1)),
-          i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(shingleSize)))))).as("shingle"))
+          i => hashFn(concat_ws(" ", slice(col("toks"), i, lit(shingleSize)))))).as("shingle"))
       .distinct()
   }
 
-  /** MinHash signatures: one custom aggregate pass over shingle hashes. */
-  def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
+  /** MinHash signatures: one custom aggregate pass over shingle hashes
+    * (`affine` selects the SQL-portable permutation family).
+    */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int,
+      affine: Boolean = false): DataFrame =
     shingles.groupBy("doc_id")
-      .agg(ColumnBridge.column(MinHashAgg(ColumnBridge.expression(col("shingle")), numHashes).toAggregateExpression()).as("sig"))
+      .agg(ColumnBridge.column(MinHashAgg(ColumnBridge.expression(col("shingle")), numHashes, affine).toAggregateExpression()).as("sig"))
 
   /** LSH banding: documents sharing any band bucket become candidate pairs.
     * Shuffles on (band_id, band_hash); bucket sizes stay small for sane
@@ -102,32 +116,37 @@ object Dedup {
     */
   def minHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
-    val sh = shingleHashes(df, textCol, idCol, shingleSize)
+      threshold: Double = 0.7, portable: Boolean = false): DataFrame = {
+    val sh = shingleHashes(df, textCol, idCol, shingleSize, portable)
     // signatures feed three joins (two estimate sides + banding); persist so
     // the shingle+minhash aggregation runs once, not three times
-    val sigs = minHashSignatures(sh, numHashes)
+    val sigs = minHashSignatures(sh, numHashes, affine = portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withJaccardEstimate(lshCandidatePairs(sigs, bands, numHashes), sigs)
       .where(col("jaccard_est") >= threshold)
       .select("id1", "id2", "jaccard_est")
   }
 
-  /** SimHash fingerprints per document. */
-  def simHashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** SimHash fingerprints per document (`portable` selects the md5-prefix
+    * token hash so fingerprints can be recomputed in another engine).
+    */
+  def simHashFingerprints(df: DataFrame, textCol: String, idCol: String,
+      portable: Boolean = false): DataFrame = {
+    val hashFn: Column => Column = if (portable) portableHash64 else xxhash64(_)
     df.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), hashFn(col("tok")).as("h"))
       .groupBy("doc_id")
       .agg(ColumnBridge.column(SimHashAgg(ColumnBridge.expression(col("h"))).toAggregateExpression()).as("simhash"))
+  }
 
   /** SimHash near-duplicates: block on 4x16-bit bands (any equal band is a
     * candidate: a pair within Hamming distance 3 shares at least one intact
     * 16-bit quarter by pigeonhole), verify with bit_count(xor) <= maxHamming.
     */
   def simHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fps = simHashFingerprints(df, textCol, idCol)
+      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+    val fps = simHashFingerprints(df, textCol, idCol, portable)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band_id"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val")))

@@ -11,17 +11,38 @@ import org.apache.spark.sql.types._
 
 import graft.core.Hashing
 
+/** Deterministic affine-permutation parameters for SQL-portable MinHash:
+  * `perm_j(h) = (a_j * h + b_j) mod 2^61-1` with a_j in [1, p-1], b_j in
+  * [0, p-1] drawn from a fixed splitmix64 stream. Exposed so oracle SQL can
+  * embed the identical constants and replay signatures in another engine
+  * with exact 128-bit integer arithmetic.
+  */
+object MinHashPerm {
+  import graft.core.Hashing.Mersenne61
+
+  /** (a, b) arrays for k permutations; all a values first, then all b. */
+  def params(k: Int): (Array[Long], Array[Long]) = {
+    val rng = new Hashing.SplitMix64(0x6d696e68617368L) // ascii "minhash"
+    val a = Array.fill(k)(java.lang.Long.remainderUnsigned(rng.next(), Mersenne61 - 1) + 1)
+    val b = Array.fill(k)(java.lang.Long.remainderUnsigned(rng.next(), Mersenne61))
+    (a, b)
+  }
+}
+
 /** MinHash signature aggregate: one pass over (pre-hashed) shingle values per
   * group -> ARRAY<BIGINT> of `numHashes` minimums.
   *
-  * The k hash functions are derived from the single input hash with a
-  * splitmix64-style remix of (shingleHash + j * GOLDEN), so update cost is
-  * O(k) integer ops with zero allocation; merge is elementwise min — fully
-  * partial-aggregatable, no shuffle of raw shingles.
+  * Two permutation families, both O(k) integer ops per row with zero
+  * allocation; merge is elementwise min — fully partial-aggregatable, no
+  * shuffle of raw shingles:
+  *  - default: murmur64 remix of (shingleHash + j * GOLDEN) — fastest;
+  *  - `affine`: [[MinHashPerm]] permutations mod 2^61-1 — SQL-portable, so
+  *    an independent engine can recompute identical signatures.
   */
 case class MinHashAgg(
     child: Expression,
     numHashes: Int,
+    affine: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -40,16 +61,28 @@ case class MinHashAgg(
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
+  @transient private lazy val (permA, permB) =
+    if (affine) MinHashPerm.params(numHashes) else (null, null)
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var j = 0
-      while (j < numHashes) {
-        // independent-ish hash family: murmur finalizer of (h + j*golden)
-        val hj = Hashing.murmur64(h + j * 0x9e3779b97f4a7c15L)
-        if (java.lang.Long.compareUnsigned(hj, buf(j)) < 0) buf(j) = hj
-        j += 1
+      if (affine) {
+        val h61 = h & Hashing.Mersenne61
+        while (j < numHashes) {
+          val hj = Hashing.affineMod61(permA(j), h61, permB(j))
+          if (hj < buf(j)) buf(j) = hj // affine values are < 2^61: signed min
+          j += 1
+        }
+      } else {
+        while (j < numHashes) {
+          // independent-ish hash family: murmur finalizer of (h + j*golden)
+          val hj = Hashing.murmur64(h + j * 0x9e3779b97f4a7c15L)
+          if (java.lang.Long.compareUnsigned(hj, buf(j)) < 0) buf(j) = hj
+          j += 1
+        }
       }
     }
     buf
