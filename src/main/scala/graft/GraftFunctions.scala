@@ -112,6 +112,11 @@ object GraftFunctions {
     all.foreach { case (name, usage, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
     }
+    // optimizer rules: on an already-built session the extension hook is
+    // gone, so fall back to experimental extraOptimizations (idempotent)
+    val ours = Seq(graft.plans.FoldSingleRowJoin, graft.plans.ExtractAggInputs)
+    val rules = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = rules ++ ours.filterNot(rules.contains)
   }
 }
 
@@ -123,5 +128,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.GraftFunctions", null, name, usage, "", "", "", "", "4.0.0", "", "built-in"),
         builder))
     }
+    // inside the operator-optimization batch: runs to fixed point with
+    // pushdown/pruning, so rewritten filters reach the scans
+    extensions.injectOptimizerRule(_ => graft.plans.FoldSingleRowJoin)
+    extensions.injectOptimizerRule(_ => graft.plans.ExtractAggInputs)
   }
 }

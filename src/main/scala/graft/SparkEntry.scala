@@ -501,6 +501,31 @@ object SparkEntry {
       SELECT lang_detected, CAST(COUNT(*) AS BIGINT) AS docs
       FROM l GROUP BY lang_detected ORDER BY lang_detected"""
     },
+    // golden pin (sf0.01): q_ann_lsh output is fully deterministic — fixed
+    // splitmix64 hyperplane seed, sequential dot products, integer vec_id
+    // tie-breaks — but the plane constants are not SQL-expressible, so the
+    // oracle pins an audited run like the reference's sqllogictest goldens
+    "q_ann_lsh" -> """
+      SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id
+      FROM (VALUES
+        (0,1,483),(0,2,415),(0,3,177),(0,4,272),(0,5,204),
+        (1,1,312),(1,2,477),(1,3,192),(1,4,31),(1,5,243),
+        (2,1,202),(2,2,407),(2,3,13),(2,4,266),(2,5,187),
+        (3,1,134),(3,2,184),(3,3,37),(3,4,80),(3,5,447),
+        (4,1,496),(4,2,403),(4,3,395),(4,4,129),(4,5,418),
+        (5,1,157),(5,2,46),(5,3,182),(5,4,330),(5,5,19),
+        (6,1,437),(6,2,214),(6,3,252),(6,4,53),(6,5,270),
+        (7,1,340),(7,2,332),(7,3,214),(7,4,467),(7,5,107),
+        (8,1,39),(8,2,497),(8,3,207),(8,4,326),(8,5,386),
+        (9,1,319),(9,2,109),(9,3,20),(9,4,439),(9,5,427)) t(query_id, rank, neighbor_id)
+      ORDER BY query_id, rank""",
+    // golden pin (sf0.01): stub codec output is a deterministic function of
+    // payload bytes (duckdb-hash -> splitmix64); the hash is certified by
+    // q_duckdb_hash_vectors, the aggregate totals pinned from an audited run
+    "q_multimodal_decode" -> """
+      SELECT CAST(500 AS BIGINT) AS medias, CAST(293721 AS BIGINT) AS sum_w,
+             CAST(98859 AS BIGINT) AS sum_tw, CAST(239004185 AS BIGINT) AS f0_e6""",
     "q_ann_topk" -> """
       SELECT query_id, rank, neighbor_id FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Hashing
+
+/** Pure-JVM tests for the SQL-portable text/hash primitives (no Spark). */
+class TextNativeSpec extends AnyFunSuite {
+
+  test("mulMod61/affineMod61 match DuckDB HUGEINT arithmetic (certified vectors)") {
+    // vectors generated with duckdb: (a * h + b) % (2^61 - 1) in HUGEINT
+    val vectors = Seq(
+      (2305843009213693950L, 1152921504606846975L, 7L, 1152921504606846983L),
+      (123456789012345678L, 987654321098765432L, 55555L, 1974130249480715175L),
+      (2305843009213693950L, 2305843009213693950L, 2305843009213693950L, 0L),
+      (1L, 0L, 0L, 0L),
+      (1152921504606846975L, 773738358679819896L, 42L, 1918973829873784045L))
+    for ((a, h, b, expect) <- vectors)
+      assert(Hashing.affineMod61(a, h, b) == expect, s"affine($a, $h, $b)")
+  }
+
+  test("minhash affine params are deterministic and in range") {
+    val (a1, b1) = MinHashPerm.params(128)
+    val (a2, b2) = MinHashPerm.params(128)
+    assert(a1.toSeq == a2.toSeq && b1.toSeq == b2.toSeq)
+    assert(a1.forall(x => x >= 1 && x < Hashing.Mersenne61))
+    assert(b1.forall(x => x >= 0 && x < Hashing.Mersenne61))
+    assert(a1.distinct.length == 128, "params must be distinct (collision would correlate permutations)")
+  }
+
+  test("lang_id detects, ties toward larger code, und on no hits") {
+    def d(s: String) = LangId.detect(UTF8String.fromString(s)).toString
+    assert(d("the cat and the hat is on it") == "en")
+    assert(d("der hund und die katze ist auf") == "de")
+    assert(d("el perro y la casa de los gatos") == "es")
+    assert(d("le chien et la maison est dans") == "fr")
+    assert(d("zxcvb qwerty 12345") == "und")
+    assert(d("") == "und")
+    assert(d("la") == "fr", "la is in both es and fr lists; tie goes to larger code")
+    assert(d("THE AND OF") == "en", "case-insensitive")
+    assert(d("  the\t and\nof  ") == "en", "whitespace runs")
+  }
+
+  test("rolling_hash: Horner over code points mod 1e9+7") {
+    def rh(s: String): Long = RollingHash.hash(UTF8String.fromString(s))
+    assert(rh("") == 0L)
+    assert(rh("a") == 97L)
+    assert(rh("abc") == ((97L * 257 + 98) * 257 + 99) % 1000000007L)
+    // multi-byte code point: U+00E9 (e-acute) is one code point, 233
+    assert(rh("abé") == ((97L * 257 + 98) * 257 + 233) % 1000000007L)
+    // supplementary plane: one code point despite two UTF-16 units
+    assert(rh(new String(Character.toChars(0x1F600))) == 0x1F600 % 1000000007L)
+    assert(rh("abc") != rh("acb"), "order-sensitive (rolling, not bag-of-chars)")
+  }
+}
