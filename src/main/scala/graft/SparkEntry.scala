@@ -163,22 +163,29 @@ object SparkEntry {
         WHERE quotient_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', c_custkey))""") _,
 
       // --- binary fuse filter family ------------------------------------
-      // per-group filters built in ONE aggregation pass (both families share
-      // the scan), probed through a 2-row broadcast join — the "many filters
-      // per key" pattern that complements the scalar-subquery semijoins
+      // four scalar subqueries that Spark's MergeScalarSubqueries fuses into
+      // ONE build pass per parity; the probes hit the merged subquery's
+      // struct fields, which the contains-expressions evaluate once per task
+      // (never per row — see FilterContainsExpression.rowIndependentFilter)
       "q_fuse_golden" -> q("""
-        WITH flt AS (
-          SELECT id % 2 AS par,
-                 binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS f16,
-                 binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS f8
-          FROM range(1, 100001) GROUP BY id % 2)
-        SELECT CAST(flt.par AS INT) AS filter_rem,
-               CAST(COUNT(CASE WHEN binary_fuse16_filter_contains(f16,
+        SELECT 0 AS filter_rem,
+               CAST(COUNT(CASE WHEN binary_fuse16_filter_contains(
+                 (SELECT binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
                  bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp16,
-               CAST(COUNT(CASE WHEN binary_fuse8_filter_contains(f8,
+               CAST(COUNT(CASE WHEN binary_fuse8_filter_contains(
+                 (SELECT binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
                  bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp8
-        FROM range(1, 100001) r JOIN flt ON r.id % 2 <> flt.par
-        GROUP BY flt.par ORDER BY filter_rem""") _,
+        FROM range(1, 100001) WHERE id % 2 = 1
+        UNION ALL
+        SELECT 1 AS filter_rem,
+               CAST(COUNT(CASE WHEN binary_fuse16_filter_contains(
+                 (SELECT binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp16,
+               CAST(COUNT(CASE WHEN binary_fuse8_filter_contains(
+                 (SELECT binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS fp8
+        FROM range(1, 100001) WHERE id % 2 = 0
+        ORDER BY filter_rem""") _,
       "q_fuse_semijoin" -> q("""
         SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
         WHERE binary_fuse16_filter_contains(
@@ -186,22 +193,27 @@ object SparkEntry {
           bitfilters_duckdb_hash('v1.5.1', l_partkey))""") _,
 
       // --- xor filter family --------------------------------------------
-      // same one-pass grouped-build + broadcast-equi-join shape as
-      // q_fuse_golden; members probe their own parity's filter (no-false-
-      // negative contract => counts are exact)
+      // same merged-subquery shape as q_fuse_golden; members probe their own
+      // parity's filter (no-false-negative contract => counts are exact)
       "q_xor_members" -> q("""
-        WITH flt AS (
-          SELECT id % 2 AS par,
-                 xor16_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS x16,
-                 xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS x8
-          FROM range(1, 100001) GROUP BY id % 2)
-        SELECT CAST(flt.par AS INT) AS filter_rem,
-               CAST(COUNT(CASE WHEN xor16_filter_contains(x16,
+        SELECT 0 AS filter_rem,
+               CAST(COUNT(CASE WHEN xor16_filter_contains(
+                 (SELECT xor16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
                  bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m16,
-               CAST(COUNT(CASE WHEN xor8_filter_contains(x8,
+               CAST(COUNT(CASE WHEN xor8_filter_contains(
+                 (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 0),
                  bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m8
-        FROM range(1, 100001) r JOIN flt ON r.id % 2 = flt.par
-        GROUP BY flt.par ORDER BY filter_rem""") _,
+        FROM range(1, 100001) WHERE id % 2 = 0
+        UNION ALL
+        SELECT 1 AS filter_rem,
+               CAST(COUNT(CASE WHEN xor16_filter_contains(
+                 (SELECT xor16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m16,
+               CAST(COUNT(CASE WHEN xor8_filter_contains(
+                 (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
+                 bitfilters_duckdb_hash('v1.5.1', id)) THEN 1 END) AS BIGINT) AS m8
+        FROM range(1, 100001) WHERE id % 2 = 1
+        ORDER BY filter_rem""") _,
       "q_xor_semijoin" -> q("""
         SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
         WHERE xor8_filter_contains(

@@ -103,11 +103,9 @@ case class ClassicBloomFilterAgg(
   * classic bloom family (reference cpp:246-294).
   */
 case class ClassicBloomContains(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends FilterContainsExpression {
 
   override def prettyName: String = "bloom_filter_contains"
-  override def dataType: DataType = BooleanType
-  override def nullable: Boolean = left.nullable || right.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != BinaryType)
@@ -119,17 +117,13 @@ case class ClassicBloomContains(left: Expression, right: Expression)
   @transient private lazy val hasher: Any => Long =
     HashDispatch.hasherFor(right.dataType, "bloom_filter_contains")
 
-  override def eval(input: InternalRow): Any = {
-    val v = right.eval(input)
-    if (v == null) return null
-    val blob = left.eval(input).asInstanceOf[Array[Byte]]
-    if (blob == null) return null
-    ClassicBloomFilter.probeBlob(blob, hasher(v))
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (f, v) =>
-      s"graft.core.ClassicBloomFilter.probeBlob($f, ${HashDispatch.hashCallJava(right.dataType, v)})")
+  override protected def probe(blob: Array[Byte], hash: Long): Boolean =
+    ClassicBloomFilter.probeBlob(blob, hash)
+  override protected def probeCall(f: String, h: String): String =
+    s"graft.core.ClassicBloomFilter.probeBlob($f, $h)"
+  override protected def hashOf(v: Any): Long = hasher(v)
+  override protected def hashCall(term: String): String =
+    HashDispatch.hashCallJava(right.dataType, term)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ClassicBloomContains =
     copy(left = l, right = r)

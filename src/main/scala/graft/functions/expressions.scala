@@ -42,16 +42,77 @@ abstract class FilterContainsExpression extends BinaryExpression {
   /** Java source for the static probe call used by codegen. */
   protected def probeCall(blobTerm: String, hashTerm: String): String
 
+  /** Map the evaluated right-hand value to the 64-bit probe hash (identity
+    * for the pre-hashed BIGINT probes; ClassicBloomContains hashes typed
+    * values here).
+    */
+  protected def hashOf(v: Any): Long = v.asInstanceOf[Long]
+
+  /** Java source mapping the right-hand value term to the probe hash. */
+  protected def hashCall(term: String): String = term
+
+  /** The filter child is row-independent (contains no column reads, bound
+    * or unbound — e.g. a scalar subquery, or a struct field of a MERGED
+    * scalar subquery) but not a plain literal. NOTE: `references.isEmpty`
+    * is NOT the right test — codegen binds columns to BoundReference, whose
+    * references set is empty. Evaluating it per row would copy the whole
+    * serialized filter out of its container for every probe (measured
+    * ~2 ms/row for a 120 KB fuse16 blob — turns a sub-second scan into
+    * minutes at scale), so evaluate it ONCE per task instead. This is the
+    * Spark-native mirror of the reference's constant-vector fast path
+    * (src/bitfilters_xor_filter.cpp:223-232).
+    */
+  protected def rowIndependentFilter: Boolean =
+    left.deterministic && !left.foldable && !left.exists(e =>
+      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute] ||
+      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BoundReference])
+
+  // benign-race cache for the interpreted path (value write precedes flag)
+  @transient private var cachedBlob: Array[Byte] = _
+  @transient @volatile private var cachedBlobSet = false
+
   override def eval(input: InternalRow): Any = {
     val h = right.eval(input)
     if (h == null) return null
-    val blob = left.eval(input).asInstanceOf[Array[Byte]]
+    val blob =
+      if (rowIndependentFilter) {
+        if (!cachedBlobSet) {
+          cachedBlob = left.eval(input).asInstanceOf[Array[Byte]]
+          cachedBlobSet = true
+        }
+        cachedBlob
+      } else left.eval(input).asInstanceOf[Array[Byte]]
     if (blob == null) return null
-    probe(blob, h.asInstanceOf[Long])
+    probe(blob, hashOf(h))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (f, h) => probeCall(f, h))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (!rowIndependentFilter) return defineCodeGen(ctx, ev, (f, h) => probeCall(f, hashCall(h)))
+    // once-per-task blob evaluation: the child's code runs inside an
+    // init-once guard (it reads no input columns, so this is safe)
+    val blobVar = ctx.addMutableState("byte[]", "graftConstBlob")
+    val initVar = ctx.addMutableState("boolean", "graftConstBlobInit")
+    val f = left.genCode(ctx)
+    val h = right.genCode(ctx)
+    val isNullVar = ctx.freshName("probeIsNull")
+    val valueVar = ctx.freshName("probeValue")
+    ev.copy(code = code"""
+      if (!$initVar) {
+        ${f.code}
+        $blobVar = ${f.isNull} ? null : ${f.value};
+        $initVar = true;
+      }
+      ${h.code}
+      boolean $isNullVar = true;
+      boolean $valueVar = false;
+      if (!(${h.isNull}) && $blobVar != null) {
+        $isNullVar = false;
+        $valueVar = ${probeCall(blobVar, hashCall(h.value.toString))};
+      }
+      boolean ${ev.isNull} = $isNullVar;
+      boolean ${ev.value} = $valueVar;
+    """)
+  }
 }
 
 /** SQL: `quotient_filter_contains(filter, hash)`;
@@ -249,8 +310,27 @@ case class DuckDbBloomFilterProbe(children: Seq[Expression]) extends Expression 
     valueExprs.map(e => HashDispatch.hasherFor(e.dataType, "bitfilters_duckdb_bloom_filter_probe")).toArray
   @transient private lazy val valueArr: Array[Expression] = valueExprs.toArray
 
+  /** See [[FilterContainsExpression.rowIndependentFilter]]: row-independent
+    * non-literal filters (scalar subqueries, merged-subquery struct fields)
+    * are evaluated once per task, never per row.
+    */
+  private def rowIndependentFilter: Boolean =
+    filterExpr.deterministic && !filterExpr.foldable && !filterExpr.exists(e =>
+      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute] ||
+      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BoundReference])
+
+  @transient private var cachedBlob: Array[Byte] = _
+  @transient @volatile private var cachedBlobSet = false
+
   override def eval(input: InternalRow): Any = {
-    val blob = filterExpr.eval(input).asInstanceOf[Array[Byte]]
+    val blob =
+      if (rowIndependentFilter) {
+        if (!cachedBlobSet) {
+          cachedBlob = filterExpr.eval(input).asInstanceOf[Array[Byte]]
+          cachedBlobSet = true
+        }
+        cachedBlob
+      } else filterExpr.eval(input).asInstanceOf[Array[Byte]]
     if (blob == null) return null
     var h = 0L
     var i = 0
@@ -265,20 +345,33 @@ case class DuckDbBloomFilterProbe(children: Seq[Expression]) extends Expression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = filterExpr.genCode(ctx)
+    val blobCode =
+      if (rowIndependentFilter) {
+        val blobVar = ctx.addMutableState("byte[]", "graftConstBlob")
+        val initVar = ctx.addMutableState("boolean", "graftConstBlobInit")
+        (code"""
+          if (!$initVar) {
+            ${f.code}
+            $blobVar = ${f.isNull} ? null : ${f.value};
+            $initVar = true;
+          }""", blobVar)
+      } else (f.code, s"(${f.isNull} ? null : ${f.value})")
     val hVar = ctx.freshName("ddbHash")
     val nullVar = ctx.freshName("ddbAnyNull")
     val hashCode = HashDispatch.genCombinedHash(ctx, valueExprs, hVar, nullVar)
     val isNullVar = ctx.freshName("probeIsNull")
     val valueVar = ctx.freshName("probeValue")
+    val blobVal = ctx.freshName("probeBlob")
     ev.copy(code = code"""
-      ${f.code}
+      ${blobCode._1}
+      byte[] $blobVal = ${blobCode._2};
       boolean $isNullVar = true;
       boolean $valueVar = false;
-      if (!(${f.isNull})) {
+      if ($blobVal != null) {
         $hashCode
         if (!$nullVar) {
           $isNullVar = false;
-          $valueVar = graft.core.DuckDbBloomFilter.probeBlob(${f.value}, $hVar);
+          $valueVar = graft.core.DuckDbBloomFilter.probeBlob($blobVal, $hVar);
         }
       }
       boolean ${ev.isNull} = $isNullVar;
