@@ -94,12 +94,15 @@ object Dedup {
     * shingle occurring in thousands of docs would explode the join).
     */
   def exactJaccardPairs(shingles0: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
-    // consumed by the df-stats join, both sides of the pair join, and sizes
+    // the raw shingles feed two consumers (df-stats + the df join); the
+    // FILTERED set feeds three (both pair-join sides + sizes) — persist the
+    // filtered frame so the doc-frequency join runs once, not three times
     val shingles = shingles0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = shingles.join(
       shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDocFreq).select("shingle"),
       "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = filtered.as("a").join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

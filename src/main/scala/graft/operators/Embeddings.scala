@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -90,9 +89,14 @@ object Embeddings {
 /** Random-hyperplane signature: bit j of the result is the sign of
   * dot(vec, plane_j), planes drawn deterministically from splitmix64(seed)
   * with components uniform in [-1, 1). One fused pass over the vector.
+  *
+  * Implements `doGenCode` (a reference-object call into [[signatureOf]]) so
+  * embedding-projection stages stay inside whole-stage codegen — a
+  * CodegenFallback here would eject the operator and materialize every
+  * embedding row at the stage boundary.
   */
 case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(numBits > 0 && numBits <= 64, "numBits must be in (0, 64]")
 
@@ -110,21 +114,25 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
     case _ => false
   }
 
-  // planes(j)(i): lazily sized to the first vector's length, deterministic in (seed, numBits)
-  @transient private var planes: Array[Array[Double]] = _
+  // planes(j)(i): lazily sized to the first vector's length, deterministic
+  // in (seed, numBits). @volatile publishes the fully-built arrays to any
+  // task thread sharing this instance (benign duplicate rebuild otherwise).
+  @transient @volatile private var planes: Array[Array[Double]] = _
 
   private def planesFor(dim: Int): Array[Array[Double]] = {
-    if (planes == null || planes(0).length != dim) {
+    var ps = planes
+    if (ps == null || ps(0).length != dim) {
       val rng = new Hashing.SplitMix64(seed)
-      planes = Array.fill(numBits) {
+      ps = Array.fill(numBits) {
         Array.fill(dim)((rng.next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
       }
+      planes = ps
     }
-    planes
+    ps
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Public entry shared by interpreted eval and generated code. */
+  def signatureOf(arr: ArrayData): Long = {
     val dim = arr.numElements()
     val ps = planesFor(dim)
     var sig = 0L
@@ -142,6 +150,17 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
       j += 1
     }
     sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    signatureOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSignature].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.signatureOf($v)")
   }
 
   override def prettyName: String = "hyperplane_signature"
