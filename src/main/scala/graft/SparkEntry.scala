@@ -271,6 +271,20 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       }),
 
+      "q_cosine_pairs" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        Embeddings.cosineNearDuplicatesExact(emb, "vec", "vec_id", 0.5)
+          .agg(count(lit(1)).cast("long").as("pairs"))
+      }),
+      "q_dedup_drop" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Dedup.dropExactDuplicates(s.table("documents"), "text", "doc_id")
+          .agg(count(lit(1)).cast("long").as("kept"),
+            sum("doc_id").cast("long").as("id_sum"))
+      }),
+
       // --- text analysis ------------------------------------------------
       "q_text_stats" -> q("""
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
@@ -487,6 +501,16 @@ object SparkEntry {
         FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
                     JOIN sizes s2 ON common.id2 = s2.doc_id)
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM j WHERE jac >= 0.2""",
+    // exact all-pairs cosine: both engines fold the dot product
+    // left-to-right over the same double-cast values, so counts agree
+    "q_cosine_pairs" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5""",
+    "q_dedup_drop" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1""",
     "q_fingerprint" -> """
       SELECT doc_id,
              substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp_md5,

@@ -71,6 +71,17 @@ object Embeddings {
       .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
   }
 
+  /** Exact all-pairs cosine near-duplicates: the O(n^2) correctness
+    * baseline (and the oracle-checkable gate); [[cosineNearDuplicates]] is
+    * the LSH-bucketed scale path.
+    */
+  def cosineNearDuplicatesExact(embeddings: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame =
+    embeddings.as("a").join(embeddings.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("sim", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .where(col("sim") >= threshold)
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("sim"))
+
   /** All pairs with cosine >= threshold via LSH buckets + exact verify.
     * The embedding-cosine near-duplicate detector for dedup pipelines.
     */
