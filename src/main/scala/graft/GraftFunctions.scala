@@ -95,6 +95,12 @@ object GraftFunctions {
     ("rolling_hash",
       "rolling_hash(text) - polynomial (Rabin-Karp) rolling-hash fingerprint over code points, mod 1e9+7",
       args => { arity("rolling_hash", 1, args); graft.operators.RollingHashExpr(args(0)) }),
+    ("vec_dot",
+      "vec_dot(a, b) - fused dot product of two ARRAY<FLOAT>/ARRAY<DOUBLE> columns",
+      args => { arity("vec_dot", 2, args); graft.operators.VecDot(args(0), args(1)) }),
+    ("vec_norm",
+      "vec_norm(a) - L2 norm of an ARRAY<FLOAT>/ARRAY<DOUBLE> column",
+      args => { arity("vec_norm", 1, args); graft.operators.VecNorm(args(0)) }),
     ("hyperplane_signature",
       "hyperplane_signature(vec[, bits[, seed]]) - random-hyperplane LSH signature of an embedding",
       args => {

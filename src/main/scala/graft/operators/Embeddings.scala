@@ -22,15 +22,21 @@ import graft.core.Hashing
   */
 object Embeddings {
 
-  /** Cosine similarity of two ARRAY<FLOAT>/ARRAY<DOUBLE> columns, built from
-    * codegen'd native higher-order functions (no UDF).
+  /** Dot product / L2 norm of ARRAY<FLOAT>/ARRAY<DOUBLE> columns — fused
+    * native kernels (see [[VectorOps]]); sequential double accumulation,
+    * bit-equal to the `aggregate(zip_with(...))` HOF form it replaces.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vecNorm(a: Column): Column =
+    ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
+
+  /** Cosine similarity of two vector columns. When the same vector feeds
+    * many pairs (similarity joins), pre-project [[vecNorm]] once per side
+    * instead — see [[cosineNearDuplicatesExact]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast); the embeddings table streams through one stage.
@@ -76,11 +82,15 @@ object Embeddings {
     * the LSH-bucketed scale path.
     */
   def cosineNearDuplicatesExact(embeddings: DataFrame, vecCol: String, idCol: String,
-      threshold: Double): DataFrame =
-    embeddings.as("a").join(embeddings.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("sim", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      threshold: Double): DataFrame = {
+    // norms computed once per VECTOR (n of them), not once per pair (n^2)
+    val withNorm = embeddings.withColumn("__norm", vecNorm(col(vecCol)))
+    withNorm.as("a").join(withNorm.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("sim",
+        vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) / (col("a.__norm") * col("b.__norm")))
       .where(col("sim") >= threshold)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("sim"))
+  }
 
   /** All pairs with cosine >= threshold via LSH buckets + exact verify.
     * The embedding-cosine near-duplicate detector for dedup pipelines.
