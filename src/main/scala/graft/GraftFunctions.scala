@@ -120,9 +120,9 @@ object GraftFunctions {
     }
     // optimizer rules: on an already-built session the extension hook is
     // gone, so fall back to experimental extraOptimizations (idempotent)
-    val ours = Seq(graft.plans.FoldSingleRowJoin, graft.plans.ExtractAggInputs)
     val rules = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = rules ++ ours.filterNot(rules.contains)
+    if (!rules.contains(graft.plans.FoldSingleRowJoin))
+      spark.experimental.extraOptimizations = rules :+ graft.plans.FoldSingleRowJoin
   }
 }
 
@@ -137,6 +137,5 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // inside the operator-optimization batch: runs to fixed point with
     // pushdown/pruning, so rewritten filters reach the scans
     extensions.injectOptimizerRule(_ => graft.plans.FoldSingleRowJoin)
-    extensions.injectOptimizerRule(_ => graft.plans.ExtractAggInputs)
   }
 }

@@ -1,9 +1,12 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev-only micro-profiler for gate query shapes (not part of the surface). */
+/** Dev-only micro-profiler: times ad-hoc SQL against a prepared sf dir.
+  * Usage: sbt "runMain graft.tools.Scratch [sfDir]" — edit the query list
+  * below while investigating; keep the task-metrics listener pattern (see
+  * git history) for per-stage breakdowns.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -12,36 +15,22 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.SparkEntry.prepare(spark, "/root/testdata/sf0.1")
+    graft.SparkEntry.prepare(spark, args.headOption.getOrElse("/root/testdata/sf0.1"))
 
-    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+    def t(name: String)(q: String): Unit = {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[scratch] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      spark.sql(q).write.format("noop").mode("overwrite").save()
+      println(f"[scratch] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
 
-    val docs = spark.table("documents")
-    t("warmup")(docs.groupBy("lang").count())
-
-    import graft.operators.Dedup
-    val sh = Dedup.shingleHashes(docs, "text", "doc_id", 3, portable = true)
-    t("1 shingleHashes (distinct)")(sh)
-    val sigs = Dedup.minHashSignatures(sh, 128, affine = true)
-    t("2 + minhash signatures")(sigs)
-    t("3 + lsh candidate pairs")(Dedup.lshCandidatePairs(
-      sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), 32, 128))
-    t("4 full minhash pipeline")(
-      Dedup.minHashNearDuplicates(docs, "text", "doc_id", 128, 32, 3, 0.2, portable = true)
-        .agg(count(lit(1)).cast("long").as("pairs")))
-    t("5 full again (warm)")(
-      Dedup.minHashNearDuplicates(docs, "text", "doc_id", 128, 32, 3, 0.2, portable = true)
-        .agg(count(lit(1)).cast("long").as("pairs")))
-    t("6 xxhash64 variant")(
-      Dedup.minHashNearDuplicates(docs, "text", "doc_id", 128, 32, 3, 0.2, portable = false)
-        .agg(count(lit(1)).cast("long").as("pairs")))
-    // ngram jaccard
-    t("7 ngram jaccard")(Dedup.exactJaccardPairs(Dedup.shingleHashes(docs, "text", "doc_id", 3))
-      .where(col("jaccard") >= 0.2).agg(count(lit(1)).cast("long").as("pairs")))
+    t("warmup")("SELECT COUNT(*), MAX(l_orderkey) FROM lineitem")
+    val h = "bitfilters_duckdb_hash('v1.5.1', l_orderkey)"
+    for (round <- 1 to 2) {
+      t(s"fuse16 6M keys r$round")(s"SELECT binary_fuse16_filter($h) FROM lineitem")
+      t(s"bloom 2^18 6M keys r$round")(
+        s"SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 262144, $h) FROM lineitem")
+      t(s"quotient q24 6M keys r$round")(s"SELECT quotient_filter(24, 8, $h) FROM lineitem")
+    }
     spark.stop()
   }
 }

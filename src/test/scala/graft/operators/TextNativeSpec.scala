@@ -53,4 +53,20 @@ class TextNativeSpec extends AnyFunSuite {
     assert(rh(new String(Character.toChars(0x1F600))) == 0x1F600 % 1000000007L)
     assert(rh("abc") != rh("acb"), "order-sensitive (rolling, not bag-of-chars)")
   }
+
+  test("vec_dot / vec_norm match sequential HOF semantics") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Double*) = ArrayData.toArrayData(xs.toArray)
+    assert(VectorOps.dot(arr(1, 2, 3), arr(4, 5, 6), false, false) == 32.0)
+    assert(VectorOps.dot(arr(), arr(), false, false) == 0.0)
+    // ragged: min-length semantics
+    assert(VectorOps.dot(arr(1, 2, 3), arr(10), false, false) == 10.0)
+    assert(VectorOps.norm(arr(3, 4), false) == 5.0)
+    assert(VectorOps.norm(arr(), false) == 0.0)
+    // sequential (not pairwise/tree) accumulation: (a+b)+c exactly
+    val xs = Seq(1e16, 1.0, -1e16)
+    val expected = xs.foldLeft(0.0)((acc, x) => acc + x * 1.0)
+    assert(VectorOps.dot(ArrayData.toArrayData(xs.toArray),
+      ArrayData.toArrayData(Array(1.0, 1.0, 1.0)), false, false) == expected)
+  }
 }
