@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.DuckDbBloomFilter
 
 /** Structured Streaming integration for the filter aggregates.
   *
@@ -46,4 +49,43 @@ object StreamingFilters {
     docs.withColumn("possibly_seen",
       call_function("bitfilters_duckdb_bloom_filter_probe",
         lit("v1.5.1"), lit(filterBlob), col(fingerprintCol)))
+
+  /** A document routed through the streaming dedup: `shard` is the state
+    * partition (hash-derived; controls state granularity and parallelism),
+    * `fingerprint` the 64-bit content hash.
+    */
+  case class ShardedDoc(shard: Long, docId: Long, fingerprint: Long)
+
+  /** Streaming approximate dedup with BOUNDED state: per shard, a DuckDB
+    * bloom filter of every fingerprint seen so far lives in the state
+    * store; a document is emitted only if its fingerprint was not possibly
+    * seen, then folded in. Custom state via `flatMapGroupsWithState` —
+    * unlike `dropDuplicates` (exact, state grows with distinct keys), the
+    * state here is a FIXED 8*(numSectors+1) bytes per shard forever, the
+    * only viable shape for an unbounded 100 TB stream; the cost is
+    * one-sided error (a few false "duplicate" drops at the configured FPR,
+    * never a duplicate emitted... modulo same-batch ordering).
+    */
+  def approximateDedupStream(docs: Dataset[ShardedDoc],
+      numSectors: Int = 1 << 16): Dataset[ShardedDoc] = {
+    implicit val docEnc: Encoder[ShardedDoc] = Encoders.product[ShardedDoc]
+    implicit val blobEnc: Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[ShardedDoc], state: GroupState[Array[Byte]]) =>
+          val filter = state.getOption
+            .map(DuckDbBloomFilter.deserialize)
+            .getOrElse(DuckDbBloomFilter.create(numSectors))
+          // materialize before state.update: the returned iterator is
+          // consumed after this function returns
+          val fresh = rows.filter { d =>
+            val dup = filter.mightContain(d.fingerprint)
+            if (!dup) filter.insert(d.fingerprint)
+            !dup
+          }.toVector
+          state.update(filter.serialize())
+          fresh.iterator
+      }
+  }
 }

@@ -71,4 +71,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows.foreach(r => assert(r.getAs[Array[Byte]](1) != null))
     } finally query.stop()
   }
+
+  test("approximate dedup stream: bounded state, no duplicate emitted across batches") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingFilters.ShardedDoc
+    val input = MemoryStream[ShardedDoc]
+    val deduped = StreamingFilters.approximateDedupStream(input.toDS(), numSectors = 1024)
+    val query = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def fp(id: Long) = graft.core.DuckDbHash.hashLong(id)
+      input.addData(ShardedDoc(0, 1, fp(1)), ShardedDoc(0, 2, fp(2)), ShardedDoc(1, 1, fp(1)))
+      query.processAllAvailable()
+      // batch 2 repeats fingerprints from batch 1 (cross-batch state) plus
+      // an in-batch duplicate and one genuinely new doc
+      input.addData(ShardedDoc(0, 3, fp(1)), ShardedDoc(0, 4, fp(4)),
+        ShardedDoc(0, 5, fp(4)), ShardedDoc(1, 2, fp(1)))
+      query.processAllAvailable()
+      val out = spark.table("dedup_stream").as[ShardedDoc].collect()
+      val byShard = out.groupBy(_.shard).view.mapValues(_.map(_.docId).toSet).toMap
+      assert(byShard(0L) == Set(1L, 2L, 4L), s"shard 0 got ${byShard(0L)}")
+      assert(byShard(1L) == Set(1L), s"shard 1 got ${byShard(1L)}")
+    } finally query.stop()
+  }
 }
