@@ -114,18 +114,52 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
   }
 
+  /** Candidate pairs WITH their signature-match estimate, generated inside
+    * band buckets: one groupBy on (band_id, band_hash) collects each
+    * bucket's (doc_id, sig) rows, in-bucket array lambdas emit the ordered
+    * pairs and count matching signature positions, and a tiny
+    * (id1, id2, est) dropDuplicates de-dupes pairs that collide in several
+    * bands. Compared to the join form ([[lshCandidatePairs]] +
+    * [[withJaccardEstimate]]) this removes the band self-join and both
+    * signature joins — two fewer wide shuffles, and the dedup shuffle
+    * carries 24-byte rows instead of 1 KB signature pairs. The duplicated
+    * estimate work (a pair estimated once per colliding band, <= bands
+    * times) is a few hundred integer ops — noise next to a shuffle.
+    * Scale note: a bucket of k near-identical docs materializes a k-element
+    * list and emits k^2/2 pairs — the same quadratic blowup the join form
+    * streams; cap pathological buckets upstream (drop exact duplicates
+    * first) rather than here, so counts stay exact.
+    */
+  def lshNearDuplicatePairs(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+    val rowsPerBand = math.max(1, numHashes / bands)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .toDF("doc_id", "sig", "band_id", "band_hash")
+    banded.groupBy("band_id", "band_hash")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("docs"))
+      .where(size(col("docs")) > 1)
+      .select(explode(expr("""
+        flatten(transform(docs, (a, i) ->
+          transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+            named_struct(
+              'id1', a.doc_id, 'id2', b.doc_id,
+              'matches', aggregate(zip_with(a.sig, b.sig,
+                (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, m) -> acc + m)))))""")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        (col("p.matches").cast("double") / numHashes).as("jaccard_est"))
+      .dropDuplicates("id1", "id2")
+  }
+
   /** Full MinHash-LSH near-duplicate pipeline: shingle -> minhash -> band ->
-    * candidate pairs -> signature-estimate filter.
+    * in-bucket candidate pairs + estimate -> threshold filter.
     */
   def minHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       threshold: Double = 0.7, portable: Boolean = false): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, shingleSize, portable)
-    // signatures feed three joins (two estimate sides + banding); persist so
-    // the shingle+minhash aggregation runs once, not three times
     val sigs = minHashSignatures(sh, numHashes, affine = portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withJaccardEstimate(lshCandidatePairs(sigs, bands, numHashes), sigs)
+    lshNearDuplicatePairs(sigs, bands, numHashes)
       .where(col("jaccard_est") >= threshold)
       .select("id1", "id2", "jaccard_est")
   }
