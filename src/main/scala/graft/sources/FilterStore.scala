@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for built filters — the cross-job / cross-system workflow
+  * the reference documents (build once, store the BLOB in a table, probe
+  * from other queries or ship to a remote engine for bloom-join pushdown;
+  * docs/README.md:174,463): build filters over a corpus, save them as a
+  * parquet "filter catalog" keyed by group, reload them later (possibly on
+  * a different cluster) and probe.
+  *
+  * Layout: one parquet table per catalog with columns
+  * `(key STRING, family STRING, params STRING, built_at TIMESTAMP,
+  * n_keys BIGINT, filter BINARY)`. Parquet is the right carrier: splittable,
+  * column-pruned (a probe-side load reads only `key, filter`), and the
+  * blobs stay byte-exact (wire formats are engine-portable by design).
+  */
+object FilterStore {
+
+  /** Build one filter per group over `hashCol` and write the catalog.
+    * `buildExpr` is any filter-create SQL expression over `hashCol`, e.g.
+    * `"binary_fuse16_filter(h)"` or `"quotient_filter(20, 8, h)"`.
+    */
+  def write(df: DataFrame, groupCol: String, hashCol: String,
+      buildExpr: String, family: String, params: String, path: String): Unit =
+    df.groupBy(col(groupCol).cast("string").as("key"))
+      .agg(expr(buildExpr).as("filter"), count(lit(1)).as("n_keys"))
+      .select(col("key"), lit(family).as("family"), lit(params).as("params"),
+        current_timestamp().as("built_at"), col("n_keys"), col("filter"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a catalog (column-pruned to what the caller selects). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Load ONE filter blob to the driver — for inlining as a literal into a
+    * probe predicate (`lit(blob)`), the pattern that keeps the probe side a
+    * single codegen'd scan with no join. The collect is exactly one row.
+    */
+  def loadBlob(spark: SparkSession, path: String, key: String): Array[Byte] = {
+    val rows = read(spark, path)
+      .where(col("key") === key).select("filter").limit(2).collect()
+    require(rows.length == 1, s"expected exactly one filter for key '$key' in $path, found ${rows.length}")
+    rows.head.getAs[Array[Byte]](0)
+  }
+
+  /** Probe a big table against a stored catalog: per-row key lookup via a
+    * broadcast join on the (small) catalog, then the contains predicate.
+    * For a SINGLE key prefer `loadBlob` + a literal probe (no join at all).
+    */
+  def probeJoin(big: DataFrame, keyCol: String, hashCol: String,
+      catalog: DataFrame, containsFn: String): DataFrame =
+    big.join(broadcast(catalog.select(col("key"), col("filter"))),
+        big(keyCol).cast("string") === col("key"))
+      .where(call_function(containsFn, col("filter"), col(hashCol)))
+      .drop("key", "filter")
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.GraftFunctions
+
+class FilterStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private val dir = Files.createTempDirectory("graft-filterstore").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-store-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("write/read/probe a filter catalog roundtrip") {
+    val sps = spark; import sps.implicits._
+    val keys = spark.range(1, 20001).toDF("id")
+      .withColumn("grp", col("id") % 4)
+      .selectExpr("grp", "id", "bitfilters_duckdb_hash('v1.5.1', id) AS h")
+    val path = s"$dir/cat1"
+    FilterStore.write(keys, "grp", "h", "binary_fuse16_filter(h)",
+      "binary_fuse16", "{}", path)
+
+    val cat = FilterStore.read(spark, path)
+    assert(cat.count() == 4)
+    assert(cat.columns.toSet ==
+      Set("key", "family", "params", "built_at", "n_keys", "filter"))
+    assert(cat.select(sum("n_keys")).head.getLong(0) == 20000L)
+
+    // per-key literal probe: every member of group 2 must hit
+    val blob = FilterStore.loadBlob(spark, path, "2")
+    val members = keys.where(col("grp") === 2)
+      .where(call_function("binary_fuse16_filter_contains", lit(blob), col("h")))
+    assert(members.count() == keys.where(col("grp") === 2).count())
+
+    // broadcast-join probe across all groups: no false negatives
+    val probed = FilterStore.probeJoin(keys, "grp", "h", cat, "binary_fuse16_filter_contains")
+    assert(probed.count() == 20000L)
+
+    // missing key fails loudly
+    assertThrows[IllegalArgumentException](FilterStore.loadBlob(spark, path, "99"))
+  }
+}
