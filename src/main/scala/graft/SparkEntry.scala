@@ -271,6 +271,19 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       }),
 
+      // IVF-flat with deterministic seed centroids: assignment, probing and
+      // ranking are all exactly replayable in DuckDB (real oracle), unlike
+      // the hyperplane-LSH path whose plane constants are pinned golden
+      "q_ann_ivf" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Embeddings.ivfTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      }),
       "q_cosine_pairs" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
@@ -501,6 +514,31 @@ object SparkEntry {
         FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
                     JOIN sizes s2 ON common.id2 = s2.doc_id)
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM j WHERE jac >= 0.2""",
+    // full replication of the IVF pipeline: seed centroids, cell
+    // assignment (argmax cosine, ties to smallest cid), nprobe=4 query
+    // cells, in-cell exact ranking
+    "q_ann_ivf" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      ea AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, c) WHERE rn = 1),
+      qa AS (
+        SELECT vec_id AS qid, v AS qv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, c WHERE e.vec_id < 10) WHERE rn <= 4)
+      SELECT query_id, rank, neighbor_id FROM (
+        SELECT qa.qid AS query_id, ea.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qa.qid
+                 ORDER BY list_cosine_similarity(ea.v, qa.qv) DESC, ea.vec_id) AS rank
+        FROM ea JOIN qa ON ea.cid = qa.cid
+        WHERE ea.vec_id != qa.qid)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
     // exact all-pairs cosine: both engines fold the dot product
     // left-to-right over the same double-cast values, so counts agree
     "q_cosine_pairs" -> """

@@ -77,6 +77,48 @@ object Embeddings {
       .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
   }
 
+  /** IVF-flat approximate top-k: vectors are partitioned into `nlist`
+    * cells by nearest coarse centroid; a query scans only its `nprobe`
+    * nearest cells. The second scale path next to [[lshTopK]]: cells are an
+    * equi-join key, so at 100 TB the probe is a co-partitioned join
+    * touching ~nprobe/nlist of the corpus instead of a full scan.
+    *
+    * Coarse centroids default to the `nlist` lowest-id vectors — a
+    * deterministic quantizer with NO floating-point-order sensitivity (no
+    * Lloyd averaging), so results are exactly reproducible in any engine:
+    * the DuckDB oracle replays assignment, probing, and ranking verbatim.
+    * Pass a trained `centroids` frame (id, vec) for better cell balance
+    * when recall matters more than replayability.
+    */
+  def ivfTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.getOrElse(
+        embeddings.orderBy(col(idCol)).limit(nlist)
+          .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+      .select(col("cid"), col("cvec"))
+    // cell assignment: nearest centroid by cosine (ties -> smallest cid)
+    def assign(df: DataFrame, idc: String, vc: String, topN: Int): DataFrame = {
+      val simToCent = vecDot(col(vc), col("cvec")) / (vecNorm(col(vc)) * vecNorm(col("cvec")))
+      val w = Window.partitionBy(col(idc)).orderBy(simToCent.desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__cr", row_number().over(w))
+        .where(col("__cr") <= topN)
+        .drop("cvec", "__cr")
+    }
+    val cells = assign(embeddings, idCol, vecCol, 1)
+    val qCells = assign(queries, queryIdCol, queryVecCol, nprobe)
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    cells.join(broadcast(qCells), "cid")
+      .where(col(idCol) =!= col(queryIdCol))
+      .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
+  }
+
   /** Exact all-pairs cosine near-duplicates: the O(n^2) correctness
     * baseline (and the oracle-checkable gate); [[cosineNearDuplicates]] is
     * the LSH-bucketed scale path.

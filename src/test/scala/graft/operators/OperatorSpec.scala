@@ -96,6 +96,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(sim - 0.9 / math.sqrt(0.82)) < 1e-12)
   }
 
+  test("embeddings: ivf top-k recalls the nearest cells' neighbors") {
+    val sps = spark; import sps.implicits._
+    // two tight clusters around x-axis and y-axis; centroids = ids 1, 2
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0)),
+      (3L, Array(0.95, 0.05, 0.0)), (4L, Array(0.9, 0.1, 0.0)),
+      (5L, Array(0.05, 0.95, 0.0)), (6L, Array(0.1, 0.9, 0.0))).toDF("vec_id", "vec")
+    val queries = vecs.where($"vec_id" === 3).select($"vec_id".as("qid"), $"vec".as("qvec"))
+    // nprobe=1: only the x-cluster cell is scanned
+    val near = Embeddings.ivfTopK(vecs, "vec", "vec_id", queries, "qvec", "qid",
+        k = 3, nlist = 2, nprobe = 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(near.toSeq == Seq((1, 1L), (2, 4L)), s"got ${near.toSeq}")
+    // nprobe=2 scans both cells: full brute-force ranking
+    val all = Embeddings.ivfTopK(vecs, "vec", "vec_id", queries, "qvec", "qid",
+        k = 5, nlist = 2, nprobe = 2)
+      .collect().map(_.getLong(2))
+    assert(all.toSet == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
   test("embeddings: hyperplane signature deterministic; identical vectors collide") {
     val sps = spark; import sps.implicits._
     val vecs = Seq((1L, Array(0.5, -0.25, 0.75)), (2L, Array(0.5, -0.25, 0.75)),
