@@ -92,6 +92,9 @@ object GraftFunctions {
     ("lang_id",
       "lang_id(text) - heuristic language code by stopword-hit argmax ('de'|'en'|'es'|'fr'|'und')",
       args => { arity("lang_id", 1, args); graft.operators.LangIdExpr(args(0)) }),
+    ("text_metrics",
+      "text_metrics(text) - one-pass STRUCT<chars,words,punct,digits,toks,sw_hits> quality metrics",
+      args => { arity("text_metrics", 1, args); graft.operators.TextMetricsExpr(args(0)) }),
     ("rolling_hash",
       "rolling_hash(text) - polynomial (Rabin-Karp) rolling-hash fingerprint over code points, mod 1e9+7",
       args => { arity("rolling_hash", 1, args); graft.operators.RollingHashExpr(args(0)) }),

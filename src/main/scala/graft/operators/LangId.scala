@@ -47,6 +47,12 @@ object LangId {
 
   private val maxStopwordLen = wordMask.keySet().stream().mapToInt(_.length).max().getAsInt
 
+  /** Whether `w` is a stopword of any language in `mask` (see langs order). */
+  private[operators] def hasStopword(w: String, mask: Int): Boolean = {
+    val m = wordMask.get(w)
+    m != null && (m.intValue() & mask) != 0
+  }
+
   private def isSpace(c: Char): Boolean = // Java regex \s class
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 

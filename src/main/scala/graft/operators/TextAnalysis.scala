@@ -42,23 +42,29 @@ object TextAnalysis {
   /** Quality heuristics bundle: length, word stats, symbol/digit/upper
     * ratios, and a composite [0,1] score (longer, wordier, low-symbol text
     * scores higher — the usual pre-training quality gates).
+    *
+    * Backed by the one-pass [[TextMetricsExpr]] (the composed form ran two
+    * regexp_replace passes — each allocating a rewritten copy of the text
+    * per row — plus two splits and a lambda filter); derived ratios are
+    * arithmetically identical, enforced by the q_quality_score oracle.
     */
   def withQualityMetrics(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val chars = length(t).cast("double")
-    val words = wordCount(t).cast("double")
-    val punct = length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double")
-    val digits = length(regexp_replace(t, "[^0-9]", "")).cast("double")
-    val meanWordLen = chars / greatest(words, lit(1.0))
+    val m = ColumnBridge.column(TextMetricsExpr(ColumnBridge.expression(col(textCol))))
+    val chars = m.getField("chars").cast("double")
+    val words = m.getField("words").cast("double")
+    val punct = m.getField("punct").cast("double")
+    val digits = m.getField("digits").cast("double")
+    val swRatio = m.getField("sw_hits").cast("double") /
+      greatest(m.getField("toks"), lit(1L)).cast("double")
     df.withColumn("n_chars_m", chars)
       .withColumn("n_words", words)
       .withColumn("punct_ratio", punct / greatest(chars, lit(1.0)))
       .withColumn("digit_ratio", digits / greatest(chars, lit(1.0)))
-      .withColumn("mean_word_len", meanWordLen)
-      .withColumn("stopword_ratio_en", stopwordRatio(t, "en"))
+      .withColumn("mean_word_len", chars / greatest(words, lit(1.0)))
+      .withColumn("stopword_ratio_en", swRatio)
       .withColumn("quality_score",
         least(lit(1.0), greatest(lit(0.0),
-          lit(0.4) * least(words / 100.0, lit(1.0))
+          lit(0.4) * least(col("n_words") / 100.0, lit(1.0))
             + lit(0.3) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0)))
             + lit(0.3) * least(col("stopword_ratio_en") * 4.0, lit(1.0)))))
   }
