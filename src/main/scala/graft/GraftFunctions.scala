@@ -92,6 +92,9 @@ object GraftFunctions {
     ("lang_id",
       "lang_id(text) - heuristic language code by stopword-hit argmax ('de'|'en'|'es'|'fr'|'und')",
       args => { arity("lang_id", 1, args); graft.operators.LangIdExpr(args(0)) }),
+    ("token_count",
+      "token_count(text) - one-pass BPE-ish token count ([A-Za-z]+|[0-9]+|single symbol)",
+      args => { arity("token_count", 1, args); graft.operators.TokenCountExpr(args(0)) }),
     ("text_metrics",
       "text_metrics(text) - one-pass STRUCT<chars,words,punct,digits,toks,sw_hits> quality metrics",
       args => { arity("text_metrics", 1, args); graft.operators.TextMetricsExpr(args(0)) }),

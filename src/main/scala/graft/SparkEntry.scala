@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Embeddings, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Events, Multimodal, TextAnalysis}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -49,7 +49,10 @@ object SparkEntry {
       val raw = spark.read.parquet(s"$dir/$t.parquet")
       val fixed = nanoTimestampCols.getOrElse(t, Nil).foldLeft(raw) { (df, c) =>
         if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-          df.withColumn(c, timestamp_micros((col(c) / 1000).cast("long")))
+          // integer division: `/` on longs is DOUBLE division in Spark SQL,
+          // and ~1.7e18 ns exceeds double's 53-bit mantissa — the rounding
+          // shifted some timestamps by a microsecond
+          df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
         else df
       }
       fixed.createOrReplaceTempView(t)
@@ -106,6 +109,18 @@ object SparkEntry {
                CAST(COUNT(*) AS BIGINT) AS cnt,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_e2
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""") _,
+
+      // gap-based sessionization: one shuffle on user_id, running-sum
+      // session index, co-partitioned per-session rollup
+      "q_sessionize" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Events.sessionStats(
+            Events.sessionize(s.table("events"), "user_id", "ts", gapSeconds = 1800), "user_id")
+          .agg(count(lit(1)).cast("long").as("sessions"),
+            sum("n_events").cast("long").as("events"),
+            sum("duration_us").cast("long").as("dur_us"),
+            max("n_events").cast("long").as("max_events"))
+      }),
 
       // --- duckdb hash surface ------------------------------------------
       "q_duckdb_hash" -> q("""
@@ -305,7 +320,7 @@ object SparkEntry {
                CAST(SUM(size(split(text, ' '))) AS BIGINT) AS total_words
         FROM documents GROUP BY lang ORDER BY lang""") _,
       "q_token_count" -> q("""
-        SELECT CAST(SUM(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))) AS BIGINT) AS tokens,
+        SELECT CAST(SUM(token_count(text)) AS BIGINT) AS tokens,
                CAST(COUNT(*) AS BIGINT) AS docs
         FROM documents""") _,
       "q_lang_id" -> ((s: SparkSession, dir: String) => {
@@ -373,6 +388,25 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS cnt,
              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_e2
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_sessionize" -> """
+      WITH x AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, us,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x),
+      g AS (
+        SELECT user_id, sid, COUNT(*) AS n, MAX(us) - MIN(us) AS dur
+        FROM sess GROUP BY user_id, sid)
+      SELECT CAST(COUNT(*) AS BIGINT) AS sessions, CAST(SUM(n) AS BIGINT) AS events,
+             CAST(SUM(dur) AS BIGINT) AS dur_us, CAST(MAX(n) AS BIGINT) AS max_events
+      FROM g""",
     "q_duckdb_hash" -> """
       SELECT o_orderkey, CAST(hash(o_orderkey) AS VARCHAR) AS h
       FROM orders ORDER BY o_orderkey""",

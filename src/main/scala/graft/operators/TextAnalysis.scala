@@ -12,9 +12,12 @@ object TextAnalysis {
   /** BPE-ish tokenizer regex: words, numbers, or single non-space symbols. */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Token count via the BPE-ish regex (regexp_extract_all is codegen'd). */
+  /** Token count via the BPE-ish pattern — one-pass native expression
+    * (the regexp_extract_all form materializes every match in an array per
+    * row just to take its size).
+    */
   def tokenCount(text: Column): Column =
-    size(call_function("regexp_extract_all", text, lit(TokenPattern), lit(0)))
+    ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(text)))
 
   /** Whitespace word count (matches DuckDB len(string_split(x, ' '))). */
   def wordCount(text: Column): Column = size(split(text, " "))

@@ -85,6 +85,58 @@ object TextMetrics {
     val toks = runs + 1
     new GenericInternalRow(Array[Any](chars, words, punct, digits, toks, sw))
   }
+
+  /** Count of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` matches (the BPE-ish
+    * tokenizer) in one pass — regex alternation semantics: greedy letter
+    * runs, greedy digit runs, then one match per remaining non-\s code
+    * point (including every non-ASCII code point).
+    */
+  def tokenCount(text: UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    var i = 0
+    var cnt = 0L
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
+        cnt += 1
+        while (i < n && { val c = s.charAt(i); (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') }) i += 1
+      } else if (cp >= '0' && cp <= '9') {
+        cnt += 1
+        while (i < n && { val c = s.charAt(i); c >= '0' && c <= '9' }) i += 1
+      } else if (cp < 128 && isSpace(cp.toChar)) {
+        i += 1
+      } else {
+        cnt += 1
+        i += Character.charCount(cp)
+      }
+    }
+    cnt
+  }
+}
+
+/** SQL: `token_count(text)` -> BIGINT; one-pass equivalent of
+  * `size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))`.
+  */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "token_count"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"token_count requires STRING, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextMetrics.tokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.operators.TextMetrics.tokenCount($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
+    copy(child = newChild)
 }
 
 /** SQL: `text_metrics(text)` -> STRUCT<chars, words, punct, digits, toks,

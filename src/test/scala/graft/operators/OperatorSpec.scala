@@ -96,6 +96,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(sim - 0.9 / math.sqrt(0.82)) < 1e-12)
   }
 
+  test("events: gap sessionization splits on gap, rolls up per session") {
+    val sps = spark; import sps.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(minutes: Long) = new java.sql.Timestamp(base + minutes * 60000)
+    val events = Seq(
+      (1L, ts(0), 7L), (2L, ts(10), 7L), (3L, ts(70), 7L),  // user 7: 2 sessions
+      (4L, ts(0), 8L), (5L, ts(29), 8L), (6L, ts(58), 8L)). // user 8: 1 session (gaps < 30m)
+      toDF("event_id", "ts", "user_id")
+    val stats = Events.sessionStats(
+        Events.sessionize(events, "user_id", "ts", gapSeconds = 1800), "user_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(stats.size == 3)
+    assert(stats((7L, 1L)) == (2L, 10L * 60000000L)) // 2 events, 10 min
+    assert(stats((7L, 2L)) == (1L, 0L))
+    assert(stats((8L, 1L)) == (3L, 58L * 60000000L))
+  }
+
   test("embeddings: ivf top-k recalls the nearest cells' neighbors") {
     val sps = spark; import sps.implicits._
     // two tight clusters around x-axis and y-axis; centroids = ids 1, 2
@@ -138,8 +155,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val langs = df.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(langs(1) == "en" && langs(2) == "de" && langs(3) == "und")
-    val tc = df.where($"doc_id" === 1).select(TextAnalysis.tokenCount($"text")).head().getInt(0)
-    assert(tc == 10)
+    val tc = df.where($"doc_id" === 1).select(TextAnalysis.tokenCount($"text")).head().getLong(0)
+    assert(tc == 10L)
     val qm = TextAnalysis.withQualityMetrics(df, "text").where($"doc_id" === 1).head()
     assert(qm.getAs[Double]("stopword_ratio_en") > 0.3)
     assert(qm.getAs[Double]("quality_score") > 0.0 && qm.getAs[Double]("quality_score") <= 1.0)
