@@ -110,6 +110,25 @@ object SparkEntry {
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_e2
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""") _,
 
+      // 5-way star join: Catalyst broadcasts the three small dims and
+      // plans the two big joins on their shuffle keys (TPC-H Q5 shape)
+      "q5_regional_revenue" -> q("""
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+          JOIN customer ON c_nationkey = n_nationkey
+          JOIN orders ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY r_name ORDER BY r_name""") _,
+
+      // semi-structured props: JSON path extraction inside codegen
+      "q_events_props" -> q("""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events GROUP BY event_type ORDER BY event_type""") _,
+
       // gap-based sessionization: one shuffle on user_id, running-sum
       // session index, co-partitioned per-session rollup
       "q_sessionize" -> ((s: SparkSession, dir: String) => {
@@ -388,6 +407,20 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS cnt,
              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_e2
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q5_regional_revenue" -> """
+      SELECT r_name,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY r_name ORDER BY r_name""",
+    "q_events_props" -> """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q_sessionize" -> """
       WITH x AS (
         SELECT user_id, ts, event_id, epoch_us(ts) AS us,
