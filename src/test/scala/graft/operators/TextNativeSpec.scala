@@ -69,4 +69,29 @@ class TextNativeSpec extends AnyFunSuite {
     assert(VectorOps.dot(ArrayData.toArrayData(xs.toArray),
       ArrayData.toArrayData(Array(1.0, 1.0, 1.0)), false, false) == expected)
   }
+
+  test("token_count / text_metrics match regex semantics on random strings") {
+    import java.util.regex.Pattern
+    val tokenPat = Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab z\t\n12.,!\u00e9\u4e2d  the and"
+    def randomString(): String =
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (_ <- 1 to 2000) {
+      val s = randomString()
+      val u = UTF8String.fromString(s)
+      // token_count == number of regex matches
+      val m = tokenPat.matcher(s)
+      var expected = 0L
+      while (m.find()) expected += 1
+      assert(TextMetrics.tokenCount(u) == expected, s"tokenCount('$s')")
+      // text_metrics words/toks == split sizes with limit=-1 (Spark semantics)
+      val row = TextMetrics.computeRow(u)
+      assert(row.getLong(0) == s.codePointCount(0, s.length).toLong, s"chars('$s')")
+      assert(row.getLong(1) == Pattern.compile(" ", Pattern.LITERAL).split(s, -1).length.toLong, s"words('$s')")
+      assert(row.getLong(2) == s.codePoints().toArray.count(cp =>
+        !Character.toString(cp).matches("[A-Za-z0-9\\s]")).toLong, s"punct('$s')")
+      assert(row.getLong(4) == Pattern.compile("\\s+").split(s.toLowerCase, -1).length.toLong, s"toks('$s')")
+    }
+  }
 }
