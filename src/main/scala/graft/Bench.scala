@@ -6,12 +6,16 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON metrics line.
   *
   * Each query is fully executed via the noop sink (count() would let
-  * Catalyst prune the very expressions under test).
+  * Catalyst prune the very expressions under test). Single cold-JVM passes
+  * on this box swing +/-2x on multi-second queries (JIT/GC timing), so
+  * when the first pass finishes quickly a second pass runs and each
+  * query reports its minimum — the `iterations` field records which.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val secondPassBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "45").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,19 +28,32 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+
+    val first = pass()
+    val firstTotal = first.map(_._2).filter(_ >= 0).sum
+    val (results, iters) =
+      if (firstTotal <= secondPassBudget) {
+        val second = pass().toMap
+        (first.map { case (k, v1) =>
+          val v2 = second.getOrElse(k, -1.0)
+          k -> (if (v1 < 0 || v2 < 0) math.max(v1, v2) else math.min(v1, v2))
+        }, 2)
+      } else (first, 1)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}""")
     spark.stop()
   }
 }
