@@ -96,6 +96,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(sim - 0.9 / math.sqrt(0.82)) < 1e-12)
   }
 
+  test("multimodal: frame sampling emits one row per frame at the target fps") {
+    val sps = spark; import sps.implicits._
+    val df = Seq((1L, "video-payload".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val decoded = Multimodal.decodeAndFeaturize(df, "media_id", "payload", "video", 4)
+    val durMs = decoded.select($"meta.duration_ms").head().getLong(0)
+    val frames = Multimodal.sampleFrames(decoded, fps = 2.0).collect()
+    val expected = math.max(1L, (durMs / 1000.0 * 2.0).toLong)
+    assert(frames.length.toLong == expected)
+    val ts = frames.map(_.getAs[Long]("frame_ts_ms")).sorted
+    assert(ts.head == 0L && ts.forall(_ < durMs + 500))
+    assert(ts.toSeq == ts.toSeq.distinct, "frame timestamps must be distinct")
+  }
+
+  test("embeddings: lsh near-duplicate pairs find identical vectors") {
+    val sps = spark; import sps.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5, -0.25, 0.75)), (2L, Array(0.5, -0.25, 0.75)), // identical pair
+      (3L, Array(-0.9, 0.4, -0.1)), (4L, Array(0.01, 0.99, 0.02))).toDF("vec_id", "vec")
+    val pairs = Embeddings.cosineNearDuplicates(vecs, "vec", "vec_id", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("events: gap sessionization splits on gap, rolls up per session") {
     val sps = spark; import sps.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
