@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions._
 
-/** Registration of the graft SQL function surface (13 functions mirroring the
-  * reference's shipped surface; reference src/bitfilters_extension.cpp:16-25).
+/** Registration of the graft SQL function surface: the 15 functions
+  * mirroring the reference (src/bitfilters_extension.cpp:16-25, plus its
+  * disabled classic-bloom pair) and the training-data-pipeline extensions
+  * (sketches, text analysis, vector kernels).
   *
   * Two entry points:
   *  - `GraftFunctions.registerAll(spark)` — programmatic, for tests/apps

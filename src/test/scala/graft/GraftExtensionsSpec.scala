@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production entry point: a session built with
+  * `spark.sql.extensions=graft.GraftSparkExtensions` gets the full function
+  * surface AND the optimizer rule without any programmatic call.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("config-driven extensions register functions and optimizer rule") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      // every registered function resolves
+      GraftFunctions.all.foreach { case (name, _, _) =>
+        assert(spark.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
+      }
+      // a filter function works end-to-end
+      val cnt = spark.sql("""
+        SELECT COUNT(*) FROM range(1, 1001)
+        WHERE xor8_filter_contains(
+          (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 1001)),
+          bitfilters_duckdb_hash('v1.5.1', id))""").head().getLong(0)
+      assert(cnt == 1000L)
+      // the injected FoldSingleRowJoin rule fires (no join in the plan)
+      spark.range(1, 1001).toDF("id").createOrReplaceTempView("big_ext")
+      val q = spark.sql("""
+        SELECT count(*) FROM big_ext,
+          (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) AS f FROM big_ext) flt
+        WHERE xor8_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', id))""")
+      assert(!q.queryExecution.optimizedPlan.exists(_.isInstanceOf[Join]))
+      assert(q.head().getLong(0) == 1000L)
+    } finally spark.stop()
+  }
+}
