@@ -53,7 +53,8 @@ object FoldSingleRowJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner | Cross, condOpt, _)
-        if condOpt.forall(_.deterministic) &&
+        if !j.isStreaming && // scalar subqueries are illegal in streaming plans
+          condOpt.forall(_.deterministic) &&
           (foldable(right) ^ foldable(left)) && // both-sides-single: leave to Spark
           (if (foldable(right)) right else left).output.size <= MaxFoldedColumns =>
       val (big, single) = if (foldable(right)) (left, right) else (right, left)

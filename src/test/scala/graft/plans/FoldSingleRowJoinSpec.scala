@@ -81,4 +81,19 @@ class FoldSingleRowJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hasJoin(q))
     assert(spark.sql(q).collect().head.getLong(0) >= 5000)
   }
+
+  test("streaming big side is never rewritten (subqueries are illegal in streams)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sps = spark; import sps.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val stream = input.toDF().toDF("id")
+    val oneRow = spark.sql("SELECT max(k) AS mx FROM dim")
+    val joined = stream.crossJoin(oneRow)
+      .where(org.apache.spark.sql.functions.col("id") <= org.apache.spark.sql.functions.col("mx"))
+    // apply the rule directly to the analyzed plan (a streaming Dataset
+    // cannot be batch-optimized/executed)
+    val rewritten = FoldSingleRowJoin(joined.queryExecution.analyzed)
+    assert(rewritten.exists(_.isInstanceOf[Join]),
+      "stream-batch join must be left for Spark's streaming planner")
+  }
 }
