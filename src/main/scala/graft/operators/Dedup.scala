@@ -89,24 +89,30 @@ object Dedup {
         aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / size(col("sig1")))
 
-  /** Exact n-gram Jaccard for candidate pairs via a shingle-level join.
-    * `maxDocFreq` drops ubiquitous shingles first (classic skew guard: a
-    * shingle occurring in thousands of docs would explode the join).
+  /** Exact n-gram Jaccard via in-bucket pair emission: ONE groupBy on the
+    * shingle collects each shingle's (sorted) doc list, the doc-frequency
+    * cap becomes a plain `size(docs) <= maxDocFreq` filter (no df-stats
+    * join), and ordered pairs explode from the list (no shingle self-join)
+    * into the per-pair common count. `maxDocFreq` is the classic skew
+    * guard: a shingle in thousands of docs would emit quadratic pairs.
+    * Scale note: the widest shuffle now carries one row per distinct
+    * shingle with a <=maxDocFreq id list, instead of one row per
+    * (shingle-collision pair).
     */
   def exactJaccardPairs(shingles0: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
-    // the raw shingles feed two consumers (df-stats + the df join); the
-    // FILTERED set feeds three (both pair-join sides + sizes) — persist the
-    // filtered frame so the doc-frequency join runs once, not three times
-    val shingles = shingles0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val filtered = shingles.join(
-      shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .where(col("df") <= maxDocFreq).select("shingle"),
-      "shingle")
+    val capped = shingles0.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .where(size(col("docs")) <= maxDocFreq)
+      // feeds both the per-doc sizes and the pair counts
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = filtered.as("a").join(filtered.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val sizes = capped.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = capped.where(size(col("docs")) >= 2)
+      .select(explode(expr("""
+        flatten(transform(docs, (a, i) ->
+          transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+            named_struct('id1', a, 'id2', b))))""")).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
