@@ -270,6 +270,17 @@ object SparkEntry {
             numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true)
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
+      // clustering over the same portable pair graph (keep-one-per-cluster)
+      "q_dedup_clusters" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val pairs = Dedup.minHashNearDuplicates(s.table("documents"), "text", "doc_id",
+            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true)
+          .select("id1", "id2")
+        Dedup.nearDuplicateClusters(pairs)
+          .agg(count(lit(1)).cast("long").as("nodes"),
+            countDistinct("label").cast("long").as("clusters"),
+            sum("label").cast("long").as("label_sum"))
+      }),
       "q_simhash_near_dup" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         Dedup.simHashNearDuplicates(s.table("documents"), "text", "doc_id",
@@ -379,6 +390,42 @@ object SparkEntry {
             sum(round(element_at(col("features"), 1) * 1e6).cast("long")).as("f0_e6"))
       }),
     )
+  }
+
+  /** Shared oracle CTE chain producing the portable MinHash-LSH candidate
+    * pairs with their signature-match estimate (`est(id1, id2, je)`); used
+    * by both the pair-count and the clustering oracle. Constants come from
+    * the SAME MinHashPerm.params the Spark aggregate uses.
+    */
+  private lazy val minhashPairCtes: String = {
+    val (a, b) = graft.operators.MinHashPerm.params(128)
+    s"""toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      prm AS (
+        SELECT unnest(generate_series(1, 128)) AS j,
+               unnest(${a.mkString("[", ", ", "]")}) AS a,
+               unnest(${b.mkString("[", ", ", "]")}) AS b),
+      sigv AS (
+        SELECT sh.doc_id, prm.j,
+               MIN(CAST((CAST(prm.a AS HUGEINT) * sh.h + prm.b) % 2305843009213693951 AS BIGINT)) AS m
+        FROM sh, prm GROUP BY sh.doc_id, prm.j),
+      sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, bnd, list_slice(sig, bnd * 4 + 1, bnd * 4 + 4) AS slc
+        FROM sig, (SELECT unnest(generate_series(0, 31)) AS bnd)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        FROM banded x JOIN banded y
+          ON x.bnd = y.bnd AND x.slc = y.slc AND x.doc_id < y.doc_id),
+      est AS (
+        SELECT id1, id2,
+               len(list_filter(generate_series(1, 128), i -> s1.sig[i] = s2.sig[i])) / 128.0 AS je
+        FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id JOIN sig s2 ON cand.id2 = s2.doc_id)"""
   }
 
   /** DuckDB-runnable oracle SQL per query (same column names + ordering). */
@@ -505,39 +552,25 @@ object SparkEntry {
     // string shingles -> md5-prefix 60-bit hashes -> the SAME affine
     // permutations (constants embedded below from MinHashPerm.params) ->
     // 32x4 band slices -> candidate pairs -> signature-estimate filter
-    "q_minhash_near_dup" -> {
-      val (a, b) = graft.operators.MinHashPerm.params(128)
-      s"""
-      WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
-      sh AS (
-        SELECT DISTINCT doc_id,
-               CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-              FROM toks WHERE len(t) >= 3)),
-      prm AS (
-        SELECT unnest(generate_series(1, 128)) AS j,
-               unnest(${a.mkString("[", ", ", "]")}) AS a,
-               unnest(${b.mkString("[", ", ", "]")}) AS b),
-      sigv AS (
-        SELECT sh.doc_id, prm.j,
-               MIN(CAST((CAST(prm.a AS HUGEINT) * sh.h + prm.b) % 2305843009213693951 AS BIGINT)) AS m
-        FROM sh, prm GROUP BY sh.doc_id, prm.j),
-      sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
-      banded AS (
-        SELECT doc_id, bnd, list_slice(sig, bnd * 4 + 1, bnd * 4 + 4) AS slc
-        FROM sig, (SELECT unnest(generate_series(0, 31)) AS bnd)),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-        FROM banded x JOIN banded y
-          ON x.bnd = y.bnd AND x.slc = y.slc AND x.doc_id < y.doc_id),
-      est AS (
-        SELECT id1, id2,
-               len(list_filter(generate_series(1, 128), i -> s1.sig[i] = s2.sig[i])) / 128.0 AS je
-        FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id JOIN sig s2 ON cand.id2 = s2.doc_id)
-      SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM est WHERE je >= 0.2"""
-    },
-    // independent replication of the portable SimHash pipeline: md5-prefix
+    "q_minhash_near_dup" -> s"""
+      WITH $minhashPairCtes
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM est WHERE je >= 0.2""",
+    // near-dup clustering = connected components over the SAME pair graph,
+    // replayed with a recursive CTE (min reachable id per node)
+    "q_dedup_clusters" -> s"""
+      WITH RECURSIVE $minhashPairCtes,
+      p AS (SELECT id1, id2 FROM est WHERE je >= 0.2),
+      e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+      reach(src, dst) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+      lab AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src)
+      SELECT CAST(COUNT(*) AS BIGINT) AS nodes,
+             CAST(COUNT(DISTINCT label) AS BIGINT) AS clusters,
+             CAST(SUM(label) AS BIGINT) AS label_sum
+      FROM lab""",
+        // independent replication of the portable SimHash pipeline: md5-prefix
     // token hashes -> per-bit +1/-1 votes -> 64-bit fingerprint -> 4x16-bit
     // band blocking -> hamming<=3 verify
     "q_simhash_near_dup" -> """

@@ -170,6 +170,45 @@ object Dedup {
       .select("id1", "id2", "jaccard_est")
   }
 
+  /** Connected components over a near-duplicate pair graph: every node gets
+    * the smallest doc id reachable from it as its cluster label — the
+    * dedup-GROUP assignment that follows pair generation in a real pipeline
+    * (keep `label`, drop the rest).
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across the (symmetrized, persisted) edge list and keeps the
+    * elementwise minimum, converging in O(graph diameter) rounds. The
+    * driver loop coordinates ROUNDS only (one `isEmpty` action per round —
+    * no per-row driver work); each round is two co-partitioned shuffles.
+    * Near-dup graphs are unions of small cliques, so diameters are tiny;
+    * `maxIter` caps adversarial chains.
+    */
+  def nearDuplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(lvl)
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("id2") === labels("id"))
+        .groupBy(edges("id1").as("id")).agg(min("label").as("nlabel"))
+      val next = labels.as("l").join(prop.as("p"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.label"), coalesce(col("p.nlabel"), col("l.label"))).as("label"))
+        .persist(lvl)
+      converged = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.label") =!= col("o.label")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash fingerprints per document (`portable` selects the md5-prefix
     * token hash so fingerprints can be recomputed in another engine).
     */

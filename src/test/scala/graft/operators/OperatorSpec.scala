@@ -57,6 +57,16 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.find(p => p._1 == 1 && p._2 == 4).get._3 == 1.0)
   }
 
+  test("near-duplicate clustering: min-label connected components") {
+    val sps = spark; import sps.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (8L, 10L))
+      .toDF("id1", "id2")
+    val labels = Dedup.nearDuplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
   test("minhash signatures are partitioning-invariant (merge correctness)") {
     val sh = Dedup.shingleHashes(docsDf, "text", "doc_id", 3)
     val sig1 = Dedup.minHashSignatures(sh.repartition(1), 64)
