@@ -24,12 +24,22 @@ object Scratch {
     }
 
     t("warmup")("SELECT COUNT(*), MAX(l_orderkey) FROM lineitem")
-    val h = "bitfilters_duckdb_hash('v1.5.1', l_orderkey)"
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    def tdf(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[scratch] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+    val docs = spark.table("documents")
     for (round <- 1 to 2) {
-      t(s"fuse16 6M keys r$round")(s"SELECT binary_fuse16_filter($h) FROM lineitem")
-      t(s"bloom 2^18 6M keys r$round")(
-        s"SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 262144, $h) FROM lineitem")
-      t(s"quotient q24 6M keys r$round")(s"SELECT quotient_filter(24, 8, $h) FROM lineitem")
+      val sh = Dedup.shingleHashes(docs, "text", "doc_id", 3, portable = true)
+      tdf(s"1 shingles r$round")(sh)
+      tdf(s"2 +signatures r$round")(Dedup.minHashSignatures(sh, 128, affine = true))
+      tdf(s"3 +bucket pairs r$round")(Dedup.lshNearDuplicatePairs(
+        Dedup.minHashSignatures(sh, 128, affine = true), 32, 128))
+      tdf(s"4 full r$round")(Dedup.minHashNearDuplicates(docs, "text", "doc_id",
+        128, 32, 3, 0.2, portable = true).agg(count(lit(1)).cast("long").as("pairs")))
     }
     spark.stop()
   }
