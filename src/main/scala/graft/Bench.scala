@@ -36,7 +36,10 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // queries are self-contained; don't let one
+                                   // query's persisted frames pressure the next
+        name -> (if (ok) dt else -1.0)
       }
 
     val first = pass()

@@ -270,12 +270,15 @@ object SparkEntry {
             numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true)
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
-      // clustering over the same portable pair graph (keep-one-per-cluster)
+      // clustering (keep-one-per-cluster) over the exact-duplicate pair
+      // graph: md5-equality pairs keep the gate cheap while exercising the
+      // same component-labelling path as minhash/simhash pair graphs
       "q_dedup_clusters" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val pairs = Dedup.minHashNearDuplicates(s.table("documents"), "text", "doc_id",
-            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true)
-          .select("id1", "id2")
+        val d = s.table("documents").select(col("doc_id"), md5(col("text")).as("h"))
+        val pairs = d.as("a").join(d.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         Dedup.nearDuplicateClusters(pairs)
           .agg(count(lit(1)).cast("long").as("nodes"),
             countDistinct("label").cast("long").as("clusters"),
@@ -555,11 +558,13 @@ object SparkEntry {
     "q_minhash_near_dup" -> s"""
       WITH $minhashPairCtes
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM est WHERE je >= 0.2""",
-    // near-dup clustering = connected components over the SAME pair graph,
-    // replayed with a recursive CTE (min reachable id per node)
+    // near-dup clustering = connected components over the exact-duplicate
+    // pair graph, replayed with a recursive CTE (min reachable id per node)
     "q_dedup_clusters" -> s"""
-      WITH RECURSIVE $minhashPairCtes,
-      p AS (SELECT id1, id2 FROM est WHERE je >= 0.2),
+      WITH RECURSIVE p AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
       e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
       reach(src, dst) AS (
         SELECT a, a FROM e
