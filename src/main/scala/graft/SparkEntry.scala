@@ -363,6 +363,13 @@ object SparkEntry {
           .groupBy("lang_detected").agg(count(lit(1)).cast("long").as("docs"))
           .orderBy("lang_detected")
       }),
+      "q_lang_id_ngram" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.table("documents")
+          .select(TextAnalysis.langIdNgram(col("text")).as("lang_detected"))
+          .groupBy("lang_detected").agg(count(lit(1)).cast("long").as("docs"))
+          .orderBy("lang_detected")
+      }),
       "q_quality_score" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         TextAnalysis.withQualityMetrics(s.table("documents"), "text")
@@ -527,6 +534,25 @@ object SparkEntry {
       SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS tokens,
              CAST(COUNT(*) AS BIGINT) AS docs
       FROM documents""",
+    "q_lang_id_ngram" -> {
+      def score(lang: String) = graft.operators.TextAnalysis.trigramProfiles(lang)
+        .map(g => s"(CASE WHEN contains(lower(text), '$g') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH h AS (
+        SELECT ${score("de")} AS de, ${score("en")} AS en,
+               ${score("es")} AS es, ${score("fr")} AS fr
+        FROM documents),
+      l AS (
+        SELECT CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                    WHEN fr = greatest(de, en, es, fr) THEN 'fr'
+                    WHEN es = greatest(de, en, es, fr) THEN 'es'
+                    WHEN en = greatest(de, en, es, fr) THEN 'en'
+                    ELSE 'de' END AS lang_detected
+        FROM h)
+      SELECT lang_detected, CAST(COUNT(*) AS BIGINT) AS docs
+      FROM l GROUP BY lang_detected ORDER BY lang_detected"""
+    },
     // mirrors TextAnalysis.withQualityMetrics op-for-op (note the 'g' flag:
     // DuckDB regexp_replace is first-match-only by default, Spark's is global)
     "q_quality_score" -> """

@@ -42,6 +42,32 @@ object TextAnalysis {
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 
+  /** Characteristic character trigrams per language, for the n-gram
+    * language-ID variant. Hand-picked, high-frequency, pairwise-discriminative
+    * (includes space-delimited forms so they anchor at word boundaries).
+    */
+  val trigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", " th", "he ", "ing", "and", " an", "ion", " of", "of ", " to", "is "),
+    "de" -> Seq("der", "und", " un", "ein", "sch", "ich", "die", " de", "en ", "ist", "ung"),
+    "fr" -> Seq("les", " le", "ent", "que", " qu", "est", "une", " et", "et ", "our", "ais"),
+    "es" -> Seq("los", " lo", "que", " qu", "ión", "una", " es", "ado", "par", " co", "ara"))
+
+  /** N-gram language ID: argmax over languages of how many characteristic
+    * trigrams occur in the lowercased text (ties to the larger code, zero
+    * hits -> 'und'). Composed from `contains` probes so the same logic
+    * replays verbatim in any SQL engine.
+    */
+  def langIdNgram(text: Column): Column = {
+    val t = lower(text)
+    val scores = trigramProfiles.keys.toSeq.sorted.map { lang =>
+      val hits = trigramProfiles(lang).map(g => when(contains(t, lit(g)), 1).otherwise(0))
+      lang -> hits.reduce(_ + _)
+    }
+    val best = scores.map { case (lang, sc) => struct(sc.as("score"), lit(lang).as("lang")) }
+    val top = array_max(array(best: _*))
+    when(top.getField("score") > 0, top.getField("lang")).otherwise(lit("und"))
+  }
+
   /** Quality heuristics bundle: length, word stats, symbol/digit/upper
     * ratios, and a composite [0,1] score (longer, wordier, low-symbol text
     * scores higher — the usual pre-training quality gates).

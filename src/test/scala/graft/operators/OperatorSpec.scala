@@ -195,6 +195,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qm.getAs[Double]("quality_score") > 0.0 && qm.getAs[Double]("quality_score") <= 1.0)
   }
 
+  test("n-gram language id detects via trigram profiles") {
+    val sps = spark; import sps.implicits._
+    val df = Seq(
+      (1L, "the thing and the other thing going along"),
+      (2L, "der hund und die katze singen ein schoenes lied"),
+      (3L, "les enfants que nous aimons sont une belle chose"),
+      (4L, "los gatos que juegan para una casa"),
+      (5L, "zzz qqq 123")).toDF("doc_id", "text")
+    val langs = df.select($"doc_id", TextAnalysis.langIdNgram($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"), langs.toString)
+  }
+
   test("multimodal: stub decode is deterministic and batch-size-invariant") {
     val sps = spark; import sps.implicits._
     val df = (1L to 100L).map(i => (i, s"payload-$i".getBytes("UTF-8"))).toDF("media_id", "payload")
