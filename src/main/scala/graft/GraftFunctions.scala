@@ -100,6 +100,9 @@ object GraftFunctions {
     ("text_metrics",
       "text_metrics(text) - one-pass STRUCT<chars,words,punct,digits,toks,sw_hits> quality metrics",
       args => { arity("text_metrics", 1, args); graft.operators.TextMetricsExpr(args(0)) }),
+    ("md5_prefix64",
+      "md5_prefix64(text) - 60-bit engine-portable md5-prefix hash (== CAST('0x'||substr(md5(s),1,15) AS BIGINT))",
+      args => { arity("md5_prefix64", 1, args); graft.operators.Md5Prefix64Expr(args(0)) }),
     ("rolling_hash",
       "rolling_hash(text) - polynomial (Rabin-Karp) rolling-hash fingerprint over code points, mod 1e9+7",
       args => { arity("rolling_hash", 1, args); graft.operators.RollingHashExpr(args(0)) }),

@@ -36,7 +36,7 @@ object Dedup {
     * pipeline variants.
     */
   def portableHash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    ColumnBridge.column(Md5Prefix64Expr(ColumnBridge.expression(c)))
 
   /** (id, shingle_hash) pairs: lowercased whitespace tokens -> word n-grams
     * -> 64-bit hash (xxhash64, or md5-prefix when `portable`). DISTINCT per

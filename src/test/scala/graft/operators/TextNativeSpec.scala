@@ -94,4 +94,14 @@ class TextNativeSpec extends AnyFunSuite {
       assert(row.getLong(4) == Pattern.compile("\\s+").split(s.toLowerCase, -1).length.toLong, s"toks('$s')")
     }
   }
+
+  test("md5_prefix64 equals the composed hex-prefix construction") {
+    import java.security.MessageDigest
+    for (str <- Seq("", "a", "hello", "the cat sat", "\u00e9\u4e2d multi byte", "x" * 1000)) {
+      val hex = MessageDigest.getInstance("MD5").digest(str.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val expected = java.lang.Long.parseLong(hex.take(15), 16)
+      assert(PortableHash.md5Prefix64(UTF8String.fromString(str)) == expected, str.take(20))
+    }
+  }
 }
