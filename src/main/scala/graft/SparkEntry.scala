@@ -129,6 +129,16 @@ object SparkEntry {
                CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         FROM events GROUP BY event_type ORDER BY event_type""") _,
 
+      // exact interpolated percentiles: quarter fractions on integer-scaled
+      // values keep every interpolation step exactly representable, so the
+      // doubles are bit-equal across engines (type-7 positioning both)
+      "q_event_percentiles" -> q("""
+        SELECT event_type,
+               percentile(v, 0.25) AS p25, percentile(v, 0.5) AS p50, percentile(v, 0.75) AS p75,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events)
+        GROUP BY event_type ORDER BY event_type""") _,
+
       // gap-based sessionization: one shuffle on user_id, running-sum
       // session index, co-partitioned per-session rollup
       "q_sessionize" -> ((s: SparkSession, dir: String) => {
@@ -478,6 +488,12 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS cnt,
              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_event_percentiles" -> """
+      SELECT event_type,
+             quantile_cont(v, 0.25) AS p25, quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.75) AS p75,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events)
+      GROUP BY event_type ORDER BY event_type""",
     "q_sessionize" -> """
       WITH x AS (
         SELECT user_id, ts, event_id, epoch_us(ts) AS us,
