@@ -19,6 +19,7 @@ class FilterStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .appName("graft-store-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", s"$dir/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
