@@ -42,8 +42,18 @@ object Bench {
         name -> (if (ok) dt else -1.0)
       }
 
+    def jsonLine(results: Seq[(String, Double)], iters: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}"""
+    }
+
     val first = pass()
     val firstTotal = first.map(_._2).filter(_ >= 0).sum
+    // breadcrumb on stderr: if a runner timeout kills pass 2, the pass-1
+    // numbers survive in the captured log (stdout stays a single line)
+    System.err.println("[bench] pass1 " + jsonLine(first, 1))
     val (results, iters) =
       if (firstTotal <= secondPassBudget) {
         val second = pass().toMap
@@ -53,10 +63,7 @@ object Bench {
         }, 2)
       } else (first, 1)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}""")
+    println(jsonLine(results, iters))
     spark.stop()
   }
 }
