@@ -34,13 +34,6 @@ final class BinaryFuseFilter(
 
   private val segmentLengthMask = segmentLength - 1
 
-  @inline private def slot(index: Int, hash: Long): Int = {
-    var h = unsignedMulHi(hash, segmentCountLength.toLong & 0xffffffffL)
-    h += index.toLong * segmentLength
-    val hh = hash & ((1L << 36) - 1)
-    (h ^ ((hh >>> (36 - 18 * index)) & segmentLengthMask)).toInt
-  }
-
   def mightContain(key: Long): Boolean = {
     val hash = mixSplit(key, seed)
     val fpMask = if (bits == 8) 0xff else 0xffff
@@ -125,7 +118,7 @@ object BinaryFuseFilter {
     var seed = rng.next()
 
     val capacity = arrayLength
-    var reverseOrder = new Array[Long](size + 1)
+    val reverseOrder = new Array[Long](size + 1)
     val alone = new Array[Int](capacity)
     val t2count = new Array[Byte](capacity)
     val reverseH = new Array[Byte](size)

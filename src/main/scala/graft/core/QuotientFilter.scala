@@ -274,7 +274,7 @@ object QuotientFilter {
     // read the element at slot idx from the packed table starting at byte 40
     def elem(idx: Long): Long = {
       val bitpos = elemBits * idx
-      var bytePos = 40 + (bitpos >>> 3).toInt
+      val bytePos = 40 + (bitpos >>> 3).toInt
       val shift = (bitpos & 7).toInt
       // gather up to (shift + elemBits) <= 71 bits, little-endian
       var lo = 0L

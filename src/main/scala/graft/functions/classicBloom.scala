@@ -2,13 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 
-import graft.core.{ClassicBloomFilter, DuckDbHash}
+import graft.core.ClassicBloomFilter
 
 /** Mutable holder so empty groups finalize to NULL. */
 final class ClassicBloomBuf(var filter: ClassicBloomFilter)
