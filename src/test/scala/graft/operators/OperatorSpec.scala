@@ -68,12 +68,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("minhash signatures are partitioning-invariant (merge correctness)") {
-    val sh = Dedup.shingleHashes(docsDf, "text", "doc_id", 3)
-    val sig1 = Dedup.minHashSignatures(sh.repartition(1), 64)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val sig8 = Dedup.minHashSignatures(sh.repartition(8), 64)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(sig1 == sig8)
+    for (affine <- Seq(false, true)) {
+      val sh = Dedup.shingleHashes(docsDf, "text", "doc_id", 3, portable = affine)
+      val sig1 = Dedup.minHashSignatures(sh.repartition(1), 64, affine)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val sig8 = Dedup.minHashSignatures(sh.repartition(8), 64, affine)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(sig1 == sig8, s"affine=$affine")
+    }
   }
 
   test("simhash: near-dups within small hamming, unrelated far") {

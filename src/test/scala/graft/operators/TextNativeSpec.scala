@@ -24,6 +24,9 @@ class TextNativeSpec extends AnyFunSuite {
     val (a1, b1) = MinHashPerm.params(128)
     val (a2, b2) = MinHashPerm.params(128)
     assert(a1.toSeq == a2.toSeq && b1.toSeq == b2.toSeq)
+    // pinned: these constants are baked into shipped oracle SQL — a
+    // generator change would silently invalidate cross-engine parity
+    assert(a1.take(3).toSeq == Seq(854141560392487381L, 1097364413940080703L, 1628658309122418813L))
     assert(a1.forall(x => x >= 1 && x < Hashing.Mersenne61))
     assert(b1.forall(x => x >= 0 && x < Hashing.Mersenne61))
     assert(a1.distinct.length == 128, "params must be distinct (collision would correlate permutations)")
