@@ -82,9 +82,13 @@ object GraftFunctions {
       args => {
         if (args.size < 2 || args.size > 3)
           throw new IllegalArgumentException(s"minhash_agg requires 2 or 3 arguments, got ${args.size}")
-        val affine = args.size == 3 && (args(2).eval(null) match {
-          case b: java.lang.Boolean => b.booleanValue()
-          case other => throw new IllegalArgumentException(s"minhash_agg affine must be a boolean constant, got $other")
+        // pattern-match a Literal rather than eval(null): a non-foldable
+        // third argument (e.g. a column) must fail with this message, not
+        // whatever NPE its eval against a null row happens to throw
+        val affine = args.size == 3 && (args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"minhash_agg affine must be a BOOLEAN constant, got ${other.sql}")
         })
         graft.operators.MinHashAgg(args(0), AggUtil.foldableLong(args(1), "minhash_agg k").toInt, affine)
       }),
@@ -123,17 +127,35 @@ object GraftFunctions {
       }),
   )
 
-  /** Idempotent programmatic registration into the session's function registry. */
+  /** Idempotent programmatic registration into the session's function registry.
+    *
+    * NOTE on plan quality: on an already-built session the extension hook is
+    * gone, so FoldSingleRowJoin falls back to `experimental.extraOptimizations`
+    * — a batch that runs AFTER predicate pushdown and column pruning. The
+    * rewritten Filter therefore stays where the join was and does NOT reach
+    * the scan on this path (weaker plans: no PushedFilters, no pruning of the
+    * folded side). For production use configure
+    * `spark.sql.extensions=graft.GraftSparkExtensions` instead, which injects
+    * the rule into the operator-optimization batch where it reaches fixed
+    * point with pushdown. A one-time warning is logged when the fallback
+    * engages so the asymmetry is visible.
+    */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, usage, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
     }
-    // optimizer rules: on an already-built session the extension hook is
-    // gone, so fall back to experimental extraOptimizations (idempotent)
     val rules = spark.experimental.extraOptimizations
-    if (!rules.contains(graft.plans.FoldSingleRowJoin))
+    if (!rules.contains(graft.plans.FoldSingleRowJoin)) {
+      val extensionActive = spark.conf.getOption("spark.sql.extensions")
+        .exists(_.contains("graft.GraftSparkExtensions"))
+      if (!extensionActive)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "graft: FoldSingleRowJoin registered via experimental.extraOptimizations " +
+          "(post-pushdown batch) — rewritten probe filters will not reach the scans. " +
+          "Prefer spark.sql.extensions=graft.GraftSparkExtensions for production plans.")
       spark.experimental.extraOptimizations = rules :+ graft.plans.FoldSingleRowJoin
+    }
   }
 }
 

@@ -24,6 +24,29 @@ import graft.core._
   * constant-vector fast path intent (src/bitfilters_xor_filter.cpp:223-232)
   * with Spark's compilation model.
   */
+/** Leaf-whitelist test for "safe to evaluate once per task": the expression
+  * is deterministic, not foldable (a plain Literal needs no cache), and
+  * every leaf is a Literal or a subquery result (`PlanExpression` covers
+  * both the analyzed ScalarSubquery and the planned ExecSubqueryExpression;
+  * a correlated subquery exposes its outer Attributes as children, so those
+  * leaves fail the whitelist as they must). A whitelist rather than an
+  * attribute blacklist: column reads appear as Attribute pre-binding and
+  * BoundReference post-binding (`references.isEmpty` is TRUE for
+  * BoundReference, so it is NOT a usable test), and per-row context leaves
+  * such as input_file_name() contain neither and would slip through any
+  * blacklist — under the whitelist they simply aren't Literal/subquery
+  * leaves, so they are never cached once per task.
+  */
+object RowIndependent {
+  import org.apache.spark.sql.catalyst.expressions.{Literal, PlanExpression}
+  def apply(e: Expression): Boolean =
+    e.deterministic && !e.foldable && e.collectLeaves().forall {
+      case _: Literal => true
+      case _: PlanExpression[_] => true
+      case _ => false
+    }
+}
+
 abstract class FilterContainsExpression extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -51,21 +74,16 @@ abstract class FilterContainsExpression extends BinaryExpression {
   /** Java source mapping the right-hand value term to the probe hash. */
   protected def hashCall(term: String): String = term
 
-  /** The filter child is row-independent (contains no column reads, bound
-    * or unbound — e.g. a scalar subquery, or a struct field of a MERGED
-    * scalar subquery) but not a plain literal. NOTE: `references.isEmpty`
-    * is NOT the right test — codegen binds columns to BoundReference, whose
-    * references set is empty. Evaluating it per row would copy the whole
-    * serialized filter out of its container for every probe (measured
-    * ~2 ms/row for a 120 KB fuse16 blob — turns a sub-second scan into
-    * minutes at scale), so evaluate it ONCE per task instead. This is the
-    * Spark-native mirror of the reference's constant-vector fast path
+  /** The filter child is row-independent (see [[RowIndependent]]) but not a
+    * plain literal — e.g. a scalar subquery, or a struct field of a MERGED
+    * scalar subquery. Evaluating it per row would copy the whole serialized
+    * filter out of its container for every probe (measured ~2 ms/row for a
+    * 120 KB fuse16 blob — turns a sub-second scan into minutes at scale),
+    * so evaluate it ONCE per task instead. This is the Spark-native mirror
+    * of the reference's constant-vector fast path
     * (src/bitfilters_xor_filter.cpp:223-232).
     */
-  protected def rowIndependentFilter: Boolean =
-    left.deterministic && !left.foldable && !left.exists(e =>
-      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute] ||
-      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BoundReference])
+  protected def rowIndependentFilter: Boolean = RowIndependent(left)
 
   // benign-race cache for the interpreted path (value write precedes flag)
   @transient private var cachedBlob: Array[Byte] = _
@@ -314,10 +332,7 @@ case class DuckDbBloomFilterProbe(children: Seq[Expression]) extends Expression 
     * non-literal filters (scalar subqueries, merged-subquery struct fields)
     * are evaluated once per task, never per row.
     */
-  private def rowIndependentFilter: Boolean =
-    filterExpr.deterministic && !filterExpr.foldable && !filterExpr.exists(e =>
-      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute] ||
-      e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BoundReference])
+  private def rowIndependentFilter: Boolean = RowIndependent(filterExpr)
 
   @transient private var cachedBlob: Array[Byte] = _
   @transient @volatile private var cachedBlobSet = false

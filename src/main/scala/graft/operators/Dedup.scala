@@ -133,18 +133,35 @@ object Dedup {
     * times) is a few hundred integer ops — noise next to a shuffle.
     * Scale note: a bucket of k near-identical docs materializes a k-element
     * list and emits k^2/2 pairs — the same quadratic blowup the join form
-    * streams; cap pathological buckets upstream (drop exact duplicates
-    * first) rather than here, so counts stay exact.
+    * streams. Dropping exact duplicates upstream keeps counts exact and is
+    * the preferred fix; `maxBucketSize` is the fail-soft backstop for
+    * pathological buckets (an adversarial corpus slice with 10^5
+    * near-identical docs would otherwise build a ~100 MB in-memory array
+    * row and 5*10^9 pairs — an executor OOM, not a slow query). Capped
+    * buckets are DROPPED (their pairs are not emitted); the drop count and
+    * max observed bucket size are published as the `graft_lsh_buckets`
+    * observable metric (`df.observe` — collected by the same job, readable
+    * from a QueryExecutionListener). Default = no cap, because dropping
+    * buckets changes results and any threshold must be the caller's call.
     */
-  def lshNearDuplicatePairs(sigs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+  def lshNearDuplicatePairs(sigs: DataFrame, bands: Int, numHashes: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = math.max(1, numHashes / bands)
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .toDF("doc_id", "sig", "band_id", "band_hash")
-    banded.groupBy("band_id", "band_hash")
+    val buckets = banded.groupBy("band_id", "band_hash")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("docs"))
       .where(size(col("docs")) > 1)
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else buckets
+        .observe("graft_lsh_buckets",
+          sum(when(size(col("docs")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+          max(size(col("docs"))).as("max_bucket_size"))
+        .where(size(col("docs")) <= maxBucketSize)
+    guarded
       .select(explode(expr("""
         flatten(transform(docs, (a, i) ->
           transform(slice(docs, i + 2, size(docs) - i - 1), b ->
@@ -162,10 +179,11 @@ object Dedup {
     */
   def minHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
-      threshold: Double = 0.7, portable: Boolean = false): DataFrame = {
+      threshold: Double = 0.7, portable: Boolean = false,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, shingleSize, portable)
     val sigs = minHashSignatures(sh, numHashes, affine = portable)
-    lshNearDuplicatePairs(sigs, bands, numHashes)
+    lshNearDuplicatePairs(sigs, bands, numHashes, maxBucketSize)
       .where(col("jaccard_est") >= threshold)
       .select("id1", "id2", "jaccard_est")
   }

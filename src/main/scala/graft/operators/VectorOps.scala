@@ -28,7 +28,9 @@ object VectorOps {
     case _ => false
   }
 
-  /** Sequential dot product over min(|a|, |b|) elements. */
+  /** Sequential dot product over min(|a|, |b|) elements. Elements must be
+    * non-null (used when the static type says containsNull=false).
+    */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -42,12 +44,46 @@ object VectorOps {
     acc
   }
 
-  /** sqrt of the sequential sum of squares. */
+  /** Like `dot`, but any NULL element yields SQL NULL — matching
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)`, where a null product
+    * poisons the running sum. Parquet-read arrays carry containsNull=true
+    * even when no nulls exist, so the hot loop keeps the predictable
+    * never-taken branch instead of rejecting the type outright.
+    */
+  def dotChecked(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** sqrt of the sequential sum of squares. Elements must be non-null. */
   def norm(a: ArrayData, aFloat: Boolean): Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Like `norm`, but any NULL element yields SQL NULL (HOF semantics). */
+  def normChecked(a: ArrayData, aFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       acc += x * x
       i += 1
@@ -61,7 +97,6 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def prettyName: String = "vec_dot"
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!VectorOps.isVec(left.dataType) || !VectorOps.isVec(right.dataType))
@@ -71,12 +106,29 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   private def aF = VectorOps.isFloatVec(left.dataType)
   private def bF = VectorOps.isFloatVec(right.dataType)
+  private def mayHaveNullElems: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, an), ArrayType(_, bn)) => an || bn
+    case _ => true
+  }
+
+  override def nullable: Boolean = left.nullable || right.nullable || mayHaveNullElems
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+    if (mayHaveNullElems)
+      VectorOps.dotChecked(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+    else
+      VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.operators.VectorOps.dot($a, $b, $aF, $bF)")
+    if (!mayHaveNullElems)
+      defineCodeGen(ctx, ev, (a, b) => s"graft.operators.VectorOps.dot($a, $b, $aF, $bF)")
+    else {
+      val r = ctx.freshName("dotChecked")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double $r = graft.operators.VectorOps.dotChecked($a, $b, $aF, $bF);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+      """)
+    }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
@@ -87,7 +139,6 @@ case class VecNorm(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "vec_norm"
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!VectorOps.isVec(child.dataType))
@@ -96,12 +147,27 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckSuccess
 
   private def aF = VectorOps.isFloatVec(child.dataType)
+  private def mayHaveNullElems: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  override def nullable: Boolean = child.nullable || mayHaveNullElems
 
   override protected def nullSafeEval(a: Any): Any =
-    VectorOps.norm(a.asInstanceOf[ArrayData], aF)
+    if (mayHaveNullElems) VectorOps.normChecked(a.asInstanceOf[ArrayData], aF)
+    else VectorOps.norm(a.asInstanceOf[ArrayData], aF)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.operators.VectorOps.norm($a, $aF)")
+    if (!mayHaveNullElems)
+      defineCodeGen(ctx, ev, a => s"graft.operators.VectorOps.norm($a, $aF)")
+    else {
+      val r = ctx.freshName("normChecked")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        java.lang.Double $r = graft.operators.VectorOps.normChecked($a, $aF);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+      """)
+    }
 
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)

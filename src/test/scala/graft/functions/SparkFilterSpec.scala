@@ -291,4 +291,26 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fails("SELECT bloomfilter(0, CAST(0.1 AS DOUBLE), id) FROM range(10)"))
     assert(fails("SELECT bloomfilter(10, CAST(1.5 AS DOUBLE), id) FROM range(10)"))
   }
+
+  test("RowIndependent: leaf whitelist admits subqueries, rejects context leaves") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    assert(!RowIndependent(Literal(1)), "foldable needs no once-per-task cache")
+    assert(!RowIndependent(InputFileName()),
+      "deterministic per-row context leaf must NOT be cached once per task")
+    assert(!RowIndependent(BoundReference(0, BinaryType, nullable = true)),
+      "bound column read (references.isEmpty is true here — the trap)")
+    assert(!RowIndependent(AttributeReference("c", BinaryType)()), "unbound column read")
+    val sub = ScalarSubquery(LocalRelation(AttributeReference("x", BinaryType)()))
+    assert(RowIndependent(sub), "uncorrelated scalar subquery is row-independent")
+    assert(RowIndependent(GetStructField(
+      ScalarSubquery(LocalRelation(AttributeReference("s", org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("f", BinaryType)))) ())), 0, Some("f"))),
+      "struct field of a merged scalar subquery")
+    assert(!RowIndependent(ScalarSubquery(
+      LocalRelation(AttributeReference("x", IntegerType)()),
+      outerAttrs = Seq(AttributeReference("o", IntegerType)()))),
+      "correlated subquery exposes outer attrs as leaves")
+  }
 }

@@ -250,4 +250,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 32)
     assert(r.get(1) != null && r.get(2) != null)
   }
+
+  test("vec_dot/vec_norm: NULL elements yield SQL NULL, matching the HOF form") {
+    val r = spark.sql("""
+      SELECT vec_dot(array(1.0D, NULL), array(3.0D, 4.0D)) AS d,
+             vec_norm(array(3.0D, NULL)) AS n,
+             vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok,
+             aggregate(zip_with(array(1.0D, NULL), array(3.0D, 4.0D),
+               (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS hof""").head()
+    assert(r.isNullAt(0), "null element in left arg")
+    assert(r.isNullAt(1), "null element in norm arg")
+    assert(r.getDouble(2) == 11.0)
+    assert(r.isNullAt(3), "HOF reference semantics: null poisons the sum")
+  }
+
+  test("minhash_agg rejects a non-constant affine flag with a clear error") {
+    val e = intercept[Throwable] {
+      spark.sql("SELECT minhash_agg(x, 8, x = 1) FROM VALUES (1L), (2L) t(x)").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + messages(t.getCause)
+    assert(messages(e).contains("affine must be a BOOLEAN constant"), messages(e))
+  }
+
+  test("lsh maxBucketSize guard drops pathological buckets fail-soft") {
+    // 12 identical docs: every band bucket holds all 12 -> 66 candidate pairs
+    val dup = spark.createDataFrame((1 to 12).map(i =>
+      (i.toLong, "same text repeated for every document in this tiny corpus again and again")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(Dedup.shingleHashes(dup, "text", "doc_id", 3), 32)
+    assert(Dedup.lshNearDuplicatePairs(sigs, 8, 32).count() == 66L)
+    // cap below the bucket size: the bucket is dropped, the query survives
+    assert(Dedup.lshNearDuplicatePairs(sigs, 8, 32, maxBucketSize = 8).count() == 0L)
+    // cap above it: identical results to uncapped
+    assert(Dedup.lshNearDuplicatePairs(sigs, 8, 32, maxBucketSize = 12).count() == 66L)
+  }
 }
