@@ -23,6 +23,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // production path: FoldSingleRowJoin inside the operator-optimization
+      // batch, so rewritten probe filters reach the scans (the registerAll
+      // fallback would land it post-pushdown — weaker plans)
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

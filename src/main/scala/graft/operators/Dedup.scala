@@ -39,8 +39,13 @@ object Dedup {
     ColumnBridge.column(Md5Prefix64Expr(ColumnBridge.expression(c)))
 
   /** (id, shingle_hash) pairs: lowercased whitespace tokens -> word n-grams
-    * -> 64-bit hash (xxhash64, or md5-prefix when `portable`). DISTINCT per
-    * document so Jaccard math is set-based.
+    * -> 64-bit hash (xxhash64, or md5-prefix when `portable`). Emits the
+    * per-document MULTISET (repeated shingles repeat): a `.distinct()` here
+    * would cost a full shuffle that neither consumer needs — MinHash's
+    * min-aggregate is idempotent over duplicates (min over the multiset ==
+    * min over the set), and [[exactJaccardPairs]] dedups inside the
+    * shingle groupBy it already does (`collect_set`). Callers needing
+    * set-based rows directly can `.distinct()` themselves.
     */
   def shingleHashes(df: DataFrame, textCol: String, idCol: String, shingleSize: Int,
       portable: Boolean = false): DataFrame = {
@@ -51,7 +56,6 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - (shingleSize - 1)),
           i => hashFn(concat_ws(" ", slice(col("toks"), i, lit(shingleSize)))))).as("shingle"))
-      .distinct()
   }
 
   /** MinHash signatures: one custom aggregate pass over shingle hashes
@@ -100,8 +104,10 @@ object Dedup {
     * (shingle-collision pair).
     */
   def exactJaccardPairs(shingles0: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+    // collect_set: input rows are per-doc multisets (see shingleHashes);
+    // dedup happens inside this groupBy rather than in an upstream shuffle
     val capped = shingles0.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .where(size(col("docs")) <= maxDocFreq)
       // feeds both the per-doc sizes and the pair counts
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -120,39 +126,45 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
   }
 
-  /** Candidate pairs WITH their signature-match estimate, generated inside
-    * band buckets: one groupBy on (band_id, band_hash) collects each
-    * bucket's (doc_id, sig) rows, in-bucket array lambdas emit the ordered
-    * pairs and count matching signature positions, and a tiny
-    * (id1, id2, est) dropDuplicates de-dupes pairs that collide in several
-    * bands. Compared to the join form ([[lshCandidatePairs]] +
-    * [[withJaccardEstimate]]) this removes the band self-join and both
-    * signature joins — two fewer wide shuffles, and the dedup shuffle
-    * carries 24-byte rows instead of 1 KB signature pairs. The duplicated
-    * estimate work (a pair estimated once per colliding band, <= bands
-    * times) is a few hundred integer ops — noise next to a shuffle.
-    * Scale note: a bucket of k near-identical docs materializes a k-element
-    * list and emits k^2/2 pairs — the same quadratic blowup the join form
-    * streams. Dropping exact duplicates upstream keeps counts exact and is
-    * the preferred fix; `maxBucketSize` is the fail-soft backstop for
-    * pathological buckets (an adversarial corpus slice with 10^5
-    * near-identical docs would otherwise build a ~100 MB in-memory array
-    * row and 5*10^9 pairs — an executor OOM, not a slow query). Capped
-    * buckets are DROPPED (their pairs are not emitted); the drop count and
-    * max observed bucket size are published as the `graft_lsh_buckets`
+  /** Candidate pairs WITH their signature-match estimate. One groupBy on
+    * (band_id, band_hash) over (doc_id)-only rows collects each bucket's
+    * sorted id list, in-bucket array lambdas emit the ordered pairs, a
+    * 16-byte-row dropDuplicates de-dupes pairs colliding in several bands,
+    * and the (deduped, small) pair set joins the signatures back for the
+    * match-fraction estimate. Compared to the band self-join form
+    * ([[lshCandidatePairs]] + [[withJaccardEstimate]]) there is no
+    * self-join; compared to carrying `sig` inside the band rows, the band
+    * shuffle moves `bands` copies of an 8-byte id instead of `bands` copies
+    * of a ~1 KB signature (32x less shuffle volume at 128 hashes), and each
+    * surviving pair computes its estimate once, not once per colliding
+    * band. The two signature joins run on the DEDUPED pair set — typically
+    * orders of magnitude smaller than the corpus — and Spark broadcasts
+    * the signature side when it is small (AQE decides from runtime sizes).
+    * Scale note: a bucket of k near-identical docs still materializes a
+    * k-element id list and emits k^2/2 pairs. Dropping exact duplicates
+    * upstream keeps counts exact and is the preferred fix; `maxBucketSize`
+    * is the fail-soft backstop for pathological buckets (an adversarial
+    * corpus slice with 10^5 near-identical docs would otherwise emit
+    * 5*10^9 pairs — an executor OOM, not a slow query). Capped buckets are
+    * DROPPED (their pairs are not emitted); the drop count and max
+    * observed bucket size are published as the `graft_lsh_buckets`
     * observable metric (`df.observe` — collected by the same job, readable
     * from a QueryExecutionListener). Default = no cap, because dropping
     * buckets changes results and any threshold must be the caller's call.
+    *
+    * NOTE: `sigs` is consumed three times (banding + both estimate joins) —
+    * persist it, as [[minHashNearDuplicates]] does, or the signature
+    * aggregation runs three times.
     */
   def lshNearDuplicatePairs(sigs: DataFrame, bands: Int, numHashes: Int,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = math.max(1, numHashes / bands)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
-      .toDF("doc_id", "sig", "band_id", "band_hash")
+      .toDF("doc_id", "band_id", "band_hash")
     val buckets = banded.groupBy("band_id", "band_hash")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("docs"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .where(size(col("docs")) > 1)
     val guarded =
       if (maxBucketSize == Int.MaxValue) buckets
@@ -161,21 +173,27 @@ object Dedup {
           sum(when(size(col("docs")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
           max(size(col("docs"))).as("max_bucket_size"))
         .where(size(col("docs")) <= maxBucketSize)
-    guarded
+    val pairs = guarded
       .select(explode(expr("""
         flatten(transform(docs, (a, i) ->
           transform(slice(docs, i + 2, size(docs) - i - 1), b ->
-            named_struct(
-              'id1', a.doc_id, 'id2', b.doc_id,
-              'matches', aggregate(zip_with(a.sig, b.sig,
-                (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, m) -> acc + m)))))""")).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        (col("p.matches").cast("double") / numHashes).as("jaccard_est"))
+            named_struct('id1', a, 'id2', b))))""")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .dropDuplicates("id1", "id2")
+    pairs
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+      .select("id1", "id2", "jaccard_est")
   }
 
   /** Full MinHash-LSH near-duplicate pipeline: shingle -> minhash -> band ->
-    * in-bucket candidate pairs + estimate -> threshold filter.
+    * in-bucket candidate pairs -> signature-estimate -> threshold filter.
+    * Signatures are persisted for the pipeline's three consumers (banding
+    * and both estimate joins); Spark's cache is LRU-evicting, so at scale
+    * the MEMORY_AND_DISK level degrades to disk reads, never recompute.
     */
   def minHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
@@ -183,6 +201,7 @@ object Dedup {
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, shingleSize, portable)
     val sigs = minHashSignatures(sh, numHashes, affine = portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lshNearDuplicatePairs(sigs, bands, numHashes, maxBucketSize)
       .where(col("jaccard_est") >= threshold)
       .select("id1", "id2", "jaccard_est")
@@ -198,16 +217,20 @@ object Dedup {
     * elementwise minimum, converging in O(graph diameter) rounds. The
     * driver loop coordinates ROUNDS only (one `isEmpty` action per round —
     * no per-row driver work); each round is two co-partitioned shuffles.
-    * Near-dup graphs are unions of small cliques, so diameters are tiny;
-    * `maxIter` caps adversarial chains.
+    * The convergence test rides the SAME row set as the new labels (a
+    * `changed` flag carried next to the label), so a round is one action
+    * over one plan — no separate old-vs-new join. Near-dup graphs are
+    * unions of small cliques, so diameters are tiny; `maxIter` caps
+    * adversarial chains.
     */
   def nearDuplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist(lvl)
-    var labels = edges.select(col("id1").as("id")).distinct()
+    var cached = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
+    var labels = cached
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -215,12 +238,15 @@ object Dedup {
         .groupBy(edges("id1").as("id")).agg(min("label").as("nlabel"))
       val next = labels.as("l").join(prop.as("p"), Seq("id"), "left")
         .select(col("id"),
-          least(col("l.label"), coalesce(col("p.nlabel"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("p.nlabel"), col("l.label"))).as("label"),
+          (col("p.nlabel").isNotNull && col("p.nlabel") < col("l.label")).as("changed"))
         .persist(lvl)
-      converged = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.label") =!= col("o.label")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.where(col("changed")).isEmpty
+      // unpersist the handle that was persisted (a projection of it would
+      // not match the cache entry and the old round's data would leak)
+      cached.unpersist()
+      cached = next
+      labels = next.drop("changed")
       i += 1
     }
     edges.unpersist()

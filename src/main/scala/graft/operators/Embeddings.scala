@@ -37,6 +37,36 @@ object Embeddings {
   def cosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
+  /** Unit-normalize a vector column (zero vectors pass through unchanged).
+    * The norm is the sequential-fold [[vecNorm]], so normalized components
+    * are bit-reproducible across engines that fold left-to-right (DuckDB's
+    * `list_reduce` form — see the q_embed_quant oracle).
+    */
+  def normalize(vec: Column): Column = {
+    val n = vecNorm(vec)
+    when(n > lit(0.0), transform(vec, x => x / n)).otherwise(vec)
+  }
+
+  /** Symmetric per-vector int8 quantization: scale = 127 / max|x_i|, each
+    * component -> floor(x*scale + 0.5) (round-half-up: identical IEEE ops
+    * in every engine, unlike round()'s mode-dependent halves). The
+    * standard embedding-storage compression (4x smaller than FLOAT) — at
+    * 100 TB the difference between an ANN index that fits executor memory
+    * and one that doesn't. Returns ARRAY<INT>; pair with the row's scale
+    * (`quantScale`) to dequantize.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x)))
+    val scale = when(m > lit(0.0), lit(127.0) / m).otherwise(lit(0.0))
+    transform(vec, x => floor(x * scale + lit(0.5)).cast("int"))
+  }
+
+  /** The dequantization factor matching [[quantizeInt8]]: max|x_i| / 127. */
+  def quantScale(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x)))
+    when(m > lit(0.0), m / lit(127.0)).otherwise(lit(0.0))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast); the embeddings table streams through one stage.
     */

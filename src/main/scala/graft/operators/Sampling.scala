@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Spark's own `df.sample`/`sampleBy` draw from per-partition RNG streams:
+  * results change with partitioning, so a re-run of the pipeline (or the
+  * same pipeline on a differently-bucketed copy of the corpus) selects a
+  * different subset. Training-data curation needs the opposite property —
+  * the sample is a pure FUNCTION of the data, so reruns, backfills, and
+  * cross-engine replays agree row-for-row. These operators key every
+  * decision on a content hash (md5 — engine-portable, uniform) and are
+  * therefore partitioning-invariant, resumable, and oracle-verifiable.
+  *
+  * All of them are single-pass; the only shuffle is the window partition
+  * in the per-stratum variants (hash-uniform keys — skew-free unless a
+  * stratum itself is hot, which is the caller's stratification choice).
+  */
+object Sampling {
+
+  /** md5-based uniform [0, 1) weight for a row, from its key column's
+    * STRING rendering: the first 15 hex digits (60 bits) scaled to unit
+    * range. Exactly recomputable in any engine with md5 + hex parsing.
+    */
+  def hashWeight(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double")
+      / lit(1152921504606846976.0e0)) // 2^60
+
+  /** Keep ~`fraction` of rows, chosen by content hash: deterministic,
+    * partitioning-invariant, and stable under appends (existing rows keep
+    * their verdict when new rows arrive — the property that makes
+    * incremental corpus refreshes reproducible).
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    df.where(hashWeight(col(keyCol)) < lit(fraction))
+  }
+
+  /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
+    * chosen by content-hash order with the key as tiebreak — a
+    * deterministic stratified sample. One shuffle on the stratum column;
+    * the per-stratum ORDER BY is a within-partition sort.
+    *
+    * This is also the "balanced corpus" primitive: capping every language
+    * / source / domain at the same document count.
+    */
+  def stratifiedTake(df: DataFrame, strataCol: String, keyCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Per-stratum weighted reservoir of `n` rows using the A-ES key
+    * `weight^(1/w_i)` reformulated in log space: rank strata rows by
+    * `-ln(u_i)/w_i` ascending (u_i = the content-hash uniform), keep the
+    * first `n`. Equivalent to Efraimidis-Spirakis weighted sampling with
+    * deterministic uniforms, so higher-weight rows are proportionally more
+    * likely to stay while remaining fully reproducible.
+    */
+  def weightedStratifiedTake(df: DataFrame, strataCol: String, keyCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    val u = hashWeight(col(keyCol))
+    // clamp into (0,1): u==0 would send -ln(u) to infinity
+    val key = -log(greatest(u, lit(1e-18))) / greatest(col(weightCol).cast("double"), lit(1e-18))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key.asc, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+}
