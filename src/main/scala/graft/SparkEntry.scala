@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Embeddings, Events, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Events, Multimodal, Sampling, TextAnalysis}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -398,7 +398,55 @@ object SparkEntry {
                rolling_hash(text) AS fp_roll
         FROM documents ORDER BY doc_id""") _,
 
+      // --- deterministic sampling (content-hash driven, rerun-stable) ---
+      "q_sample_det" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Sampling.deterministicSample(s.table("documents"), "text", 0.25)
+          .agg(count(lit(1)).cast("long").as("kept"),
+            sum("doc_id").cast("long").as("id_sum"))
+      }),
+      "q_sample_strat" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Sampling.stratifiedTake(s.table("documents"), "lang", "text", 50, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .orderBy("lang")
+      }),
+
+      // --- vocabulary / heavy hitters -----------------------------------
+      "q_top_tokens" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.topTokens(s.table("documents"), "text", 20)
+          .selectExpr("token", "CAST(cnt AS BIGINT) AS cnt")
+      }),
+
+      // --- embedding storage transforms ---------------------------------
+      // int8 quantization of raw and unit-normalized vectors; every step
+      // (abs-max, sequential-fold norm, floor(x*scale+0.5)) is exact IEEE
+      // arithmetic replayed verbatim by the DuckDB oracle
+      "q_embed_quant" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        emb.select(
+            Embeddings.quantizeInt8(col("vec")).as("q"),
+            Embeddings.quantizeInt8(Embeddings.normalize(col("vec"))).as("qn"))
+          .agg(count(lit(1)).cast("long").as("n_vecs"),
+            sum(aggregate(col("q"), lit(0L), (a, x) => a + x)).cast("long").as("q_sum"),
+            sum(aggregate(col("qn"), lit(0L), (a, x) => a + x)).cast("long").as("qn_sum"))
+      }),
+
       // --- multimodal plumbing (stub codec, real Spark plumbing) --------
+      "q_multimodal_frames" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val payloads = s.table("documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val decoded = Multimodal.decodeAndFeaturize(payloads, "doc_id", "payload", "video", 8)
+        Multimodal.sampleFrames(decoded, 2.0)
+          .agg(count(lit(1)).cast("long").as("frames"),
+            countDistinct(col("media_id")).cast("long").as("medias"),
+            sum("frame_ts_ms").cast("long").as("ts_ms_sum"))
+      }),
       "q_multimodal_decode" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val payloads = s.table("documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -747,6 +795,47 @@ object SparkEntry {
     "q_multimodal_decode" -> """
       SELECT CAST(500 AS BIGINT) AS medias, CAST(293721 AS BIGINT) AS sum_w,
              CAST(98859 AS BIGINT) AS sum_tw, CAST(239004185 AS BIGINT) AS f0_e6""",
+    // golden pin (sf0.01): frame-sampling totals over the stub codec's
+    // deterministic durations (same audited-run pinning as decode above)
+    "q_multimodal_frames" -> """
+      SELECT CAST(33094 AS BIGINT) AS frames, CAST(500 AS BIGINT) AS medias,
+             CAST(718360500 AS BIGINT) AS ts_ms_sum""",
+    // deterministic content-hash sample: the md5-prefix uniform weight is
+    // recomputed exactly (60-bit hex prefix -> BIGINT -> double / 2^60)
+    "q_sample_det" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents
+      WHERE CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) / 1152921504606846976.0 < 0.25""",
+    "q_sample_strat" -> """
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM (SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 50 GROUP BY lang ORDER BY lang""",
+    "q_top_tokens" -> """
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    // int8 quantization replayed step-for-step: abs-max scale, sequential
+    // list_reduce norm (0.0 + x0^2 == x0^2, so the fold matches vec_norm's
+    // zero-seeded loop bit-for-bit), floor(x*scale + 0.5) half-up rounding
+    "q_embed_quant" -> """
+      WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s1 AS (SELECT v, list_max(list_transform(v, x -> abs(x))) AS mx,
+                    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+             FROM e),
+      s2 AS (SELECT v, mx,
+                    CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS vn
+             FROM s1),
+      s3 AS (SELECT v, mx, vn, list_max(list_transform(vn, x -> abs(x))) AS mx2 FROM s2),
+      q AS (SELECT
+              list_transform(v, x -> CAST(floor(x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5) AS BIGINT)) AS q,
+              list_transform(vn, x -> CAST(floor(x * (CASE WHEN mx2 > 0 THEN 127.0 / mx2 ELSE 0.0 END) + 0.5) AS BIGINT)) AS qn
+            FROM s3)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(list_reduce(q, (a, b) -> a + b)) AS BIGINT) AS q_sum,
+             CAST(SUM(list_reduce(qn, (a, b) -> a + b)) AS BIGINT) AS qn_sum
+      FROM q""",
     "q_ann_topk" -> """
       SELECT query_id, rank, neighbor_id FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

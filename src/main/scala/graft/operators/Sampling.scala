@@ -40,16 +40,19 @@ object Sampling {
   }
 
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
-    * chosen by content-hash order with the key as tiebreak — a
-    * deterministic stratified sample. One shuffle on the stratum column;
-    * the per-stratum ORDER BY is a within-partition sort.
+    * chosen by content-hash order — a deterministic stratified sample.
+    * `uniqueCol` breaks ties between rows with IDENTICAL key content
+    * (exact duplicates hash alike; without a unique tiebreak the choice
+    * among them would be partition-order-dependent). One shuffle on the
+    * stratum column; the per-stratum ORDER BY is a within-partition sort.
     *
     * This is also the "balanced corpus" primitive: capping every language
     * / source / domain at the same document count.
     */
-  def stratifiedTake(df: DataFrame, strataCol: String, keyCol: String, n: Int): DataFrame = {
+  def stratifiedTake(df: DataFrame, strataCol: String, keyCol: String, n: Int,
+      uniqueCol: String): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(uniqueCol))
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .drop("__rn")
@@ -63,11 +66,11 @@ object Sampling {
     * likely to stay while remaining fully reproducible.
     */
   def weightedStratifiedTake(df: DataFrame, strataCol: String, keyCol: String,
-      weightCol: String, n: Int): DataFrame = {
+      weightCol: String, n: Int, uniqueCol: String): DataFrame = {
     val u = hashWeight(col(keyCol))
     // clamp into (0,1): u==0 would send -ln(u) to infinity
     val key = -log(greatest(u, lit(1e-18))) / greatest(col(weightCol).cast("double"), lit(1e-18))
-    val w = Window.partitionBy(col(strataCol)).orderBy(key.asc, col(keyCol))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key.asc, col(uniqueCol))
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .drop("__rn")

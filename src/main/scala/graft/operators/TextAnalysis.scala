@@ -105,4 +105,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     call_function("bitfilters_duckdb_hash", lit("v1.5.1"),
       regexp_replace(lower(text), lit("\\s+"), lit(" ")))
+
+  /** Top-k most frequent whitespace tokens (lowercased) across the corpus
+    * — the vocabulary/heavy-hitter primitive behind stopword discovery and
+    * tokenizer audits. Partial aggregation makes the shuffle carry one row
+    * per distinct token per partition, and the final top-k is a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    * NOT a global sort — the shape that survives a 100x corpus. Ties break
+    * lexicographically so results are deterministic and oracle-checkable.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
 }

@@ -273,6 +273,56 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(e).contains("affine must be a BOOLEAN constant"), messages(e))
   }
 
+  test("sampling: deterministic, partitioning-invariant, subset-stable, stratified caps") {
+    val df = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat(lit("text number "), col("id")).as("text"),
+      (col("id") % 4).cast("string").as("lang"))
+    val s5 = Sampling.deterministicSample(df, "text", 0.5)
+    val c5 = s5.count()
+    assert(c5 > 60 && c5 < 140, s"~half expected, got $c5")
+    // pure function of content: same rows no matter how the input is split
+    assert(Sampling.deterministicSample(df.repartition(7), "text", 0.5)
+      .agg(sum("doc_id")).head.getLong(0) == s5.agg(sum("doc_id")).head.getLong(0))
+    // nested samples: the 20% sample is a subset of the 50% sample
+    val ids5 = s5.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.deterministicSample(df, "text", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2.subsetOf(ids5))
+    // stratified: exactly n per stratum
+    val st = Sampling.stratifiedTake(df, "lang", "text", 10, "doc_id")
+    val counts = st.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(counts.length == 4 && counts.forall(_ == 10))
+    // weighted: heavy-weight rows dominate the kept set
+    val wdf = df.withColumn("wt", when(col("doc_id") < 100, lit(100.0)).otherwise(lit(0.01)))
+    val heavy = Sampling.weightedStratifiedTake(wdf, "lang", "text", "wt", 10, "doc_id")
+      .where(col("doc_id") < 100).count()
+    assert(heavy >= 35, s"expected >=35 of 40 slots for heavy rows, got $heavy")
+  }
+
+  test("embedding normalize + int8 quantize") {
+    val r = spark.sql("SELECT array(3.0D, -4.0D, 0.0D) AS vec, array(0.0D, 0.0D) AS zvec")
+      .select(Embeddings.normalize(col("vec")).as("n"),
+        Embeddings.quantizeInt8(col("vec")).as("q"),
+        Embeddings.quantScale(col("vec")).as("s"),
+        Embeddings.normalize(col("zvec")).as("zn"),
+        Embeddings.quantizeInt8(col("zvec")).as("zq")).head()
+    val n = r.getSeq[Double](0)
+    assert(math.abs(n(0) - 0.6) < 1e-15 && math.abs(n(1) + 0.8) < 1e-15 && n(2) == 0.0)
+    // scale = 127/4: 3*31.75 = 95.25 -> 95; -4 -> -127; 0 -> 0
+    assert(r.getSeq[Int](1) == Seq(95, -127, 0))
+    assert(r.getDouble(2) == 4.0 / 127.0)
+    // zero vector: passthrough / zeros, no division by zero
+    assert(r.getSeq[Double](3) == Seq(0.0, 0.0) && r.getSeq[Int](4) == Seq(0, 0))
+  }
+
+  test("top tokens: count-desc then lexicographic, empties dropped") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "b a a  c b a"), (2L, "c b "))).toDF("doc_id", "text")
+    val rows = TextAnalysis.topTokens(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("lsh maxBucketSize guard drops pathological buckets fail-soft") {
     // 12 identical docs: every band bucket holds all 12 -> 66 candidate pairs
     val dup = spark.createDataFrame((1 to 12).map(i =>
