@@ -429,12 +429,13 @@ object SparkEntry {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
-        emb.select(
-            Embeddings.quantizeInt8(col("vec")).as("q"),
-            Embeddings.quantizeInt8(Embeddings.normalize(col("vec"))).as("qn"))
-          .agg(count(lit(1)).cast("long").as("n_vecs"),
-            sum(aggregate(col("q"), lit(0L), (a, x) => a + x)).cast("long").as("q_sum"),
-            sum(aggregate(col("qn"), lit(0L), (a, x) => a + x)).cast("long").as("qn_sum"))
+        val staged = Embeddings.withInt8Quantized(
+          Embeddings.withInt8Quantized(
+            Embeddings.withNormalized(emb, "vec", "vn"), "vec", "q", "s1"),
+          "vn", "qn", "s2")
+        staged.agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(aggregate(col("q"), lit(0L), (a, x) => a + x)).cast("long").as("q_sum"),
+          sum(aggregate(col("qn"), lit(0L), (a, x) => a + x)).cast("long").as("qn_sum"))
       }),
 
       // --- multimodal plumbing (stub codec, real Spark plumbing) --------

@@ -67,6 +67,37 @@ object Embeddings {
     when(m > lit(0.0), m / lit(127.0)).otherwise(lit(0.0))
   }
 
+  /** DataFrame-level [[normalize]]: projects the norm ONCE per row before
+    * the per-element transform. The Column form inlines `vec_norm` into
+    * the lambda body, and Spark does not hoist common subexpressions out
+    * of lambda loops — the norm would be recomputed for every element
+    * (64x per row at 64 dims; measured ~6x slowdown on the quantization
+    * gate). Use this form in pipelines.
+    */
+  def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val n = "__graft_norm"
+    df.withColumn(n, vecNorm(col(vecCol)))
+      .withColumn(outCol,
+        when(col(n) > lit(0.0), transform(col(vecCol), x => x / col(n)))
+          .otherwise(col(vecCol)))
+      .drop(n)
+  }
+
+  /** DataFrame-level [[quantizeInt8]] + [[quantScale]]: the abs-max is
+    * projected once per row (same lambda-inlining rationale as
+    * [[withNormalized]]); the element lambda sees only column refs.
+    */
+  def withInt8Quantized(df: DataFrame, vecCol: String, outCol: String,
+      scaleCol: String): DataFrame = {
+    val m = "__graft_maxabs"
+    val sc = "__graft_scale"
+    df.withColumn(m, array_max(transform(col(vecCol), x => abs(x))))
+      .withColumn(sc, when(col(m) > lit(0.0), lit(127.0) / col(m)).otherwise(lit(0.0)))
+      .withColumn(outCol, transform(col(vecCol), x => floor(x * col(sc) + lit(0.5)).cast("int")))
+      .withColumn(scaleCol, when(col(m) > lit(0.0), col(m) / lit(127.0)).otherwise(lit(0.0)))
+      .drop(m, sc)
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast); the embeddings table streams through one stage.
     */

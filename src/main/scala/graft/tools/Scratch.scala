@@ -31,16 +31,15 @@ object Scratch {
       df.write.format("noop").mode("overwrite").save()
       println(f"[scratch] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
-    val docs = spark.table("documents")
-    for (round <- 1 to 2) {
-      val sh = Dedup.shingleHashes(docs, "text", "doc_id", 3, portable = true)
-      tdf(s"1 shingles r$round")(sh)
-      tdf(s"2 +signatures r$round")(Dedup.minHashSignatures(sh, 128, affine = true))
-      tdf(s"3 +bucket pairs r$round")(Dedup.lshNearDuplicatePairs(
-        Dedup.minHashSignatures(sh, 128, affine = true), 32, 128))
-      tdf(s"4 full r$round")(Dedup.minHashNearDuplicates(docs, "text", "doc_id",
-        128, 32, 3, 0.2, portable = true).agg(count(lit(1)).cast("long").as("pairs")))
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    for (round <- 1 to 2; name <- args.drop(1) match {
+        case more if more.nonEmpty => more.toSeq
+        case _ => Seq("q_embed_quant", "q_minhash_near_dup", "q_ngram_jaccard", "q_dedup_clusters")
+      }) {
+      tdf(s"$name r$round")(graft.SparkEntry.queries(name)(spark, sfDir))
+      spark.catalog.clearCache()
     }
+    locally { val _ = (Dedup.shingleHashes _, count(lit(1))) } // keep imports referenced
     spark.stop()
   }
 }

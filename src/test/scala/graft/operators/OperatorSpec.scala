@@ -313,6 +313,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(2) == 4.0 / 127.0)
     // zero vector: passthrough / zeros, no division by zero
     assert(r.getSeq[Double](3) == Seq(0.0, 0.0) && r.getSeq[Int](4) == Seq(0, 0))
+    // DataFrame-level forms (norm/max projected once per row) agree exactly
+    val df = spark.sql("""SELECT * FROM VALUES (array(3.0D, -4.0D, 0.0D)), (array(0.0D, 0.0D, 0.0D)),
+      (array(0.25D, -0.5D, 1.5D)) t(vec)""")
+    val staged = Embeddings.withInt8Quantized(Embeddings.withNormalized(df, "vec", "vn"),
+      "vec", "q", "s").collect()
+    val colForm = df.select(Embeddings.normalize(col("vec")).as("vn"),
+      Embeddings.quantizeInt8(col("vec")).as("q"), Embeddings.quantScale(col("vec")).as("s")).collect()
+    staged.zip(colForm).foreach { case (a, b) =>
+      assert(a.getSeq[Double](a.fieldIndex("vn")) == b.getSeq[Double](0))
+      assert(a.getSeq[Int](a.fieldIndex("q")) == b.getSeq[Int](1))
+      assert(a.getDouble(a.fieldIndex("s")) == b.getDouble(2))
+    }
   }
 
   test("top tokens: count-desc then lexicographic, empties dropped") {

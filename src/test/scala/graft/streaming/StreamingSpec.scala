@@ -72,6 +72,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming sessionization: gap split, cross-batch merge, watermark close") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamingSessions.streamingSessionStats(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts", gap = "10 minutes", watermark = "0 seconds")
+    val query = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      // user 1: two events 5 min apart (one session), then a 30-min gap
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:35:00")), (2L, ts("2024-01-01 10:36:00")))
+      query.processAllAvailable()
+      // advance the watermark far past all session ends to close everything
+      input.addData((9L, ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      val out = spark.table("sess_stream")
+        .select("user_id", "n_events").as[(Long, Long)].collect().sorted
+      // user 1: one 2-event session + one 1-event session; user 2: one
+      assert(out.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)), out.mkString(","))
+    } finally query.stop()
+  }
+
+  test("session_window on a batch frame agrees with the window-function sessionizer") {
+    val sps = spark; import sps.implicits._
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 2L),
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00"), 3L),
+      (2L, Timestamp.valueOf("2024-01-01 09:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    // same definition runs on a batch frame (no watermark needed)
+    val viaSessionWindow = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted.toSeq
+    val viaWindowFn = graft.operators.Events.sessionStats(
+        graft.operators.Events.sessionize(events, "user_id", "ts", gapSeconds = 1800), "user_id")
+      .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().sorted.toSeq
+    assert(viaSessionWindow == viaWindowFn && viaSessionWindow == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
   test("approximate dedup stream: bounded state, no duplicate emitted across batches") {
     val sps = spark; import sps.implicits._
     implicit val sqlCtx = spark.sqlContext
