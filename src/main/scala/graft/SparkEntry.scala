@@ -413,6 +413,20 @@ object SparkEntry {
             sum("doc_id").cast("long").as("id_sum"))
           .orderBy("lang")
       }),
+      // weighted (Efraimidis-Spirakis) variant, weight = document length;
+      // the -ln(u)/w ranking keys are doubles in both engines, with random
+      // 60-bit uniforms the min pairwise key gap is ~12 orders of magnitude
+      // above ulp, and exact-duplicate texts (equal keys) fall through to
+      // the doc_id tiebreak — deterministic either way
+      "q_sample_weighted" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents").withColumn("wt", length(col("text")).cast("double"))
+        Sampling.weightedStratifiedTake(docs, "lang", "text", "wt", 50, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .orderBy("lang")
+      }),
 
       // --- vocabulary / heavy hitters -----------------------------------
       "q_top_tokens" -> ((s: SparkSession, dir: String) => {
@@ -813,6 +827,17 @@ object SparkEntry {
               row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
             FROM documents)
       WHERE rn <= 50 GROUP BY lang ORDER BY lang""",
+    "q_sample_weighted" -> """
+      WITH w AS (
+        SELECT lang, doc_id,
+               -ln(greatest(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+                     / 1152921504606846976.0, 1e-18))
+                 / greatest(CAST(length(text) AS DOUBLE), 1e-18) AS k
+        FROM documents),
+      r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+            FROM w)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""",
     "q_top_tokens" -> """
       SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)

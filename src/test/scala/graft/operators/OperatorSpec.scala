@@ -327,6 +327,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("int8 quantization roundtrip error is bounded by half a scale step") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+    val staged = Embeddings.withInt8Quantized(emb, "vec", "q", "s")
+    val bad = staged.select(
+        expr("filter(zip_with(vec, q, (x, qi) -> abs(qi * s - x)), e -> e > s * 0.5 + 1e-12)").as("errs"),
+        expr("filter(q, qi -> qi < -127 OR qi > 127)").as("oob"))
+      .where(size(col("errs")) > 0 || size(col("oob")) > 0)
+      .count()
+    assert(bad == 0L, "every dequantized component within half a step, all values in [-127, 127]")
+  }
+
   test("top tokens: count-desc then lexicographic, empties dropped") {
     val df = spark.createDataFrame(Seq(
       (1L, "b a a  c b a"), (2L, "c b "))).toDF("doc_id", "text")
