@@ -269,6 +269,12 @@ object Dedup {
   /** SimHash near-duplicates: block on 4x16-bit bands (any equal band is a
     * candidate: a pair within Hamming distance 3 shares at least one intact
     * 16-bit quarter by pigeonhole), verify with bit_count(xor) <= maxHamming.
+    *
+    * Same in-bucket pair emission as [[lshNearDuplicatePairs]] — one
+    * groupBy on (band_id, band_val) replaces the band self-join (two wide
+    * shuffle sides + hot-bucket join skew). Unlike the minhash variant the
+    * 8-byte fingerprint rides INSIDE the bucket rows: the hamming verify
+    * is one xor+popcount, so there is nothing to gain from a join-back.
     */
   def simHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
@@ -276,15 +282,17 @@ object Dedup {
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band_id"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val")))
-    val banded = fps.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_val"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+    fps.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
+      .groupBy(col("band.band_id"), col("band.band_val"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
+      .where(size(col("docs")) > 1)
+      .select(explode(expr("""
+        flatten(transform(docs, (a, i) ->
+          transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+            named_struct('id1', a.doc_id, 'id2', b.doc_id,
+              'hamming', bit_count(a.simhash ^ b.simhash)))))""")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.hamming").as("hamming"))
+      .dropDuplicates("id1", "id2")
       .where(col("hamming") <= maxHamming)
   }
 }
