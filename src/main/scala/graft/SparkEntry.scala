@@ -428,6 +428,18 @@ object SparkEntry {
           .orderBy("lang")
       }),
 
+      // --- corpus cleaning ----------------------------------------------
+      "q_redact" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.table("documents")
+          .select(TextAnalysis.redactPii(col("text")).as("clean"), col("text"))
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum(length(col("clean"))).cast("long").as("clean_chars"),
+            sum(when(col("clean") =!= col("text"), 1L).otherwise(0L)).cast("long").as("changed"),
+            sum(conv(substring(md5(col("clean")), 1, 15), 16, 10).cast("long") % 1000000000L)
+              .cast("long").as("hash_sum"))
+      }),
+
       // --- vocabulary / heavy hitters -----------------------------------
       "q_top_tokens" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
@@ -838,6 +850,18 @@ object SparkEntry {
             FROM w)
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""",
+    "q_redact" -> """
+      WITH c AS (
+        SELECT text,
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^ \t\n]+', '<URL>', 'g') AS clean
+        FROM documents)
+      SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(length(clean)) AS BIGINT) AS clean_chars,
+             CAST(SUM(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+             CAST(SUM(CAST(('0x' || substring(md5(clean), 1, 15)) AS BIGINT) % 1000000000) AS BIGINT) AS hash_sum
+      FROM c""",
     "q_top_tokens" -> """
       SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)

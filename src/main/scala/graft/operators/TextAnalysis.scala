@@ -106,6 +106,18 @@ object TextAnalysis {
     call_function("bitfilters_duckdb_hash", lit("v1.5.1"),
       regexp_replace(lower(text), lit("\\s+"), lit(" ")))
 
+  /** Conservative PII/URL scrubbing for training corpora: emails then URLs
+    * replaced by placeholder tags. Patterns stick to character classes and
+    * plain quantifiers so Java regex (Spark) and RE2 (DuckDB with the 'g'
+    * flag) match identically — the cleaning step stays oracle-verifiable.
+    * Purely row-local (no shuffle); codegen'd regexp_replace.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^ \\t\\n]+"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"), urlPattern, "<URL>")
+
   /** Top-k most frequent whitespace tokens (lowercased) across the corpus
     * — the vocabulary/heavy-hitter primitive behind stopword discovery and
     * tokenizer audits. Partial aggregation makes the shuffle carry one row

@@ -339,6 +339,15 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0L, "every dequantized component within half a step, all values in [-127, 127]")
   }
 
+  test("pii redaction replaces emails and urls") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "contact me at john.doe+x@example.com or https://ex.org/a?b=1 today"),
+      (2L, "no pii here at all"))).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.redactPii(col("text")).as("c")).collect().map(_.getString(0))
+    assert(out(0) == "contact me at <EMAIL> or <URL> today")
+    assert(out(1) == "no pii here at all")
+  }
+
   test("top tokens: count-desc then lexicographic, empties dropped") {
     val df = spark.createDataFrame(Seq(
       (1L, "b a a  c b a"), (2L, "c b "))).toDF("doc_id", "text")
