@@ -50,12 +50,18 @@ object Dedup {
   def shingleHashes(df: DataFrame, textCol: String, idCol: String, shingleSize: Int,
       portable: Boolean = false): DataFrame = {
     val toks = split(lower(col(textCol)), "\\s+")
-    val hashFn: Column => Column = if (portable) portableHash64 else xxhash64(_)
+    // portable mode hashes the space-joined shingle STRING (the form a SQL
+    // oracle can recompute); the fast path hashes the token slice directly
+    // (xxhash64 folds array elements with seed chaining) and skips the
+    // per-shingle string assembly
+    val hashFn: Column => Column =
+      if (portable) s => portableHash64(concat_ws(" ", s))
+      else s => xxhash64(s)
     df.select(col(idCol).as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= shingleSize)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - (shingleSize - 1)),
-          i => hashFn(concat_ws(" ", slice(col("toks"), i, lit(shingleSize)))))).as("shingle"))
+          i => hashFn(slice(col("toks"), i, lit(shingleSize))))).as("shingle"))
   }
 
   /** MinHash signatures: one custom aggregate pass over shingle hashes
