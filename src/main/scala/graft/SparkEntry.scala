@@ -280,6 +280,17 @@ object SparkEntry {
             numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true)
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
+      // production mode of the same pipeline: xxhash64 shingles + splitmix
+      // permutations (~2x cheaper than the md5-based portable mode above,
+      // which exists to be replayable in SQL). No SQL-expressible oracle —
+      // the driver records the weaker rows-check; correctness of the
+      // shared pipeline structure is carried by q_minhash_near_dup
+      "q_minhash_fast" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Dedup.minHashNearDuplicates(s.table("documents"), "text", "doc_id",
+            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = false)
+          .agg(count(lit(1)).cast("long").as("pairs"))
+      }),
       // clustering (keep-one-per-cluster) over the exact-duplicate pair
       // graph: md5-equality pairs keep the gate cheap while exercising the
       // same component-labelling path as minhash/simhash pair graphs
