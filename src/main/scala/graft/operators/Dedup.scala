@@ -72,33 +72,6 @@ object Dedup {
     shingles.groupBy("doc_id")
       .agg(ColumnBridge.column(MinHashAgg(ColumnBridge.expression(col("shingle")), numHashes, affine).toAggregateExpression()).as("sig"))
 
-  /** LSH banding: documents sharing any band bucket become candidate pairs.
-    * Shuffles on (band_id, band_hash); bucket sizes stay small for sane
-    * band widths, so the per-bucket pair expansion is bounded.
-    */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int, numHashes: Int): DataFrame = {
-    val rowsPerBand = math.max(1, numHashes / bands)
-    val banded = signatures.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
-      .toDF("doc_id", "band_id", "band_hash")
-    banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
-  }
-
-  /** Estimated Jaccard = fraction of matching signature positions. */
-  def withJaccardEstimate(pairs: DataFrame, signatures: DataFrame): DataFrame =
-    pairs
-      .join(signatures.withColumnRenamed("doc_id", "id1").withColumnRenamed("sig", "sig1"), "id1")
-      .join(signatures.withColumnRenamed("doc_id", "id2").withColumnRenamed("sig", "sig2"), "id2")
-      .withColumn("jaccard_est",
-        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / size(col("sig1")))
-
   /** Exact n-gram Jaccard via in-bucket pair emission: ONE groupBy on the
     * shingle collects each shingle's (sorted) doc list, the doc-frequency
     * cap becomes a plain `size(docs) <= maxDocFreq` filter (no df-stats
@@ -137,8 +110,8 @@ object Dedup {
     * sorted id list, in-bucket array lambdas emit the ordered pairs, a
     * 16-byte-row dropDuplicates de-dupes pairs colliding in several bands,
     * and the (deduped, small) pair set joins the signatures back for the
-    * match-fraction estimate. Compared to the band self-join form
-    * ([[lshCandidatePairs]] + [[withJaccardEstimate]]) there is no
+    * match-fraction estimate. Compared to a band self-join form (the
+    * naive banded.a JOIN banded.b on bucket equality) there is no
     * self-join; compared to carrying `sig` inside the band rows, the band
     * shuffle moves `bands` copies of an 8-byte id instead of `bands` copies
     * of a ~1 KB signature (32x less shuffle volume at 128 hashes), and each
