@@ -128,8 +128,11 @@ object Dedup {
     * DROPPED (their pairs are not emitted); the drop count and max
     * observed bucket size are published as the `graft_lsh_buckets`
     * observable metric (`df.observe` — collected by the same job, readable
-    * from a QueryExecutionListener). Default = no cap, because dropping
-    * buckets changes results and any threshold must be the caller's call.
+    * from a QueryExecutionListener; NOTE: with AQE enabled the re-planned
+    * CollectMetrics accumulator is not the one `observedMetrics` collects,
+    * so the metric surfaces reliably only with AQE off — the guard itself
+    * is unaffected). Default = no cap, because dropping buckets changes
+    * results and any threshold must be the caller's call.
     *
     * NOTE: `sigs` is consumed three times (banding + both estimate joins) —
     * persist it, as [[minHashNearDuplicates]] does, or the signature
@@ -201,11 +204,19 @@ object Dedup {
     * over one plan — no separate old-vs-new join. Near-dup graphs are
     * unions of small cliques, so diameters are tiny; `maxIter` caps
     * adversarial chains.
+    *
+    * The edge list is persisted PRE-PARTITIONED on its join key (id2) and
+    * labels stay hash-partitioned on id through every round (distinct,
+    * then the Seq("id") join outputs), so the edges-labels join and the
+    * follow-up labels join are both exchange-free: each round moves data
+    * once — the groupBy from id2-space to id1-space. Without the
+    * repartition, every round would re-shuffle the (static!) edge list.
     */
   def nearDuplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .repartition(col("id2"))
       .persist(lvl)
     var cached = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)

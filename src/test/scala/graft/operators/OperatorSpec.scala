@@ -368,4 +368,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cap above it: identical results to uncapped
     assert(Dedup.lshNearDuplicatePairs(sigs, 8, 32, maxBucketSize = 12).count() == 66L)
   }
+
+  test("lsh guard publishes dropped-bucket counts through the observable metric") {
+    // AQE's re-planning detaches the CollectMetrics accumulator that
+    // queryExecution.observedMetrics collects (observed empirically on
+    // this plan shape: node present in all three plans, metrics map
+    // empty) — disable it for the metric read; the functional guard
+    // itself is AQE-independent and covered by the previous test
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dup = spark.createDataFrame((1 to 12).map(i =>
+        (i.toLong, "same text repeated for every document in this tiny corpus again and again")))
+        .toDF("doc_id", "text")
+      val sigs = Dedup.minHashSignatures(Dedup.shingleHashes(dup, "text", "doc_id", 3), 32)
+      val pairs = Dedup.lshNearDuplicatePairs(sigs, 8, 32, maxBucketSize = 8)
+      assert(pairs.collect().isEmpty)
+      val row = pairs.queryExecution.observedMetrics.getOrElse("graft_lsh_buckets",
+        fail("observed metric missing from the executed plan"))
+      assert(row.getAs[Long]("dropped_buckets") == 8L, "all 8 band buckets over the cap")
+      assert(row.getAs[Int]("max_bucket_size") == 12)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
