@@ -269,8 +269,40 @@ case class QuotientFilterAgg(
     copy(qExpr = newChildren(0), rExpr = newChildren(1), child = newChildren(2))
 }
 
-/** Mutable holder: (sectors, count) with lazily sized sector array. */
-final class BloomBuf(var filter: DuckDbBloomFilter, var count: Long)
+/** Mutable bloom aggregation state — SPARSE-UNTIL-DENSE.
+  *
+  * A dense `u64[num_sectors]` array per partial-aggregation buffer does
+  * not scale: at num_sectors=2^26 (the right size for ~50M keys) every
+  * core holds a 512 MB array during the partial phase — 16 GB on one
+  * 32-core executor, an OOM observed in the 50M-key smoke. So the buffer
+  * starts as a raw key list (8 B per inserted key — also far smaller on
+  * the shuffle wire for small groups) and DENSIFIES once the list would
+  * outgrow the sector array (keyCount >= numSectors), capping partial
+  * memory at min(8*keys, 8*sectors) + O(1). Insertion order is
+  * irrelevant to the final bits (pure OR), so the result is identical on
+  * every path.
+  */
+final class BloomBuf(var filter: DuckDbBloomFilter, var count: Long) {
+  var keys: Array[Long] = null
+  var keyCount: Int = 0
+
+  def appendKey(h: Long): Unit = {
+    if (keys == null) keys = new Array[Long](64)
+    else if (keyCount == keys.length) keys = java.util.Arrays.copyOf(keys, keys.length * 2)
+    keys(keyCount) = h
+    keyCount += 1
+  }
+
+  def densify(numSectors: Int): Unit = {
+    if (filter == null) filter = DuckDbBloomFilter.create(numSectors)
+    var i = 0
+    while (i < keyCount) { filter.insert(keys(i)); i += 1 }
+    keys = null
+    keyCount = 0
+  }
+
+  def isEmpty: Boolean = filter == null && keyCount == 0
+}
 
 /** SQL: `bitfilters_duckdb_bloom_filter_create(version, num_sectors, hash)`.
   * Reference: src/bitfilters_duckdb_bloom_filter.cpp:474-626.
@@ -317,31 +349,56 @@ case class DuckDbBloomFilterCreateAgg(
   override def update(buf: BloomBuf, input: InternalRow): BloomBuf = {
     val v = child.eval(input)
     if (v != null) {
-      if (buf.filter == null) buf.filter = DuckDbBloomFilter.create(numSectors)
-      buf.filter.insert(v.asInstanceOf[Long])
       buf.count += 1
+      if (buf.filter != null) buf.filter.insert(v.asInstanceOf[Long])
+      else {
+        buf.appendKey(v.asInstanceOf[Long])
+        if (buf.keyCount >= numSectors) buf.densify(numSectors)
+      }
     }
     buf
   }
 
   override def merge(buf: BloomBuf, other: BloomBuf): BloomBuf = {
-    if (other.filter != null) {
-      if (buf.filter == null) { buf.filter = other.filter; buf.count = other.count }
-      else { buf.filter.orMerge(other.filter); buf.count += other.count }
+    if (!other.isEmpty) {
+      buf.count += other.count
+      if (buf.filter == null && other.filter == null) {
+        var i = 0
+        while (i < other.keyCount) { buf.appendKey(other.keys(i)); i += 1 }
+        if (buf.keyCount >= numSectors) buf.densify(numSectors)
+      } else {
+        if (buf.filter == null) buf.densify(numSectors)
+        if (other.filter != null) buf.filter.orMerge(other.filter)
+        else {
+          var i = 0
+          while (i < other.keyCount) { buf.filter.insert(other.keys(i)); i += 1 }
+        }
+      }
     }
     buf
   }
 
   override def eval(buf: BloomBuf): Any =
-    if (buf.filter == null) null else buf.filter.serialize()
-
-  override def serialize(buf: BloomBuf): Array[Byte] =
-    if (buf.filter == null) Array.emptyByteArray
+    if (buf.isEmpty) null
     else {
-      // prepend the count so partial states survive the shuffle losslessly
+      if (buf.filter == null) buf.densify(numSectors)
+      buf.filter.serialize()
+    }
+
+  // shuffle wire format (internal, same-version only):
+  //   [count:8][mode:1][mode=0: keyCount×8 raw keys | mode=1: filter blob]
+  override def serialize(buf: BloomBuf): Array[Byte] =
+    if (buf.isEmpty) Array.emptyByteArray
+    else if (buf.filter == null) {
+      val out = ByteBuffer.allocate(9 + 8 * buf.keyCount).order(ByteOrder.LITTLE_ENDIAN)
+      out.putLong(buf.count).put(0.toByte)
+      var i = 0
+      while (i < buf.keyCount) { out.putLong(buf.keys(i)); i += 1 }
+      out.array()
+    } else {
       val blob = buf.filter.serialize()
-      val out = ByteBuffer.allocate(8 + blob.length).order(ByteOrder.LITTLE_ENDIAN)
-      out.putLong(buf.count).put(blob)
+      val out = ByteBuffer.allocate(9 + blob.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.putLong(buf.count).put(1.toByte).put(blob)
       out.array()
     }
 
@@ -350,7 +407,13 @@ case class DuckDbBloomFilterCreateAgg(
     else {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val count = bb.getLong
-      new BloomBuf(DuckDbBloomFilter.deserialize(java.util.Arrays.copyOfRange(bytes, 8, bytes.length)), count)
+      val mode = bb.get()
+      if (mode == 0) {
+        val buf = new BloomBuf(null, count)
+        while (bb.remaining() >= 8) buf.appendKey(bb.getLong())
+        buf
+      } else
+        new BloomBuf(DuckDbBloomFilter.deserialize(java.util.Arrays.copyOfRange(bytes, 9, bytes.length)), count)
     }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): DuckDbBloomFilterCreateAgg =

@@ -43,8 +43,40 @@ object RowIndependent {
     e.deterministic && !e.foldable && e.collectLeaves().forall {
       case _: Literal => true
       case _: PlanExpression[_] => true
+      case _: BroadcastBlob => true // executor-shared bytes, row-independent by construction
       case _ => false
     }
+}
+
+/** Leaf expression yielding a broadcast filter blob.
+  *
+  * A big blob inlined as a LITERAL is serialized into the task binary and
+  * deserialized BY EVERY TASK: 32 concurrent tasks probing a 512 MB bloom
+  * filter allocate 16 GB of copies — an executor OOM observed in the
+  * 50M-key smoke (graft.tools.BigGroupSmoke). Wrapping the blob in a Spark
+  * broadcast stores the bytes ONCE per executor in the block manager; the
+  * expression ships only the broadcast handle and every task reads the
+  * shared array (zero-copy probes never mutate it). Use for blobs above a
+  * few MB — see [[graft.sources.FilterStore.broadcastBlobColumn]].
+  */
+case class BroadcastBlob(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+  extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "broadcast_blob"
+
+  /** One block-manager lookup per expression instance, then a field read. */
+  @transient lazy val bytes: Array[Byte] = bc.value
+
+  override def eval(input: InternalRow): Any = bytes
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBcastBlob", this, classOf[BroadcastBlob].getName)
+    ev.copy(
+      code = code"byte[] ${ev.value} = $ref.bytes();",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 }
 
 abstract class FilterContainsExpression extends BinaryExpression {

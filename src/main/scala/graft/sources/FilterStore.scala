@@ -45,9 +45,28 @@ object FilterStore {
     rows.head.getAs[Array[Byte]](0)
   }
 
+  /** A driver-held blob as a BROADCAST column: one copy of the bytes per
+    * executor (block manager), shared by all tasks. Inlining a big blob as
+    * a literal instead puts it in the task binary, which EVERY task
+    * deserializes — 32 concurrent tasks x 512 MB = an executor OOM
+    * (observed in graft.tools.BigGroupSmoke). Prefer this over `lit(blob)`
+    * once blobs exceed a few MB.
+    */
+  def broadcastBlobColumn(spark: SparkSession, blob: Array[Byte]): org.apache.spark.sql.Column =
+    graft.operators.ColumnBridge.column(
+      graft.functions.BroadcastBlob(spark.sparkContext.broadcast(blob)))
+
+  /** Convenience: `containsFn(broadcast_blob, hash)` for the 2-argument
+    * contains functions (quotient/xor/fuse/classic-bloom).
+    */
+  def broadcastProbe(spark: SparkSession, blob: Array[Byte], containsFn: String,
+      hash: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function(containsFn, broadcastBlobColumn(spark, blob), hash)
+
   /** Probe a big table against a stored catalog: per-row key lookup via a
     * broadcast join on the (small) catalog, then the contains predicate.
-    * For a SINGLE key prefer `loadBlob` + a literal probe (no join at all).
+    * For a SINGLE key prefer `loadBlob` + a literal probe (no join at all,
+    * small blobs) or `broadcastProbe` (big blobs).
     */
   def probeJoin(big: DataFrame, keyCol: String, hashCol: String,
       catalog: DataFrame, containsFn: String): DataFrame =

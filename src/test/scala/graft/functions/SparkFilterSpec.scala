@@ -312,5 +312,22 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       LocalRelation(AttributeReference("x", IntegerType)()),
       outerAttrs = Seq(AttributeReference("o", IntegerType)()))),
       "correlated subquery exposes outer attrs as leaves")
+    assert(RowIndependent(BroadcastBlob(
+      spark.sparkContext.broadcast(Array[Byte](1, 2, 3)))),
+      "broadcast blob is executor-shared and row-independent")
+  }
+
+  test("broadcast blob probe: shared bytes, correct membership, codegen path") {
+    import graft.sources.FilterStore
+    val blob = spark.sql(
+      "SELECT binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(0, 1000)")
+      .collect()(0).getAs[Array[Byte]](0)
+    val hits = spark.range(0, 2000)
+      .where(FilterStore.broadcastProbe(spark, blob, "binary_fuse16_filter_contains",
+        org.apache.spark.sql.functions.call_function("bitfilters_duckdb_hash",
+          org.apache.spark.sql.functions.lit("v1.5.1"), org.apache.spark.sql.functions.col("id"))))
+      .count()
+    // all 1000 members (no false negatives) + at most a few FPs from the other 1000
+    assert(hits >= 1000 && hits < 1010, s"got $hits")
   }
 }
