@@ -171,8 +171,26 @@ case class BinaryFuseFilterAgg(
     copy(child = newChildren.head)
 }
 
-/** Mutable holder so empty groups can finalize to NULL. */
-final class QuotientBuf(var filter: QuotientFilter)
+/** Mutable quotient aggregation state — SPARSE-UNTIL-DENSE (same rationale
+  * as [[BloomBuf]]: a dense 2^q table per partial buffer is per-core
+  * memory; q=28, r=8 is ~370 MB per buffer). Hash-mode buffers start as a
+  * raw key list (insert only uses the low q+r bits, so raw keys replay
+  * losslessly) and densify when the list would outgrow the table; the
+  * blob-merge overload is dense from the first row by nature.
+  */
+final class QuotientBuf(var filter: QuotientFilter) {
+  var keys: Array[Long] = null
+  var keyCount: Int = 0
+
+  def appendKey(h: Long): Unit = {
+    if (keys == null) keys = new Array[Long](64)
+    else if (keyCount == keys.length) keys = java.util.Arrays.copyOf(keys, keys.length * 2)
+    keys(keyCount) = h
+    keyCount += 1
+  }
+
+  def isEmpty: Boolean = filter == null && keyCount == 0
+}
 
 /** SQL: `quotient_filter(q, r, hash_or_blob)` — like the reference, a single
   * name with two overloads resolved by the third argument's type
@@ -212,39 +230,82 @@ case class QuotientFilterAgg(
 
   override def createAggregationBuffer(): QuotientBuf = new QuotientBuf(null)
 
+  /** Key list longer than this outgrows the dense table (8 B/key vs
+    * 2^q*(r+3)/8 table bytes); tiny q floors at 1 so full-filter errors
+    * still surface during update.
+    */
+  private lazy val denseThreshold: Long = math.max(1L, ((1L << q) * (r + 3)) / 64)
+
+  private def insertOrThrow(f: QuotientFilter, h: Long): Unit =
+    if (!f.insert(h))
+      throw new IllegalStateException(
+        "Failed to insert item into quotient filter, likely it is full")
+
+  private def densify(buf: QuotientBuf): Unit = {
+    if (buf.filter == null) buf.filter = QuotientFilter.create(q, r)
+    var i = 0
+    while (i < buf.keyCount) { insertOrThrow(buf.filter, buf.keys(i)); i += 1 }
+    buf.keys = null
+    buf.keyCount = 0
+  }
+
   override def update(buf: QuotientBuf, input: InternalRow): QuotientBuf = {
     val v = child.eval(input)
     if (v != null) {
-      if (buf.filter == null) buf.filter = QuotientFilter.create(q, r)
       if (mergeMode) {
+        if (buf.filter == null) buf.filter = QuotientFilter.create(q, r)
         buf.filter = buf.filter.merge(QuotientFilter.deserialize(v.asInstanceOf[Array[Byte]]))
+      } else if (buf.filter != null) {
+        insertOrThrow(buf.filter, v.asInstanceOf[Long])
       } else {
-        if (!buf.filter.insert(v.asInstanceOf[Long]))
-          throw new IllegalStateException(
-            "Failed to insert item into quotient filter, likely it is full")
+        buf.appendKey(v.asInstanceOf[Long])
+        if (buf.keyCount >= denseThreshold) densify(buf)
       }
     }
     buf
   }
 
   override def merge(buf: QuotientBuf, other: QuotientBuf): QuotientBuf = {
-    if (other.filter != null) {
-      if (buf.filter == null) buf.filter = other.filter
-      else buf.filter = buf.filter.merge(other.filter)
+    if (!other.isEmpty) {
+      if (buf.filter == null && other.filter == null) {
+        var i = 0
+        while (i < other.keyCount) { buf.appendKey(other.keys(i)); i += 1 }
+        if (buf.keyCount >= denseThreshold) densify(buf)
+      } else if (buf.filter == null) {
+        if (buf.keyCount == 0) buf.filter = other.filter
+        else { densify(buf); buf.filter = buf.filter.merge(other.filter) }
+      } else if (other.filter == null) {
+        var i = 0
+        while (i < other.keyCount) { insertOrThrow(buf.filter, other.keys(i)); i += 1 }
+      } else {
+        buf.filter = buf.filter.merge(other.filter)
+      }
     }
     buf
   }
 
   override def eval(buf: QuotientBuf): Any =
-    if (buf.filter == null) null else buf.filter.serialize()
-
-  // Partial-state shuffle format: compact [u8 q][u8 r][u64 values...] of the
-  // stored (quotient<<r | remainder) values, NOT the dense table blob — a
-  // near-full q=24 filter is ~22MB dense but entries*8 bytes compact, and the
-  // final-side rebuild costs the same inserts an absorb-merge pays anyway.
-  override def serialize(buf: QuotientBuf): Array[Byte] =
-    if (buf.filter == null) Array.emptyByteArray
+    if (buf.isEmpty) null
     else {
+      if (buf.filter == null) densify(buf)
+      buf.filter.serialize()
+    }
+
+  // Partial-state shuffle format: compact [u8 q][u8 r][u64 values...] —
+  // stored (quotient<<r | remainder) values for dense buffers, raw keys for
+  // sparse ones (insert() masks to the low q+r bits, so both replay
+  // identically). NOT the dense table blob: a near-full q=24 filter is
+  // ~22MB dense but entries*8 bytes compact, and the final-side rebuild
+  // costs the same inserts an absorb-merge pays anyway.
+  override def serialize(buf: QuotientBuf): Array[Byte] =
+    if (buf.isEmpty) Array.emptyByteArray
+    else if (buf.filter == null) {
+      val out = ByteBuffer.allocate(2 + 8 * buf.keyCount).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(q.toByte).put(r.toByte)
+      var i = 0
+      while (i < buf.keyCount) { out.putLong(buf.keys(i)); i += 1 }
+      out.array()
+    } else {
       val f = buf.filter
       val out = ByteBuffer.allocate(2 + 8 * f.entries.toInt).order(ByteOrder.LITTLE_ENDIAN)
       out.put(f.qbits.toByte).put(f.rbits.toByte)
@@ -256,9 +317,21 @@ case class QuotientFilterAgg(
     if (bytes.isEmpty) new QuotientBuf(null)
     else {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      val f = QuotientFilter.create(bb.get() & 0xff, bb.get() & 0xff)
-      while (bb.remaining() >= 8) f.insert(bb.getLong())
-      new QuotientBuf(f)
+      val sq = bb.get() & 0xff
+      val sr = bb.get() & 0xff
+      if (sq == q && sr == r) {
+        // stay sparse across the shuffle: the final task then densifies
+        // once, instead of once per incoming partial
+        val buf = new QuotientBuf(null)
+        while (bb.remaining() >= 8) buf.appendKey(bb.getLong())
+        if (buf.keyCount >= denseThreshold) densify(buf)
+        buf
+      } else {
+        // merge-overload partials can carry grown (q,r); rebuild dense
+        val f = QuotientFilter.create(sq, sr)
+        while (bb.remaining() >= 8) f.insert(bb.getLong())
+        new QuotientBuf(f)
+      }
     }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuotientFilterAgg =

@@ -8,8 +8,26 @@ import org.apache.spark.sql.types._
 
 import graft.core.ClassicBloomFilter
 
-/** Mutable holder so empty groups finalize to NULL. */
-final class ClassicBloomBuf(var filter: ClassicBloomFilter)
+/** Mutable classic-bloom aggregation state — SPARSE-UNTIL-DENSE (same
+  * rationale as the DuckDB bloom's BloomBuf: a dense bit array per partial
+  * buffer is per-core memory at large capacities). Value-mode buffers
+  * start as a list of the 64-bit value hashes (the filter derives its k
+  * probe positions from that hash, so replay is lossless) and densify when
+  * the list would outgrow the bit array.
+  */
+final class ClassicBloomBuf(var filter: ClassicBloomFilter) {
+  var keys: Array[Long] = null
+  var keyCount: Int = 0
+
+  def appendKey(h: Long): Unit = {
+    if (keys == null) keys = new Array[Long](64)
+    else if (keyCount == keys.length) keys = java.util.Arrays.copyOf(keys, keys.length * 2)
+    keys(keyCount) = h
+    keyCount += 1
+  }
+
+  def isEmpty: Boolean = filter == null && keyCount == 0
+}
 
 /** SQL: `bloomfilter(capacity, fpr, value_or_blob)` — the reference's
   * written-but-disabled classic bloom family
@@ -62,32 +80,90 @@ case class ClassicBloomFilterAgg(
 
   override def createAggregationBuffer(): ClassicBloomBuf = new ClassicBloomBuf(null)
 
+  /** Keys beyond this outgrow the dense bit array (8 B/key vs bits/8). */
+  private lazy val denseThreshold: Long =
+    math.max(1L, ClassicBloomFilter.capacityFor(capacity, fpr) / 64)
+
+  private def densify(buf: ClassicBloomBuf): Unit = {
+    if (buf.filter == null) buf.filter = ClassicBloomFilter.create(capacity, fpr)
+    var i = 0
+    while (i < buf.keyCount) { buf.filter.insert(buf.keys(i)); i += 1 }
+    buf.keys = null
+    buf.keyCount = 0
+  }
+
   override def update(buf: ClassicBloomBuf, input: InternalRow): ClassicBloomBuf = {
     val v = child.eval(input)
     if (v != null) {
-      if (buf.filter == null) buf.filter = ClassicBloomFilter.create(capacity, fpr)
-      if (mergeMode) buf.filter.orMerge(ClassicBloomFilter.deserialize(v.asInstanceOf[Array[Byte]]))
-      else buf.filter.insert(hasher(v))
+      if (mergeMode) {
+        if (buf.filter == null) buf.filter = ClassicBloomFilter.create(capacity, fpr)
+        buf.filter.orMerge(ClassicBloomFilter.deserialize(v.asInstanceOf[Array[Byte]]))
+      } else if (buf.filter != null) {
+        buf.filter.insert(hasher(v))
+      } else {
+        buf.appendKey(hasher(v))
+        if (buf.keyCount >= denseThreshold) densify(buf)
+      }
     }
     buf
   }
 
   override def merge(buf: ClassicBloomBuf, other: ClassicBloomBuf): ClassicBloomBuf = {
-    if (other.filter != null) {
-      if (buf.filter == null) buf.filter = other.filter
-      else buf.filter.orMerge(other.filter)
+    if (!other.isEmpty) {
+      if (buf.filter == null && other.filter == null) {
+        var i = 0
+        while (i < other.keyCount) { buf.appendKey(other.keys(i)); i += 1 }
+        if (buf.keyCount >= denseThreshold) densify(buf)
+      } else if (buf.filter == null) {
+        if (buf.keyCount == 0) buf.filter = other.filter
+        else { densify(buf); buf.filter.orMerge(other.filter) }
+      } else if (other.filter == null) {
+        var i = 0
+        while (i < other.keyCount) { buf.filter.insert(other.keys(i)); i += 1 }
+      } else {
+        buf.filter.orMerge(other.filter)
+      }
     }
     buf
   }
 
   override def eval(buf: ClassicBloomBuf): Any =
-    if (buf.filter == null) null else buf.filter.serialize()
+    if (buf.isEmpty) null
+    else {
+      if (buf.filter == null) densify(buf)
+      buf.filter.serialize()
+    }
 
+  // shuffle wire format (internal): [mode:1][mode=0: keyCount×8 hashes |
+  // mode=1: filter blob]
   override def serialize(buf: ClassicBloomBuf): Array[Byte] =
-    if (buf.filter == null) Array.emptyByteArray else buf.filter.serialize()
+    if (buf.isEmpty) Array.emptyByteArray
+    else if (buf.filter == null) {
+      val out = java.nio.ByteBuffer.allocate(1 + 8 * buf.keyCount)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(0.toByte)
+      var i = 0
+      while (i < buf.keyCount) { out.putLong(buf.keys(i)); i += 1 }
+      out.array()
+    } else {
+      val blob = buf.filter.serialize()
+      val out = java.nio.ByteBuffer.allocate(1 + blob.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(1.toByte).put(blob)
+      out.array()
+    }
   override def deserialize(bytes: Array[Byte]): ClassicBloomBuf =
     if (bytes.isEmpty) new ClassicBloomBuf(null)
-    else new ClassicBloomBuf(ClassicBloomFilter.deserialize(bytes))
+    else if (bytes(0) == 0) {
+      val bb = java.nio.ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val buf = new ClassicBloomBuf(null)
+      while (bb.remaining() >= 8) buf.appendKey(bb.getLong())
+      if (buf.keyCount >= denseThreshold) densify(buf)
+      buf
+    } else
+      new ClassicBloomBuf(ClassicBloomFilter.deserialize(
+        java.util.Arrays.copyOfRange(bytes, 1, bytes.length)))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ClassicBloomFilterAgg =
     copy(mutableAggBufferOffset = newOffset)
