@@ -317,6 +317,22 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "broadcast blob is executor-shared and row-independent")
   }
 
+  test("sparse-until-dense buffers: blobs identical across partitionings and both sides of the threshold") {
+    // quotient q=12 (threshold = 2^12*7/64 = 448 keys/buffer) with 3000
+    // keys: single partition densifies during update, 32 partitions stay
+    // sparse until the final merge — blob must be byte-identical. The
+    // duckdb bloom (64 sectors, threshold 64) crosses the same boundary.
+    def blobs(parts: Int): (Seq[Byte], Seq[Byte]) = {
+      spark.range(0, 3000).repartition(parts).createOrReplaceTempView("sdk")
+      val r = spark.sql("""
+        SELECT quotient_filter(12, 4, bitfilters_duckdb_hash('v1.5.1', id)),
+               bitfilters_duckdb_bloom_filter_create('v1.5.1', 64, bitfilters_duckdb_hash('v1.5.1', id))
+        FROM sdk""").head()
+      (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)
+    }
+    assert(blobs(1) == blobs(32))
+  }
+
   test("broadcast blob probe: shared bytes, correct membership, codegen path") {
     import graft.sources.FilterStore
     val blob = spark.sql(
