@@ -360,6 +360,18 @@ object SparkEntry {
         Embeddings.cosineNearDuplicatesExact(emb, "vec", "vec_id", 0.5)
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
+      // LSH-bucketed scale path for the same detector: deterministic
+      // (fixed splitmix hyperplane seed), pinned like q_ann_lsh; candidate
+      // recall vs the exact gate is visible in the pair count
+      "q_cosine_lsh" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        Embeddings.cosineNearDuplicates(emb, "vec", "vec_id", 0.3, prefixBits = 4)
+          .agg(count(lit(1)).cast("long").as("pairs"),
+            sum("id1").cast("long").as("id1_sum"),
+            sum("id2").cast("long").as("id2_sum"))
+      }),
       "q_dedup_drop" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         Dedup.dropExactDuplicates(s.table("documents"), "text", "doc_id")
@@ -772,6 +784,13 @@ object SparkEntry {
         FROM ea JOIN qa ON ea.cid = qa.cid
         WHERE ea.vec_id != qa.qid)
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    // golden pin (sf0.01): LSH-bucketed cosine near-dup — deterministic
+    // (fixed splitmix hyperplane planes, not SQL-expressible), pinned from
+    // an audited run like q_ann_lsh; 124 of the 990 exact pairs at 0.3
+    // survive the 4-bit bucket blocking (the recall/throughput trade)
+    "q_cosine_lsh" -> """
+      SELECT CAST(124 AS BIGINT) AS pairs, CAST(22455 AS BIGINT) AS id1_sum,
+             CAST(42808 AS BIGINT) AS id2_sum""",
     // exact all-pairs cosine: both engines fold the dot product
     // left-to-right over the same double-cast values, so counts agree
     "q_cosine_pairs" -> """
