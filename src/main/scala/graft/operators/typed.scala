@@ -42,4 +42,22 @@ object typed {
     Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", k)
       .as[Neighbor]
   }
+
+  /** Typed deterministic stratified sample: n docs per language. */
+  def balancedSample(docs: Dataset[Doc], perLang: Int): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    Sampling.stratifiedTake(docs.toDF(), "lang", "text", perLang, "doc_id").as[Doc]
+  }
+
+  final case class QuantizedEmbedding(vec_id: Long, q: Array[Int], scale: Double)
+
+  /** Typed int8 embedding quantization (4x storage compression). */
+  def quantized(embs: Dataset[Embedding]): Dataset[QuantizedEmbedding] = {
+    import embs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = embs.toDF().select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+    Embeddings.withInt8Quantized(emb, "vec", "q", "scale")
+      .select("vec_id", "q", "scale").as[QuantizedEmbedding]
+  }
 }

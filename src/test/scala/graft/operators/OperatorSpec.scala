@@ -240,6 +240,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nbrs.filter(_.query_id == 1L).map(_.rank).sorted.sameElements(Array(1, 2, 3)))
   }
 
+  test("typed sampling and quantization wrappers") {
+    val docs = typed.documents(spark, "/root/testdata/sf0.001")
+    val sampled = typed.balancedSample(docs, 5).collect()
+    assert(sampled.groupBy(_.lang).values.forall(_.length <= 5))
+    val q = typed.quantized(typed.embeddings(spark, "/root/testdata/sf0.001")).head()
+    assert(q.q.length == 64 && q.q.forall(v => v >= -127 && v <= 127) && q.scale > 0)
+  }
+
   test("sketch aggregates via SQL surface") {
     spark.range(0, 1000).createOrReplaceTempView("ids")
     val r = spark.sql("""
