@@ -44,6 +44,15 @@ object BigGroupSmoke {
       s"""SELECT COUNT(*) FROM range($n) WHERE xor8_filter_contains(
          (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', id)) FROM range(${n / 10})),
          bitfilters_duckdb_hash('v1.5.1', id))""")
+    // skew: one hot group with n/2 keys next to 1M singleton groups — drives
+    // ObjectHashAggregate past its group-count fallback into the sort-based
+    // path with sparse buffers in flight
+    t(s"skewed bloom groups n=$n/2+1M")(
+      s"""SELECT COUNT(*), SUM(octet_length(f)) FROM (
+            SELECT CASE WHEN id < ${n / 2} THEN 0 ELSE id END AS g,
+                   bitfilters_duckdb_bloom_filter_create('v1.5.1', 4096,
+                     bitfilters_duckdb_hash('v1.5.1', id)) AS f
+            FROM range(${n / 2} + 1000000) GROUP BY 1)""")
     spark.stop()
   }
 }

@@ -322,13 +322,14 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     // keys: single partition densifies during update, 32 partitions stay
     // sparse until the final merge — blob must be byte-identical. The
     // duckdb bloom (64 sectors, threshold 64) crosses the same boundary.
-    def blobs(parts: Int): (Seq[Byte], Seq[Byte]) = {
+    def blobs(parts: Int): (Seq[Byte], Seq[Byte], Seq[Byte]) = {
       spark.range(0, 3000).repartition(parts).createOrReplaceTempView("sdk")
       val r = spark.sql("""
         SELECT quotient_filter(12, 4, bitfilters_duckdb_hash('v1.5.1', id)),
-               bitfilters_duckdb_bloom_filter_create('v1.5.1', 64, bitfilters_duckdb_hash('v1.5.1', id))
+               bitfilters_duckdb_bloom_filter_create('v1.5.1', 64, bitfilters_duckdb_hash('v1.5.1', id)),
+               bloomfilter(100, CAST(0.01 AS DOUBLE), id)
         FROM sdk""").head()
-      (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)
+      (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)
     }
     assert(blobs(1) == blobs(32))
   }
