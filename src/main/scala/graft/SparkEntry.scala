@@ -463,6 +463,19 @@ object SparkEntry {
               .cast("long").as("hash_sum"))
       }),
 
+      // document chunking (64-token chunks, 8-token overlap): count, token
+      // total, and a content-hash sum so chunk boundaries and text both
+      // replay exactly
+      "q_chunks" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.chunkDocuments(s.table("documents"), "text", "doc_id", 64, 8)
+          .agg(count(lit(1)).cast("long").as("chunks"),
+            sum("n_tokens").cast("long").as("tok_sum"),
+            sum(conv(substring(md5(col("chunk_text")), 1, 15), 16, 10).cast("long") % 1000000000L)
+              .cast("long").as("hash_sum"),
+            max("chunk_idx").cast("long").as("max_idx"))
+      }),
+
       // --- vocabulary / heavy hitters -----------------------------------
       "q_top_tokens" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
@@ -891,6 +904,26 @@ object SparkEntry {
              CAST(SUM(length(clean)) AS BIGINT) AS clean_chars,
              CAST(SUM(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT) AS changed,
              CAST(SUM(CAST(('0x' || substring(md5(clean), 1, 15)) AS BIGINT) % 1000000000) AS BIGINT) AS hash_sum
+      FROM c""",
+    "q_chunks" -> """
+      WITH n AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+               len(string_split_regex(text, '\s+')) AS T
+        FROM documents),
+      c0 AS (
+        SELECT doc_id, toks, T,
+               unnest(generate_series(0,
+                 greatest(CAST(ceil((T - 8) / 56.0) AS BIGINT) - 1, 0))) AS i
+        FROM n),
+      c AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(list_slice(toks, i*56 + 1, i*56 + 64), ' ') AS chunk_text,
+               least(T - i*56, 64) AS n_tokens
+        FROM c0)
+      SELECT CAST(COUNT(*) AS BIGINT) AS chunks,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+             CAST(SUM(CAST(('0x' || substring(md5(chunk_text), 1, 15)) AS BIGINT) % 1000000000) AS BIGINT) AS hash_sum,
+             CAST(MAX(chunk_idx) AS BIGINT) AS max_idx
       FROM c""",
     "q_top_tokens" -> """
       SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt

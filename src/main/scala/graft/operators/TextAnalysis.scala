@@ -118,6 +118,27 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"), urlPattern, "<URL>")
 
+  /** Split documents into fixed-size token chunks with overlap — the
+    * chunking step of embedding/training pipelines. Whitespace tokens;
+    * chunk i covers tokens [i*stride, i*stride + chunkTokens) with
+    * stride = chunkTokens - overlap; the final partial chunk is kept.
+    * Pure per-row explode — no shuffle, fully partition-parallel, and
+    * every step (split, slice, join) replays exactly in SQL engines.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > 0 and 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0),
+          greatest(ceil((size(col("__toks")) - lit(overlap)).cast("double") / stride).cast("int") - 1, lit(0)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("pos") * stride + 1, lit(chunkTokens))).as("chunk_text"),
+        least(size(col("__toks")) - col("pos") * stride, lit(chunkTokens)).as("n_tokens"))
+  }
+
   /** Top-k most frequent whitespace tokens (lowercased) across the corpus
     * — the vocabulary/heavy-hitter primitive behind stopword discovery and
     * tokenizer audits. Partial aggregation makes the shuffle carry one row

@@ -347,6 +347,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0L, "every dequantized component within half a step, all values in [-127, 127]")
   }
 
+  test("document chunking: overlap coverage, final partial chunk, tiny docs") {
+    val df = spark.createDataFrame(Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "only two"))).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocuments(df, "text", "doc_id", 4, 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = rows.filter(_.getLong(0) == 1L)
+    // stride 3: [t1..t4], [t4..t7], [t7..t10] — every token covered, no
+    // trailing sliver chunk
+    assert(doc1.map(_.getString(2)).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(doc1.map(_.getInt(3)).toSeq == Seq(4, 4, 4))
+    val doc2 = rows.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2.head.getString(2) == "only two" && doc2.head.getInt(3) == 2)
+    // uneven tail: 11 tokens -> last chunk holds 2
+    val tail = TextAnalysis.chunkDocuments(
+      spark.createDataFrame(Seq((3L, (1 to 11).map(i => s"t$i").mkString(" ")))).toDF("doc_id", "text"),
+      "text", "doc_id", 4, 1).orderBy("chunk_idx").collect()
+    assert(tail.map(_.getInt(3)).toSeq == Seq(4, 4, 4, 2))
+  }
+
   test("pii redaction replaces emails and urls") {
     val df = spark.createDataFrame(Seq(
       (1L, "contact me at john.doe+x@example.com or https://ex.org/a?b=1 today"),
