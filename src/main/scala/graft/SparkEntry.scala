@@ -311,6 +311,15 @@ object SparkEntry {
             maxHamming = 3, portable = true)
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
+      // train/held-out decontamination: fuse-filter prune + exact verify
+      // (held-out stand-in = the 'de' slice); results exact, live oracle
+      "q_decontaminate" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        Dedup.flagContaminated(docs, docs.where(col("lang") === "de"), "text", "doc_id")
+          .agg(count(lit(1)).cast("long").as("flagged"),
+            sum("doc_id").cast("long").as("id_sum"))
+      }),
       "q_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         Dedup.exactJaccardPairs(Dedup.shingleHashes(s.table("documents"), "text", "doc_id", 3))
@@ -905,6 +914,16 @@ object SparkEntry {
              CAST(SUM(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT) AS changed,
              CAST(SUM(CAST(('0x' || substring(md5(clean), 1, 15)) AS BIGINT) % 1000000000) AS BIGINT) AS hash_sum
       FROM c""",
+    // the filter only prunes (no false negatives) and the exact semi-join
+    // confirms, so the flagged set equals the plain fingerprint semi-join
+    "q_decontaminate" -> """
+      WITH f AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp,
+               lang
+        FROM documents)
+      SELECT CAST(COUNT(*) AS BIGINT) AS flagged, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM f WHERE fp IN (SELECT fp FROM f WHERE lang = 'de')""",
     "q_chunks" -> """
       WITH n AS (
         SELECT doc_id, string_split_regex(text, '\s+') AS toks,

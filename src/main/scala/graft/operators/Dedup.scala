@@ -243,6 +243,34 @@ object Dedup {
     labels
   }
 
+  /** Train/held-out contamination check — the canonical filter-library
+    * pipeline use: a binary fuse filter built over the held-out set's
+    * content fingerprints prunes the corpus scan (no false negatives, so
+    * nothing contaminated escapes; ~0.002% of clean docs survive as FPs),
+    * then an exact fingerprint semi-join confirms. Results are EXACT — the
+    * filter only prunes work — so the operator is oracle-checkable while
+    * the big scan touches the join only for the filter's survivors. At
+    * 100 TB: the corpus side stays a single codegen'd scan + broadcast
+    * semi-join of the (small) held-out fingerprints; the filter blob rides
+    * the scalar-subquery once-per-task path.
+    */
+  def flagContaminated(corpus: DataFrame, heldOut: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    import graft.functions.filters.{binaryFuse16Filter, binaryFuse16FilterContains}
+    val fp: Column => Column = t => portableHash64(regexp_replace(lower(t), "\\s+", " "))
+    val filt = heldOut.agg(binaryFuse16Filter(fp(col(textCol))).as("__filt"))
+    val heldFps = heldOut.select(fp(col(textCol)).as("__fp")).distinct()
+    corpus
+      .withColumn("__fp", fp(col(textCol)))
+      // single-row filter frame: FoldSingleRowJoin rewrites this into the
+      // scalar-subquery probe (blob evaluated once per task, predicate on
+      // the scan — no blob-carrying join rows)
+      .crossJoin(broadcast(filt))
+      .where(binaryFuse16FilterContains(col("__filt"), col("__fp")))
+      .join(broadcast(heldFps), Seq("__fp"), "leftsemi")
+      .select(col(idCol), col("__fp").as("fingerprint"))
+  }
+
   /** SimHash fingerprints per document (`portable` selects the md5-prefix
     * token hash so fingerprints can be recomputed in another engine).
     */

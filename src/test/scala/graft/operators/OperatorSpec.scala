@@ -347,6 +347,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0L, "every dequantized component within half a step, all values in [-127, 127]")
   }
 
+  test("decontamination flags exactly the held-out overlaps (whitespace-normalized)") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "the held out answer text"),
+      (2L, "the  held   out answer text"), // same after whitespace normalization
+      (3L, "completely unrelated content here"),
+      (4L, "another clean document body"))).toDF("doc_id", "text")
+    val heldOut = spark.createDataFrame(Seq(
+      (100L, "the held out answer text"))).toDF("doc_id", "text")
+    val flagged = Dedup.flagContaminated(corpus, heldOut, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(flagged.sameElements(Array(1L, 2L)), flagged.mkString(","))
+  }
+
   test("document chunking: overlap coverage, final partial chunk, tiny docs") {
     val df = spark.createDataFrame(Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
