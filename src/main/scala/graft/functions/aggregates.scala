@@ -171,24 +171,14 @@ case class BinaryFuseFilterAgg(
     copy(child = newChildren.head)
 }
 
-/** Mutable quotient aggregation state — SPARSE-UNTIL-DENSE (same rationale
-  * as [[BloomBuf]]: a dense 2^q table per partial buffer is per-core
-  * memory; q=28, r=8 is ~370 MB per buffer). Hash-mode buffers start as a
-  * raw key list (insert only uses the low q+r bits, so raw keys replay
-  * losslessly) and densify when the list would outgrow the table; the
-  * blob-merge overload is dense from the first row by nature.
+/** Mutable quotient aggregation state — SPARSE-UNTIL-DENSE (see
+  * [[SparseKeys]]; a dense 2^q table per partial buffer is per-core
+  * memory: q=28, r=8 is ~370 MB per buffer). Hash-mode buffers hold raw
+  * keys (insert only uses the low q+r bits, so raw keys replay
+  * losslessly); the blob-merge overload is dense from the first row by
+  * nature.
   */
-final class QuotientBuf(var filter: QuotientFilter) {
-  var keys: Array[Long] = null
-  var keyCount: Int = 0
-
-  def appendKey(h: Long): Unit = {
-    if (keys == null) keys = new Array[Long](64)
-    else if (keyCount == keys.length) keys = java.util.Arrays.copyOf(keys, keys.length * 2)
-    keys(keyCount) = h
-    keyCount += 1
-  }
-
+final class QuotientBuf(var filter: QuotientFilter) extends SparseKeys {
   def isEmpty: Boolean = filter == null && keyCount == 0
 }
 
@@ -245,8 +235,7 @@ case class QuotientFilterAgg(
     if (buf.filter == null) buf.filter = QuotientFilter.create(q, r)
     var i = 0
     while (i < buf.keyCount) { insertOrThrow(buf.filter, buf.keys(i)); i += 1 }
-    buf.keys = null
-    buf.keyCount = 0
+    buf.clearKeys()
   }
 
   override def update(buf: QuotientBuf, input: InternalRow): QuotientBuf = {
@@ -342,36 +331,40 @@ case class QuotientFilterAgg(
     copy(qExpr = newChildren(0), rExpr = newChildren(1), child = newChildren(2))
 }
 
-/** Mutable bloom aggregation state — SPARSE-UNTIL-DENSE.
-  *
-  * A dense `u64[num_sectors]` array per partial-aggregation buffer does
-  * not scale: at num_sectors=2^26 (the right size for ~50M keys) every
-  * core holds a 512 MB array during the partial phase — 16 GB on one
-  * 32-core executor, an OOM observed in the 50M-key smoke. So the buffer
-  * starts as a raw key list (8 B per inserted key — also far smaller on
-  * the shuffle wire for small groups) and DENSIFIES once the list would
-  * outgrow the sector array (keyCount >= numSectors), capping partial
-  * memory at min(8*keys, 8*sectors) + O(1). Insertion order is
-  * irrelevant to the final bits (pure OR), so the result is identical on
-  * every path.
+/** Growable raw-key list shared by the SPARSE-UNTIL-DENSE aggregation
+  * buffers (bloom / quotient / classic bloom). Rationale: dense filter
+  * state is allocated per partial-aggregation buffer — i.e. PER CORE — so
+  * at 2^26 bloom sectors every core holds 512 MB during the partial phase
+  * (16 GB on a 32-core executor, an OOM observed in the 50M-key smoke,
+  * graft.tools.BigGroupSmoke). Buffers therefore start as this raw key
+  * list (8 B per inserted key — also far smaller on the shuffle wire for
+  * small groups) and DENSIFY once the list would outgrow the dense
+  * structure, capping partial memory at min(8*keys, dense size) + O(1).
+  * Insertion order never affects the final bits (pure OR / set union), so
+  * results are byte-identical on every path.
   */
-final class BloomBuf(var filter: DuckDbBloomFilter, var count: Long) {
+trait SparseKeys {
   var keys: Array[Long] = null
   var keyCount: Int = 0
 
-  def appendKey(h: Long): Unit = {
+  final def appendKey(h: Long): Unit = {
     if (keys == null) keys = new Array[Long](64)
     else if (keyCount == keys.length) keys = java.util.Arrays.copyOf(keys, keys.length * 2)
     keys(keyCount) = h
     keyCount += 1
   }
 
+  final def clearKeys(): Unit = { keys = null; keyCount = 0 }
+}
+
+/** Mutable bloom aggregation state (see [[SparseKeys]]). */
+final class BloomBuf(var filter: DuckDbBloomFilter, var count: Long) extends SparseKeys {
+
   def densify(numSectors: Int): Unit = {
     if (filter == null) filter = DuckDbBloomFilter.create(numSectors)
     var i = 0
     while (i < keyCount) { filter.insert(keys(i)); i += 1 }
-    keys = null
-    keyCount = 0
+    clearKeys()
   }
 
   def isEmpty: Boolean = filter == null && keyCount == 0

@@ -8,24 +8,13 @@ import org.apache.spark.sql.types._
 
 import graft.core.ClassicBloomFilter
 
-/** Mutable classic-bloom aggregation state — SPARSE-UNTIL-DENSE (same
-  * rationale as the DuckDB bloom's BloomBuf: a dense bit array per partial
-  * buffer is per-core memory at large capacities). Value-mode buffers
-  * start as a list of the 64-bit value hashes (the filter derives its k
-  * probe positions from that hash, so replay is lossless) and densify when
-  * the list would outgrow the bit array.
+/** Mutable classic-bloom aggregation state — SPARSE-UNTIL-DENSE (see
+  * [[graft.functions.SparseKeys]]; a dense bit array per partial buffer
+  * is per-core memory at large capacities). Value-mode buffers hold the
+  * 64-bit value hashes (the filter derives its probe positions from that
+  * hash, so replay is lossless).
   */
-final class ClassicBloomBuf(var filter: ClassicBloomFilter) {
-  var keys: Array[Long] = null
-  var keyCount: Int = 0
-
-  def appendKey(h: Long): Unit = {
-    if (keys == null) keys = new Array[Long](64)
-    else if (keyCount == keys.length) keys = java.util.Arrays.copyOf(keys, keys.length * 2)
-    keys(keyCount) = h
-    keyCount += 1
-  }
-
+final class ClassicBloomBuf(var filter: ClassicBloomFilter) extends SparseKeys {
   def isEmpty: Boolean = filter == null && keyCount == 0
 }
 
@@ -88,8 +77,7 @@ case class ClassicBloomFilterAgg(
     if (buf.filter == null) buf.filter = ClassicBloomFilter.create(capacity, fpr)
     var i = 0
     while (i < buf.keyCount) { buf.filter.insert(buf.keys(i)); i += 1 }
-    buf.keys = null
-    buf.keyCount = 0
+    buf.clearKeys()
   }
 
   override def update(buf: ClassicBloomBuf, input: InternalRow): ClassicBloomBuf = {

@@ -52,9 +52,11 @@ object FilterStore {
     * (observed in graft.tools.BigGroupSmoke). Prefer this over `lit(blob)`
     * once blobs exceed a few MB.
     */
-  def broadcastBlobColumn(spark: SparkSession, blob: Array[Byte]): org.apache.spark.sql.Column =
+  def broadcastBlobColumn(spark: SparkSession, blob: Array[Byte]): org.apache.spark.sql.Column = {
+    require(blob != null, "broadcastBlobColumn: blob must not be null")
     graft.operators.ColumnBridge.column(
       graft.functions.BroadcastBlob(spark.sparkContext.broadcast(blob)))
+  }
 
   /** Convenience: `containsFn(broadcast_blob, hash)` for the 2-argument
     * contains functions (quotient/xor/fuse/classic-bloom).
