@@ -151,6 +151,18 @@ object SparkEntry {
             max("n_events").cast("long").as("max_events"))
       }),
 
+      // funnel analysis: earliest view->click->purchase chain within 3
+      // days; greedy earliest-step choice is optimal (the minimal t_i
+      // admits the most candidates for t_{i+1}), microsecond-exact
+      "q_funnel" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Events.funnel(s.table("events"), "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase"), maxSpanUs = 259200000000L)
+          .agg(count(lit(1)).cast("long").as("completed"),
+            sum(col("t2") - col("t0")).cast("long").as("span_us_sum"),
+            sum("user").cast("long").as("user_sum"))
+      }),
+
       // --- duckdb hash surface ------------------------------------------
       "q_duckdb_hash" -> q("""
         SELECT o_orderkey, conv(hex(bitfilters_duckdb_hash('v1.5.1', o_orderkey)), 16, 10) AS h
@@ -633,6 +645,19 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS sessions, CAST(SUM(n) AS BIGINT) AS events,
              CAST(SUM(dur) AS BIGINT) AS dur_us, CAST(MAX(n) AS BIGINT) AS max_events
       FROM g""",
+    "q_funnel" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+      s0 AS (SELECT user_id, MIN(us) AS t0 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      s1 AS (SELECT e.user_id, MIN(t0) AS t0, MIN(us) AS t1
+             FROM e JOIN s0 USING (user_id)
+             WHERE event_type = 'click' AND us >= t0 GROUP BY e.user_id),
+      s2 AS (SELECT e.user_id, MIN(t0) AS t0, MIN(t1) AS t1, MIN(us) AS t2
+             FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'purchase' AND us >= t1 GROUP BY e.user_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS completed,
+             CAST(SUM(t2 - t0) AS BIGINT) AS span_us_sum,
+             CAST(SUM(user_id) AS BIGINT) AS user_sum
+      FROM s2 WHERE t2 - t0 <= 259200000000""",
     "q_duckdb_hash" -> """
       SELECT o_orderkey, CAST(hash(o_orderkey) AS VARCHAR) AS h
       FROM orders ORDER BY o_orderkey""",

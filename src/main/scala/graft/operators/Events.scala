@@ -37,4 +37,36 @@ object Events {
     sessions.groupBy(col(userCol), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("__us")) - min(col("__us"))).as("duration_us"))
+
+  /** Funnel analysis: users whose earliest chain of `steps` completes in
+    * order within `maxSpanUs` microseconds. Step i's timestamp t_i is the
+    * MINIMUM event time of that step at or after t_{i-1} (the earliest-
+    * completion semantics every funnel product uses); users missing any
+    * step drop out via the inner joins. Returns (user, t0..t_{n-1}).
+    *
+    * Scale shape: one groupBy per step, all keyed on the user column —
+    * after the first shuffle every join and aggregation is co-partitioned
+    * on user, so Spark plans the whole chain with a single exchange per
+    * step input and no repartitioning of the accumulated funnel state.
+    * Microsecond-exact integer arithmetic end to end (oracle-replayable).
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], maxSpanUs: Long = Long.MaxValue): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = df.select(col(userCol).as("user"),
+      unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))
+    var acc = base.where(col("et") === steps.head)
+      .groupBy("user").agg(min("us").as("t0"))
+    for (i <- 1 until steps.length) {
+      val prev = s"t${i - 1}"
+      val aggs = (0 until i).map(j => min(col(s"t$j")).as(s"t$j")) :+ min(col("us")).as(s"t$i")
+      acc = base.where(col("et") === steps(i))
+        .join(acc, "user")
+        .where(col("us") >= col(prev))
+        .groupBy("user")
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val last = s"t${steps.length - 1}"
+    acc.where(col(last) - col("t0") <= maxSpanUs)
+  }
 }

@@ -131,6 +131,41 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("funnel: ordered earliest chain, span cap, missing steps drop out") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = spark.createDataFrame(Seq(
+      // user 1 completes in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: purchase BEFORE view/click — no ordered chain
+      (2L, ts("2024-01-01 09:00:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:05:00"), "click"),
+      // user 3: missing click
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 4 completes but outside the 1-hour cap
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-01 10:05:00"), "click"),
+      (4L, ts("2024-01-01 12:00:00"), "purchase"))).toDF("user_id", "ts", "event_type")
+    val done = Events.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), maxSpanUs = 3600000000L)
+      .select("user").collect().map(_.getLong(0)).sorted
+    assert(done.sameElements(Array(1L)), done.mkString(","))
+    // greedy earliest chain is optimal: a later same-step event still
+    // enables the next step when the earliest one does not... (user 5:
+    // click at 9:50 before view, click again at 10:05 after)
+    val ev5 = spark.createDataFrame(Seq(
+      (5L, ts("2024-01-01 09:50:00"), "click"),
+      (5L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, ts("2024-01-01 10:05:00"), "click"),
+      (5L, ts("2024-01-01 10:10:00"), "purchase"))).toDF("user_id", "ts", "event_type")
+    assert(Events.funnel(ev5, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).count() == 1L)
+  }
+
   test("events: gap sessionization splits on gap, rolls up per session") {
     val sps = spark; import sps.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
