@@ -55,19 +55,28 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}"""
     }
 
-    val first = pass()
-    val firstTotal = first.map(_._2).filter(_ >= 0).sum
-    // breadcrumb on stderr: if a runner timeout kills pass 2, the pass-1
-    // numbers survive in the captured log (stdout stays a single line)
-    System.err.println("[bench] pass1 " + jsonLine(first, 1))
-    val (results, iters) =
-      if (firstTotal <= secondPassBudget) {
-        val second = pass().toMap
-        (first.map { case (k, v1) =>
-          val v2 = second.getOrElse(k, -1.0)
-          k -> (if (v1 < 0 || v2 < 0) math.max(v1, v2) else math.min(v1, v2))
-        }, 2)
-      } else (first, 1)
+    // per-query minimum over up to 3 passes, as long as the projected time
+    // for another pass fits the budget: single passes swing ±30% on
+    // multi-second queries, min-of-3 is substantially tighter than min-of-2
+    var results = pass()
+    var spent = results.map(_._2).filter(_ >= 0).sum
+    var lastTotal = spent
+    var iters = 1
+    // breadcrumb on stderr: if a runner timeout kills a later pass, the
+    // earlier numbers survive in the captured log (stdout stays one line)
+    System.err.println("[bench] pass1 " + jsonLine(results, 1))
+    while (iters < 3 && spent + lastTotal <= secondPassBudget) {
+      val next = pass()
+      lastTotal = next.map(_._2).filter(_ >= 0).sum
+      spent += lastTotal
+      val byName = next.toMap
+      results = results.map { case (k, v1) =>
+        val v2 = byName.getOrElse(k, -1.0)
+        k -> (if (v1 < 0 || v2 < 0) math.max(v1, v2) else math.min(v1, v2))
+      }
+      iters += 1
+      System.err.println(s"[bench] pass$iters " + jsonLine(results, iters))
+    }
 
     println(jsonLine(results, iters))
     spark.stop()
