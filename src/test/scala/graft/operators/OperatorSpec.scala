@@ -294,6 +294,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.get(1) != null && r.get(2) != null)
   }
 
+  test("sig_match_count matches the HOF form on equal, ragged, and null-element arrays") {
+    val r = spark.sql("""
+      SELECT sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m,
+             sig_match_count(array(1L, 2L), array(1L, 2L, 3L)) AS ragged,
+             sig_match_count(array(1L, NULL, 3L), array(1L, NULL, 3L)) AS withnull,
+             aggregate(zip_with(array(1L, NULL, 3L), array(1L, NULL, 3L),
+               (x, y) -> IF(x = y, 1, 0)), 0, (a, m) -> a + m) AS hof""").head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2)
+    assert(r.getInt(2) == 2, "null elements compare not-equal, count stays total")
+    assert(r.getInt(3) == 2, "HOF agrees")
+  }
+
   test("vec_dot/vec_norm: NULL elements yield SQL NULL, matching the HOF form") {
     val r = spark.sql("""
       SELECT vec_dot(array(1.0D, NULL), array(3.0D, 4.0D)) AS d,
