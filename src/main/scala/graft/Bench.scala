@@ -55,9 +55,12 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}"""
     }
 
-    // per-query minimum over up to 3 passes, as long as the projected time
-    // for another pass fits the budget: single passes swing ±30% on
-    // multi-second queries, min-of-3 is substantially tighter than min-of-2
+    // per-query minimum over up to 3 passes: single passes swing ±30% on
+    // multi-second queries. The SECOND pass (cold -> warm, the big
+    // correction) runs whenever pass1 fits the full budget; the THIRD
+    // (variance trim only) requires the projected total to fit a tighter
+    // 2/3 cap, so a slow/contended box never risks an external runner
+    // timeout for a marginal gain.
     var results = pass()
     var spent = results.map(_._2).filter(_ >= 0).sum
     var lastTotal = spent
@@ -65,7 +68,10 @@ object Bench {
     // breadcrumb on stderr: if a runner timeout kills a later pass, the
     // earlier numbers survive in the captured log (stdout stays one line)
     System.err.println("[bench] pass1 " + jsonLine(results, 1))
-    while (iters < 3 && spent + lastTotal <= secondPassBudget) {
+    def nextPassFits: Boolean =
+      if (iters == 1) lastTotal <= secondPassBudget
+      else spent + lastTotal <= secondPassBudget * 2 / 3
+    while (iters < 3 && nextPassFits) {
       val next = pass()
       lastTotal = next.map(_._2).filter(_ >= 0).sum
       spent += lastTotal
