@@ -163,6 +163,16 @@ object SparkEntry {
             sum("user").cast("long").as("user_sum"))
       }),
 
+      // cohort retention matrix over full event dates (exact distinct
+      // users per cohort x day-offset)
+      "q_retention" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Events.retentionCohorts(s.table("events"), "user_id", "ts", maxDays = 30)
+          .agg(count(lit(1)).cast("long").as("cells"),
+            sum("users").cast("long").as("user_days"),
+            sum(col("day_offset") * col("users")).cast("long").as("weighted_offsets"))
+      }),
+
       // --- duckdb hash surface ------------------------------------------
       "q_duckdb_hash" -> q("""
         SELECT o_orderkey, conv(hex(bitfilters_duckdb_hash('v1.5.1', o_orderkey)), 16, 10) AS h
@@ -658,6 +668,18 @@ object SparkEntry {
              CAST(SUM(t2 - t0) AS BIGINT) AS span_us_sum,
              CAST(SUM(user_id) AS BIGINT) AS user_sum
       FROM s2 WHERE t2 - t0 <= 259200000000""",
+    "q_retention" -> """
+      WITH base AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+      cohorts AS (SELECT u, MIN(d) AS cohort FROM base GROUP BY u),
+      m AS (
+        SELECT cohort, date_diff('day', cohort, d) AS day_offset, COUNT(DISTINCT u) AS users
+        FROM base JOIN cohorts USING (u)
+        WHERE date_diff('day', cohort, d) <= 30
+        GROUP BY 1, 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS cells,
+             CAST(SUM(users) AS BIGINT) AS user_days,
+             CAST(SUM(day_offset * users) AS BIGINT) AS weighted_offsets
+      FROM m""",
     "q_duckdb_hash" -> """
       SELECT o_orderkey, CAST(hash(o_orderkey) AS VARCHAR) AS h
       FROM orders ORDER BY o_orderkey""",

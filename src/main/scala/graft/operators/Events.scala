@@ -69,4 +69,22 @@ object Events {
     val last = s"t${steps.length - 1}"
     acc.where(col(last) - col("t0") <= maxSpanUs)
   }
+
+  /** Cohort retention: users grouped by their first active DATE (the
+    * cohort), counted again for each later day-offset they return on —
+    * the (cohort, day_offset) -> users matrix behind every retention
+    * curve. Shape: one distinct over (user, date), a user-keyed min and
+    * join (co-partitioned with the distinct's shuffle), then the final
+    * (cohort, offset) aggregation; distinct-user counts are exact.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
+      maxDays: Int = 30): DataFrame = {
+    val base = df.select(col(userCol).as("user"), to_date(col(tsCol)).as("d")).distinct()
+    val cohorts = base.groupBy("user").agg(min("d").as("cohort"))
+    base.join(cohorts, "user")
+      .withColumn("day_offset", datediff(col("d"), col("cohort")))
+      .where(col("day_offset") <= maxDays)
+      .groupBy("cohort", "day_offset")
+      .agg(countDistinct("user").as("users"))
+  }
 }

@@ -166,6 +166,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("view", "click", "purchase")).count() == 1L)
   }
 
+  test("retention cohorts: first-date grouping, offsets, distinct user-days") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 15:00:00")), // same day twice
+      (1L, ts("2024-01-03 09:00:00")),                                  // returns day 2
+      (2L, ts("2024-01-02 08:00:00")),                                  // later cohort
+      (2L, ts("2024-01-02 09:00:00")))).toDF("user_id", "ts")
+    val m = Events.retentionCohorts(ev, "user_id", "ts", maxDays = 30)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(m == Set(("2024-01-01", 0, 1L), ("2024-01-01", 2, 1L), ("2024-01-02", 0, 1L)), m)
+  }
+
   test("events: gap sessionization splits on gap, rolls up per session") {
     val sps = spark; import sps.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
