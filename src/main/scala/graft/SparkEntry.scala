@@ -304,14 +304,37 @@ object SparkEntry {
       }),
       // production mode of the same pipeline: xxhash64 shingles + splitmix
       // permutations (~2x cheaper than the md5-based portable mode above,
-      // which exists to be replayable in SQL). No SQL-expressible oracle —
-      // the driver records the weaker rows-check; correctness of the
-      // shared pipeline structure is carried by q_minhash_near_dup
+      // which exists to be replayable in SQL). The oracle is CROSS-MODE
+      // planted-pair recall: a pair of docs with identical text has
+      // identical shingle multisets, hence identical signatures in EITHER
+      // hash mode, hence collides in every band and survives the estimate
+      // filter at 1.0 — so BOTH pipelines must recover every exact-dup
+      // pair among shingle-eligible docs (>= shingleSize tokens). DuckDB
+      // counts those pairs independently from the corpus and asserts both
+      // miss counts are zero; a fast-mode hash/permutation/banding bug
+      // that loses pairs now hash-mismatches instead of passing rows-only.
       "q_minhash_fast" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        Dedup.minHashNearDuplicates(s.table("documents"), "text", "doc_id",
-            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = false)
-          .agg(count(lit(1)).cast("long").as("pairs"))
+        val docs = s.table("documents")
+        val eligible = docs
+          .where(size(split(lower(col("text")), "\\s+")) >= 3)
+          .select(col("doc_id"), md5(col("text")).as("ch"))
+        val planted = eligible.as("a").join(eligible.as("b"),
+            col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        def pairs(portable: Boolean) =
+          Dedup.minHashNearDuplicates(docs, "text", "doc_id",
+              numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2,
+              portable = portable)
+            .select(col("id1"), col("id2"))
+        planted
+          .join(pairs(portable = false).withColumn("__f", lit(1)), Seq("id1", "id2"), "left")
+          .join(pairs(portable = true).withColumn("__p", lit(1)), Seq("id1", "id2"), "left")
+          .agg(count(lit(1)).cast("long").as("planted_pairs"),
+            coalesce(sum(when(col("__f").isNull, 1L).otherwise(0L)), lit(0L))
+              .cast("long").as("fast_missing"),
+            coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)), lit(0L))
+              .cast("long").as("portable_missing"))
       }),
       // clustering (keep-one-per-cluster) over the exact-duplicate pair
       // graph: md5-equality pairs keep the gate cheap while exercising the
@@ -541,15 +564,24 @@ object SparkEntry {
             countDistinct(col("media_id")).cast("long").as("medias"),
             sum("frame_ts_ms").cast("long").as("ts_ms_sum"))
       }),
+      // REAL codec round-trip: synthesize one genuine PNG per document
+      // (javax.imageio encoder), decode it back (javax.imageio decoder),
+      // and aggregate pixel statistics of the DECODED rasters. PNG is
+      // lossless, so the DuckDB oracle recomputes every statistic
+      // analytically from the pixel formula — any encoder/decoder/feature
+      // bug breaks the hash match. Resize planning runs on the real dims.
       "q_multimodal_decode" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val payloads = s.table("documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
-        val decoded = Multimodal.decodeAndFeaturize(payloads, "doc_id", "payload", "image", 16)
-        Multimodal.withResizePlan(decoded, 256)
+        val payloads = Multimodal.synthesizePngPayloads(s.table("documents"), "doc_id")
+        val decoded = Multimodal.decodeAndFeaturize(payloads, "media_id", "payload", "image", 4)
+        Multimodal.withResizePlan(decoded, 12)
           .agg(count(lit(1)).cast("long").as("medias"),
             sum(col("meta.width").cast("long")).as("sum_w"),
-            sum(col("target_width").cast("long")).as("sum_tw"),
-            sum(round(element_at(col("features"), 1) * 1e6).cast("long")).as("f0_e6"))
+            sum(col("meta.height").cast("long")).as("sum_h"),
+            sum(col("meta.channels").cast("long")).as("sum_c"),
+            sum(element_at(col("features"), 1).cast("long")).as("px_sum"),
+            sum(element_at(col("features"), 2).cast("long")).as("r_sum"),
+            sum(col("target_width").cast("long")).as("sum_tw"))
       }),
     )
   }
@@ -767,6 +799,20 @@ object SparkEntry {
     "q_minhash_near_dup" -> s"""
       WITH $minhashPairCtes
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM est WHERE je >= 0.2""",
+    // cross-mode recall gate: exact-duplicate pairs among shingle-eligible
+    // docs MUST be recovered by both the fast (xxhash64/splitmix) and the
+    // portable (md5/affine) pipelines — identical text => identical
+    // signatures in any hash mode => collision in every band at estimate
+    // 1.0. DuckDB independently counts the planted pairs; both missing
+    // columns are provably zero for a correct pipeline.
+    "q_minhash_fast" -> """
+      WITH elig AS (
+        SELECT doc_id, md5(text) AS ch FROM documents
+        WHERE len(string_split_regex(lower(text), '\s+')) >= 3)
+      SELECT CAST(COUNT(*) AS BIGINT) AS planted_pairs,
+             CAST(0 AS BIGINT) AS fast_missing,
+             CAST(0 AS BIGINT) AS portable_missing
+      FROM elig a JOIN elig b ON a.ch = b.ch AND a.doc_id < b.doc_id""",
     // near-dup clustering = connected components over the exact-duplicate
     // pair graph, replayed with a recursive CTE (min reachable id per node)
     "q_dedup_clusters" -> s"""
@@ -915,12 +961,34 @@ object SparkEntry {
         (8,1,39),(8,2,497),(8,3,207),(8,4,326),(8,5,386),
         (9,1,319),(9,2,109),(9,3,20),(9,4,439),(9,5,427)) t(query_id, rank, neighbor_id)
       ORDER BY query_id, rank""",
-    // golden pin (sf0.01): stub codec output is a deterministic function of
-    // payload bytes (duckdb-hash -> splitmix64); the hash is certified by
-    // q_duckdb_hash_vectors, the aggregate totals pinned from an audited run
+    // LIVE oracle for the real-codec round-trip: Spark routes pixels
+    // through actual PNG encode (javax.imageio) -> bytes -> PNG decode ->
+    // feature extraction; DuckDB recomputes the identical statistics
+    // analytically from the deterministic pixel formula (PNG is lossless,
+    // so the decoded raster equals the source pattern bit-for-bit). The
+    // resize column replays Spark's double arithmetic op-for-op (IEEE
+    // determinism: same ops, same order, same doubles).
     "q_multimodal_decode" -> """
-      SELECT CAST(500 AS BIGINT) AS medias, CAST(293721 AS BIGINT) AS sum_w,
-             CAST(98859 AS BIGINT) AS sum_tw, CAST(239004185 AS BIGINT) AS f0_e6""",
+      WITH d AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h FROM documents),
+      px AS (
+        SELECT d.doc_id, c.c,
+               (d.doc_id * 31 + x.x * 7 + y.y * 13 + c.c * 101) % 256 AS v
+        FROM d,
+             (SELECT unnest(generate_series(0, 16)) AS x) x,
+             (SELECT unnest(generate_series(0, 16)) AS y) y,
+             (SELECT unnest(generate_series(0, 2)) AS c) c
+        WHERE x.x < d.w AND y.y < d.h)
+      SELECT m.medias, m.sum_w, m.sum_h, m.sum_c, p.px_sum, p.r_sum, m.sum_tw
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS medias,
+                   CAST(SUM(w) AS BIGINT) AS sum_w,
+                   CAST(SUM(h) AS BIGINT) AS sum_h,
+                   CAST(3 * COUNT(*) AS BIGINT) AS sum_c,
+                   CAST(SUM(CAST(CEIL(w * LEAST(1.0, 12.0 / GREATEST(w, h))) AS BIGINT)) AS BIGINT) AS sum_tw
+            FROM d) m,
+           (SELECT CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum
+            FROM px) p""",
     // golden pin (sf0.01): frame-sampling totals over the stub codec's
     // deterministic durations (same audited-run pinning as decode above)
     "q_multimodal_frames" -> """

@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -9,11 +14,14 @@ import org.apache.spark.sql.types._
   * BINARY columns with typed metadata structs, and decode / feature-extract /
   * resize / frame-sample run as batched partition-parallel transforms.
   *
-  * The Spark-side architecture (schemas, batching shape, partition
-  * parallelism, deterministic outputs) is real and tested; the actual codec
-  * calls are STUBBED behind [[StubCodec]] because no image/audio libraries
-  * exist in this container — swap `StubCodec` for a real decoder (JNI or
-  * subprocess) without touching any of the plumbing.
+  * The image path is a REAL codec: payloads are PNG byte streams decoded with
+  * `javax.imageio.ImageIO` (pure-JVM, no external libraries), metadata comes
+  * from the decoded raster, and features are per-channel pixel statistics of
+  * the decoded pixels. Video/audio decode remains STUBBED behind
+  * [[StubCodec]] because no JVM video/audio codec exists in this container —
+  * swap `StubCodec` for a real decoder (JNI or subprocess) without touching
+  * any of the plumbing; the batching/partitioning shape is identical to the
+  * real image path.
   */
 object Multimodal {
 
@@ -24,12 +32,66 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
 
-  /** STUB codec: deterministic fake decode deriving metadata and a feature
-    * vector from the payload bytes. Replace with a real decoder in
-    * production; every call site goes through this object.
+  /** Real image codec: PNG encode/decode via `javax.imageio` plus the
+    * feature extraction used by [[decodeAndFeaturize]]. PNG is lossless, so
+    * pixel statistics of a decoded image are exactly the statistics of the
+    * source pattern — which is what lets the `q_multimodal_decode` gate hold
+    * a live cross-engine oracle: DuckDB recomputes the expected pixel sums
+    * analytically while Spark routes them through actual encoder+decoder
+    * byte streams.
+    */
+  object ImageCodec {
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(1024)
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Returns null when the payload is not a decodable image. */
+    def decode(bytes: Array[Byte]): BufferedImage =
+      if (bytes == null || bytes.isEmpty) null
+      else ImageIO.read(new ByteArrayInputStream(bytes))
+
+    /** Features of a decoded image: `[sum(all channels), sum(R), sum(G),
+      * sum(B), ...histogram]` — the first 4 slots are exact in Float (a
+      * 2^24-bounded integral sum), the remainder (up to `dim`) is a
+      * luminance histogram with `dim - 4` bins. Deterministic and
+      * color-model independent (reads sRGB via `getRGB`).
+      */
+    def features(img: BufferedImage, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val bins = dim - 4
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >>> 16) & 0xff
+          val g = (rgb >>> 8) & 0xff
+          val b = rgb & 0xff
+          if (dim > 0) out(0) += (r + g + b)
+          if (dim > 1) out(1) += r
+          if (dim > 2) out(2) += g
+          if (dim > 3) out(3) += b
+          if (bins > 0) {
+            val lum = (r + g + b) / 3
+            out(4 + math.min(bins - 1, lum * bins / 256)) += 1f
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** STUB codec for video/audio kinds: deterministic fake decode deriving
+    * metadata and a feature vector from the payload bytes. Replace with a
+    * real decoder in production; every non-image call site goes through
+    * this object. (The image kind uses the real [[ImageCodec]].)
     */
   object StubCodec {
-    /** ??? in production: image/audio decode. Deterministic fake here. */
+    /** ??? in production: video/audio decode. Deterministic fake here. */
     def decodeMeta(kind: String, bytes: Array[Byte]): (Int, Int, Int, Long) = {
       val h = graft.core.DuckDbHash.hashBytes(bytes)
       val width = 64 + ((h >>> 8) & 0x3ff).toInt   // 64..1087
@@ -46,12 +108,51 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic PNG payloads: one real PNG per input row, with
+    * dimensions `8 + id % 9` x `8 + (id / 9) % 9` and RGB pixel values
+    * `(id*31 + x*7 + y*13 + channel*101) mod 256`. The formula is plain
+    * integer arithmetic so an external engine can recompute every pixel
+    * statistic without a codec — while the payload itself is genuine PNG
+    * bytes produced by `javax.imageio` (encoder exercised here, decoder in
+    * [[decodeAndFeaturize]]). Runs as `mapPartitions`; no shuffle.
+    */
+  def synthesizePngPayloads(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id / 9) % 9).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def v(c: Long) = (((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt)
+            img.setRGB(x, y, (v(0) << 16) | (v(1) << 8) | v(2))
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, ImageCodec.encodePng(img))
+      }
+    }
+  }
+
   /** Decode a binary payload column into a metadata struct + feature vector.
     *
     * Runs as `mapPartitions` with an internal batch iterator (`batchSize`
     * rows at a time), mirroring the arrow-batch shape a Pandas-UDF pipeline
     * would use: a real codec amortizes model/codec init per batch, not per
     * row. No shuffle is introduced; partitioning is inherited.
+    *
+    * `kind = "image"` uses the real [[ImageCodec]] (PNG/BMP/GIF — whatever
+    * `ImageIO` reads); undecodable payloads produce zeroed metadata and
+    * features rather than failing the task. Other kinds go through the
+    * documented [[StubCodec]].
     */
   def decodeAndFeaturize(df: DataFrame, idCol: String, binCol: String,
       kind: String = "image", featureDim: Int = 64, batchSize: Int = 256): DataFrame = {
@@ -61,6 +162,7 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
     implicit val enc = RowEncoder.encoderFor(outSchema)
+    val realImage = kind == "image"
     input.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch codec "session" — where a real implementation would
@@ -68,8 +170,19 @@ object Multimodal {
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          val (w, h, c, d) = StubCodec.decodeMeta(kind, bytes)
-          Row(id, Row(kind, w, h, c, d), StubCodec.extractFeatures(bytes, featureDim))
+          if (realImage) {
+            val img = ImageCodec.decode(bytes)
+            if (img == null)
+              Row(id, Row(kind, 0, 0, 0, 0L), new Array[Float](featureDim))
+            else {
+              val channels = img.getColorModel.getNumComponents
+              Row(id, Row(kind, img.getWidth, img.getHeight, channels, 0L),
+                ImageCodec.features(img, featureDim))
+            }
+          } else {
+            val (w, h, c, d) = StubCodec.decodeMeta(kind, bytes)
+            Row(id, Row(kind, w, h, c, d), StubCodec.extractFeatures(bytes, featureDim))
+          }
         }
       }
     }

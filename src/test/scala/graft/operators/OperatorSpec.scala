@@ -258,22 +258,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(langs == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"), langs.toString)
   }
 
-  test("multimodal: stub decode is deterministic and batch-size-invariant") {
+  test("multimodal: real PNG round-trip is exact, deterministic, batch-size-invariant") {
     val sps = spark; import sps.implicits._
-    val df = (1L to 100L).map(i => (i, s"payload-$i".getBytes("UTF-8"))).toDF("media_id", "payload")
-    val a = Multimodal.decodeAndFeaturize(df, "media_id", "payload", "image", 8, batchSize = 3)
-      .select("media_id", "meta.width", "features").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).sortBy(_._1)
-    val b = Multimodal.decodeAndFeaturize(df.repartition(7), "media_id", "payload", "image", 8, batchSize = 1000)
-      .select("media_id", "meta.width", "features").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).sortBy(_._1)
+    val ids = (1L to 100L).toDF("doc_id")
+    val png = Multimodal.synthesizePngPayloads(ids, "doc_id")
+    val a = Multimodal.decodeAndFeaturize(png, "media_id", "payload", "image", 8, batchSize = 3)
+      .select("media_id", "meta.width", "meta.height", "meta.channels", "features").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4))).sortBy(_._1)
+    val b = Multimodal.decodeAndFeaturize(png.repartition(7), "media_id", "payload", "image", 8, batchSize = 1000)
+      .select("media_id", "meta.width", "meta.height", "meta.channels", "features").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4))).sortBy(_._1)
     assert(a.sameElements(b))
+    // decoded dims/channels/pixel-sums equal the analytic source pattern
+    a.foreach { case (id, w, h, c, feats) =>
+      assert(w == (8 + id % 9).toInt && h == (8 + (id / 9) % 9).toInt && c == 3)
+      val expected = (for { x <- 0 until w; y <- 0 until h; ch <- 0 to 2 }
+        yield ((id * 31 + x * 7 + y * 13 + ch * 101) % 256)).sum
+      assert(feats.head.toLong == expected, s"pixel sum mismatch for id=$id")
+      assert(feats.drop(4).map(_.toLong).sum == w.toLong * h, "histogram bins sum to pixel count")
+    }
+    // undecodable payloads zero out instead of failing the task
+    val junk = Seq((1L, "not a png".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val z = Multimodal.decodeAndFeaturize(junk, "media_id", "payload", "image", 8).head()
+    assert(z.getStruct(1).getInt(1) == 0 && z.getSeq[Float](2).forall(_ == 0f))
     val resized = Multimodal.withResizePlan(
-      Multimodal.decodeAndFeaturize(df, "media_id", "payload", "image", 8), 128)
+      Multimodal.decodeAndFeaturize(png, "media_id", "payload", "image", 8), 12)
       .select("target_width", "target_height").collect()
-    assert(resized.forall(r => r.getInt(0) <= 128 && r.getInt(1) <= 128))
+    assert(resized.forall(r => r.getInt(0) <= 12 && r.getInt(1) <= 12 && r.getInt(0) > 0))
+    val texts = (1L to 5L).map(i => (i, s"payload-$i".getBytes("UTF-8"))).toDF("media_id", "payload")
     val frames = Multimodal.sampleFrames(
-      Multimodal.decodeAndFeaturize(df.limit(5), "media_id", "payload", "video", 8), 2.0)
+      Multimodal.decodeAndFeaturize(texts, "media_id", "payload", "video", 8), 2.0)
     assert(frames.count() > 5) // multiple frames per video
   }
 
