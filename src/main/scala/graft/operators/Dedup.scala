@@ -148,13 +148,15 @@ object Dedup {
     val buckets = banded.groupBy("band_id", "band_hash")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .where(size(col("docs")) > 1)
+      // always published (capped or not) so callers/listeners can see skew
+      // building up BEFORE it becomes an OOM; see
+      // [[registerLshBucketWarningListener]] for the log-a-warning hookup
+      .observe("graft_lsh_buckets",
+        sum(when(size(col("docs")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(size(col("docs"))).as("max_bucket_size"))
     val guarded =
       if (maxBucketSize == Int.MaxValue) buckets
-      else buckets
-        .observe("graft_lsh_buckets",
-          sum(when(size(col("docs")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
-          max(size(col("docs"))).as("max_bucket_size"))
-        .where(size(col("docs")) <= maxBucketSize)
+      else buckets.where(size(col("docs")) <= maxBucketSize)
     val pairs = guarded
       .select(explode(expr("""
         flatten(transform(docs, (a, i) ->
@@ -172,6 +174,46 @@ object Dedup {
           ColumnBridge.expression(col("sig1")),
           ColumnBridge.expression(col("sig2")))).cast("double") / numHashes)
       .select("id1", "id2", "jaccard_est")
+  }
+
+  /** Install a QueryExecutionListener that logs a WARN (and invokes
+    * `onWarn`, for tests/metrics hookup) whenever a query carrying the
+    * `graft_lsh_buckets` observable metric (published by every
+    * [[lshNearDuplicatePairs]] / [[minHashNearDuplicates]] run, capped or
+    * not) observes a max bucket size above `threshold`. A hot bucket of k
+    * docs emits k^2/2 candidate pairs, so crossing ~10^4 is the early
+    * signal that an uncapped run is heading for an executor OOM at scale —
+    * the fix is dropping exact duplicates upstream or setting
+    * `maxBucketSize`.
+    *
+    * NOTE: with AQE enabled Spark does not surface `observedMetrics` for
+    * re-planned queries (the re-planned CollectMetrics accumulator is not
+    * the one collected), so the listener warns reliably only with
+    * `spark.sql.adaptive.enabled=false`; the guard and the metric
+    * publication themselves are unaffected.
+    */
+  def registerLshBucketWarningListener(spark: org.apache.spark.sql.SparkSession,
+      threshold: Long = 10000L,
+      onWarn: (Long, Long) => Unit = (_, _) => ()): Unit = {
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def check(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        qe.observedMetrics.get("graft_lsh_buckets").foreach { row =>
+          val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
+          val maxBucket = if (row.isNullAt(1)) 0L else row.getInt(1).toLong
+          if (maxBucket > threshold) {
+            org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+              s"graft: LSH bucket skew — max candidate bucket has $maxBucket docs " +
+                s"(threshold $threshold), $dropped buckets dropped by maxBucketSize. " +
+                "An uncapped hot bucket emits O(k^2) pairs; drop exact duplicates " +
+                "upstream or pass maxBucketSize to fail soft.")
+            onWarn(maxBucket, dropped)
+          }
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = check(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
   }
 
   /** Full MinHash-LSH near-duplicate pipeline: shingle -> minhash -> band ->
@@ -214,8 +256,20 @@ object Dedup {
     * follow-up labels join are both exchange-free: each round moves data
     * once — the groupBy from id2-space to id1-space. Without the
     * repartition, every round would re-shuffle the (static!) edge list.
+    *
+    * `shortcut = true` adds a pointer-jumping step to every round
+    * (`label(id) <- label(label(id))`, one extra labels-to-labels join —
+    * label values are node ids, so the lookup is a self-join): min-labels
+    * then spread along label chains exponentially and an adversarial
+    * long-chain graph (diameter d) converges in O(log d) rounds instead of
+    * O(d). Near-dup graphs are unions of small cliques where plain
+    * propagation already converges in 2-3 rounds, so the extra per-round
+    * shuffle is off by default; turn it on when the pair graph may contain
+    * long chains (e.g. transitive fuzzy matches at 100x scale). Exiting at
+    * `maxIter` without convergence logs a WARN naming the knob.
     */
-  def nearDuplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def nearDuplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      shortcut: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
@@ -229,11 +283,28 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("id2") === labels("id"))
         .groupBy(edges("id1").as("id")).agg(min("label").as("nlabel"))
-      val next = labels.as("l").join(prop.as("p"), Seq("id"), "left")
+      val propd = labels.as("l").join(prop.as("p"), Seq("id"), "left")
         .select(col("id"),
           least(col("l.label"), coalesce(col("p.nlabel"), col("l.label"))).as("label"),
           (col("p.nlabel").isNotNull && col("p.nlabel") < col("l.label")).as("changed"))
-        .persist(lvl)
+      // pointer jump: follow each label to ITS label (min-monotone, so the
+      // looked-up value can only be <= the current one). The self-join
+      // references propd TWICE, which would double the logical plan every
+      // round (exponential analysis blowup) — localCheckpoint truncates
+      // the lineage to keep the per-round plan constant-size. (Local
+      // checkpoints are not executor-loss tolerant; at cluster scale set a
+      // checkpoint dir and swap for checkpoint() if that matters. The
+      // checkpointed RDDs are reclaimed by the ContextCleaner once
+      // unreferenced.)
+      val next = (if (!shortcut) propd else {
+        val p = propd.localCheckpoint()
+        p.join(
+            p.select(col("id").as("label"), col("label").as("__jump")),
+            Seq("label"), "left")
+          .select(col("id"),
+            coalesce(col("__jump"), col("label")).as("label"),
+            (col("changed") || coalesce(col("__jump"), col("label")) < col("label")).as("changed"))
+      }).persist(lvl)
       converged = next.where(col("changed")).isEmpty
       // unpersist the handle that was persisted (a projection of it would
       // not match the cache entry and the old round's data would leak)
@@ -242,6 +313,12 @@ object Dedup {
       labels = next.drop("changed")
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+        s"graft: nearDuplicateClusters exited at maxIter=$maxIter without " +
+          "converging — labels are an upper bound, not final components. " +
+          "Raise maxIter, or pass shortcut=true (O(log diameter) rounds) " +
+          "for long-chain graphs.")
     edges.unpersist()
     labels
   }

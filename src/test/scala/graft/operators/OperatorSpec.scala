@@ -291,6 +291,49 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.count() > 5) // multiple frames per video
   }
 
+  test("lsh bucket warning listener fires on a synthetic hot bucket") {
+    val sps = spark; import sps.implicits._
+    val seen = new java.util.concurrent.atomic.AtomicReference[(Long, Long)](null)
+    Dedup.registerLshBucketWarningListener(spark, threshold = 10L,
+      onWarn = (mx, dr) => seen.set((mx, dr)))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // see scaladoc: AQE hides observedMetrics
+    try {
+      // 40 identical docs: every band bucket holds all 40 -> hot-bucket skew
+      val docs = (1L to 40L)
+        .map(i => (i, "same exact text content for every single document in this corpus"))
+        .toDF("doc_id", "text")
+      Dedup.minHashNearDuplicates(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5).count()
+      // QueryExecutionListener delivery is async on the listener bus
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.get() == null && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.get() != null, "bucket-skew warning did not fire")
+      assert(seen.get()._1 == 40L, s"expected max bucket 40, got ${seen.get()}")
+      assert(seen.get()._2 == 0L, "uncapped run must not drop buckets")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("connected components: pointer jumping converges on a long path in O(log d) rounds") {
+    val sps = spark; import sps.implicits._
+    // 64-node path 0-1-2-...-63: diameter 63, worst case for plain min-label
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val jumped = Dedup.nearDuplicateClusters(path, maxIter = 10, shortcut = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jumped.length == 64 && jumped.forall(_._2 == 0L),
+      s"pointer jumping must fully converge within 10 rounds on a 64-path")
+    // contrast: plain propagation moves labels one hop per round
+    val plain = Dedup.nearDuplicateClusters(path, maxIter = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(plain.exists(_._2 != 0L), "3 plain rounds cannot finish a 64-path (sanity)")
+    // and on a clique-union graph both modes agree with default settings
+    val cliques = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val a = Dedup.nearDuplicateClusters(cliques).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Dedup.nearDuplicateClusters(cliques, shortcut = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
+
   test("typed Dataset API over real testdata") {
     val docs = typed.documents(spark, "/root/testdata/sf0.001")
     assert(docs.head().text.nonEmpty)
