@@ -18,8 +18,25 @@ import graft.functions._
   */
 object GraftFunctions {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(getClass.getName, null, name, usage, "", "", "", "agg_funcs", "4.0.0", "", "built-in")
+  /** Catalog metadata carried per function, surfaced by `DESCRIBE FUNCTION
+    * EXTENDED` — description/examples parity with the reference's
+    * FunctionDescription registration
+    * (src/bitfilters_quotient_filter.cpp:298-337 and the matching blocks in
+    * the other filter translation units). Spark requires the exact
+    * "\n    Examples:" / "\n    Arguments:" leaders, enforced by
+    * ExpressionInfo's own preconditions.
+    */
+  final case class FnDoc(arguments: String = "", examples: String = "")
+
+  private def ex(lines: String*): String =
+    "\n    Examples:\n" + lines.map(l => s"      > $l").mkString("\n") + "\n  "
+
+  private def arg(lines: String*): String =
+    "\n    Arguments:\n" + lines.map(l => s"      * $l").mkString("\n") + "\n  "
+
+  private def info(name: String, usage: String, doc: FnDoc): ExpressionInfo =
+    new ExpressionInfo(getClass.getName, null, name, usage,
+      doc.arguments, doc.examples, "", "misc_funcs", "4.0.0", "", "built-in")
 
   private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
     if (args.size != n)
@@ -28,6 +45,107 @@ object GraftFunctions {
   private def atLeast(name: String, n: Int, args: Seq[Expression]): Unit =
     if (args.size < n)
       throw new IllegalArgumentException(s"$name requires at least $n arguments, got ${args.size}")
+
+  /** Per-function catalog docs (arguments + runnable examples), keyed by
+    * SQL name. Descriptions track the reference's registered
+    * FunctionDescription texts; examples are valid against THIS library.
+    */
+  val docs: Map[String, FnDoc] = Map(
+    "quotient_filter" -> FnDoc(
+      arg("q - INTEGER, number of quotient bits (filter holds ~2^q slots)",
+        "r - INTEGER, number of remainder bits per slot",
+        "hash_or_blob - BIGINT hash to insert, or BINARY quotient-filter blob to union-merge"),
+      ex("SELECT quotient_filter(16, 8, bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(2) t(x);",
+        "SELECT quotient_filter(16, 8, f) FROM per_group_filters; -- blob merge")),
+    "quotient_filter_contains" -> FnDoc(
+      arg("filter - BINARY quotient-filter blob",
+        "hash - BIGINT hashed probe value (same hash as at build time)"),
+      ex("SELECT quotient_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', 42)) FROM filters;")),
+    "xor8_filter" -> FnDoc(
+      arg("hash - BIGINT pre-hashed key (e.g. bitfilters_duckdb_hash)"),
+      ex("SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(2),(3) t(x);")),
+    "xor16_filter" -> FnDoc(
+      arg("hash - BIGINT pre-hashed key"),
+      ex("SELECT xor16_filter(bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(2),(3) t(x);")),
+    "xor8_filter_contains" -> FnDoc(
+      arg("filter - BINARY xor8 blob", "hash - BIGINT hashed probe value"),
+      ex("SELECT xor8_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', 42)) FROM filters;")),
+    "xor16_filter_contains" -> FnDoc(
+      arg("filter - BINARY xor16 blob", "hash - BIGINT hashed probe value"),
+      ex("SELECT xor16_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', 42)) FROM filters;")),
+    "binary_fuse8_filter" -> FnDoc(
+      arg("hash - BIGINT pre-hashed key"),
+      ex("SELECT binary_fuse8_filter(bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(2),(3) t(x);")),
+    "binary_fuse16_filter" -> FnDoc(
+      arg("hash - BIGINT pre-hashed key"),
+      ex("SELECT binary_fuse16_filter(bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(2),(3) t(x);")),
+    "binary_fuse8_filter_contains" -> FnDoc(
+      arg("filter - BINARY binary-fuse8 blob", "hash - BIGINT hashed probe value"),
+      ex("SELECT binary_fuse8_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', 42)) FROM filters;")),
+    "binary_fuse16_filter_contains" -> FnDoc(
+      arg("filter - BINARY binary-fuse16 blob", "hash - BIGINT hashed probe value"),
+      ex("SELECT binary_fuse16_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', 42)) FROM filters;")),
+    "bitfilters_duckdb_hash" -> FnDoc(
+      arg("version - STRING DuckDB version to pin ('v1.4.4'|'v1.5.1'|'v1.6.0')",
+        "v1[, v2, ...] - values of any supported type; several values CombineHash left-to-right"),
+      ex("SELECT bitfilters_duckdb_hash('v1.5.1', 42);",
+        "SELECT bitfilters_duckdb_hash('v1.5.1', 'hi', 7, 2.5);")),
+    "bitfilters_duckdb_bloom_filter_create" -> FnDoc(
+      arg("version - STRING DuckDB version to pin",
+        "num_sectors - BIGINT power of two, 64 bits per sector",
+        "hash - BIGINT pre-hashed key (bitfilters_duckdb_hash of the key columns)"),
+      ex("SELECT bitfilters_duckdb_bloom_filter_create('v1.5.1', 16384, bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(2) t(x);")),
+    "bitfilters_duckdb_bloom_filter_probe" -> FnDoc(
+      arg("version - STRING DuckDB version to pin",
+        "filter - BINARY bloom blob from bitfilters_duckdb_bloom_filter_create",
+        "v1[, v2, ...] - probe values, hashed + combined exactly like at build time"),
+      ex("SELECT bitfilters_duckdb_bloom_filter_probe('v1.5.1', f, 42) FROM filters;")),
+    "bloomfilter" -> FnDoc(
+      arg("capacity - BIGINT expected distinct count",
+        "fpr - DOUBLE target false-positive rate in (0,1)",
+        "value_or_blob - typed value to insert, or BINARY bloomfilter blob to merge"),
+      ex("SELECT bloomfilter(1000, 0.01, x) FROM VALUES (1),(2),(3) t(x);")),
+    "bloom_filter_contains" -> FnDoc(
+      arg("filter - BINARY classic-bloom blob", "value - typed probe value"),
+      ex("SELECT bloom_filter_contains(f, 42) FROM filters;")),
+    "minhash_agg" -> FnDoc(
+      arg("hash - BIGINT pre-hashed shingle",
+        "k - INTEGER constant, signature length",
+        "affine - optional BOOLEAN constant; true selects the SQL-portable mod-2^61-1 permutations"),
+      ex("SELECT minhash_agg(xxhash64(s), 128) FROM shingles GROUP BY doc_id;")),
+    "simhash_agg" -> FnDoc(
+      arg("hash - BIGINT pre-hashed token"),
+      ex("SELECT simhash_agg(xxhash64(tok)) FROM tokens GROUP BY doc_id;")),
+    "lang_id" -> FnDoc(
+      arg("text - STRING document text"),
+      ex("SELECT lang_id('the quick brown fox jumps over the lazy dog');")),
+    "token_count" -> FnDoc(
+      arg("text - STRING document text"),
+      ex("SELECT token_count('Hello, world! 123');")),
+    "text_metrics" -> FnDoc(
+      arg("text - STRING document text"),
+      ex("SELECT text_metrics(text).words FROM documents;")),
+    "md5_prefix64" -> FnDoc(
+      arg("text - STRING value to hash"),
+      ex("SELECT md5_prefix64('hello');")),
+    "rolling_hash" -> FnDoc(
+      arg("text - STRING value to fingerprint"),
+      ex("SELECT rolling_hash(text) FROM documents;")),
+    "sig_match_count" -> FnDoc(
+      arg("a - ARRAY<BIGINT> minhash signature", "b - ARRAY<BIGINT> minhash signature"),
+      ex("SELECT sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L));")),
+    "vec_dot" -> FnDoc(
+      arg("a - ARRAY<FLOAT> or ARRAY<DOUBLE>", "b - same element type and length as a"),
+      ex("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D));")),
+    "vec_norm" -> FnDoc(
+      arg("a - ARRAY<FLOAT> or ARRAY<DOUBLE>"),
+      ex("SELECT vec_norm(array(3.0D, 4.0D));")),
+    "hyperplane_signature" -> FnDoc(
+      arg("vec - ARRAY<FLOAT>/ARRAY<DOUBLE> embedding",
+        "bits - optional INTEGER constant signature width (default 64)",
+        "seed - optional BIGINT constant hyperplane seed (default 42)"),
+      ex("SELECT hyperplane_signature(embedding, 16) FROM embeddings;")),
+  )
 
   /** (name, usage, builder) for every SQL function we expose. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
@@ -146,7 +264,8 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, usage, builder) =>
-      registry.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
+      registry.registerFunction(FunctionIdentifier(name),
+        info(name, usage, docs.getOrElse(name, FnDoc())), builder)
     }
     val rules = spark.experimental.extraOptimizations
     if (!rules.contains(graft.plans.FoldSingleRowJoin)) {
@@ -166,8 +285,10 @@ object GraftFunctions {
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
+      val doc = GraftFunctions.docs.getOrElse(name, GraftFunctions.FnDoc())
       extensions.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.GraftFunctions", null, name, usage, "", "", "", "", "4.0.0", "", "built-in"),
+        new ExpressionInfo("graft.GraftFunctions", null, name, usage,
+          doc.arguments, doc.examples, "", "misc_funcs", "4.0.0", "", "built-in"),
         builder))
     }
     // inside the operator-optimization batch: runs to fixed point with

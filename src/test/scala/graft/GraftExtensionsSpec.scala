@@ -40,6 +40,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         WHERE xor8_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', id))""")
       assert(!q.queryExecution.optimizedPlan.exists(_.isInstanceOf[Join]))
       assert(q.head().getLong(0) == 1000L)
+      // catalog metadata parity: every function carries arguments + a
+      // runnable example, surfaced by DESCRIBE FUNCTION EXTENDED
+      GraftFunctions.all.foreach { case (name, _, _) =>
+        assert(GraftFunctions.docs.contains(name), s"missing FnDoc for $name")
+        val described = spark.sql(s"DESCRIBE FUNCTION EXTENDED $name")
+          .collect().map(_.getString(0)).mkString("\n")
+        assert(described.contains("Examples:"), s"$name: no examples in\n$described")
+        assert(described.contains("Arguments:"), s"$name: no arguments in\n$described")
+      }
+      // the documented examples actually run
+      val exampleSql = "SELECT bitfilters_duckdb_hash('v1.5.1', 42)"
+      assert(spark.sql(exampleSql).head().getLong(0) != 0L)
     } finally spark.stop()
   }
 }
