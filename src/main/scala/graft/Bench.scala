@@ -48,11 +48,19 @@ object Bench {
         name -> (if (ok) dt else -1.0)
       }
 
+    // box-load context for cross-round comparisons: single passes swing
+    // ±30% with co-tenant load, so every JSON line carries the 1-min
+    // loadavg observed when it was printed (readers should trust
+    // within-run minima, and discount rounds benched on a loaded box)
+    def loadAvg: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     def jsonLine(results: Seq[(String, Double)], iters: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"loadavg_1m":$loadAvg%.2f}"""
     }
 
     // per-query minimum over up to 3 passes: single passes swing ±30% on

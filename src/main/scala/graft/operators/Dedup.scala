@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Disambiguates the per-pipeline `graft_lsh_buckets_<n>` observe names —
+    * one query may hold several LSH pipelines (see the fast-vs-portable
+    * recall gate) and Spark rejects duplicate metric names with different
+    * results.
+    */
+  private val lshObserveId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Exact duplicate statistics by content hash (md5 for oracle parity). */
   def exactDuplicateStats(df: DataFrame, textCol: String): DataFrame =
     df.agg(
@@ -150,8 +157,12 @@ object Dedup {
       .where(size(col("docs")) > 1)
       // always published (capped or not) so callers/listeners can see skew
       // building up BEFORE it becomes an OOM; see
-      // [[registerLshBucketWarningListener]] for the log-a-warning hookup
-      .observe("graft_lsh_buckets",
+      // [[registerLshBucketWarningListener]] for the log-a-warning hookup.
+      // The name gets a unique suffix because Spark rejects two observe
+      // nodes with the same name but different results in ONE query (e.g.
+      // a fast-vs-portable pipeline comparison); listeners match on the
+      // "graft_lsh_buckets" prefix.
+      .observe(s"graft_lsh_buckets_${lshObserveId.incrementAndGet()}",
         sum(when(size(col("docs")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
         max(size(col("docs"))).as("max_bucket_size"))
     val guarded =
@@ -197,7 +208,9 @@ object Dedup {
       onWarn: (Long, Long) => Unit = (_, _) => ()): Unit = {
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       private def check(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        qe.observedMetrics.get("graft_lsh_buckets").foreach { row =>
+        qe.observedMetrics.collect {
+          case (name, row) if name.startsWith("graft_lsh_buckets") => row
+        }.foreach { row =>
           val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
           val maxBucket = if (row.isNullAt(1)) 0L else row.getInt(1).toLong
           if (maxBucket > threshold) {

@@ -13,10 +13,15 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0
-for name in sorted(os.listdir(out_dir)):
+written = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+# a gate whose Spark run produced no output is a FAILURE, not a skip —
+# otherwise an analysis-time error (e.g. duplicate observe names) passes
+# silently as "everything listed matched"
+for name in sorted(set(oracles) - written):
+    print(f"✗ {name}: no Spark output written (query failed?)")
+    fail += 1
+for name in sorted(written):
     d = os.path.join(out_dir, name)
-    if not os.path.isdir(d):
-        continue
     spark_df = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
     if name not in oracles:
         print(f"  [rows-only] {name}: {len(spark_df)} rows")
