@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import scala.sys.process._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.GraftFunctions
+
+/** Cross-implementation blob round-trip: blobs built THROUGH THE SQL
+  * FUNCTIONS are probed by an independent pure-Python reimplementation of
+  * each wire format (`tools/probe_blobs.py`), and a Python-built bloom blob
+  * is byte-compared and probed back on the JVM side.
+  *
+  * This is the strongest interop evidence available in this container: the
+  * reference DuckDB extension itself cannot be compiled here (its `duckdb/`
+  * submodule is empty and there is no cmake/network), so instead of a live
+  * extension round-trip we verify the documented wire formats with a second,
+  * independently-written implementation in a different language — any
+  * byte-layout or probe-semantics divergence fails this spec. Golden
+  * FP-count gates (CORRECTNESS q_quotient_golden / q_fuse_golden) tie the
+  * same formats to reference-recorded values.
+  */
+class BlobInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-blob-interop")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def writeLongsLE(path: java.nio.file.Path, xs: Array[Long]): Unit = {
+    val bb = ByteBuffer.allocate(xs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putLong)
+    Files.write(path, bb.array())
+  }
+
+  test("SQL-built blobs probe correctly from an independent Python implementation") {
+    val dir = Files.createTempDirectory("graft-interop")
+    val blobs = spark.sql("""
+      SELECT quotient_filter(16, 8, h) AS quotient,
+             xor8_filter(h) AS xor8, xor16_filter(h) AS xor16,
+             binary_fuse8_filter(h) AS fuse8, binary_fuse16_filter(h) AS fuse16,
+             bitfilters_duckdb_bloom_filter_create('v1.5.1', 16384, h) AS bloom
+      FROM (SELECT bitfilters_duckdb_hash('v1.5.1', id) AS h FROM range(1, 20001))
+      """).head()
+    Seq("quotient", "xor8", "xor16", "fuse8", "fuse16", "bloom").zipWithIndex.foreach {
+      case (fam, i) => Files.write(dir.resolve(s"$fam.blob"), blobs.getAs[Array[Byte]](i))
+    }
+    def hashes(lo: Long, hi: Long): Array[Long] = spark.sql(
+      s"SELECT bitfilters_duckdb_hash('v1.5.1', id) FROM range($lo, $hi)")
+      .collect().map(_.getLong(0))
+    writeLongsLE(dir.resolve("members.hashes"), hashes(1, 20001))
+    writeLongsLE(dir.resolve("nonmembers.hashes"), hashes(1000001, 1020001))
+
+    val script = new java.io.File("tools/probe_blobs.py").getAbsolutePath
+    val out = new StringBuilder
+    val code = Process(Seq("python3", script, dir.toString))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    info(out.toString)
+    assert(code == 0, s"python prober failed:\n$out")
+    assert(out.toString.contains("bloom-rebuild: byte_equal=True"))
+
+    // reverse direction on the JVM side too: the Python-BUILT bloom blob is
+    // byte-identical and probes all members through our core implementation
+    val pyBloom = Files.readAllBytes(dir.resolve("pybloom.blob"))
+    val sparkBloom = Files.readAllBytes(dir.resolve("bloom.blob"))
+    assert(java.util.Arrays.equals(pyBloom, sparkBloom))
+    val members = hashes(1, 20001)
+    assert(members.forall(graft.core.DuckDbBloomFilter.probeBlob(pyBloom, _)))
+  }
+}
