@@ -219,11 +219,18 @@ object SparkEntry {
           (SELECT quotient_filter(16, 4, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
           bitfilters_duckdb_hash('v1.5.1', id))
         ORDER BY filter_rem""") _,
+      // q=19 sizes the filter for the LARGEST sf this gate runs at (sf1:
+      // 150k customers -> load 0.29). A quotient filter has a hard 2^q
+      // capacity: above it, inserts degrade to O(cluster) shifting
+      // (load->1 turned this gate quadratic at sf1) and merge silently
+      // drops keys (replicated reference overflow behavior) — capacity is
+      // a BUILD parameter the caller must size to the keyset, exactly as
+      // in the reference.
       "q_quotient_merge" -> q("""
         WITH per AS (
-          SELECT c_mktsegment, quotient_filter(16, 4, bitfilters_duckdb_hash('v1.5.1', c_custkey)) AS f
+          SELECT c_mktsegment, quotient_filter(19, 4, bitfilters_duckdb_hash('v1.5.1', c_custkey)) AS f
           FROM customer GROUP BY c_mktsegment),
-        m AS (SELECT quotient_filter(16, 4, f) AS f FROM per)
+        m AS (SELECT quotient_filter(19, 4, f) AS f FROM per)
         SELECT CAST(COUNT(*) AS BIGINT) AS cnt
         FROM customer, m
         WHERE quotient_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', c_custkey))""") _,

@@ -388,15 +388,26 @@ object Dedup {
     * is one xor+popcount, so there is nothing to gain from a join-back.
     */
   def simHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+      maxHamming: Int = 3, portable: Boolean = false,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val fps = simHashFingerprints(df, textCol, idCol, portable)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band_id"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val")))
-    fps.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
+    val buckets = fps
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
       .groupBy(col("band.band_id"), col("band.band_val"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
       .where(size(col("docs")) > 1)
+      // same skew telemetry + fail-soft cap as the minhash variant: a
+      // 16-bit band value shared by k docs emits k^2/2 candidate pairs,
+      // and band capacity is FIXED (65536 values), so bucket sizes grow
+      // linearly with corpus size — at large n, cap or dedup upstream
+      .observe(s"graft_lsh_buckets_${lshObserveId.incrementAndGet()}",
+        sum(when(size(col("docs")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(size(col("docs"))).as("max_bucket_size"))
+    (if (maxBucketSize == Int.MaxValue) buckets
+     else buckets.where(size(col("docs")) <= maxBucketSize))
       .select(explode(expr("""
         flatten(transform(docs, (a, i) ->
           transform(slice(docs, i + 2, size(docs) - i - 1), b ->

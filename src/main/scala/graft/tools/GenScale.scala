@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor promotion: synthesizes an N-times-larger copy of a driver
+  * testdata dir (default 10x, i.e. sf0.1 -> sf1) with referential integrity
+  * preserved, for scale verification beyond the driver-provided fixtures.
+  *
+  * Scheme: the database is replicated `factor` times; replica r shifts every
+  * key column by `r * stride(table)` (stride = max key + 1), so each replica
+  * is a disjoint sub-database and all joins keep exactly their per-replica
+  * cardinalities — query results scale linearly by construction. The tiny
+  * dimension tables (region, nation) are shared across replicas, matching
+  * how TPC-H scales. Two content tweaks keep operator semantics
+  * scale-linear rather than degenerate:
+  *  - documents: replicas r>0 prepend a "r<r> " token to `text` (and adjust
+  *    n_chars), so exact/near-duplicate structure repeats per replica
+  *    instead of every doc gaining 9 cross-replica exact duplicates (which
+  *    would inflate LSH buckets 10x and pair counts 45x — a data-shape
+  *    change, not a scale-up);
+  *  - embeddings: replicas r>0 perturb element 0 by r*1e-4, so top-k
+  *    neighbor ranking keeps distinct similarity values instead of 10-way
+  *    exact ties.
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> [factor]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val dstDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // driver parquet uses TIMESTAMP(NANOS); read as longs and write back as
+    // microsecond timestamps (both Spark and DuckDB read those natively, and
+    // SparkEntry.prepare passes TimestampType columns through untouched)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanoCols = Map("orders" -> Seq("o_orderdate"),
+      "lineitem" -> Seq("l_shipdate"), "events" -> Seq("ts"))
+
+    def src(t: String): DataFrame = {
+      val raw = spark.read.parquet(s"$srcDir/$t.parquet")
+      nanoCols.getOrElse(t, Nil).foldLeft(raw) { (df, c) =>
+        if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        else df
+      }
+    }
+    def stride(df: DataFrame, key: String): Long = df.agg(max(col(key))).head().getLong(0) + 1
+    val reps = spark.range(factor).toDF("__r")
+
+    def shifted(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      val shiftMap = shifts.toMap
+      val out = df.crossJoin(reps).select(
+        df.columns.map(c => shiftMap.get(c) match {
+          case Some(s) => (col(c) + col("__r") * s).as(c)
+          case None => col(c)
+        }).toSeq :+ col("__r"): _*)
+      out
+    }
+    def write(df: DataFrame, t: String): Unit = {
+      df.drop("__r").write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+      println(s"[genscale] $t: ${spark.read.parquet(s"$dstDir/$t.parquet").count()} rows")
+    }
+
+    // shared dims, copied as-is
+    Seq("region", "nation").foreach(t => write(src(t).withColumn("__r", lit(0)), t))
+
+    val cust = src("customer"); val cStride = stride(cust, "c_custkey")
+    val supp = src("supplier"); val sStride = stride(supp, "s_suppkey")
+    val part = src("part"); val pStride = stride(part, "p_partkey")
+    val ord = src("orders"); val oStride = stride(ord, "o_orderkey")
+    val ev = src("events")
+    val eStride = stride(ev, "event_id"); val uStride = stride(ev, "user_id")
+    val docs = src("documents"); val dStride = stride(docs, "doc_id")
+    val emb = src("embeddings"); val vStride = stride(emb, "vec_id")
+
+    write(shifted(cust, "c_custkey" -> cStride), "customer")
+    write(shifted(supp, "s_suppkey" -> sStride), "supplier")
+    write(shifted(part, "p_partkey" -> pStride), "part")
+    write(shifted(ord, "o_orderkey" -> oStride, "o_custkey" -> cStride), "orders")
+    write(shifted(src("lineitem"),
+      "l_orderkey" -> oStride, "l_partkey" -> pStride, "l_suppkey" -> sStride), "lineitem")
+    write(shifted(ev, "event_id" -> eStride, "user_id" -> uStride), "events")
+
+    val docsN = shifted(docs, "doc_id" -> dStride)
+      .withColumn("__prefix", when(col("__r") === 0, lit("")).otherwise(concat(lit("r"), col("__r"), lit(" "))))
+      .withColumn("text", concat(col("__prefix"), col("text")))
+      .withColumn("n_chars", col("n_chars") + length(col("__prefix")))
+      .drop("__prefix")
+    write(docsN, "documents")
+
+    val embN = shifted(emb, "vec_id" -> vStride)
+      .withColumn("embedding",
+        when(col("__r") === 0, col("embedding"))
+          .otherwise(concat(
+            array((element_at(col("embedding"), 1) + col("__r").cast("float") * lit(1e-4f)).cast("float")),
+            slice(col("embedding"), 2, 1000000))))
+    write(embN, "embeddings")
+
+    spark.stop()
+  }
+}
