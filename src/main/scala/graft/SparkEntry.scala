@@ -543,6 +543,24 @@ object SparkEntry {
         TextAnalysis.topTokens(s.table("documents"), "text", 20)
           .selectExpr("token", "CAST(cnt AS BIGINT) AS cnt")
       }),
+      // Gopher-style repetition quality filters. The gate sums only
+      // INTEGER per-doc quantities (counts, char coverages, a modular
+      // bigram hash) — no per-doc float rounding to go cross-engine-flaky;
+      // the fraction columns the API exposes are these integers divided.
+      "q_repetition" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.repetitionMetrics(s.table("documents"), "text", "doc_id")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("words").cast("long").as("words_sum"),
+            sum("dup_words").cast("long").as("dup_words_sum"),
+            sum("lines").cast("long").as("lines_sum"),
+            sum("dup_lines").cast("long").as("dup_lines_sum"),
+            coalesce(sum("top_bigram_count"), lit(0L)).cast("long").as("tb_cnt_sum"),
+            coalesce(sum(col("top_bigram_count") * length(col("top_bigram"))), lit(0L))
+              .cast("long").as("tb_chars_sum"),
+            coalesce(sum(conv(substring(md5(col("top_bigram")), 1, 15), 16, 10)
+              .cast("long") % 1000000000L), lit(0L)).cast("long").as("tb_hash_sum"))
+      }),
 
       // --- embedding storage transforms ---------------------------------
       // int8 quantization of raw and unit-normalized vectors; every step
@@ -1070,6 +1088,41 @@ object SparkEntry {
       SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
       WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    // Gopher repetition filters replayed independently: line/word distinct
+    // counts via list_distinct, top word-bigram per doc via the same
+    // count-DESC-then-bigram-ASC window, all-gate-columns integer
+    "q_repetition" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lns,
+               string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      base AS (
+        SELECT doc_id, len(lns) AS lines, len(toks) AS words,
+               len(lns) - len(list_distinct(lns)) AS dup_lines,
+               len(toks) - len(list_distinct(toks)) AS dup_words
+        FROM t),
+      bg AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM t WHERE len(toks) >= 2)),
+      cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+      top AS (
+        SELECT doc_id, b, c FROM (
+          SELECT doc_id, b, c,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b ASC) AS rn
+          FROM cnt) WHERE rn = 1)
+      SELECT m.docs, m.words_sum, m.dup_words_sum, m.lines_sum, m.dup_lines_sum,
+             p.tb_cnt_sum, p.tb_chars_sum, p.tb_hash_sum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(words) AS BIGINT) AS words_sum,
+                   CAST(SUM(dup_words) AS BIGINT) AS dup_words_sum,
+                   CAST(SUM(lines) AS BIGINT) AS lines_sum,
+                   CAST(SUM(dup_lines) AS BIGINT) AS dup_lines_sum
+            FROM base) m,
+           (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tb_cnt_sum,
+                   CAST(COALESCE(SUM(c * length(b)), 0) AS BIGINT) AS tb_chars_sum,
+                   CAST(COALESCE(SUM(CAST(('0x' || substring(md5(b), 1, 15)) AS BIGINT) % 1000000000), 0) AS BIGINT) AS tb_hash_sum
+            FROM top) p""",
     // int8 quantization replayed step-for-step: abs-max scale, sequential
     // list_reduce norm (0.0 + x0^2 == x0^2, so the fold matches vec_norm's
     // zero-seeded loop bit-for-bit), floor(x*scale + 0.5) half-up rounding

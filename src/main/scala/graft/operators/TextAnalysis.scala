@@ -153,4 +153,61 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
+
+  /** Gopher-style repetition metrics per document — the standard quality
+    * filters for LLM training corpora (Rae et al. 2021, table A1): documents
+    * dominated by repeated lines or a single repeated n-gram are boilerplate
+    * or spam and get dropped before training.
+    *
+    * Output columns per doc:
+    *  - `lines`, `dup_line_fraction` (repeat line occurrences / lines),
+    *    `dup_line_char_fraction` (chars in repeat occurrences / line chars)
+    *  - `words`, `dup_word_fraction`
+    *  - `top_bigram`, `top_bigram_count`, `top_bigram_char_fraction`
+    *    (chars covered by the most frequent word 2-gram / document chars;
+    *    ties break count DESC then bigram ASC, so results are deterministic)
+    *
+    * Scale shape: line/word metrics are per-row array HOFs (no shuffle);
+    * the top-bigram search is a distributed explode -> (doc_id, bigram)
+    * count -> per-doc top-1 window — one shuffle keyed (doc_id, bigram),
+    * one keyed doc_id, both skew-free (bigram space is wide), then a
+    * doc_id-copartitioned join back. An all-in-array HOF argmax would be
+    * O(distinct^2) per row; the exploded form is linear and is the one that
+    * survives 100x corpus growth.
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        split(col(textCol), "\n").as("__lines"),
+        split(lower(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("lines", size(col("__lines")))
+      .withColumn("words", size(col("__toks")))
+      .withColumn("__dlines", size(array_distinct(col("__lines"))))
+      .withColumn("__dwords", size(array_distinct(col("__toks"))))
+      .withColumn("__line_chars", expr("aggregate(__lines, 0L, (a, x) -> a + length(x))"))
+      .withColumn("__dup_line_chars",
+        col("__line_chars") - expr("aggregate(array_distinct(__lines), 0L, (a, x) -> a + length(x))"))
+      .withColumn("dup_lines", col("lines") - col("__dlines"))
+      .withColumn("dup_words", col("words") - col("__dwords"))
+      .withColumn("dup_line_fraction",
+        col("dup_lines").cast("double") / greatest(col("lines"), lit(1)))
+      .withColumn("dup_line_char_fraction",
+        col("__dup_line_chars").cast("double") / greatest(col("__line_chars"), lit(1)))
+      .withColumn("dup_word_fraction",
+        col("dup_words").cast("double") / greatest(col("words"), lit(1)))
+    val top = base.where(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(__toks) - 1), i -> concat(__toks[i-1], ' ', __toks[i]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bg").asc)))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"), col("cnt").as("top_bigram_count"))
+    base.join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_char_fraction",
+        coalesce(col("top_bigram_count") * length(col("top_bigram")), lit(0L)).cast("double") /
+          greatest(length(col("__text")), lit(1)))
+      .drop("__text", "__lines", "__toks", "__dlines", "__dwords", "__line_chars", "__dup_line_chars")
+  }
 }

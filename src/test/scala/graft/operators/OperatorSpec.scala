@@ -291,6 +291,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.count() > 5) // multiple frames per video
   }
 
+  test("repetition metrics: duplicate lines/words and deterministic top bigram") {
+    val sps = spark; import sps.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "line one\nline two\nline one\nunique"),
+      (3L, "all distinct words here")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Int]("words") == 4 && m(1L).getAs[Int]("dup_words") == 3)
+    assert(m(1L).getAs[String]("top_bigram") == "spam spam")
+    assert(m(1L).getAs[Long]("top_bigram_count") == 3L) // overlapping occurrences count
+    assert(m(1L).getAs[Double]("dup_word_fraction") == 0.75)
+    assert(m(2L).getAs[Int]("lines") == 4 && m(2L).getAs[Int]("dup_lines") == 1)
+    assert(m(2L).getAs[Double]("dup_line_fraction") == 0.25)
+    assert(math.abs(m(2L).getAs[Double]("dup_line_char_fraction") - 8.0 / 30.0) < 1e-15)
+    assert(m(3L).getAs[Int]("dup_words") == 0)
+    // tie on count=1 breaks to the lexicographically smallest bigram
+    assert(m(3L).getAs[String]("top_bigram") == "all distinct")
+  }
+
   test("lsh bucket warning listener fires on a synthetic hot bucket") {
     val sps = spark; import sps.implicits._
     val seen = new java.util.concurrent.atomic.AtomicReference[(Long, Long)](null)
@@ -542,8 +562,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       val sigs = Dedup.minHashSignatures(Dedup.shingleHashes(dup, "text", "doc_id", 3), 32)
       val pairs = Dedup.lshNearDuplicatePairs(sigs, 8, 32, maxBucketSize = 8)
       assert(pairs.collect().isEmpty)
-      val row = pairs.queryExecution.observedMetrics.getOrElse("graft_lsh_buckets",
-        fail("observed metric missing from the executed plan"))
+      // metric names carry a unique per-pipeline suffix (duplicate observe
+      // names are rejected inside one query) — match on the prefix
+      val row = pairs.queryExecution.observedMetrics.collectFirst {
+        case (name, r) if name.startsWith("graft_lsh_buckets") => r
+      }.getOrElse(fail("observed metric missing from the executed plan"))
       assert(row.getAs[Long]("dropped_buckets") == 8L, "all 8 band buckets over the cap")
       assert(row.getAs[Int]("max_bucket_size") == 12)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
