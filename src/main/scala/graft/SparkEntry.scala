@@ -543,6 +543,19 @@ object SparkEntry {
         TextAnalysis.topTokens(s.table("documents"), "text", 20)
           .selectExpr("token", "CAST(cnt AS BIGINT) AS cnt")
       }),
+      // per-source curation report: docs / dup rate / volume per source,
+      // the table a pipeline reads to set per-source sampling weights
+      "q_source_report" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.sourceReport(s.table("documents"), "text", "source")
+          .selectExpr("source", "CAST(docs AS BIGINT) AS docs",
+            "CAST(distinct_docs AS BIGINT) AS distinct_docs",
+            "CAST(duplicate_docs AS BIGINT) AS duplicate_docs",
+            "CAST(chars_sum AS BIGINT) AS chars_sum",
+            "CAST(words_sum AS BIGINT) AS words_sum",
+            "CAST(tokens_sum AS BIGINT) AS tokens_sum")
+          .orderBy("source")
+      }),
       // Gopher-style repetition quality filters. The gate sums only
       // INTEGER per-doc quantities (counts, char coverages, a modular
       // bigram hash) — no per-doc float rounding to go cross-engine-flaky;
@@ -1088,6 +1101,14 @@ object SparkEntry {
       SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
       WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "q_source_report" -> """
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_docs,
+             CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS duplicate_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words_sum,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS tokens_sum
+      FROM documents GROUP BY source ORDER BY source""",
     // Gopher repetition filters replayed independently: line/word distinct
     // counts via list_distinct, top word-bigram per doc via the same
     // count-DESC-then-bigram-ASC window, all-gate-columns integer

@@ -154,6 +154,23 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Per-source corpus curation report — the mixture dashboard every
+    * training-data pipeline keeps: one row per source with document counts,
+    * exact-duplicate rates (md5 content hash), and char/word/token volume,
+    * for deciding per-source sampling weights and spotting boilerplate-heavy
+    * sources. One hash-aggregate keyed on the source column (partial
+    * aggregation map-side; countDistinct expands to the standard two-phase
+    * plan) — no other shuffle, scales with distinct sources not rows.
+    */
+  def sourceReport(df: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(md5(col(textCol))).as("distinct_docs"),
+        (count(lit(1)) - countDistinct(md5(col(textCol)))).as("duplicate_docs"),
+        sum(length(col(textCol))).as("chars_sum"),
+        sum(size(split(col(textCol), " "))).as("words_sum"),
+        sum(tokenCount(col(textCol))).as("tokens_sum"))
+
   /** Gopher-style repetition metrics per document — the standard quality
     * filters for LLM training corpora (Rae et al. 2021, table A1): documents
     * dominated by repeated lines or a single repeated n-gram are boilerplate

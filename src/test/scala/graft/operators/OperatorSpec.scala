@@ -291,6 +291,20 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.count() > 5) // multiple frames per video
   }
 
+  test("source report: per-source docs, dup rates, and volume") {
+    val sps = spark; import sps.implicits._
+    val df = Seq(
+      (1L, "alpha beta", "a"), (2L, "alpha beta", "a"), (3L, "gamma!", "a"),
+      (4L, "delta epsilon zeta", "b")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceReport(df, "text", "source")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("docs") == 3 && r("a").getAs[Long]("distinct_docs") == 2)
+    assert(r("a").getAs[Long]("duplicate_docs") == 1)
+    assert(r("a").getAs[Long]("words_sum") == 5) // 2 + 2 + 1
+    assert(r("a").getAs[Long]("tokens_sum") == 6) // "gamma!" tokenizes to 2
+    assert(r("b").getAs[Long]("docs") == 1 && r("b").getAs[Long]("duplicate_docs") == 0)
+  }
+
   test("repetition metrics: duplicate lines/words and deterministic top bigram") {
     val sps = spark; import sps.implicits._
     val df = Seq(
