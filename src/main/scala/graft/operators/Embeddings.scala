@@ -182,8 +182,77 @@ object Embeddings {
   /** Exact all-pairs cosine near-duplicates: the O(n^2) correctness
     * baseline (and the oracle-checkable gate); [[cosineNearDuplicates]] is
     * the LSH-bucketed scale path.
+    *
+    * Broadcast-blocked kernel: the self-join form materializes BOTH full
+    * vectors into every pair row (n^2/2 rows x 2 arrays — at 20k dim-64
+    * vectors that is ~200 GB of array copies through the join, measured
+    * 68 s at sf1), so instead the (id, vector, norm) table — a few MB per
+    * million-vector corpus — is broadcast once per executor and striped
+    * row-ranges compute the upper triangle in tight double-array loops,
+    * emitting only the above-threshold pairs. The stripe (i mod P)
+    * balances the triangular workload across tasks. Arithmetic is
+    * operation-for-operation identical to vec_dot / vec_norm (sequential
+    * fold, same order), so results are bit-equal to the join form —
+    * spec-asserted, and the DuckDB oracle is unchanged. Capped at 2M
+    * vectors: beyond that neither the broadcast NOR an O(n^2) pair count
+    * is viable — use the LSH path.
     */
   def cosineNearDuplicatesExact(embeddings: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val data: Array[(Long, Array[Double])] = embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case null => Double.NaN // NaN sim never passes the threshold,
+                                  // matching the join form's NULL-sim drop
+        }.toArray
+        (r.getLong(0), v)
+      }
+      .sortBy(_._1)
+    require(data.length <= 2000000,
+      s"cosineNearDuplicatesExact is the O(n^2) baseline, capped at 2M vectors " +
+        s"(got ${data.length}); use cosineNearDuplicates (LSH) at scale")
+    val withNorms: Array[(Long, Array[Double], Double)] = data.map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 } // == vec_norm fold
+      (id, v, math.sqrt(acc))
+    }
+    val bc = spark.sparkContext.broadcast(withNorms)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val n = withNorms.length
+    spark.range(0, n.toLong)
+      .repartition(parts, pmod(col("id"), lit(parts))) // stripe triangular load
+      .as[Long]
+      .mapPartitions { it =>
+        val vecs = bc.value
+        it.flatMap { i0 =>
+          val i = i0.toInt
+          val (idI, vi, ni) = vecs(i)
+          (i + 1 until vecs.length).iterator.flatMap { j =>
+            val (idJ, vj, nj) = vecs(j)
+            var s = 0.0; var k = 0
+            val len = math.min(vi.length, vj.length)
+            while (k < len) { s += vi(k) * vj(k); k += 1 } // == vec_dot fold
+            val sim = s / (ni * nj)
+            if (sim >= threshold) Iterator.single((idI, idJ, sim)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("id1", "id2", "sim")
+  }
+
+  /** The plan-native self-join form of [[cosineNearDuplicatesExact]], kept
+    * for cross-checking the blocked kernel (the spec asserts bit-equal
+    * results) and for callers who need the pair generation to stay inside
+    * Catalyst (e.g. to compose with further relational operators before
+    * the threshold filter).
+    */
+  def cosineNearDuplicatesExactJoin(embeddings: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     // norms computed once per VECTOR (n of them), not once per pair (n^2)
     val withNorm = embeddings.withColumn("__norm", vecNorm(col(vecCol)))

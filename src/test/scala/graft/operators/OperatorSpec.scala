@@ -121,6 +121,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ts.toSeq == ts.toSeq.distinct, "frame timestamps must be distinct")
   }
 
+  test("cosine exact: blocked kernel is bit-equal to the self-join form") {
+    val sps = spark; import sps.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "vec")
+    def norm(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val blocked = Embeddings.cosineNearDuplicatesExact(vecs, "vec", "vec_id", 0.3)
+      .collect().map(norm).sortBy(x => (x._1, x._2))
+    val joined = Embeddings.cosineNearDuplicatesExactJoin(vecs, "vec", "vec_id", 0.3)
+      .collect().map(norm).sortBy(x => (x._1, x._2))
+    assert(blocked.nonEmpty && blocked.sameElements(joined))
+  }
+
   test("embeddings: lsh near-duplicate pairs find identical vectors") {
     val sps = spark; import sps.implicits._
     val vecs = Seq(
