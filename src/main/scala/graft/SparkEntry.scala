@@ -173,6 +173,28 @@ object SparkEntry {
             sum(col("day_offset") * col("users")).cast("long").as("weighted_offsets"))
       }),
 
+      // as-of join: attach each purchase's most recent preceding click
+      // (same user, click ts <= purchase ts). The right side is unique on
+      // (user_id, ts) in this corpus, so DuckDB's native ASOF LEFT JOIN
+      // replays it exactly; aggregate to matched/unmatched counts plus
+      // exact id/lag checksums so every per-row match is on the hash path.
+      "q_asof_join" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = s.table("events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        Events.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+            Seq("click_id"))
+          .agg(count(lit(1)).cast("long").as("purchases"),
+            count(col("click_id")).cast("long").as("matched"),
+            sum(col("click_id")).cast("long").as("click_id_sum"),
+            sum(when(col("click_id").isNotNull,
+              col("event_id") * col("click_id") % lit(1000003L)))
+              .cast("long").as("pair_checksum"))
+      }),
+
       // --- duckdb hash surface ------------------------------------------
       "q_duckdb_hash" -> q("""
         SELECT o_orderkey, conv(hex(bitfilters_duckdb_hash('v1.5.1', o_orderkey)), 16, 10) AS h
@@ -750,6 +772,22 @@ object SparkEntry {
              CAST(SUM(users) AS BIGINT) AS user_days,
              CAST(SUM(day_offset * users) AS BIGINT) AS weighted_offsets
       FROM m""",
+    // native ASOF LEFT JOIN (inclusive l.ts >= r.ts) — right side unique
+    // on (user_id, ts), so the match DuckDB picks is the one match
+    "q_asof_join" -> """
+      WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+      j AS (
+        SELECT p.event_id, p.user_id, c.click_id
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+      SELECT CAST(COUNT(*) AS BIGINT) AS purchases,
+             CAST(COUNT(click_id) AS BIGINT) AS matched,
+             CAST(SUM(click_id) AS BIGINT) AS click_id_sum,
+             CAST(SUM(CASE WHEN click_id IS NOT NULL
+                           THEN event_id * click_id % 1000003 END) AS BIGINT) AS pair_checksum
+      FROM j""",
     "q_duckdb_hash" -> """
       SELECT o_orderkey, CAST(hash(o_orderkey) AS VARCHAR) AS h
       FROM orders ORDER BY o_orderkey""",

@@ -87,4 +87,61 @@ object Events {
       .groupBy("cohort", "day_offset")
       .agg(countDistinct("user").as("users"))
   }
+
+  /** As-of join: for every left row, attach the payload of the LATEST
+    * right row with the same key whose timestamp is <= the left row's
+    * timestamp (inclusive, DuckDB `ASOF JOIN ... ON l.ts >= r.ts`
+    * semantics; unmatched left rows keep NULL payloads like ASOF LEFT
+    * JOIN). `toleranceUs`, if set, voids matches older than that many
+    * microseconds.
+    *
+    * Scale shape: NOT a range join (no O(left × right-per-key) pair
+    * explosion) and not a per-key collect. Both sides are tagged and
+    * unioned, hash-partitioned on the key once, sorted within each
+    * partition by (ts, side) — right rows sort before left rows at equal
+    * timestamps so inclusive semantics fall out of the ordering — and the
+    * right payload is carried forward with `last(_, ignoreNulls)` over a
+    * running window. One shuffle total, O(1) carried state per key, skew
+    * bounded by per-key row counts.
+    *
+    * Right-side determinism: if several right rows share (key, ts), which
+    * one wins is tie-broken by the LAST payload in `rightOrderCols` order
+    * (DuckDB ASOF leaves this unspecified; pre-aggregate the right side
+    * to unique (key, ts) when replaying against it).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      toleranceUs: Option[Long] = None,
+      rightOrderCols: Seq[String] = Nil): DataFrame = {
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    val pay = payloadCols.map(c => col(c).as(s"__p_$c"))
+    val rTagged = right.select(
+      keyCols.map(col) ++ Seq(unix_micros(col(rightTs)).as("__us"), lit(0).as("__side"),
+        unix_micros(col(rightTs)).as("__rus")) ++ pay ++
+        rightOrderCols.map(c => col(c).as(s"__o_$c")): _*)
+    val lTagged = left
+      .withColumn("__us", unix_micros(col(leftTs)))
+      .withColumn("__side", lit(1))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // Right rows (__side=0) sort before left rows at the same __us, so a
+    // right event AT the left timestamp is visible — inclusive semantics.
+    val order = (col("__us").asc +: col("__side").asc +:
+      rightOrderCols.map(c => col(s"__o_$c").asc))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }.withColumn("__c_rus", last(col("__rus"), ignoreNulls = true).over(w))
+    val inTol = toleranceUs match {
+      case Some(t) => col("__c_rus").isNotNull && col("__us") - col("__c_rus") <= t
+      case None    => col("__c_rus").isNotNull
+    }
+    val out = payloadCols.foldLeft(carried.where(col("__side") === 1)) { (df, c) =>
+      df.withColumn(c, when(inTol, col(s"__c_$c")))
+    }
+    val helper = Seq("__us", "__side", "__rus", "__c_rus") ++
+      payloadCols.flatMap(c => Seq(s"__p_$c", s"__c_$c")) ++
+      rightOrderCols.map(c => s"__o_$c")
+    out.drop(helper: _*)
+  }
 }

@@ -179,6 +179,38 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("view", "click", "purchase")).count() == 1L)
   }
 
+  test("asof join: latest-at-or-before match, inclusive ties, tolerance, unmatched") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = spark.createDataFrame(Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")), // matches r2 (exactly at ts — inclusive)
+      (11L, 1L, ts("2024-01-01 10:30:00")), // matches r2 (still latest <=)
+      (12L, 1L, ts("2024-01-01 09:00:00")), // before any right row -> null
+      (13L, 2L, ts("2024-01-01 10:00:00"))  // key with no right rows -> null
+    )).toDF("event_id", "user_id", "ts")
+    val right = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 200L)
+    )).toDF("user_id", "ts", "click_id")
+    val out = Events.asofJoin(left, right, Seq("user_id"), "ts", "ts", Seq("click_id"))
+      .select("event_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    assert(out.toSeq == Seq((10L, 200L), (11L, 200L), (12L, -1L), (13L, -1L)), out.mkString(","))
+    // tolerance: 11 is 30min after r2 — a 10-minute tolerance voids it
+    val tol = Events.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), toleranceUs = Some(600000000L))
+      .select("event_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    assert(tol.toSeq == Seq((10L, 200L), (11L, -1L), (12L, -1L), (13L, -1L)), tol.mkString(","))
+    // right-side tie at the same (key, ts): rightOrderCols picks the LAST
+    val right2 = right.union(spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 150L))).toDF("user_id", "ts", "click_id"))
+    val tie = Events.asofJoin(left.where(col("event_id") === 10L), right2,
+        Seq("user_id"), "ts", "ts", Seq("click_id"), rightOrderCols = Seq("click_id"))
+      .select("click_id").collect().map(_.getLong(0))
+    assert(tie.toSeq == Seq(200L), tie.mkString(","))
+  }
+
   test("retention cohorts: first-date grouping, offsets, distinct user-days") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
