@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Embeddings, Events, Multimodal, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Events, Multimodal, Ranking, Sampling, TextAnalysis}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -171,6 +171,19 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("cells"),
             sum("users").cast("long").as("user_days"),
             sum(col("day_offset") * col("users")).cast("long").as("weighted_offsets"))
+      }),
+
+      // BM25 corpus search: top-20 docs for a 3-term query. Scores are
+      // micro-unit-rounded and the ordering is on the ROUNDED score (then
+      // doc_id), so the cross-engine compare never rests on a double tie.
+      "q_bm25" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Ranking.bm25(s.table("documents"), "text", "doc_id",
+            Seq("hash", "join", "vector"))
+          .select(col("doc_id"), col("dl"),
+            round(col("bm25") * lit(1e6)).cast("long").as("bm25_e6"))
+          .orderBy(col("bm25_e6").desc, col("doc_id"))
+          .limit(20)
       }),
 
       // as-of join: attach each purchase's most recent preceding click
@@ -772,6 +785,37 @@ object SparkEntry {
              CAST(SUM(users) AS BIGINT) AS user_days,
              CAST(SUM(day_offset * users) AS BIGINT) AS weighted_offsets
       FROM m""",
+    // BM25 replayed with the same fold order (term0 + term1 + term2) and
+    // the same Lucene idf; ln() is natural log in DuckDB (log() is base-10)
+    "q_bm25" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf2
+        FROM t),
+      s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+               CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+               CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+               CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        FROM tf)
+      SELECT doc_id, dl,
+             CAST(round((
+               ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2)
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2)
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2)
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) * 1e6) AS BIGINT) AS bm25_e6
+      FROM tf, s
+      ORDER BY bm25_e6 DESC, doc_id LIMIT 20""",
     // native ASOF LEFT JOIN (inclusive l.ts >= r.ts) — right side unique
     // on (user_id, ts), so the match DuckDB picks is the one match
     "q_asof_join" -> """

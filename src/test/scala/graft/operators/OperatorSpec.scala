@@ -211,6 +211,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tie.toSeq == Seq(200L), tie.mkString(","))
   }
 
+  test("bm25: exact Lucene-idf scores, zero for no-hit docs, dl normalization") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "spark spark query"),
+      (2L, "spark engine engine engine engine engine"),
+      (3L, "other words only")
+    )).toDF("doc_id", "text")
+    val out = Ranking.bm25(docs, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // replicate the formula by hand: N=3, df=2, avgdl=4, idf=ln(1+1.5/2.5)
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def score(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (12.0 / 3.0)))
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - score(2, 3)) < 1e-12)
+    assert(out(2L)._1 == 6L && math.abs(out(2L)._2 - score(1, 6)) < 1e-12)
+    assert(out(3L)._2 == 0.0)
+    // same tf, shorter doc wins (length normalization)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("retention cohorts: first-date grouping, offsets, distinct user-days") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
