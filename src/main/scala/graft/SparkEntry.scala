@@ -173,6 +173,20 @@ object SparkEntry {
             sum(col("day_offset") * col("users")).cast("long").as("weighted_offsets"))
       }),
 
+      // spherical k-means, one full Lloyd round (seed-assign -> exact
+      // micro-unit centroid update -> reassign); per-cluster membership
+      // and id-checksums put every assignment on the hash path
+      "q_kmeans" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        Embeddings.kmeansLloyd(emb, "vec", "vec_id", k = 8, iterations = 1)
+          .groupBy("cid")
+          .agg(count(lit(1)).cast("long").as("members"),
+            sum("vec_id").cast("long").as("id_sum"))
+          .orderBy("cid")
+      }),
+
       // BM25 corpus search: top-20 docs for a 3-term query. Scores are
       // micro-unit-rounded and the ordering is on the ROUNDED score (then
       // doc_id), so the cross-engine compare never rests on a double tie.
@@ -785,6 +799,32 @@ object SparkEntry {
              CAST(SUM(users) AS BIGINT) AS user_days,
              CAST(SUM(day_offset * users) AS BIGINT) AS weighted_offsets
       FROM m""",
+    // one Lloyd round replayed: same seeds (first 8 by vec_id), same
+    // argmax-cosine-ties-to-smallest-cid, same exact micro-unit centroid
+    // reconstruction CAST(s_e6 AS DOUBLE) / (CAST(m AS DOUBLE) * 1e6)
+    "q_kmeans" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      a0 AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c0.cv) DESC, c0.cid) AS rn
+        FROM e, c0) WHERE rn = 1),
+      dims AS (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a0),
+      sums AS (SELECT cid, i, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s_e6,
+                      COUNT(*) AS m
+               FROM dims GROUP BY cid, i),
+      c1 AS (SELECT cid, list(CAST(s_e6 AS DOUBLE) / (CAST(m AS DOUBLE) * 1e6)
+                              ORDER BY i) AS cv
+             FROM sums GROUP BY cid),
+      a1 AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c1.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c1.cv) DESC, c1.cid) AS rn
+        FROM e, c1) WHERE rn = 1)
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS members,
+             CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM a1 GROUP BY cid ORDER BY cid""",
     // BM25 replayed with the same fold order (term0 + term1 + term2) and
     // the same Lucene idf; ln() is natural log in DuckDB (log() is base-10)
     "q_bm25" -> """

@@ -276,6 +276,66 @@ object Embeddings {
       .where(col("sim") >= threshold)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("sim"))
   }
+
+  /** Spherical k-means (Lloyd's, cosine objective): assigns every vector
+    * to the nearest of k centroids, recomputing centroids `iterations`
+    * times. Returns (idCol, cid) for the final assignment. The IVF
+    * training step ([[ivfTopK]]'s `centroids` input) and the standard
+    * embedding-space clustering pass for corpus mixture analysis.
+    *
+    * Deterministic and oracle-replayable by construction:
+    *  - seeds are the first k vectors by `idCol`;
+    *  - assignment is argmax cosine with ties to the smallest cid;
+    *  - the centroid mean is computed in EXACT micro-unit longs
+    *    (`sum(round(x*1e6))` per dimension, an order-independent integer
+    *    sum — a plain double sum would vary with shuffle order) and
+    *    reconstructed as `sum_e6 / (members * 1e6)` identically in any
+    *    engine that replays it. Clusters that lose all members drop out
+    *    (no respawn), also deterministically.
+    *
+    * Scale shape (MLlib's): centroids live on the driver (k×dim doubles —
+    * tiny by contract), assignment is a PURE MAP over constant-folded
+    * centroid literals (zero shuffle — no n×k window or group-by, which
+    * would amplify the corpus 16× at k=16), and each update is one
+    * posexplode + partially-aggregated groupBy(cid, dim) shuffle carrying
+    * only k·dim rows per map partition. One driver action per iteration,
+    * like every production Lloyd's.
+    */
+  def kmeansLloyd(embeddings: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int = 1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iterations >= 0, "iterations must be >= 0")
+    var cents: Seq[(Long, Seq[Double])] =
+      embeddings.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "no vectors to cluster")
+    def assigned: DataFrame = {
+      val scored = cents.map { case (cid, cv) =>
+        val cl = typedlit(cv)
+        val sim = vecDot(col(vecCol), cl) / (vecNorm(col(vecCol)) * vecNorm(cl))
+        struct(sim.as("sim"), lit(-cid).as("ncid"))
+      }
+      val best =
+        if (scored.size == 1) scored.head else greatest(scored: _*)
+      embeddings.withColumn("cid", -best.getField("ncid"))
+    }
+    for (_ <- 1 to iterations) {
+      val perDim = assigned
+        .select(col("cid"), posexplode(col(vecCol)))
+        .groupBy("cid", "pos")
+        .agg(sum(round(col("col") * lit(1e6)).cast("long")).as("s_e6"),
+          count(lit(1)).cast("long").as("members"))
+        .collect()
+      cents = perDim.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        val dims = rows.sortBy(_.getInt(1)).map { r =>
+          r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e6)
+        }
+        (cid, dims.toSeq)
+      }.sortBy(_._1)
+    }
+    assigned.select(col(idCol), col("cid"))
+  }
 }
 
 /** Random-hyperplane signature: bit j of the result is the sign of

@@ -211,6 +211,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tie.toSeq == Seq(200L), tie.mkString(","))
   }
 
+  test("kmeans: Lloyd round separates obvious clusters; ties to smallest cid") {
+    // two tight direction bundles; seeds (first 2 by id) land one in each
+    val vecs = spark.createDataFrame(Seq(
+      (1L, Seq(1.0, 0.0, 0.1)), (2L, Seq(0.0, 1.0, 0.1)),
+      (3L, Seq(0.9, 0.1, 0.1)), (4L, Seq(0.1, 0.9, 0.1)),
+      (5L, Seq(1.0, 0.1, 0.0)), (6L, Seq(0.1, 1.0, 0.0))
+    )).toDF("vec_id", "vec")
+    val out = Embeddings.kmeansLloyd(vecs, "vec", "vec_id", k = 2, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(3L) == 1L && out(5L) == 1L, out.toString)
+    assert(out(2L) == 2L && out(4L) == 2L && out(6L) == 2L, out.toString)
+    // iterations = 0 is the pure seed assignment and k=1 is total
+    val one = Embeddings.kmeansLloyd(vecs, "vec", "vec_id", k = 1, iterations = 0)
+      .select("cid").distinct().collect().map(_.getLong(0))
+    assert(one.toSeq == Seq(1L))
+  }
+
   test("bm25: exact Lucene-idf scores, zero for no-hit docs, dl normalization") {
     val docs = spark.createDataFrame(Seq(
       (1L, "spark spark query"),
