@@ -173,6 +173,21 @@ object SparkEntry {
             sum(col("day_offset") * col("users")).cast("long").as("weighted_offsets"))
       }),
 
+      // corpus-level exact span dedup: 8-token windows occurring >= 2
+      // times anywhere are removed (first occurrence kept); the rebuilt
+      // texts ride the hash path via md5-prefix checksums
+      "q_span_dedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Dedup.dropDuplicateSpans(s.table("documents"), "text", "doc_id",
+            spanTokens = 8, minCount = 2, keepFirst = true)
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("spans").cast("long").as("spans"),
+            sum("removed").cast("long").as("removed"),
+            sum(length(col("text_deduped"))).cast("long").as("chars"),
+            sum(conv(substring(md5(col("text_deduped")), 1, 15), 16, 10)
+              .cast("long") % 1000000000L).cast("long").as("checksum"))
+      }),
+
       // spherical k-means, one full Lloyd round (seed-assign -> exact
       // micro-unit centroid update -> reassign); per-cluster membership
       // and id-checksums put every assignment on the hash path
@@ -799,6 +814,40 @@ object SparkEntry {
              CAST(SUM(users) AS BIGINT) AS user_days,
              CAST(SUM(day_offset * users) AS BIGINT) AS weighted_offsets
       FROM m""",
+    // full span-dedup replay: same windows, same md5 keys, same packed
+    // keep-first winner, same rebuild order
+    "q_span_dedup" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sp AS (
+        SELECT doc_id, i, array_to_string(toks[i*8+1 : i*8+8], ' ') AS span,
+               md5(array_to_string(toks[i*8+1 : i*8+8], ' ')) AS h,
+               doc_id * 1000000 + i AS packed
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+              FROM t)),
+      g AS (SELECT h, COUNT(*) AS cnt, MIN(packed) AS fst FROM sp GROUP BY h),
+      k AS (SELECT sp.doc_id, sp.i, sp.span,
+                   (g.cnt < 2 OR sp.packed = g.fst) AS keep
+            FROM sp JOIN g USING (h)),
+      reb AS (
+        SELECT doc_id, COUNT(*) AS spans,
+               SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS removed,
+               string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY i) AS newt
+        FROM k GROUP BY doc_id),
+      f AS (
+        SELECT d.doc_id, coalesce(reb.newt, '') AS newt,
+               coalesce(reb.spans, 0) AS spans, coalesce(reb.removed, 0) AS removed
+        FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(spans) AS BIGINT) AS spans,
+             CAST(SUM(removed) AS BIGINT) AS removed,
+             CAST(SUM(length(newt)) AS BIGINT) AS chars,
+             CAST(SUM(CAST(('0x' || substring(md5(newt), 1, 15)) AS BIGINT)
+                      % 1000000000) AS BIGINT) AS checksum
+      FROM f""",
     // one Lloyd round replayed: same seeds (first 8 by vec_id), same
     // argmax-cosine-ties-to-smallest-cid, same exact micro-unit centroid
     // reconstruction CAST(s_e6 AS DOUBLE) / (CAST(m AS DOUBLE) * 1e6)

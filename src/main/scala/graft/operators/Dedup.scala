@@ -417,4 +417,66 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Corpus-level exact SPAN dedup (the fixed-granularity form of
+    * Lee et al.'s "Deduplicating Training Data" exact-substring pass, and
+    * the span analogue of RefinedWeb's repeated-line removal): every
+    * document is cut into consecutive `spanTokens`-token windows, spans
+    * whose text occurs >= `minCount` times across the WHOLE corpus are
+    * removed from every document — except, with `keepFirst`, the single
+    * occurrence with the smallest (doc_id, position) keeps its copy — and
+    * each document's text is rebuilt from its surviving spans. Documents
+    * left with no spans survive with empty text (drop them with a trivial
+    * filter if unwanted).
+    *
+    * Returns (idCol, new text under `outCol`, `spans` total, `removed`).
+    *
+    * Scale shape: span counting groups on the span's md5 (16-byte keys in
+    * the exchange, never the span text), the survivors join is
+    * co-partitioned with that aggregate, and the rebuild is one
+    * document-keyed aggregation joined back to the input — every stage a
+    * keyed shuffle with map-side partial aggregation, nothing quadratic,
+    * no driver state. Identical plan at any corpus size.
+    *
+    * Every step is plain string/hash arithmetic, so another engine can
+    * replay the whole pass exactly (the q_span_dedup DuckDB oracle does).
+    */
+  def dropDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8, minCount: Int = 2, keepFirst: Boolean = true,
+      outCol: String = "text_deduped"): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    require(minCount >= 2, "minCount must be >= 2 (1 would remove everything)")
+    val w = spanTokens
+    // packed occurrence id for the deterministic keep-first winner; spans
+    // per doc bounded by 1e6 tokens/span-width — far above any real doc
+    val spans = df
+      .select(col(idCol).cast("long").as("__id"),
+        filter(split(col(textCol), "\\s+"), t => t =!= lit("")).as("__toks"))
+      // guard the empty case: Spark's sequence(0, -1) counts DOWN ([0,-1])
+      // rather than returning an empty array
+      .select(col("__id"), posexplode(expr(
+        s"CASE WHEN size(__toks) = 0 THEN array() ELSE " +
+        s"transform(sequence(0, CAST(ceil(size(__toks) / ${w}.0) AS INT) - 1), " +
+        s"i -> concat_ws(' ', slice(__toks, i * $w + 1, $w))) END")))
+      .select(col("__id"), col("pos").cast("long").as("__pos"), col("col").as("__span"),
+        md5(col("col")).as("__h"),
+        (col("__id") * lit(1000000L) + col("pos")).as("__packed"))
+    val counts = spans.groupBy("__h")
+      .agg(count(lit(1)).cast("long").as("__cnt"), min("__packed").as("__first"))
+    val keep = col("__cnt") < lit(minCount.toLong) ||
+      (if (keepFirst) col("__packed") === col("__first") else lit(false))
+    val surviving = spans.join(counts, "__h").withColumn("__keep", keep)
+    val rebuilt = surviving.groupBy("__id")
+      .agg(count(lit(1)).cast("long").as("spans"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).cast("long").as("removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__span"))))),
+          s => s.getField("__span"))).as(outCol))
+    df.select(col(idCol)).join(
+        rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(outCol), lit("")).as(outCol),
+        coalesce(col("spans"), lit(0L)).as("spans"),
+        coalesce(col("removed"), lit(0L)).as("removed"))
+  }
 }

@@ -211,6 +211,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tie.toSeq == Seq(200L), tie.mkString(","))
   }
 
+  test("span dedup: corpus-wide removal, keep-first winner, empty-doc survival") {
+    // span width 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [a b]
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "a b"), (4L, "")
+    )).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, "text", "doc_id",
+        spanTokens = 2, minCount = 2, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // "a b" occurs 3x: doc 1 (smallest packed id) keeps it, docs 2/3 lose it
+    assert(out(1L) == (("a b c d", 2L, 0L)), out(1L).toString)
+    assert(out(2L) == (("x y", 2L, 1L)), out(2L).toString)
+    assert(out(3L) == (("", 1L, 1L)), out(3L).toString)
+    assert(out(4L) == (("", 0L, 0L)), out(4L).toString)
+    // keepFirst = false removes every copy
+    val all = Dedup.dropDuplicateSpans(docs, "text", "doc_id",
+        spanTokens = 2, minCount = 2, keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "c d" && all(2L) == "x y" && all(3L) == "")
+  }
+
   test("kmeans: Lloyd round separates obvious clusters; ties to smallest cid") {
     // two tight direction bundles; seeds (first 2 by id) land one in each
     val vecs = spark.createDataFrame(Seq(
