@@ -173,6 +173,20 @@ object SparkEntry {
             sum(col("day_offset") * col("users")).cast("long").as("weighted_offsets"))
       }),
 
+      // unigram-LM surprisal (perplexity-filter lite): per-token micro-
+      // unit logprobs integer-summed per doc, rolled up per source so
+      // every token's probability is on the hash path
+      "q_unigram_lp" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val scored = Ranking.unigramLogProb(s.table("documents"), "text", "doc_id")
+        scored.join(s.table("documents").select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("tokens").cast("long").as("tokens"),
+            sum("lp_e6").cast("long").as("lp_e6_sum"))
+          .orderBy("source")
+      }),
+
       // corpus-level exact span dedup: 8-token windows occurring >= 2
       // times anywhere are removed (first occurrence kept); the rebuilt
       // texts ride the hash path via md5-prefix checksums
@@ -814,6 +828,28 @@ object SparkEntry {
              CAST(SUM(users) AS BIGINT) AS user_days,
              CAST(SUM(day_offset * users) AS BIGINT) AS weighted_offsets
       FROM m""",
+    // unigram surprisal replay: identical tokenization, identical
+    // micro-unit per-token rounding, integer per-doc/per-source sums
+    "q_unigram_lp" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents),
+      f AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+      tot AS (SELECT SUM(cnt) AS total FROM f),
+      lp AS (SELECT t, CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                                  * 1e6) AS BIGINT) AS lp_e6
+             FROM f, tot),
+      d AS (SELECT tok.doc_id, COUNT(*) AS toks, SUM(lp.lp_e6) AS lp_sum
+            FROM tok JOIN lp ON tok.t = lp.t GROUP BY tok.doc_id),
+      j AS (SELECT doc.doc_id, doc.source,
+                   coalesce(d.toks, 0) AS toks, coalesce(d.lp_sum, 0) AS lp_sum
+            FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(toks) AS BIGINT) AS tokens,
+             CAST(SUM(lp_sum) AS BIGINT) AS lp_e6_sum
+      FROM j GROUP BY source ORDER BY source""",
     // full span-dedup replay: same windows, same md5 keys, same packed
     // keep-first winner, same rebuild order
     "q_span_dedup" -> """

@@ -53,4 +53,56 @@ object Ranking {
     }.reduceLeft(_ + _)
     joined.select(col(idCol), col("dl"), score.as("bm25"))
   }
+
+  /** Unigram language-model surprisal per document — the cheap form of
+    * the CCNet/perplexity quality filter: documents whose tokens are
+    * collectively improbable under a reference unigram distribution are
+    * boilerplate/gibberish candidates.
+    *
+    * Returns (idCol, `tokens`, `lp_e6` = Σ_occurrences round(ln(p(t))·1e6),
+    * `bits_per_token` = -lp_e6 / (tokens·1e6·ln 2)). The per-TOKEN log
+    * probability is rounded to micro-units FIRST and the per-document
+    * score is an integer sum — order-independent, so the whole scorer
+    * replays exactly in any engine regardless of shuffle order (a raw
+    * double sum would not). Documents with zero tokens score (0, 0, 0.0).
+    *
+    * `lm`: optional (token, cnt) reference distribution (train on a clean
+    * corpus, score a crawl); defaults to self-training on `docs`. Tokens
+    * absent from the LM get the add-one floor ln(1/(total+1)).
+    *
+    * Scale shape: one token-keyed aggregate for the LM (map-side partial),
+    * the scoring join co-partitioned on the same key (vocabularies are
+    * corpus-scale — NOT broadcast), one document-keyed rollup. Three keyed
+    * shuffles total, nothing quadratic, no driver state.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      lm: Option[DataFrame] = None): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))).as("__t"))
+    val freq = lm.getOrElse(
+      toks.groupBy(col("__t").as("token")).agg(count(lit(1)).cast("long").as("cnt")))
+      .select(col("token"), col("cnt").cast("long").as("cnt"))
+    val total = freq.agg(sum("cnt").cast("long").as("total"))
+    val lp = freq.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("total").cast("double")) * lit(1e6))
+          .cast("long").as("__lp_e6"))
+    val floor = total.select(
+      round(log(lit(1.0) / (col("total") + lit(1L)).cast("double")) * lit(1e6))
+        .cast("long").as("__floor_e6"))
+    val scored = toks.join(lp, col("__t") === col("token"), "left")
+      .crossJoin(broadcast(floor))
+      .select(col(idCol), coalesce(col("__lp_e6"), col("__floor_e6")).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("tokens"), sum("__lp").cast("long").as("lp_e6"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("lp_e6"), lit(0L)).as("lp_e6"))
+      .withColumn("bits_per_token",
+        when(col("tokens") > 0,
+          -col("lp_e6").cast("double") /
+            (col("tokens").cast("double") * lit(1e6) * lit(math.log(2.0))))
+          .otherwise(lit(0.0)))
+  }
 }

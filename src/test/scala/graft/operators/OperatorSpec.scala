@@ -211,6 +211,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tie.toSeq == Seq(200L), tie.mkString(","))
   }
 
+  test("unigram logprob: exact micro-unit sums, OOV floor, empty docs") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a a b"), (2L, "b"), (3L, "")
+    )).toDF("doc_id", "text")
+    // self-trained: p(a)=2/4, p(b)=2/4
+    val lpHalf = math.round(math.log(2.0 / 4.0) * 1e6)
+    val out = Ranking.unigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3 * lpHalf, out(1L).toString)
+    assert(out(2L)._1 == 1L && out(2L)._2 == lpHalf)
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    // bits/token of a p=1/2 unigram stream is exactly ~1 bit
+    assert(math.abs(out(1L)._3 - 1.0) < 1e-4, out(1L)._3.toString)
+    // external LM: token 'z' is OOV -> add-one floor ln(1/(total+1))
+    val lm = spark.createDataFrame(Seq(("a", 3L), ("b", 1L))).toDF("token", "cnt")
+    val floor = math.round(math.log(1.0 / 5.0) * 1e6)
+    val ext = Ranking.unigramLogProb(
+        spark.createDataFrame(Seq((9L, "z a"))).toDF("doc_id", "text"),
+        "text", "doc_id", lm = Some(lm))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ext(9L) == floor + math.round(math.log(3.0 / 4.0) * 1e6), ext.toString)
+  }
+
   test("span dedup: corpus-wide removal, keep-first winner, empty-doc survival") {
     // span width 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [a b]
     val docs = spark.createDataFrame(Seq(
