@@ -414,8 +414,11 @@ object Dedup {
             named_struct('id1', a.doc_id, 'id2', b.doc_id,
               'hamming', bit_count(a.simhash ^ b.simhash)))))""")).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.hamming").as("hamming"))
-      .dropDuplicates("id1", "id2")
+      // filter BEFORE the dedup: hamming is a function of the pair, so the
+      // result set is identical, but only actual near-dups (not the full
+      // quadratic in-bucket candidate set) pay the dropDuplicates shuffle
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
   }
 
   /** Corpus-level exact SPAN dedup (the fixed-granularity form of
