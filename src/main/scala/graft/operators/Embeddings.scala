@@ -265,14 +265,23 @@ object Embeddings {
 
   /** All pairs with cosine >= threshold via LSH buckets + exact verify.
     * The embedding-cosine near-duplicate detector for dedup pipelines.
+    *
+    * Norms are projected ONCE per vector before the bucket join (the
+    * in-bucket verify is quadratic, so a per-pair vecNorm would redo ~2/3
+    * of the arithmetic k times per bucket row); `vecDot / (norm_a·norm_b)`
+    * is the exact expression `cosine` expands to, so the pair set and sim
+    * values are bit-identical to the naive form.
     */
   def cosineNearDuplicates(embeddings: DataFrame, vecCol: String, idCol: String,
       threshold: Double, prefixBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val sigged = embeddings.withColumn("__bucket",
-      shiftrightunsigned(hyperplaneSignature(col(vecCol), 64, seed), 64 - prefixBits))
+    val sigged = embeddings
+      .withColumn("__bucket",
+        shiftrightunsigned(hyperplaneSignature(col(vecCol), 64, seed), 64 - prefixBits))
+      .withColumn("__norm", vecNorm(col(vecCol)))
     sigged.as("a").join(sigged.as("b"),
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("sim", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .withColumn("sim",
+        vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) / (col("a.__norm") * col("b.__norm")))
       .where(col("sim") >= threshold)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("sim"))
   }
@@ -303,6 +312,23 @@ object Embeddings {
     */
   def kmeansLloyd(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, iterations: Int = 1): DataFrame = {
+    val cents = kmeansFit(embeddings, vecCol, idCol, k, iterations)
+    kmeansAssign(embeddings, vecCol, cents).select(col(idCol), col("cid"))
+  }
+
+  /** The trained centroids themselves as a (cid, cvec) frame — feed this
+    * to [[ivfTopK]]'s `centroids` parameter for Lloyd-balanced IVF cells.
+    * Same determinism contract as [[kmeansLloyd]].
+    */
+  def kmeansCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    kmeansFit(embeddings, vecCol, idCol, k, iterations).toDF("cid", "cvec")
+  }
+
+  private def kmeansFit(embeddings: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int): Seq[(Long, Seq[Double])] = {
     require(k >= 1, "k must be >= 1")
     require(iterations >= 0, "iterations must be >= 0")
     var cents: Seq[(Long, Seq[Double])] =
@@ -310,18 +336,8 @@ object Embeddings {
         .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
         .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
     require(cents.nonEmpty, "no vectors to cluster")
-    def assigned: DataFrame = {
-      val scored = cents.map { case (cid, cv) =>
-        val cl = typedlit(cv)
-        val sim = vecDot(col(vecCol), cl) / (vecNorm(col(vecCol)) * vecNorm(cl))
-        struct(sim.as("sim"), lit(-cid).as("ncid"))
-      }
-      val best =
-        if (scored.size == 1) scored.head else greatest(scored: _*)
-      embeddings.withColumn("cid", -best.getField("ncid"))
-    }
     for (_ <- 1 to iterations) {
-      val perDim = assigned
+      val perDim = kmeansAssign(embeddings, vecCol, cents)
         .select(col("cid"), posexplode(col(vecCol)))
         .groupBy("cid", "pos")
         .agg(sum(round(col("col") * lit(1e6)).cast("long")).as("s_e6"),
@@ -334,7 +350,19 @@ object Embeddings {
         (cid, dims.toSeq)
       }.sortBy(_._1)
     }
-    assigned.select(col(idCol), col("cid"))
+    cents
+  }
+
+  private def kmeansAssign(embeddings: DataFrame, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val scored = cents.map { case (cid, cv) =>
+      val cl = typedlit(cv)
+      val sim = vecDot(col(vecCol), cl) / (vecNorm(col(vecCol)) * vecNorm(cl))
+      struct(sim.as("sim"), lit(-cid).as("ncid"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    embeddings.withColumn("cid", -best.getField("ncid"))
   }
 }
 

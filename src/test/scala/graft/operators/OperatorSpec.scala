@@ -269,6 +269,20 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = Embeddings.kmeansLloyd(vecs, "vec", "vec_id", k = 1, iterations = 0)
       .select("cid").distinct().collect().map(_.getLong(0))
     assert(one.toSeq == Seq(1L))
+    // trained centroids feed ivfTopK and are the exact per-cluster means
+    val cents = Embeddings.kmeansCentroids(vecs, "vec", "vec_id", k = 2, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet == Set(1L, 2L))
+    // cluster 1 members are vecs 1/3/5 with dim-0 values 1.0, 0.9, 1.0
+    assert(math.abs(cents(1L).head -
+      (math.round(1.0 * 1e6) + math.round(0.9 * 1e6) + math.round(1.0 * 1e6)).toDouble
+        / (3.0 * 1e6)) < 1e-12, cents(1L).toString)
+    val ivf = Embeddings.ivfTopK(vecs, "vec", "vec_id",
+      vecs.where(col("vec_id") === 1L).select(col("vec_id").as("qid"), col("vec").as("qvec")),
+      "qvec", "qid", k = 2, nlist = 2, nprobe = 1,
+      centroids = Some(Embeddings.kmeansCentroids(vecs, "vec", "vec_id", 2, 2)
+        .select(col("cid"), col("cvec"))))
+    assert(ivf.count() == 2L)
   }
 
   test("bm25: exact Lucene-idf scores, zero for no-hit docs, dl normalization") {
