@@ -173,6 +173,16 @@ object SparkEntry {
             sum(col("day_offset") * col("users")).cast("long").as("weighted_offsets"))
       }),
 
+      // inverted index: build token -> postings, answer a 3-term AND
+      // without touching the corpus; result is the exact doc_id list
+      "q_inverted_index" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val idx = graft.sources.InvertedIndex.build(
+          s.table("documents"), "text", "doc_id")
+        graft.sources.InvertedIndex.search(idx, Seq("hash", "join", "vector"))
+          .orderBy("doc_id")
+      }),
+
       // unigram-LM surprisal (perplexity-filter lite): per-token micro-
       // unit logprobs integer-summed per doc, rolled up per source so
       // every token's probability is on the hash path
@@ -828,6 +838,17 @@ object SparkEntry {
              CAST(SUM(users) AS BIGINT) AS user_days,
              CAST(SUM(day_offset * users) AS BIGINT) AS weighted_offsets
       FROM m""",
+    // docs containing all three tokens, replayed straight off the text
+    "q_inverted_index" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents)
+      SELECT doc_id FROM tok
+      WHERE t IN ('hash', 'join', 'vector')
+      GROUP BY doc_id HAVING COUNT(DISTINCT t) = 3
+      ORDER BY doc_id""",
     // unigram surprisal replay: identical tokenization, identical
     // micro-unit per-token rounding, integer per-doc/per-source sums
     "q_unigram_lp" -> """
