@@ -914,7 +914,7 @@ object SparkEntry {
       a0 AS (SELECT vec_id, v, cid FROM (
         SELECT e.vec_id, e.v, c0.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.v, c0.cv) DESC, c0.cid) AS rn
+                 ORDER BY round(list_cosine_similarity(e.v, c0.cv) * 1e6) DESC, c0.cid) AS rn
         FROM e, c0) WHERE rn = 1),
       dims AS (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a0),
       sums AS (SELECT cid, i, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s_e6,
@@ -926,7 +926,7 @@ object SparkEntry {
       a1 AS (SELECT vec_id, cid FROM (
         SELECT e.vec_id, c1.cid,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.v, c1.cv) DESC, c1.cid) AS rn
+                 ORDER BY round(list_cosine_similarity(e.v, c1.cv) * 1e6) DESC, c1.cid) AS rn
         FROM e, c1) WHERE rn = 1)
       SELECT cid, CAST(COUNT(*) AS BIGINT) AS members,
              CAST(SUM(vec_id) AS BIGINT) AS id_sum

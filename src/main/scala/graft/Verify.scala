@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: run only the named gates (local iteration aid)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val failed = selected.flatMap { case (name, fn) =>
       try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name"); None }
       catch { case e: Throwable =>
@@ -40,6 +44,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -201,8 +201,14 @@ object Embeddings {
       threshold: Double): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val data: Array[(Long, Array[Double])] = embeddings
-      .select(col(idCol).cast("long"), col(vecCol))
+    val selected = embeddings.select(col(idCol).cast("long"), col(vecCol))
+    // Enforce the cap BEFORE collect(): a limit-probe for row 2M+1 is cheap
+    // and keeps an oversized input from materializing on the driver first.
+    val overCap = selected.select(lit(1)).limit(2000001).count()
+    require(overCap <= 2000000,
+      s"cosineNearDuplicatesExact is the O(n^2) baseline, capped at 2M vectors " +
+        s"(input exceeds the cap); use cosineNearDuplicates (LSH) at scale")
+    val data: Array[(Long, Array[Double])] = selected
       .collect()
       .map { r =>
         val v = r.getSeq[Any](1).map {
@@ -214,9 +220,6 @@ object Embeddings {
         (r.getLong(0), v)
       }
       .sortBy(_._1)
-    require(data.length <= 2000000,
-      s"cosineNearDuplicatesExact is the O(n^2) baseline, capped at 2M vectors " +
-        s"(got ${data.length}); use cosineNearDuplicates (LSH) at scale")
     val withNorms: Array[(Long, Array[Double], Double)] = data.map { case (id, v) =>
       var acc = 0.0; var i = 0
       while (i < v.length) { acc += v(i) * v(i); i += 1 } // == vec_norm fold
@@ -357,8 +360,13 @@ object Embeddings {
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val scored = cents.map { case (cid, cv) =>
       val cl = typedlit(cv)
+      // Argmax over the micro-unit-ROUNDED similarity: Spark folds
+      // dot/(sqrt(a)*sqrt(b)) sequentially while DuckDB's
+      // list_cosine_similarity computes dot/sqrt(a*b), so raw-double argmax
+      // could flip near-tie assignments on ULP divergence. Rounding both
+      // sides to 1e-6 (ties to smaller cid) makes the compare integer-robust.
       val sim = vecDot(col(vecCol), cl) / (vecNorm(col(vecCol)) * vecNorm(cl))
-      struct(sim.as("sim"), lit(-cid).as("ncid"))
+      struct(round(sim * lit(1e6)).cast("long").as("sim_e6"), lit(-cid).as("ncid"))
     }
     val best =
       if (scored.size == 1) scored.head else greatest(scored: _*)

@@ -114,6 +114,16 @@ object Events {
       toleranceUs: Option[Long] = None,
       rightOrderCols: Seq[String] = Nil): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    // The helper columns below would silently overwrite (or be dropped with)
+    // same-named input columns, corrupting results — fail fast instead.
+    val reserved = Seq("__us", "__side", "__rus", "__c_rus") ++
+      payloadCols.flatMap(c => Seq(s"__p_$c", s"__c_$c")) ++
+      rightOrderCols.map(c => s"__o_$c")
+    for ((side, df) <- Seq("left" -> left, "right" -> right)) {
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(clash.isEmpty,
+        s"asofJoin $side input contains reserved helper column(s) ${clash.mkString(", ")}; rename them before the join")
+    }
     val pay = payloadCols.map(c => col(c).as(s"__p_$c"))
     val rTagged = right.select(
       keyCols.map(col) ++ Seq(unix_micros(col(rightTs)).as("__us"), lit(0).as("__side"),
@@ -139,9 +149,6 @@ object Events {
     val out = payloadCols.foldLeft(carried.where(col("__side") === 1)) { (df, c) =>
       df.withColumn(c, when(inTol, col(s"__c_$c")))
     }
-    val helper = Seq("__us", "__side", "__rus", "__c_rus") ++
-      payloadCols.flatMap(c => Seq(s"__p_$c", s"__c_$c")) ++
-      rightOrderCols.map(c => s"__o_$c")
-    out.drop(helper: _*)
+    out.drop(reserved: _*)
   }
 }

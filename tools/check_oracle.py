@@ -33,8 +33,16 @@ for name in sorted(written):
         continue
     timer = None
     timed_out = []
+    # done flag guards the race where the timer fires after fetchdf() returns
+    # but before cancel(): a late interrupt() would abort the NEXT oracle on
+    # the shared connection and count it as a real failure
+    done = threading.Event()
     if timeout_s > 0:
-        timer = threading.Timer(timeout_s, lambda: (timed_out.append(1), con.interrupt()))
+        def _interrupt():
+            if not done.is_set():
+                timed_out.append(1)
+                con.interrupt()
+        timer = threading.Timer(timeout_s, _interrupt)
         timer.start()
     try:
         oracle_df = con.execute(oracles[name]).fetchdf()
@@ -46,6 +54,7 @@ for name in sorted(written):
             fail += 1
         continue
     finally:
+        done.set()
         if timer: timer.cancel()
     s = spark_df[sorted(spark_df.columns)].astype(str).sort_values(by=sorted(spark_df.columns)).reset_index(drop=True)
     o = oracle_df[sorted(oracle_df.columns)].astype(str).sort_values(by=sorted(oracle_df.columns)).reset_index(drop=True)
