@@ -145,6 +145,38 @@ object GraftFunctions {
         "bits - optional INTEGER constant signature width (default 64)",
         "seed - optional BIGINT constant hyperplane seed (default 42)"),
       ex("SELECT hyperplane_signature(embedding, 16) FROM embeddings;")),
+    "hll_sketch" -> FnDoc(
+      arg("p - INTEGER constant in [4,18]; 2^p one-byte registers",
+        "hash_or_blob - BIGINT pre-hashed key to add, or BINARY hll blob to register-max merge"),
+      ex("SELECT hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(2),(2) t(x);",
+        "SELECT hll_sketch(12, s) FROM per_group_sketches; -- blob merge")),
+    "hll_estimate" -> FnDoc(
+      arg("sketch - BINARY hll blob"),
+      ex("SELECT hll_estimate(hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', x))) FROM VALUES (1),(2),(2) t(x);")),
+    "hll_registers" -> FnDoc(
+      arg("sketch - BINARY hll blob"),
+      ex("SELECT size(filter(hll_registers(s), r -> r = 0)) AS empty_buckets FROM sketches;")),
+    "cms_sketch" -> FnDoc(
+      arg("depth - INTEGER constant in [1,8], number of hash rows",
+        "log2_width - INTEGER constant in [4,24]; 2^log2_width counters per row",
+        "hash_or_blob - BIGINT pre-hashed key to count, or BINARY cms blob to counter-sum merge"),
+      ex("SELECT cms_sketch(4, 14, bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(1),(2) t(x);")),
+    "cms_estimate" -> FnDoc(
+      arg("sketch - BINARY cms blob", "hash - BIGINT pre-hashed probe key"),
+      ex("SELECT cms_estimate(s, bitfilters_duckdb_hash('v1.5.1', 42)) FROM sketches;")),
+    "kmv_sketch" -> FnDoc(
+      arg("k - INTEGER constant in [1,1048576], retained minima",
+        "hash_or_blob - BIGINT pre-hashed key, or BINARY kmv blob to bottom-k union merge"),
+      ex("SELECT kmv_sketch(256, bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(2),(2) t(x);")),
+    "kmv_estimate" -> FnDoc(
+      arg("sketch - BINARY kmv blob"),
+      ex("SELECT kmv_estimate(kmv_sketch(256, bitfilters_duckdb_hash('v1.5.1', x))) FROM VALUES (1),(2),(2) t(x);")),
+    "kmv_values" -> FnDoc(
+      arg("sketch - BINARY kmv blob"),
+      ex("SELECT size(kmv_values(s)) AS stored FROM sketches;")),
+    "kmv_intersect_count" -> FnDoc(
+      arg("a - BINARY kmv blob", "b - BINARY kmv blob"),
+      ex("SELECT kmv_intersect_count(a.s, b.s) / CAST(256 AS DOUBLE) AS jaccard_est FROM sa a, sb b;")),
   )
 
   /** (name, usage, builder) for every SQL function we expose. */
@@ -246,6 +278,35 @@ object GraftFunctions {
         val seed = if (args.size >= 3) AggUtil.foldableLong(args(2), "seed") else 42L
         graft.operators.HyperplaneSignature(args(0), bits, seed)
       }),
+    // cardinality / frequency / set sketches (same create-agg + probe-scalar
+    // model as the filter families, SQL-replayable by construction)
+    ("hll_sketch",
+      "hll_sketch(p, hash_or_blob) - aggregate hashes (BIGINT) into a HyperLogLog BLOB with 2^p registers, or register-max merge hll BLOBs",
+      args => { arity("hll_sketch", 2, args); HllSketchAgg(args(0), args(1)) }),
+    ("hll_estimate",
+      "hll_estimate(sketch) - distinct-count estimate of an hll BLOB",
+      args => { arity("hll_estimate", 1, args); HllEstimate(args(0)) }),
+    ("hll_registers",
+      "hll_registers(sketch) - raw ARRAY<INT> registers of an hll BLOB",
+      args => { arity("hll_registers", 1, args); HllRegisters(args(0)) }),
+    ("cms_sketch",
+      "cms_sketch(depth, log2_width, hash_or_blob) - aggregate hashes into a Count-Min frequency BLOB, or counter-sum merge cms BLOBs",
+      args => { arity("cms_sketch", 3, args); CmsSketchAgg(args(0), args(1), args(2)) }),
+    ("cms_estimate",
+      "cms_estimate(sketch, hash) - frequency upper bound for a pre-hashed key",
+      args => { arity("cms_estimate", 2, args); CmsEstimate(args(0), args(1)) }),
+    ("kmv_sketch",
+      "kmv_sketch(k, hash_or_blob) - aggregate hashes into a k-minimum-values distinct sketch BLOB, or bottom-k union merge kmv BLOBs",
+      args => { arity("kmv_sketch", 2, args); KmvSketchAgg(args(0), args(1)) }),
+    ("kmv_estimate",
+      "kmv_estimate(sketch) - distinct-count estimate of a kmv BLOB (exact below k)",
+      args => { arity("kmv_estimate", 1, args); KmvEstimate(args(0)) }),
+    ("kmv_values",
+      "kmv_values(sketch) - stored bottom-k hashes of a kmv BLOB (ascending unsigned)",
+      args => { arity("kmv_values", 1, args); KmvValues(args(0)) }),
+    ("kmv_intersect_count",
+      "kmv_intersect_count(a, b) - KMV Jaccard numerator: |bottom-k(A ∪ B) ∩ A ∩ B| with k = min(ka, kb)",
+      args => { arity("kmv_intersect_count", 2, args); KmvIntersectCount(args(0), args(1)) }),
   )
 
   /** Idempotent programmatic registration into the session's function registry.

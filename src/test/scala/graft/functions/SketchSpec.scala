@@ -1,0 +1,242 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.GraftFunctions
+import graft.core._
+
+/** HLL / Count-Min / KMV sketch family: core semantics, wire round-trips,
+  * merge laws, and SQL end-to-end through real partial/final aggregation.
+  */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sketch-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // --- core ---
+
+  test("hll: rho definition matches the SQL-replayable bitlength form") {
+    val sk = HllSketch.create(12)
+    // hash with top-12 bucket 0 and remainder 1 -> rho = 52 - 1 + 1 = 52
+    sk.add(1L)
+    assert((sk.registers(0) & 0xff) == 52)
+    // all-zero remainder saturates at 64-p+1
+    val sk2 = HllSketch.create(12)
+    sk2.add(0L)
+    assert((sk2.registers(0) & 0xff) == 53)
+    // top bits select the bucket
+    val sk3 = HllSketch.create(12)
+    sk3.add(-1L) // bucket 4095, remainder all ones -> rho 1
+    assert((sk3.registers(4095) & 0xff) == 1)
+  }
+
+  test("hll: estimate accuracy, exact small range, serialization round-trip") {
+    val sk = HllSketch.create(12)
+    (1 to 100000).foreach(i => sk.add(DuckDbHash.hashLong(i.toLong)))
+    val est = sk.estimate
+    assert(math.abs(est - 100000) / 100000.0 < 0.05, s"estimate $est off by >5%")
+    // linear-counting regime is near-exact
+    val small = HllSketch.create(12)
+    (1 to 300).foreach(i => small.add(DuckDbHash.hashLong(i.toLong)))
+    assert(math.abs(small.estimate - 300) < 10)
+    val rt = HllSketch.deserialize(sk.serialize())
+    assert(rt.p == sk.p && java.util.Arrays.equals(rt.registers, sk.registers))
+    // duplicate adds change nothing
+    val before = sk.serialize()
+    (1 to 1000).foreach(i => sk.add(DuckDbHash.hashLong(i.toLong)))
+    assert(java.util.Arrays.equals(before, sk.serialize()))
+  }
+
+  test("hll: merge == union build") {
+    val a = HllSketch.create(10)
+    val b = HllSketch.create(10)
+    val u = HllSketch.create(10)
+    (1 to 5000).foreach { i => a.add(DuckDbHash.hashLong(i.toLong)); u.add(DuckDbHash.hashLong(i.toLong)) }
+    (3000 to 8000).foreach { i => b.add(DuckDbHash.hashLong(i.toLong)); u.add(DuckDbHash.hashLong(i.toLong)) }
+    a.mergeMax(b)
+    assert(java.util.Arrays.equals(a.serialize(), u.serialize()))
+  }
+
+  test("cms: exact on sparse keys, overestimates never underestimate, merge adds") {
+    val sk = CountMinSketch.create(4, 14)
+    val freqs = Map(1L -> 500L, 2L -> 100L, 3L -> 1L)
+    freqs.foreach { case (k, n) => (1L to n).foreach(_ => sk.add(DuckDbHash.hashLong(k))) }
+    freqs.foreach { case (k, n) =>
+      val e = sk.estimate(DuckDbHash.hashLong(k))
+      assert(e >= n, s"key $k underestimated: $e < $n")
+      assert(e <= n + 10, s"key $k wildly overestimated on a sparse sketch: $e")
+    }
+    val other = CountMinSketch.create(4, 14)
+    (1L to 7L).foreach(_ => other.add(DuckDbHash.hashLong(1L)))
+    sk.addMerge(other)
+    assert(sk.estimate(DuckDbHash.hashLong(1L)) >= 507L)
+    val rt = CountMinSketch.deserialize(sk.serialize())
+    assert(rt.depth == 4 && rt.log2w == 14 && java.util.Arrays.equals(rt.counters, sk.counters))
+    // zero-copy probe equals materialized probe
+    assert(CountMinSketch.probeBlob(sk.serialize(), DuckDbHash.hashLong(1L)) ==
+      sk.estimate(DuckDbHash.hashLong(1L)))
+  }
+
+  test("cms: row hash matches the live-DuckDB xor+hash vector") {
+    // SELECT hash(xor(42::UBIGINT, 9876543210123456789::UBIGINT)) in duckdb
+    // v1.0.0 (== v1.5.1 integer hash) returned this value; the UBIGINT bit
+    // pattern reinterprets to this signed long
+    assert(DuckDbHash.hashLong(42L ^ -8570200863586094827L) == 8142187626983811209L)
+  }
+
+  test("kmv: bottom-k distinct in unsigned order, exact below k, estimate above") {
+    val agg = new KmvBuf()
+    val hashes = (1 to 10000).map(i => DuckDbHash.hashLong(i.toLong))
+    hashes.foreach(h => agg.add(h, 1024))
+    hashes.foreach(h => agg.add(h, 1024)) // duplicates: no effect
+    val values = new Array[Long](agg.set.size)
+    val it = agg.set.iterator(); var i = 0
+    while (it.hasNext) { values(i) = it.next(); i += 1 }
+    val sk = new KmvSketch(1024, values)
+    assert(sk.n == 1024)
+    // ascending unsigned, and equal to the true bottom-1024
+    val expected = hashes.distinct.sortWith((x, y) => java.lang.Long.compareUnsigned(x, y) < 0).take(1024)
+    assert(values.toSeq == expected)
+    val est = sk.estimate
+    assert(math.abs(est - 10000) / 10000.0 < 0.1, s"kmv estimate $est off by >10%")
+    // below k the sketch is exact
+    val smallBuf = new KmvBuf()
+    (1 to 77).foreach(i => smallBuf.add(DuckDbHash.hashLong(i.toLong), 1024))
+    val smallVals = smallBuf.set.toArray(new Array[java.lang.Long](0)).map(_.longValue)
+    assert(new KmvSketch(1024, smallVals).estimate == 77.0)
+    val rt = KmvSketch.deserialize(sk.serialize())
+    assert(rt.k == 1024 && rt.values.toSeq == sk.values.toSeq)
+  }
+
+  test("kmv: intersect count equals the SQL-definition replay") {
+    def build(keys: Range, k: Int): KmvSketch = {
+      val buf = new KmvBuf()
+      keys.foreach(i => buf.add(DuckDbHash.hashLong(i.toLong), k))
+      val values = buf.set.toArray(new Array[java.lang.Long](0)).map(_.longValue)
+      new KmvSketch(k, values)
+    }
+    val a = build(1 to 3000, 256)
+    val b = build(2000 to 5000, 256)
+    val shared = KmvOps.intersectCount(a, b)
+    // replay the definition directly: L = bottom-256 of union of stored sets
+    val sa = a.values.toSet
+    val sb = b.values.toSet
+    val l = (sa ++ sb).toSeq.sortWith((x, y) => java.lang.Long.compareUnsigned(x, y) < 0).take(256)
+    val expected = l.count(v => sa(v) && sb(v))
+    assert(shared == expected.toLong)
+    // jaccard numerator is plausible: true J = 1001/5000 = 0.2
+    assert(shared >= 25 && shared <= 80, s"shared=$shared for true jaccard 0.2 at k=256")
+  }
+
+  // --- SQL end-to-end (partial/final aggregation across 4 partitions) ---
+
+  test("SQL: hll_sketch build/merge/estimate/registers") {
+    spark.range(1, 20001).toDF("id").repartition(4).createOrReplaceTempView("hll_in")
+    val row = spark.sql("""
+      SELECT hll_estimate(s) AS est,
+             size(filter(hll_registers(s), r -> r = 0)) AS zeros,
+             aggregate(hll_registers(s), 0L, (a, x) -> a + x) AS reg_sum
+      FROM (SELECT hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', id)) AS s FROM hll_in)
+    """).head()
+    val est = row.getDouble(0)
+    assert(math.abs(est - 20000) / 20000.0 < 0.05, s"SQL hll estimate $est")
+    assert(row.getInt(1) >= 0 && row.getLong(2) > 0)
+    // distributed build == single-threaded core build, byte for byte
+    val blob = spark.sql(
+      "SELECT hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', id)) FROM hll_in"
+    ).head().getAs[Array[Byte]](0)
+    val core = HllSketch.create(12)
+    (1L until 20001L).foreach(i => core.add(DuckDbHash.hashLong(i)))
+    assert(java.util.Arrays.equals(blob, core.serialize()))
+    // blob-merge overload: sharded sketches merge to the same bytes
+    val merged = spark.sql("""
+      SELECT hll_sketch(12, s) FROM (
+        SELECT id % 7 AS shard, hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', id)) AS s
+        FROM hll_in GROUP BY 1)
+    """).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, core.serialize()))
+    // empty group -> NULL
+    assert(spark.sql(
+      "SELECT hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', id)) FROM hll_in WHERE id < 0"
+    ).head().isNullAt(0))
+  }
+
+  test("SQL: cms_sketch build/merge/estimate") {
+    spark.sql("""
+      SELECT explode(flatten(array(
+        transform(sequence(1, 500), x -> 'alpha'),
+        transform(sequence(1, 120), x -> 'beta'),
+        transform(sequence(1, 7), x -> 'gamma')))) AS tok
+    """).repartition(4).createOrReplaceTempView("cms_in")
+    val rows = spark.sql("""
+      WITH sk AS (SELECT cms_sketch(4, 14, bitfilters_duckdb_hash('v1.5.1', tok)) AS s FROM cms_in)
+      SELECT cms_estimate(s, bitfilters_duckdb_hash('v1.5.1', 'alpha')) AS a,
+             cms_estimate(s, bitfilters_duckdb_hash('v1.5.1', 'beta')) AS b,
+             cms_estimate(s, bitfilters_duckdb_hash('v1.5.1', 'gamma')) AS c
+      FROM sk
+    """).head()
+    assert(rows.getLong(0) >= 500 && rows.getLong(0) <= 510)
+    assert(rows.getLong(1) >= 120 && rows.getLong(1) <= 130)
+    assert(rows.getLong(2) >= 7 && rows.getLong(2) <= 17)
+    // blob-merge overload sums counters: doubled corpus doubles counts
+    val doubled = spark.sql("""
+      WITH sk AS (SELECT cms_sketch(4, 14, bitfilters_duckdb_hash('v1.5.1', tok)) AS s FROM cms_in),
+      both AS (SELECT s FROM sk UNION ALL SELECT s FROM sk)
+      SELECT cms_estimate(cms_sketch(4, 14, s), bitfilters_duckdb_hash('v1.5.1', 'alpha')) FROM both
+    """).head().getLong(0)
+    assert(doubled >= 1000 && doubled <= 1020)
+  }
+
+  test("SQL: kmv_sketch build/merge/estimate/intersect") {
+    spark.range(1, 5001).toDF("id").repartition(4).createOrReplaceTempView("kmv_a")
+    spark.range(3001, 9001).toDF("id").repartition(4).createOrReplaceTempView("kmv_b")
+    val row = spark.sql("""
+      WITH sa AS (SELECT kmv_sketch(256, bitfilters_duckdb_hash('v1.5.1', id)) AS s FROM kmv_a),
+           sb AS (SELECT kmv_sketch(256, bitfilters_duckdb_hash('v1.5.1', id)) AS s FROM kmv_b)
+      SELECT kmv_estimate(sa.s) AS ea, size(kmv_values(sa.s)) AS na,
+             kmv_intersect_count(sa.s, sb.s) AS shared,
+             kmv_estimate(kmv_sketch(256, u.s)) AS eu
+      FROM sa, sb,
+           (SELECT s FROM sa UNION ALL SELECT s FROM sb) u
+      GROUP BY sa.s, sb.s
+    """).head()
+    assert(math.abs(row.getDouble(0) - 5000) / 5000.0 < 0.15)
+    assert(row.getInt(1) == 256)
+    // true jaccard = 2000/9000 ~ 0.22 -> shared ~ 57 of 256
+    assert(row.getLong(2) > 20 && row.getLong(2) < 110)
+    // union estimate ~ 9000
+    assert(math.abs(row.getDouble(3) - 9000) / 9000.0 < 0.15)
+    // exact below k
+    val exact = spark.sql("""
+      SELECT kmv_estimate(kmv_sketch(256, bitfilters_duckdb_hash('v1.5.1', id)))
+      FROM kmv_a WHERE id <= 100
+    """).head().getDouble(0)
+    assert(exact == 100.0)
+  }
+
+  test("SQL: constant-argument validation errors") {
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT hll_sketch(99, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(10)").collect())
+    assert(e1.getMessage.contains("hll_sketch p"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT cms_sketch(0, 14, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(10)").collect())
+    assert(e2.getMessage.toLowerCase.contains("depth"))
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT kmv_sketch(0, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(10)").collect())
+    assert(e3.getMessage.contains("kmv_sketch k"))
+  }
+}
