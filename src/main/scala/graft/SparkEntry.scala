@@ -709,6 +709,75 @@ object SparkEntry {
             sum(element_at(col("features"), 2).cast("long")).as("r_sum"),
             sum(col("target_width").cast("long")).as("sum_tw"))
       }),
+
+      // --- cardinality / frequency / set sketches ------------------------
+      // HLL per group over the engine hash. The gate pins the REGISTER
+      // CONTENT with integer checksums (zeros, sum, position-weighted sum,
+      // 2^-register harmonic numerator mod p) — the estimate is a pure
+      // function of the registers — plus the centi-rounded estimate itself.
+      // DuckDB recomputes every register from hash bit arithmetic
+      // (bucket = top-12 bits, rho = 53 - bitlength(low 52 bits)).
+      "q_hll" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.sql("""
+          WITH sk AS (
+            SELECT l_returnflag AS flag,
+                   hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', CAST(l_orderkey AS BIGINT))) AS s,
+                   COUNT(DISTINCT l_orderkey) AS exact_cnt
+            FROM lineitem GROUP BY l_returnflag),
+          r AS (
+            SELECT flag, exact_cnt, hll_estimate(s) AS est, pos, reg
+            FROM sk LATERAL VIEW posexplode(hll_registers(s)) t AS pos, reg)
+          SELECT flag,
+                 CAST(MAX(exact_cnt) AS BIGINT) AS exact_cnt,
+                 CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros,
+                 CAST(SUM(reg) AS BIGINT) AS reg_sum,
+                 CAST(SUM(CAST(pos + 1 AS BIGINT) * reg) AS BIGINT) AS pos_sum,
+                 CAST(SUM(CAST(pow(2.0, 53 - reg) AS BIGINT) % 1000000007) % 1000000007 AS BIGINT) AS pow_mod,
+                 CAST(MAX(CAST(round(est * 100) AS BIGINT)) AS BIGINT) AS est_e2
+          FROM r GROUP BY flag ORDER BY flag""")
+      }),
+
+      // Count-Min heavy hitters: one corpus-wide sketch, probed at the
+      // exact top-10 keys. Counters and estimates are integers, so the
+      // cross-engine compare is tolerance-free; DuckDB rebuilds each
+      // probed cell as COUNT(*) over rows hashing there (row hash =
+      // engine-hash of the XOR-perturbed key).
+      "q_cms" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.sql("""
+          WITH sk AS (
+            SELECT cms_sketch(4, 14, bitfilters_duckdb_hash('v1.5.1', CAST(l_suppkey AS BIGINT))) AS s
+            FROM lineitem),
+          top AS (
+            SELECT CAST(l_suppkey AS BIGINT) AS suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM lineitem GROUP BY 1 ORDER BY exact_cnt DESC, suppkey LIMIT 10)
+          SELECT t.suppkey, t.exact_cnt,
+                 cms_estimate(sk.s, bitfilters_duckdb_hash('v1.5.1', t.suppkey)) AS est_cnt
+          FROM top t CROSS JOIN sk
+          ORDER BY suppkey""")
+      }),
+
+      // KMV audience overlap: per-priority bottom-256 customer sketches;
+      // per-pair shared-minima count (the exact-integer Jaccard numerator)
+      // plus centi-rounded distinct estimates. DuckDB replays bottom-k
+      // DISTINCT in native unsigned hash order.
+      "q_kmv" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.sql("""
+          WITH sk AS (
+            SELECT o_orderpriority AS prio,
+                   kmv_sketch(256, bitfilters_duckdb_hash('v1.5.1', CAST(o_custkey AS BIGINT))) AS s,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cnt
+            FROM orders GROUP BY o_orderpriority)
+          SELECT a.prio AS p1, b.prio AS p2,
+                 a.exact_cnt AS exact1, b.exact_cnt AS exact2,
+                 CAST(round(kmv_estimate(a.s) * 100) AS BIGINT) AS est1_e2,
+                 CAST(round(kmv_estimate(b.s) * 100) AS BIGINT) AS est2_e2,
+                 CAST(kmv_intersect_count(a.s, b.s) AS BIGINT) AS shared
+          FROM sk a JOIN sk b ON a.prio < b.prio
+          ORDER BY p1, p2""")
+      }),
     )
   }
 
@@ -1401,5 +1470,111 @@ object SparkEntry {
         FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
         WHERE e.vec_id != q.vec_id) ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    // HLL registers rebuilt from hash bit arithmetic: bucket = top-12 bits,
+    // rho = 53 - bitlength(low 52 bits) (bin() gives exact integer bit
+    // length — no float log2), absent buckets are zeros. The estimate
+    // mirrors HllSketch.estimate operation for operation: exact integer
+    // harmonic numerator summed as HUGEINT, one rounding at CAST AS DOUBLE,
+    // same multiply/divide order, same linear-counting branch.
+    "q_hll" -> """
+      WITH h AS (
+        SELECT l_returnflag AS flag, hash(CAST(l_orderkey AS BIGINT)) AS hv
+        FROM lineitem),
+      rho AS (
+        SELECT flag, CAST(hv >> 52 AS BIGINT) AS bucket,
+               CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                    ELSE 53 - length(bin(hv % 4503599627370496)) END AS r
+        FROM h),
+      regs AS (SELECT flag, bucket, MAX(r) AS reg FROM rho GROUP BY flag, bucket),
+      ex AS (SELECT l_returnflag AS flag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt
+             FROM lineitem GROUP BY 1),
+      agg AS (
+        SELECT flag, COUNT(*) AS nonzero,
+               SUM(reg) AS reg_sum,
+               SUM((bucket + 1) * reg) AS pos_sum,
+               SUM(CAST(pow(2.0, 53 - reg) AS BIGINT) % 1000000007) AS pm_part,
+               SUM(CAST(pow(2.0, 53 - reg) AS HUGEINT)) AS num_part
+        FROM regs GROUP BY flag),
+      fin AS (
+        SELECT a.flag, e.exact_cnt, 4096 - a.nonzero AS zeros, a.reg_sum, a.pos_sum,
+               (a.pm_part + CAST(4096 - a.nonzero AS BIGINT) * (9007199254740992 % 1000000007)) % 1000000007 AS pow_mod,
+               CAST(a.num_part AS HUGEINT) + CAST(4096 - a.nonzero AS HUGEINT) * 9007199254740992 AS num
+        FROM agg a JOIN ex e USING (flag)),
+      est AS (
+        SELECT flag,
+               0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 * 9007199254740992.0 / CAST(num AS DOUBLE) AS raw
+        FROM fin)
+      SELECT f.flag, f.exact_cnt,
+             CAST(f.zeros AS BIGINT) AS zeros,
+             CAST(f.reg_sum AS BIGINT) AS reg_sum,
+             CAST(f.pos_sum AS BIGINT) AS pos_sum,
+             CAST(f.pow_mod AS BIGINT) AS pow_mod,
+             CAST(round((CASE WHEN e.raw <= 2.5 * 4096.0 AND f.zeros > 0
+                              THEN 4096.0 * ln(4096.0 / f.zeros)
+                              ELSE e.raw END) * 100) AS BIGINT) AS est_e2
+      FROM fin f JOIN est e USING (flag) ORDER BY f.flag""",
+    // Count-Min cells rebuilt as COUNT(*) over rows whose perturbed-key
+    // engine hash lands there; probe = MIN over the 4 row cells. Seeds are
+    // CountMinSketch.RowSeeds as unsigned decimals.
+    "q_cms" -> """
+      WITH seeds AS (
+        SELECT * FROM (VALUES
+          (0, CAST(0 AS UBIGINT)),
+          (1, CAST(2611923443488327891 AS UBIGINT)),
+          (2, CAST(1376283091369227076 AS UBIGINT)),
+          (3, CAST(11820040416388919760 AS UBIGINT))) s(i, seed)),
+      h AS (SELECT hash(CAST(l_suppkey AS BIGINT)) AS hv FROM lineitem),
+      cells AS (
+        SELECT s.i, hash(xor(h.hv, s.seed)) % 16384 AS idx, COUNT(*) AS c
+        FROM h, seeds s GROUP BY 1, 2),
+      top AS (
+        SELECT CAST(l_suppkey AS BIGINT) AS suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM lineitem GROUP BY 1 ORDER BY exact_cnt DESC, suppkey LIMIT 10),
+      probe AS (
+        SELECT t.suppkey, t.exact_cnt, s.i,
+               hash(xor(hash(t.suppkey), s.seed)) % 16384 AS idx
+        FROM top t, seeds s)
+      SELECT p.suppkey, p.exact_cnt, CAST(MIN(c.c) AS BIGINT) AS est_cnt
+      FROM probe p JOIN cells c ON c.i = p.i AND c.idx = p.idx
+      GROUP BY p.suppkey, p.exact_cnt
+      ORDER BY p.suppkey""",
+    // KMV bottom-256 distinct customer hashes per priority in native
+    // unsigned (UBIGINT) order; estimate = (k-1) * 2^64 / kth minimum with
+    // the same operation order; shared = |bottom-256(A ∪ B) ∩ A ∩ B|.
+    "q_kmv" -> """
+      WITH d AS (
+        SELECT DISTINCT o_orderpriority AS prio, hash(CAST(o_custkey AS BIGINT)) AS hv
+        FROM orders),
+      rk AS (SELECT prio, hv, row_number() OVER (PARTITION BY prio ORDER BY hv) AS rn FROM d),
+      sk AS (SELECT prio, hv FROM rk WHERE rn <= 256),
+      st AS (SELECT prio, COUNT(*) AS n, MAX(CASE WHEN rn = 256 THEN hv END) AS kth
+             FROM rk WHERE rn <= 256 GROUP BY 1),
+      ex AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM d GROUP BY 1),
+      est AS (
+        SELECT prio, CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                          ELSE 255.0 * 18446744073709551616.0 / CAST(kth AS DOUBLE) END AS est
+        FROM st),
+      pairs AS (
+        SELECT a.prio AS p1, b.prio AS p2 FROM ex a, ex b WHERE a.prio < b.prio),
+      u AS (
+        SELECT p.p1, p.p2, s.hv FROM pairs p
+        JOIN sk s ON s.prio = p.p1 OR s.prio = p.p2
+        GROUP BY 1, 2, 3),
+      ur AS (SELECT p1, p2, hv, row_number() OVER (PARTITION BY p1, p2 ORDER BY hv) AS rn FROM u),
+      l AS (SELECT p1, p2, hv FROM ur WHERE rn <= 256),
+      shr AS (
+        SELECT l.p1, l.p2, COUNT(*) AS shared
+        FROM l JOIN sk s1 ON s1.prio = l.p1 AND s1.hv = l.hv
+               JOIN sk s2 ON s2.prio = l.p2 AND s2.hv = l.hv
+        GROUP BY 1, 2)
+      SELECT p.p1, p.p2, ea.exact_cnt AS exact1, eb.exact_cnt AS exact2,
+             CAST(round(e1.est * 100) AS BIGINT) AS est1_e2,
+             CAST(round(e2.est * 100) AS BIGINT) AS est2_e2,
+             CAST(COALESCE(shr.shared, 0) AS BIGINT) AS shared
+      FROM pairs p
+      JOIN ex ea ON ea.prio = p.p1 JOIN ex eb ON eb.prio = p.p2
+      JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
+      LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
+      ORDER BY p.p1, p.p2""",
   )
 }
