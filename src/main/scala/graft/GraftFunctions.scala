@@ -125,6 +125,12 @@ object GraftFunctions {
     "text_metrics" -> FnDoc(
       arg("text - STRING document text"),
       ex("SELECT text_metrics(text).words FROM documents;")),
+    "nfc_normalize" -> FnDoc(
+      arg("text - STRING value to compose into Unicode NFC"),
+      ex("SELECT nfc_normalize('e\\u0301clair'); -- composed 'éclair'")),
+    "strip_accents" -> FnDoc(
+      arg("text - STRING value to accent-fold"),
+      ex("SELECT strip_accents('mühleisen');")),
     "md5_prefix64" -> FnDoc(
       arg("text - STRING value to hash"),
       ex("SELECT md5_prefix64('hello');")),
@@ -254,6 +260,12 @@ object GraftFunctions {
     ("text_metrics",
       "text_metrics(text) - one-pass STRUCT<chars,words,punct,digits,toks,sw_hits> quality metrics",
       args => { arity("text_metrics", 1, args); graft.operators.TextMetricsExpr(args(0)) }),
+    ("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC composition (canonical composed form)",
+      args => { arity("nfc_normalize", 1, args); graft.operators.NfcNormalizeExpr(args(0)) }),
+    ("strip_accents",
+      "strip_accents(text) - NFD decompose and drop non-spacing marks (ligatures kept)",
+      args => { arity("strip_accents", 1, args); graft.operators.StripAccentsExpr(args(0)) }),
     ("md5_prefix64",
       "md5_prefix64(text) - 60-bit engine-portable md5-prefix hash (== CAST('0x'||substr(md5(s),1,15) AS BIGINT))",
       args => { arity("md5_prefix64", 1, args); graft.operators.Md5Prefix64Expr(args(0)) }),

@@ -261,6 +261,44 @@ object SparkEntry {
               .cast("long").as("pair_checksum"))
       }),
 
+      // bucketed range join: for each purchase, count the events (any
+      // user) inside the hour after it. The binned equi-join must equal
+      // the nested-loop BETWEEN join DuckDB runs — per-anchor counts and
+      // id checksums ride the hash path. Bin width (15 min) is deliberately
+      // SMALLER than the window so intervals span several bins and the
+      // explode/residual path is actually exercised.
+      "q_range_join" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = s.table("events")
+        val anchors = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("anchor_id"), col("ts").as("w_start"),
+            timestamp_micros(unix_micros(col("ts")) + 3600L * 1000000L).as("w_end"))
+        Events.rangeJoin(ev.select(col("event_id"), col("ts")), anchors,
+            "ts", "w_start", "w_end", binWidthUs = 900L * 1000000L)
+          .groupBy(col("anchor_id"))
+          .agg(count(lit(1)).cast("long").as("hits"),
+            (sum(col("event_id")) % 1000003L).cast("long").as("hit_checksum"))
+          .orderBy(col("anchor_id"))
+      }),
+
+      // interval-overlap join (ownership-bin dedup): purchase windows that
+      // overlap each other, counted once per unordered pair
+      "q_interval_overlap" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = s.table("events")
+        def windows(idName: String, sName: String, eName: String) =
+          ev.where(col("event_type") === "purchase")
+            .select(col("event_id").as(idName), col("ts").as(sName),
+              timestamp_micros(unix_micros(col("ts")) + 3600L * 1000000L).as(eName))
+        Events.intervalOverlapJoin(
+            windows("id1", "s1", "e1"), windows("id2", "s2", "e2"),
+            "s1", "e1", "s2", "e2", binWidthUs = 900L * 1000000L)
+          .where(col("id1") < col("id2"))
+          .agg(count(lit(1)).cast("long").as("pairs"),
+            (sum(col("id1") * col("id2") % 1000003L) % 1000003L)
+              .cast("long").as("pair_checksum"))
+      }),
+
       // --- duckdb hash surface ------------------------------------------
       "q_duckdb_hash" -> q("""
         SELECT o_orderkey, conv(hex(bitfilters_duckdb_hash('v1.5.1', o_orderkey)), 16, 10) AS h
@@ -610,6 +648,21 @@ object SparkEntry {
             sum(when(col("clean") =!= col("text"), 1L).otherwise(0L)).cast("long").as("changed"),
             sum(conv(substring(md5(col("clean")), 1, 15), 16, 10).cast("long") % 1000000000L)
               .cast("long").as("hash_sum"))
+      }),
+
+      // canonical text normalization (NFC + lowercase + whitespace collapse
+      // + trim, plus the accent-folded variant): per-document md5 of both
+      // canonical forms rides the hash path against DuckDB's native
+      // nfc_normalize/strip_accents; `changed` proves non-triviality
+      "q_normalize" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.table("documents")
+          .select(col("doc_id"),
+            md5(TextAnalysis.normalizeText(col("text"))).as("nh"),
+            md5(TextAnalysis.normalizeText(col("text"), accentFold = true)).as("ah"),
+            when(TextAnalysis.normalizeText(col("text")) =!= col("text"), 1L)
+              .otherwise(0L).as("changed"))
+          .orderBy(col("doc_id"))
       }),
 
       // document chunking (64-token chunks, 8-token overlap): count, token
@@ -1047,6 +1100,23 @@ object SparkEntry {
              CAST(SUM(CASE WHEN click_id IS NOT NULL
                            THEN event_id * click_id % 1000003 END) AS BIGINT) AS pair_checksum
       FROM j""",
+    // plain nested-loop BETWEEN join (DuckDB plans it as an IEJoin) — the
+    // binned equi-join must reproduce it exactly
+    "q_range_join" -> """
+      WITH a AS (
+        SELECT event_id AS anchor_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+        FROM events WHERE event_type = 'purchase')
+      SELECT anchor_id, CAST(COUNT(*) AS BIGINT) AS hits,
+             CAST(SUM(e.event_id) % 1000003 AS BIGINT) AS hit_checksum
+      FROM a JOIN events e ON e.ts >= a.w_start AND e.ts <= a.w_end
+      GROUP BY anchor_id ORDER BY anchor_id""",
+    "q_interval_overlap" -> """
+      WITH a AS (
+        SELECT event_id AS id, ts AS s, ts + INTERVAL 1 HOUR AS e
+        FROM events WHERE event_type = 'purchase')
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+             CAST(SUM(x.id * y.id % 1000003) % 1000003 AS BIGINT) AS pair_checksum
+      FROM a x JOIN a y ON x.id < y.id AND x.s <= y.e AND y.s <= x.e""",
     "q_duckdb_hash" -> """
       SELECT o_orderkey, CAST(hash(o_orderkey) AS VARCHAR) AS h
       FROM orders ORDER BY o_orderkey""",
@@ -1352,6 +1422,16 @@ object SparkEntry {
             FROM w)
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""",
+    // DuckDB's native nfc_normalize / strip_accents replay the canonical
+    // forms; regexp_replace needs the 'g' flag (RE2) where Java replaces
+    // all matches by default
+    "q_normalize" -> """
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS nh,
+             md5(trim(regexp_replace(lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g'))) AS ah,
+             CAST(CASE WHEN trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) <> text
+                       THEN 1 ELSE 0 END AS BIGINT) AS changed
+      FROM documents ORDER BY doc_id""",
     "q_redact" -> """
       WITH c AS (
         SELECT text,

@@ -151,4 +151,91 @@ object Events {
     }
     out.drop(reserved: _*)
   }
+
+  private def guardReserved(name: String, reserved: Seq[String],
+      inputs: Seq[(String, DataFrame)]): Unit =
+    for ((side, df) <- inputs) {
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(clash.isEmpty,
+        s"$name $side input contains reserved helper column(s) ${clash.mkString(", ")}; rename them before the join")
+    }
+
+  /** Point-in-interval range join: each `left` row (timestamp `leftTs`)
+    * joined to every `right` row whose `[rightStart, rightEnd]` interval
+    * (inclusive on both ends) contains it, optionally also matching on
+    * `keyCols` equality.
+    *
+    * Spark plans a raw `l.ts BETWEEN r.s AND r.e` join as a broadcast
+    * nested loop — O(|L|·|R|) comparisons, the classic 100 TB killer. This
+    * operator turns it into an EQUI-join on time bins: intervals explode
+    * into the `binWidthUs`-wide bins they cover, points map to the single
+    * bin containing them, the sort-merge/hash join runs on
+    * `keyCols :+ bin`, and the exact `BETWEEN` predicate is applied as a
+    * residual filter. A point lies in exactly one bin and an interval
+    * covers each of its bins exactly once, so no pair can match twice —
+    * no dedup pass is needed and the output is exactly the nested-loop
+    * result.
+    *
+    * Scale shape: shuffle volume is |L| + |R|·(avg interval span / bin
+    * width + 1); pick `binWidthUs` near the typical interval length so
+    * intervals replicate into O(1) bins. Hot bins (burst hours) are
+    * ordinary equi-join skew — AQE's skew-join split handles them, no
+    * custom salting needed. Empty-bin pairs never shuffle at all.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, rightStart: String, rightEnd: String,
+      keyCols: Seq[String] = Nil,
+      binWidthUs: Long = 3600L * 1000000L): DataFrame = {
+    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
+    val reserved = Seq("__bin", "__lus", "__sus", "__eus")
+    guardReserved("rangeJoin", reserved, Seq("left" -> left, "right" -> right))
+    // `div` (integer division) not `floor(a / w)`: `/` on longs is DOUBLE
+    // division, and a 1-ulp wobble at a bin boundary would silently drop
+    // pairs. Any monotonic binning is correct here (s <= ts <= e implies
+    // bin(s) <= bin(ts) <= bin(e), and `sequence` covers the whole range).
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bin", expr(s"__lus div ${binWidthUs}L"))
+    val r = right
+      .withColumn("__sus", unix_micros(col(rightStart)))
+      .withColumn("__eus", unix_micros(col(rightEnd)))
+      .where(col("__sus") <= col("__eus"))
+      .withColumn("__bin", explode(sequence(
+        expr(s"__sus div ${binWidthUs}L"), expr(s"__eus div ${binWidthUs}L"))))
+    l.join(r, keyCols :+ "__bin",  "inner")
+      .where(col("__lus").between(col("__sus"), col("__eus")))
+      .drop(reserved: _*)
+  }
+
+  /** Interval-overlap join: pairs of a `left` interval and a `right`
+    * interval that overlap (share at least one microsecond; both ends
+    * inclusive), optionally under `keyCols` equality.
+    *
+    * Same binning idea as [[rangeJoin]], plus the standard ownership-bin
+    * trick to keep the join dedup-free: two overlapping intervals share
+    * every bin from `max(start_l, start_r)`'s bin up to the earlier end's
+    * bin, so emitting a pair ONLY from the `max(start)` bin — a plain
+    * residual predicate, no dropDuplicates shuffle — yields each
+    * overlapping pair exactly once.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String, rightStart: String, rightEnd: String,
+      keyCols: Seq[String] = Nil,
+      binWidthUs: Long = 3600L * 1000000L): DataFrame = {
+    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
+    val reserved = Seq("__bin", "__lsus", "__leus", "__rsus", "__reus")
+    guardReserved("intervalOverlapJoin", reserved, Seq("left" -> left, "right" -> right))
+    def explodeBins(df: DataFrame, s: String, e: String, sOut: String, eOut: String) =
+      df.withColumn(sOut, unix_micros(col(s)))
+        .withColumn(eOut, unix_micros(col(e)))
+        .where(col(sOut) <= col(eOut))
+        .withColumn("__bin", explode(sequence(
+          expr(s"$sOut div ${binWidthUs}L"), expr(s"$eOut div ${binWidthUs}L"))))
+    val l = explodeBins(left, leftStart, leftEnd, "__lsus", "__leus")
+    val r = explodeBins(right, rightStart, rightEnd, "__rsus", "__reus")
+    l.join(r, keyCols :+ "__bin", "inner")
+      .where(col("__lsus") <= col("__reus") && col("__rsus") <= col("__leus") &&
+        col("__bin") === expr(s"greatest(__lsus, __rsus) div ${binWidthUs}L"))
+      .drop(reserved: _*)
+  }
 }

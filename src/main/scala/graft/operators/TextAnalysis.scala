@@ -106,6 +106,22 @@ object TextAnalysis {
     call_function("bitfilters_duckdb_hash", lit("v1.5.1"),
       regexp_replace(lower(text), lit("\\s+"), lit(" ")))
 
+  /** Canonical text form for dedup/fingerprint keys: Unicode NFC compose,
+    * lowercase, collapse whitespace runs to single spaces, trim. Every step
+    * is a codegen'd row-local expression (no shuffle), and every step is
+    * exactly replayable in DuckDB (`nfc_normalize` + `lower` +
+    * `regexp_replace(..., 'g')` + `trim`) — canonicalization stays
+    * oracle-verifiable. Pass `accentFold = true` to additionally strip
+    * non-spacing marks (DuckDB `strip_accents` semantics).
+    */
+  def normalizeText(text: Column, accentFold: Boolean = false): Column = {
+    val nfc = ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+    val folded =
+      if (accentFold) ColumnBridge.column(StripAccentsExpr(ColumnBridge.expression(nfc)))
+      else nfc
+    trim(regexp_replace(lower(folded), lit("\\s+"), lit(" ")))
+  }
+
   /** Conservative PII/URL scrubbing for training corpora: emails then URLs
     * replaced by placeholder tags. Patterns stick to character classes and
     * plain quantifiers so Java regex (Spark) and RE2 (DuckDB with the 'g'
