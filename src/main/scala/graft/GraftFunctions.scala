@@ -113,6 +113,12 @@ object GraftFunctions {
         "k - INTEGER constant, signature length",
         "affine - optional BOOLEAN constant; true selects the SQL-portable mod-2^61-1 permutations"),
       ex("SELECT minhash_agg(xxhash64(s), 128) FROM shingles GROUP BY doc_id;")),
+    "minhash_signature" -> FnDoc(
+      arg("toks - ARRAY<STRING> document tokens",
+        "shingle_size - INTEGER constant word-n-gram width",
+        "k - INTEGER constant signature length",
+        "portable - optional BOOLEAN constant; true selects the SQL-replayable md5+affine family"),
+      ex("SELECT minhash_signature(split(lower(text), '\\\\s+'), 3, 128) FROM documents;")),
     "simhash_agg" -> FnDoc(
       arg("hash - BIGINT pre-hashed token"),
       ex("SELECT simhash_agg(xxhash64(tok)) FROM tokens GROUP BY doc_id;")),
@@ -247,6 +253,20 @@ object GraftFunctions {
             s"minhash_agg affine must be a BOOLEAN constant, got ${other.sql}")
         })
         graft.operators.MinHashAgg(args(0), AggUtil.foldableLong(args(1), "minhash_agg k").toInt, affine)
+      }),
+    ("minhash_signature",
+      "minhash_signature(toks, shingle_size, k[, portable]) - fused per-document MinHash signature of a token array (no shingle explode)",
+      args => {
+        if (args.size < 3 || args.size > 4)
+          throw new IllegalArgumentException(s"minhash_signature requires 3 or 4 arguments, got ${args.size}")
+        val portable = args.size == 4 && (args(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature portable must be a BOOLEAN constant, got ${other.sql}")
+        })
+        graft.operators.MinHashSignatureExpr(args(0),
+          AggUtil.foldableLong(args(1), "minhash_signature shingle_size").toInt,
+          AggUtil.foldableLong(args(2), "minhash_signature k").toInt, portable)
       }),
     ("simhash_agg",
       "simhash_agg(hash) - 64-bit SimHash fingerprint over pre-hashed tokens",

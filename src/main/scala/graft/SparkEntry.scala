@@ -778,9 +778,13 @@ object SparkEntry {
                    hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', CAST(l_orderkey AS BIGINT))) AS s,
                    COUNT(DISTINCT l_orderkey) AS exact_cnt
             FROM lineitem GROUP BY l_returnflag),
+          -- est computed below the explode (once per group), not per
+          -- register row: the projection under Generate is not collapsed
+          -- into the per-row output, so hll_estimate runs 3x, not 12288x
           r AS (
-            SELECT flag, exact_cnt, hll_estimate(s) AS est, pos, reg
-            FROM sk LATERAL VIEW posexplode(hll_registers(s)) t AS pos, reg)
+            SELECT flag, exact_cnt, est, pos, reg
+            FROM (SELECT flag, exact_cnt, s, hll_estimate(s) AS est FROM sk) sk2
+            LATERAL VIEW posexplode(hll_registers(s)) t AS pos, reg)
           SELECT flag,
                  CAST(MAX(exact_cnt) AS BIGINT) AS exact_cnt,
                  CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros,

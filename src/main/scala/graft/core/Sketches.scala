@@ -87,11 +87,17 @@ final class HllSketch(val p: Int, val registers: Array[Byte]) {
     */
   def estimate: Double = {
     val q1 = 64 - p + 1
-    var num = BigInt(0)
+    // histogram the (<= 64 distinct) register values first, then form the
+    // numerator from at most 64 BigInt terms — identical integer (same sum,
+    // associativity-free), ~100x cheaper than a BigInt op per register
+    val hist = new Array[Int](q1 + 1)
     var i = 0
-    while (i < registers.length) {
-      num += BigInt(1) << (q1 - (registers(i) & 0xff))
-      i += 1
+    while (i < registers.length) { hist(registers(i) & 0xff) += 1; i += 1 }
+    var num = BigInt(0)
+    var r = 0
+    while (r <= q1) {
+      if (hist(r) > 0) num += BigInt(hist(r)) << (q1 - r)
+      r += 1
     }
     val md = m.toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / md)

@@ -239,8 +239,15 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       threshold: Double = 0.7, portable: Boolean = false,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sh = shingleHashes(df, textCol, idCol, shingleSize, portable)
-    val sigs = minHashSignatures(sh, numHashes, affine = portable)
+    // fused per-document kernel (hash-identical to shingleHashes +
+    // minHashSignatures, proven by spec): the signature stage becomes one
+    // shuffle-free projection instead of a shingle explode + aggregate
+    val toks = split(lower(col(textCol)), "\\s+")
+    val sigs = df
+      .select(col(idCol).as("doc_id"),
+        ColumnBridge.column(MinHashSignatureExpr(
+          ColumnBridge.expression(toks), shingleSize, numHashes, portable)).as("sig"))
+      .where(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lshNearDuplicatePairs(sigs, bands, numHashes, maxBucketSize)
       .where(col("jaccard_est") >= threshold)

@@ -32,12 +32,43 @@ object Scratch {
       println(f"[scratch] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    for (round <- 1 to 2; name <- args.drop(1) match {
+    for (round <- 1 to 2; name <- (args.drop(1).filter(graft.SparkEntry.queries.contains) match {
         case more if more.nonEmpty => more.toSeq
+        case _ if args.length > 1 => Nil // variant flags only
         case _ => Seq("q_embed_quant", "q_minhash_near_dup", "q_ngram_jaccard", "q_dedup_clusters")
-      }) {
+      })) {
       tdf(s"$name r$round")(graft.SparkEntry.queries(name)(spark, sfDir))
       spark.catalog.clearCache()
+    }
+    if (args.contains("hll_variants")) {
+      for (round <- 1 to 2) {
+        t(s"hll alone r$round")("""
+          SELECT l_returnflag, hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', CAST(l_orderkey AS BIGINT)))
+          FROM lineitem GROUP BY l_returnflag""")
+        t(s"count distinct alone r$round")("""
+          SELECT l_returnflag, COUNT(DISTINCT l_orderkey) FROM lineitem GROUP BY l_returnflag""")
+        t(s"hll + count distinct r$round")("""
+          SELECT l_returnflag, hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', CAST(l_orderkey AS BIGINT))),
+                 COUNT(DISTINCT l_orderkey)
+          FROM lineitem GROUP BY l_returnflag""")
+      }
+    }
+    if (args.contains("mh_variants")) {
+      import graft.operators.{ColumnBridge, MinHashSignatureExpr}
+      for (round <- 1 to 2) {
+        tdf(s"sigs fused r$round")(
+          spark.table("documents").select(col("doc_id"),
+            ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(
+              split(lower(col("text")), "\\s+")), 3, 128, true)).as("sig"))
+            .where(col("sig").isNotNull))
+        tdf(s"sigs exploded r$round")(
+          Dedup.minHashSignatures(
+            Dedup.shingleHashes(spark.table("documents"), "text", "doc_id", 3, portable = true),
+            128, affine = true))
+        tdf(s"full pipeline r$round")(
+          Dedup.minHashNearDuplicates(spark.table("documents"), "text", "doc_id",
+            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true))
+      }
     }
     locally { val _ = (Dedup.shingleHashes _, count(lit(1))) } // keep imports referenced
     spark.stop()

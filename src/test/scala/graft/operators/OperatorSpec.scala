@@ -78,6 +78,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fused minhash kernel is hash-identical to the exploded aggregate pipeline") {
+    // richer corpus: docsDf plus ragged/unicode/repeated-token documents
+    val sps = spark; import sps.implicits._
+    val extra = Seq(
+      (10L, "a b c d e f g h i j k l m n o p"),
+      (11L, "xx xx xx xx xx yy yy zz"),
+      (12L, "café au lait café au lait encore une fois"),
+      (13L, "one two three")).toDF("doc_id", "text")
+    val corpus = docsDf.union(extra)
+    for (portable <- Seq(false, true)) {
+      val fused = corpus.select(col("doc_id"),
+          ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(
+            split(lower(col("text")), "\\s+")), 3, 64, portable)).as("sig"))
+        .where(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val exploded = Dedup.minHashSignatures(
+          Dedup.shingleHashes(corpus, "text", "doc_id", 3, portable), 64, affine = portable)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused == exploded, s"portable=$portable")
+    }
+    // (the exploded pipeline computes xxhash64(slice(...)) / md5-prefix
+    // hashes through Spark's own functions, so the equality above pins the
+    // kernel to Spark's exact hash semantics in both modes)
+    // null path: fewer tokens than the shingle width -> NULL signature
+    val tiny = Seq((20L, "just two")).toDF("doc_id", "text")
+    val nullSig = tiny.select(ColumnBridge.column(MinHashSignatureExpr(
+        ColumnBridge.expression(split(lower(col("text")), "\\s+")), 3, 8, false)).as("sig"))
+      .collect().head
+    assert(nullSig.isNullAt(0))
+  }
+
   test("simhash: near-dups within small hamming, unrelated far") {
     val fps = Dedup.simHashFingerprints(docsDf, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
