@@ -773,11 +773,19 @@ object SparkEntry {
       "q_hll" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         s.sql("""
-          WITH sk AS (
+          WITH sk0 AS (
             SELECT l_returnflag AS flag,
-                   hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', CAST(l_orderkey AS BIGINT))) AS s,
-                   COUNT(DISTINCT l_orderkey) AS exact_cnt
+                   hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', CAST(l_orderkey AS BIGINT))) AS s
             FROM lineitem GROUP BY l_returnflag),
+          -- exact_cnt in its OWN aggregation, joined on the 3-row result:
+          -- mixing COUNT(DISTINCT) with the sketch aggregate makes Spark
+          -- Expand-duplicate every scan row through both agg paths (2.3x
+          -- slower, measured); two independent scans + a tiny join avoid it
+          ex AS (
+            SELECT l_returnflag AS flag, COUNT(DISTINCT l_orderkey) AS exact_cnt
+            FROM lineitem GROUP BY l_returnflag),
+          sk AS (
+            SELECT sk0.flag, s, exact_cnt FROM sk0 JOIN ex ON sk0.flag = ex.flag),
           -- est computed below the explode (once per group), not per
           -- register row: the projection under Generate is not collapsed
           -- into the per-row output, so hll_estimate runs 3x, not 12288x

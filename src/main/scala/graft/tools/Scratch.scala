@@ -53,6 +53,22 @@ object Scratch {
           FROM lineitem GROUP BY l_returnflag""")
       }
     }
+    if (args.contains("hll_split")) {
+      for (round <- 1 to 3) {
+        t(s"hll combined (Expand) r$round")("""
+          SELECT l_returnflag, hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', CAST(l_orderkey AS BIGINT))),
+                 COUNT(DISTINCT l_orderkey)
+          FROM lineitem GROUP BY l_returnflag""")
+        t(s"hll split + join r$round")("""
+          WITH sk AS (
+            SELECT l_returnflag AS flag, hll_sketch(12, bitfilters_duckdb_hash('v1.5.1', CAST(l_orderkey AS BIGINT))) AS s
+            FROM lineitem GROUP BY l_returnflag),
+          ex AS (
+            SELECT l_returnflag AS flag, COUNT(DISTINCT l_orderkey) AS exact_cnt
+            FROM lineitem GROUP BY l_returnflag)
+          SELECT sk.flag, s, exact_cnt FROM sk JOIN ex ON sk.flag = ex.flag""")
+      }
+    }
     if (args.contains("mh_variants")) {
       import graft.operators.{ColumnBridge, MinHashSignatureExpr}
       for (round <- 1 to 2) {
