@@ -615,6 +615,16 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("kept"),
             sum("doc_id").cast("long").as("id_sum"))
       }),
+      // deterministic train/val/test assignment: content-hash thresholds,
+      // append-stable, salt-decorrelated from the sampling decisions
+      "q_split" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Sampling.assignSplits(s.table("documents"), "text")
+          .groupBy("split")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .orderBy("split")
+      }),
       "q_sample_strat" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         Sampling.stratifiedTake(s.table("documents"), "lang", "text", 50, "doc_id")
@@ -1417,6 +1427,15 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM documents
       WHERE CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) / 1152921504606846976.0 < 0.25""",
+    "q_split" -> """
+      WITH u AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(text || 'graft-split'), 1, 15)) AS BIGINT)
+                 / 1152921504606846976.0 AS u
+        FROM documents)
+      SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM u GROUP BY 1 ORDER BY 1""",
     "q_sample_strat" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM (SELECT lang, doc_id,

@@ -39,6 +39,30 @@ object Sampling {
     df.where(hashWeight(col(keyCol)) < lit(fraction))
   }
 
+  /** Deterministic train/val/test split assignment: each row gets the
+    * first label whose cumulative weight share exceeds its content-hash
+    * uniform. Purely row-local (no shuffle), partitioning-invariant, and
+    * stable under appends — a grown corpus never reshuffles existing rows
+    * between splits, the property that keeps eval sets uncontaminated
+    * across corpus refreshes. `salt` decorrelates the split from every
+    * other hash decision on the same key (sampling, sharding): without it
+    * a 25% deterministicSample of the same column would fall entirely
+    * inside the first split.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = "graft-split", labelCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "split weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
+    val u = hashWeight(concat(col(keyCol).cast("string"), lit(salt)))
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    // last split catches everything (avoids a float-edge unlabeled row)
+    val label = splits.init.zip(cums.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cum), rest) => when(u < lit(cum), name).otherwise(rest)
+    }
+    df.withColumn(labelCol, label)
+  }
+
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
     * chosen by content-hash order — a deterministic stratified sample.
     * `uniqueCol` breaks ties between rows with IDENTICAL key content

@@ -627,6 +627,33 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(heavy >= 35, s"expected >=35 of 40 slots for heavy rows, got $heavy")
   }
 
+  test("split assignment: total coverage, expected shares, append-stable, salt-decorrelated") {
+    val df = spark.range(0, 1000).select(col("id").as("doc_id"),
+      concat(lit("doc body number "), col("id")).as("text"))
+    val splits = Sampling.assignSplits(df, "text")
+    val byLabel = splits.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == 1000 && byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 700 && byLabel("train") < 880, s"train share off: $byLabel")
+    // append stability: the first 500 rows keep their labels when 500 more arrive
+    val first = Sampling.assignSplits(df.where(col("doc_id") < 500), "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = splits.where(col("doc_id") < 500)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(first == full)
+    // salt decorrelation: a 25% content-hash sample must NOT land entirely
+    // in the train split (it would without the salt)
+    val sampled = Sampling.assignSplits(
+        Sampling.deterministicSample(df, "text", 0.25), "text")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.getOrElse("val", 0L) + sampled.getOrElse("test", 0L) > 0,
+      s"sample fell entirely into train: $sampled")
+    // weight validation
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(df, "text", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("embedding normalize + int8 quantize") {
     val r = spark.sql("SELECT array(3.0D, -4.0D, 0.0D) AS vec, array(0.0D, 0.0D) AS zvec")
       .select(Embeddings.normalize(col("vec")).as("n"),
