@@ -22,12 +22,17 @@ object Verify {
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
     val failed = selected.flatMap { case (name, fn) =>
-      try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      val r = try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name"); None }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name)
       }
+      // gates are self-contained: without this, persisted intermediates
+      // accumulate across 60+ gates and starve late gates' broadcast
+      // builds at big scale factors (q_ngram_jaccard OOMed at sf1)
+      spark.catalog.clearCache()
+      r
     }
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} GATES FAILED: ${failed.mkString(", ")}")
