@@ -119,11 +119,7 @@ object Events {
     val reserved = Seq("__us", "__side", "__rus", "__c_rus") ++
       payloadCols.flatMap(c => Seq(s"__p_$c", s"__c_$c")) ++
       rightOrderCols.map(c => s"__o_$c")
-    for ((side, df) <- Seq("left" -> left, "right" -> right)) {
-      val clash = df.columns.toSet.intersect(reserved.toSet)
-      require(clash.isEmpty,
-        s"asofJoin $side input contains reserved helper column(s) ${clash.mkString(", ")}; rename them before the join")
-    }
+    guardReserved("asofJoin", reserved, Seq("left" -> left, "right" -> right))
     val pay = payloadCols.map(c => col(c).as(s"__p_$c"))
     val rTagged = right.select(
       keyCols.map(col) ++ Seq(unix_micros(col(rightTs)).as("__us"), lit(0).as("__side"),

@@ -139,4 +139,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(byShard(1L) == Set(1L), s"shard 1 got ${byShard(1L)}")
     } finally query.stop()
   }
+
+  test("bucketed range join works stream-static: streaming points against static intervals") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    // static interval table: two 10-minute windows, one far-away window
+    val intervals = Seq(
+      (10L, ts(1000), ts(1600)),
+      (20L, ts(1500), ts(2100)),
+      (30L, ts(90000), ts(90600))).toDF("iid", "s", "e")
+    val input = MemoryStream[(Long, Timestamp)]
+    val points = input.toDF().toDF("pid", "pts")
+    // the same operator, unchanged: bin explode on the static side, per-row
+    // bin on the stream side, stream-static equi-join + residual
+    val joined = graft.operators.Events.rangeJoin(points, intervals,
+      "pts", "s", "e", binWidthUs = 300L * 1000000L)
+    val query = joined.select("pid", "iid").writeStream.format("memory")
+      .queryName("range_stream").outputMode("append").start()
+    try {
+      input.addData((1L, ts(1200)), (2L, ts(1550)), (3L, ts(5000)))
+      query.processAllAvailable()
+      input.addData((4L, ts(2100)), (5L, ts(90000)))
+      query.processAllAvailable()
+      val got = spark.table("range_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 1 -> [1000,1600] only; 2 -> both overlapping windows; 3 -> none;
+      // 4 -> inclusive end of [1500,2100]; 5 -> inclusive start of window 30
+      assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L), (4L, 20L), (5L, 30L)), s"got $got")
+    } finally query.stop()
+  }
 }
