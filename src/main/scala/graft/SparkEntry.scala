@@ -688,6 +688,15 @@ object SparkEntry {
             max("chunk_idx").cast("long").as("max_idx"))
       }),
 
+      // per-column curation profile (exact mode for the oracle; the
+      // default HLL mode is the Expand-free 100 TB path, spec-bounded)
+      "q_profile" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        graft.operators.Profile.profile(s.table("events"),
+            Seq("event_id", "user_id", "event_type", "value"), exact = true)
+          .orderBy(col("column"))
+      }),
+
       // --- vocabulary / heavy hitters -----------------------------------
       "q_top_tokens" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
@@ -1427,6 +1436,37 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM documents
       WHERE CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) / 1152921504606846976.0 < 0.25""",
+    "q_profile" -> """
+      WITH m AS (
+        SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+               SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               CAST(ROUND(MIN(event_id) * 1e6) AS BIGINT) AS min_e6,
+               CAST(ROUND(MAX(event_id) * 1e6) AS BIGINT) AS max_e6
+        FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*),
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT user_id),
+               CAST(ROUND(MIN(user_id) * 1e6) AS BIGINT),
+               CAST(ROUND(MAX(user_id) * 1e6) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*),
+               SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT event_type), NULL, NULL
+        FROM events
+        UNION ALL
+        SELECT 'value', COUNT(*),
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT value),
+               CAST(ROUND(MIN(value) * 1e6) AS BIGINT),
+               CAST(ROUND(MAX(value) * 1e6) AS BIGINT)
+        FROM events)
+      SELECT col AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_nulls AS BIGINT) AS n_nulls,
+             CAST(n_distinct AS BIGINT) AS n_distinct, min_e6, max_e6
+      FROM m ORDER BY col""",
     "q_split" -> """
       WITH u AS (
         SELECT doc_id,

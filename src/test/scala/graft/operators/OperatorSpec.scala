@@ -537,6 +537,33 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.sameElements(b))
   }
 
+  test("profile: exact metrics correct; HLL mode within rel error, no Expand") {
+    val sps = spark; import sps.implicits._
+    val df = spark.range(0, 5000).select(col("id").as("k"),
+        when(col("id") % 10 === 0, lit(null).cast("long")).otherwise(col("id") % 100).as("m"),
+        (col("id") % 7).cast("double").as("v"))
+    val exact = Profile.profile(df, exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact("k").getLong(1) == 5000 && exact("k").getLong(2) == 0 &&
+      exact("k").getLong(3) == 5000)
+    // m is null whenever id % 10 == 0, which removes every value divisible
+    // by 10 -> 90 distinct survive
+    assert(exact("m").getLong(2) == 500 && exact("m").getLong(3) == 90)
+    assert(exact("v").getLong(4) == 0L && exact("v").getLong(5) == 6000000L)
+    // HLL mode: estimates within the p=14 error bound, and the plan has no
+    // Expand (the thing that makes multi-column exact distinct expensive)
+    val approx = Profile.profile(df)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approximate profile must not Expand the scan")
+    val est = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    for ((c, truth) <- Seq("k" -> 5000L, "m" -> 90L, "v" -> 7L))
+      assert(math.abs(est(c) - truth) <= math.max(2L, (truth * 0.05).toLong),
+        s"$c: est ${est(c)} vs $truth")
+    // exact mode DOES use distinct aggregation (sanity that the modes differ)
+    assert(Profile.profile(df, exact = true).queryExecution.executedPlan
+      .toString.contains("Expand"))
+  }
+
   test("typed Dataset API over real testdata") {
     val docs = typed.documents(spark, "/root/testdata/sf0.001")
     assert(docs.head().text.nonEmpty)
