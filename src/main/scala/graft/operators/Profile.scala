@@ -33,11 +33,18 @@ object Profile {
 
     def distinctAgg(c: String): Column =
       if (exact) countDistinct(col(c)).cast("long")
-      else ColumnBridge.column(graft.functions.HllEstimate(ColumnBridge.expression(
-        ColumnBridge.column(graft.functions.HllSketchAgg(
-          ColumnBridge.expression(lit(hllP)),
-          ColumnBridge.expression(xxhash64(col(c))))
-          .toAggregateExpression())))).cast("long")
+      // NULL-gate the hash: xxhash64(NULL) returns the seed, which would
+      // count null rows as one phantom distinct; the sketch aggregate
+      // skips NULL inputs, matching COUNT(DISTINCT) semantics
+      // all-null column: the empty sketch finalizes to NULL; exact mode
+      // says 0, so coalesce for mode-consistent output
+      else coalesce(
+        ColumnBridge.column(graft.functions.HllEstimate(ColumnBridge.expression(
+          ColumnBridge.column(graft.functions.HllSketchAgg(
+            ColumnBridge.expression(lit(hllP)),
+            ColumnBridge.expression(when(col(c).isNotNull, xxhash64(col(c)))))
+            .toAggregateExpression())))).cast("long"),
+        lit(0L))
 
     def numericRange(c: String): (Column, Column) = df.schema(c).dataType match {
       case _: NumericType =>

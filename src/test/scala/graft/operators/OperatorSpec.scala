@@ -562,6 +562,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact mode DOES use distinct aggregation (sanity that the modes differ)
     assert(Profile.profile(df, exact = true).queryExecution.executedPlan
       .toString.contains("Expand"))
+    // an all-null column reports 0 distinct in BOTH modes (the hash is
+    // null-gated: without it, xxhash64(NULL)'s seed would count as one)
+    val withNull = df.withColumn("z", lit(null).cast("string"))
+    assert(Profile.profile(withNull, Seq("z"), exact = true).collect().head.getLong(3) == 0L)
+    assert(Profile.profile(withNull, Seq("z")).collect().head.getLong(3) == 0L)
   }
 
   test("typed Dataset API over real testdata") {
