@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Embeddings, Events, Multimodal, Ranking, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Events, Joins, Multimodal, Ranking, Sampling, TextAnalysis}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -297,6 +297,28 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("pairs"),
             (sum(col("id1") * col("id2") % 1000003L) % 1000003L)
               .cast("long").as("pair_checksum"))
+      }),
+
+      // skew-salted join: orders x lineitem through Joins.saltedJoin with
+      // a deliberately tiny hot threshold (orderkeys with >4 lineitems take
+      // the salted fan-out path, the rest join plain) so BOTH paths carry
+      // real rows. The result is row-identical to the plain join by
+      // construction — the oracle replays the plain join + aggregate.
+      "q_salted_join" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val li = s.table("lineitem").select(
+          col("l_orderkey").as("orderkey"), col("l_extendedprice"), col("l_discount"))
+        val ord = s.table("orders").select(
+          col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+        Joins.saltedJoin(li, ord, Seq("orderkey"),
+            saltFactor = 4, hotKeyThreshold = 4L)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long")).cast("long").as("revenue_e2"),
+            (sum(col("orderkey") % lit(1000003L)) % lit(1000003L))
+              .cast("long").as("key_checksum"))
+          .orderBy(col("o_orderpriority"))
       }),
 
       // --- duckdb hash surface ------------------------------------------
@@ -1148,6 +1170,14 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
              CAST(SUM(x.id * y.id % 1000003) % 1000003 AS BIGINT) AS pair_checksum
       FROM a x JOIN a y ON x.id < y.id AND x.s <= y.e AND y.s <= x.e""",
+    // the salted join must be row-identical to the plain equi-join
+    "q_salted_join" -> """
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
+             CAST(SUM(l_orderkey % 1000003) % 1000003 AS BIGINT) AS key_checksum
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_duckdb_hash" -> """
       SELECT o_orderkey, CAST(hash(o_orderkey) AS VARCHAR) AS h
       FROM orders ORDER BY o_orderkey""",

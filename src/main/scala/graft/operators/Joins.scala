@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-aware equi-join helpers.
+  *
+  * At 100 TB a handful of hot keys (a viral document, a default user id, a
+  * null-surrogate key) can put >90% of a shuffle partition's rows on one
+  * task while 999 executors idle. Spark's AQE skew handling splits oversized
+  * PARTITIONS, but a single hot KEY still lands on a single task because
+  * every row with that key must meet every matching row. The classic fix is
+  * salting: replicate the other side of the join `saltFactor` ways so each
+  * hot key fans out across `saltFactor` tasks.
+  *
+  * [[saltedJoin]] applies the fix surgically — only keys that are actually
+  * hot (by measured left-side frequency) take the replicated path; the rest
+  * of the data joins normally, so the replication cost is
+  * `hot right rows × saltFactor`, not `|right| × saltFactor`.
+  *
+  * The output is row-for-row identical to `left.join(right, keys, how)` —
+  * the gate's DuckDB oracle replays the plain join.
+  */
+object Joins {
+
+  /** Left-side key frequencies above `threshold` — the keys that would
+    * overload single tasks in a plain shuffle join. One partial-aggregated
+    * key count, so the scan is the only full-data pass; the result is by
+    * construction small (≤ |left| / threshold keys).
+    */
+  def hotKeys(left: DataFrame, keys: Seq[String], threshold: Long): DataFrame = {
+    require(keys.nonEmpty, "hotKeys needs at least one key column")
+    require(threshold > 0, "threshold must be positive")
+    left.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__hot_cnt"))
+      .where(col("__hot_cnt") > threshold)
+      .drop("__hot_cnt")
+  }
+
+  /** Equi-join `left` with `right` on `keys`, salting keys whose left-side
+    * row count exceeds `hotKeyThreshold` across `saltFactor` shuffle keys.
+    *
+    * Shape: one key-count aggregate over `left` (small output, broadcast),
+    * then each side splits into a hot and a rest stream via broadcast
+    * semi/anti joins (no extra shuffle on the data itself). The rest stream
+    * joins normally. The hot stream joins on `(keys, __salt)` where the left
+    * salt is a deterministic content hash into `[0, saltFactor)` and the hot
+    * right rows are replicated once per salt value. Every (left, right) row
+    * pair still meets exactly once — on the left row's salt — so the result
+    * equals the plain join for `inner` and `left` joins.
+    *
+    * The left salt hashes the whole row (not the key, which is constant
+    * within a hot group). Fully identical duplicate left rows therefore
+    * share a salt and stay on one task; for row-unique data (the common
+    * case) hot keys spread uniformly.
+    *
+    * @param how `"inner"` or `"left"` (unmatched left rows appear once,
+    *            whatever their salt).
+    * @param maxHotKeys hard cap on the hot-key set (it is materialized on
+    *            the driver ONCE so the four split joins reuse a local
+    *            relation instead of re-running the key-count aggregate —
+    *            by construction the set holds ≤ |left| / hotKeyThreshold
+    *            keys, but a mis-set threshold should fail loudly, not OOM).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int = 16, hotKeyThreshold: Long = 2000000,
+      how: String = "inner", maxHotKeys: Int = 1000000): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    require(saltFactor >= 2, s"saltFactor must be >= 2, got $saltFactor")
+    require(hotKeyThreshold > 0, "hotKeyThreshold must be positive")
+    require(how == "inner" || how == "left",
+      s"saltedJoin supports inner and left joins, got '$how'")
+    // These helper names would silently collide with same-named payload
+    // columns, corrupting results — fail fast instead (same contract as
+    // Events.asofJoin).
+    val reserved = Seq("__salt", "__hot_cnt")
+    for ((side, df) <- Seq("left" -> left, "right" -> right)) {
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(clash.isEmpty,
+        s"saltedJoin $side input contains reserved helper column(s) " +
+          s"${clash.mkString(", ")}; rename them before the join")
+    }
+
+    // One driver action: the hot-key set is tiny by construction, and
+    // pinning it as a local relation means the splits below are pure
+    // broadcast semi/anti joins — the key-count aggregate runs once, not
+    // once per split (4 extra full left-side scans at scale otherwise).
+    val spark = left.sparkSession
+    val hotRows = hotKeys(left, keys, hotKeyThreshold).limit(maxHotKeys + 1).collect()
+    require(hotRows.length <= maxHotKeys,
+      s"saltedJoin found more than $maxHotKeys keys above hotKeyThreshold=" +
+        s"$hotKeyThreshold; raise the threshold (salting is for a FEW hot keys)")
+    if (hotRows.isEmpty) return left.join(right, keys, how)
+    val hotSchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => left.schema(k)))
+    val hot = spark.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), hotSchema)
+
+    val leftHot = left.join(broadcast(hot), keys, "left_semi")
+    val leftRest = left.join(broadcast(hot), keys, "left_anti")
+    val rightHot = right.join(broadcast(hot), keys, "left_semi")
+    val rightRest = right.join(broadcast(hot), keys, "left_anti")
+
+    // Deterministic per-row salt: content hash of every left column. Safe
+    // under task retry and partitioning changes (unlike rand()).
+    val saltedLeft = leftHot.withColumn(
+      "__salt", pmod(xxhash64(leftHot.columns.map(col) :+ lit(0x5a17ed): _*),
+        lit(saltFactor.toLong)))
+    val saltedRight = rightHot.withColumn(
+      "__salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
+
+    val hotJoined = saltedLeft
+      .join(saltedRight, keys :+ "__salt", how)
+      .drop("__salt")
+    val restJoined = leftRest.join(rightRest, keys, how)
+
+    restJoined.unionByName(hotJoined)
+  }
+}

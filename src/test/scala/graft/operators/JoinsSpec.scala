@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-joins-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 1 hot key (5000 rows) + 200 uniform keys (10 rows each) on the left;
+    * right has 2 rows per key plus 50 keys the left never sees.
+    */
+  private def skewed = {
+    val s = spark
+    import s.implicits._
+    val left = ((1 to 5000).map(i => (0L, i)) ++
+      (for (k <- 1 to 200; i <- 1 to 10) yield (k.toLong, i))).toDF("k", "lv")
+    val right = (for (k <- 0 to 250; j <- 1 to 2) yield (k.toLong, j * 100)).toDF("k", "rv")
+    (left, right)
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("hotKeys finds exactly the keys above threshold") {
+    val (left, _) = skewed
+    val hot = Joins.hotKeys(left, Seq("k"), 100L).collect().map(_.getLong(0))
+    assert(hot.toSeq == Seq(0L))
+    // threshold at 9 keeps every key; at 5000 none
+    assert(Joins.hotKeys(left, Seq("k"), 9L).count() == 201)
+    assert(Joins.hotKeys(left, Seq("k"), 5000L).count() == 0)
+  }
+
+  test("saltedJoin inner equals the plain inner join") {
+    val (left, right) = skewed
+    val plain = left.join(right, Seq("k"), "inner")
+    val salted = Joins.saltedJoin(left, right, Seq("k"),
+      saltFactor = 8, hotKeyThreshold = 100L)
+    assert(salted.count() == plain.count())
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("saltedJoin left outer equals the plain left join") {
+    val (left, right) = skewed
+    // drop the hot key from the right so hot-path left rows go unmatched
+    val rightGap = right.where(col("k") =!= 0L && col("k") =!= 5L)
+    val plain = left.join(rightGap, Seq("k"), "left")
+    val salted = Joins.saltedJoin(left, rightGap, Seq("k"),
+      saltFactor = 4, hotKeyThreshold = 100L, how = "left")
+    assert(salted.count() == plain.count())
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("saltedJoin with no hot keys degrades to the plain join") {
+    val (left, right) = skewed
+    val plain = left.join(right, Seq("k"), "inner")
+    val salted = Joins.saltedJoin(left, right, Seq("k"),
+      saltFactor = 4, hotKeyThreshold = 1000000L)
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("hot keys spread across salt buckets") {
+    val (left, _) = skewed
+    // reproduce the operator's salt expression on the hot key's rows: the
+    // 5000 row-unique rows must not all land in one of the 8 buckets
+    val hotRows = left.where(col("k") === 0L)
+    val buckets = hotRows
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("lv"), lit(0x5a17ed)), lit(8L)))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(buckets.length == 8, "all 8 salt buckets populated")
+    assert(buckets.max < 5000 * 0.3, s"no bucket holds >30% of a hot key: ${buckets.toSeq}")
+  }
+
+  test("reserved helper names are rejected") {
+    val (left, right) = skewed
+    val bad = left.withColumn("__salt", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Joins.saltedJoin(bad, right, Seq("k"))
+    }
+    assert(e.getMessage.contains("__salt"))
+  }
+
+  test("multi-column keys") {
+    val s = spark
+    import s.implicits._
+    val left = (for (a <- 1 to 3; b <- 1 to 3; i <- 1 to (if (a == 1 && b == 1) 500 else 5))
+      yield (a, b, i)).toDF("a", "b", "lv")
+    val right = (for (a <- 1 to 3; b <- 1 to 3) yield (a, b, a * 10 + b)).toDF("a", "b", "rv")
+    val plain = left.join(right, Seq("a", "b"), "inner")
+    val salted = Joins.saltedJoin(left, right, Seq("a", "b"),
+      saltFactor = 4, hotKeyThreshold = 50L)
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+}
