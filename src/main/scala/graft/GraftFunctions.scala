@@ -189,6 +189,10 @@ object GraftFunctions {
     "kmv_intersect_count" -> FnDoc(
       arg("a - BINARY kmv blob", "b - BINARY kmv blob"),
       ex("SELECT kmv_intersect_count(a.s, b.s) / CAST(256 AS DOUBLE) AS jaccard_est FROM sa a, sb b;")),
+    "zorder_key" -> FnDoc(
+      arg("bits - foldable INTEGER, bits taken from each dimension (dims * bits <= 63)",
+        "c1..cn - integral columns, each normalized into [0, 2^bits) by the caller"),
+      ex("SELECT zorder_key(8, x % 256, y % 256) AS zkey FROM points ORDER BY zkey;")),
   )
 
   /** (name, usage, builder) for every SQL function we expose. */
@@ -339,6 +343,10 @@ object GraftFunctions {
     ("kmv_intersect_count",
       "kmv_intersect_count(a, b) - KMV Jaccard numerator: |bottom-k(A ∪ B) ∩ A ∩ B| with k = min(ka, kb)",
       args => { arity("kmv_intersect_count", 2, args); KmvIntersectCount(args(0), args(1)) }),
+    // data-layout keys (write-path clustering for scan pruning)
+    ("zorder_key",
+      "zorder_key(bits, c1[, c2, ...]) - Morton interleave of the lowest `bits` bits of each integral column into one BIGINT clustering key",
+      args => { atLeast("zorder_key", 2, args); ZOrderKey(args) }),
   )
 
   /** Idempotent programmatic registration into the session's function registry.

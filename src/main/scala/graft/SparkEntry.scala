@@ -321,6 +321,20 @@ object SparkEntry {
           .orderBy(col("o_orderpriority"))
       }),
 
+      // z-order clustering key: Morton interleave of two bucketed part/supp
+      // dimensions. Per-bucket integer checksums over the full key
+      // distribution pin every bit position; DuckDB rebuilds the interleave
+      // from shift/mask arithmetic generated from the same (bits, dims).
+      "q_zorder" -> q("""
+        SELECT CAST(zkey >> 10 AS BIGINT) AS zbucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(zkey) AS BIGINT) AS zsum,
+               CAST(MIN(zkey) AS BIGINT) AS zmin,
+               CAST(MAX(zkey) AS BIGINT) AS zmax
+        FROM (SELECT zorder_key(8, l_partkey % 256, l_suppkey % 256) AS zkey
+              FROM lineitem)
+        GROUP BY zbucket ORDER BY zbucket""") _,
+
       // --- duckdb hash surface ------------------------------------------
       "q_duckdb_hash" -> q("""
         SELECT o_orderkey, conv(hex(bitfilters_duckdb_hash('v1.5.1', o_orderkey)), 16, 10) AS h
@@ -1170,6 +1184,21 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
              CAST(SUM(x.id * y.id % 1000003) % 1000003 AS BIGINT) AS pair_checksum
       FROM a x JOIN a y ON x.id < y.id AND x.s <= y.e AND y.s <= x.e""",
+    // Morton interleave rebuilt from shift/mask arithmetic — generated from
+    // the same (bits=8, dims=2) the Spark expression folds
+    "q_zorder" -> {
+      val terms = (for (j <- 0 until 8; (c, i) <- Seq("x" -> 0, "y" -> 1))
+        yield s"(((${c} >> ${j}) & 1) << ${2 * j + i})").mkString(" + ")
+      s"""
+      WITH v AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+      z AS (SELECT CAST($terms AS BIGINT) AS zkey FROM v)
+      SELECT CAST(zkey >> 10 AS BIGINT) AS zbucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(zkey) AS BIGINT) AS zsum,
+             CAST(MIN(zkey) AS BIGINT) AS zmin,
+             CAST(MAX(zkey) AS BIGINT) AS zmax
+      FROM z GROUP BY zbucket ORDER BY zbucket"""
+    },
     // the salted join must be row-identical to the plain equi-join
     "q_salted_join" -> """
       SELECT o_orderpriority,
