@@ -189,6 +189,19 @@ object GraftFunctions {
     "kmv_intersect_count" -> FnDoc(
       arg("a - BINARY kmv blob", "b - BINARY kmv blob"),
       ex("SELECT kmv_intersect_count(a.s, b.s) / CAST(256 AS DOUBLE) AS jaccard_est FROM sa a, sb b;")),
+    "hist_sketch" -> FnDoc(
+      arg("nbins - foldable INTEGER number of equal-width bins",
+        "lo - foldable numeric range start (inclusive)",
+        "hi - foldable numeric range end (exclusive; x >= hi counts as above)",
+        "x_or_blob - numeric value to bin, or BINARY hist blob to vector-add merge"),
+      ex("SELECT hist_sketch(50, 0.0, 100.0, value) FROM events;",
+        "SELECT hist_sketch(50, 0.0, 100.0, h) FROM per_day_hists; -- merge")),
+    "hist_counts" -> FnDoc(
+      arg("sketch - BINARY histogram blob"),
+      ex("SELECT hist_counts(h)[1] AS below_range FROM hists;")),
+    "hist_quantile" -> FnDoc(
+      arg("sketch - BINARY histogram blob", "q - quantile in [0, 1]"),
+      ex("SELECT hist_quantile(h, 0.5) AS median_est FROM hists;")),
     "zorder_key" -> FnDoc(
       arg("bits - foldable INTEGER, bits taken from each dimension (dims * bits <= 63)",
         "c1..cn - integral columns, each normalized into [0, 2^bits) by the caller"),
@@ -343,6 +356,15 @@ object GraftFunctions {
     ("kmv_intersect_count",
       "kmv_intersect_count(a, b) - KMV Jaccard numerator: |bottom-k(A ∪ B) ∩ A ∩ B| with k = min(ka, kb)",
       args => { arity("kmv_intersect_count", 2, args); KmvIntersectCount(args(0), args(1)) }),
+    ("hist_sketch",
+      "hist_sketch(nbins, lo, hi, x_or_blob) - aggregate numeric values into a fixed-range equi-width histogram BLOB, or vector-add merge hist BLOBs",
+      args => { arity("hist_sketch", 4, args); HistSketchAgg(args(0), args(1), args(2), args(3)) }),
+    ("hist_counts",
+      "hist_counts(sketch) - ARRAY<BIGINT> [below, bin_0..bin_{n-1}, above] of a histogram BLOB",
+      args => { arity("hist_counts", 1, args); HistCounts(args(0)) }),
+    ("hist_quantile",
+      "hist_quantile(sketch, q) - interpolated quantile over the in-range values of a histogram BLOB",
+      args => { arity("hist_quantile", 2, args); HistQuantile(args(0), args(1)) }),
     // data-layout keys (write-path clustering for scan pruning)
     ("zorder_key",
       "zorder_key(bits, c1[, c2, ...]) - Morton interleave of the lowest `bits` bits of each integral column into one BIGINT clustering key",

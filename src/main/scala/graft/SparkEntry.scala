@@ -321,6 +321,28 @@ object SparkEntry {
           .orderBy(col("o_orderpriority"))
       }),
 
+      // histogram sketch: per-type fixed-range histograms over integer-exact
+      // scaled values. Every occupied bin count rides the hash path (explode),
+      // and the interpolated median/p90 are micro-rounded doubles whose
+      // arithmetic (rank walk + within-bin interpolation) DuckDB replays from
+      // its own bin counts with a window cumsum.
+      "q_histogram" -> q("""
+        WITH sk AS (
+          SELECT event_type,
+                 hist_sketch(50, 0.0D, 50000.0D,
+                   CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE)) AS h
+          FROM events GROUP BY event_type),
+        qv AS (
+          SELECT event_type, h,
+                 CAST(ROUND(hist_quantile(h, 0.5D) * 1000000) AS BIGINT) AS med_e6,
+                 CAST(ROUND(hist_quantile(h, 0.9D) * 1000000) AS BIGINT) AS p90_e6
+          FROM sk)
+        SELECT event_type, CAST(pos AS INT) AS slot, CAST(cnt AS BIGINT) AS cnt,
+               med_e6, p90_e6
+        FROM qv LATERAL VIEW posexplode(hist_counts(h)) t AS pos, cnt
+        WHERE cnt > 0
+        ORDER BY event_type, slot""") _,
+
       // z-order clustering key: Morton interleave of two bucketed part/supp
       // dimensions. Per-bucket integer checksums over the full key
       // distribution pin every bit position; DuckDB rebuilds the interleave
@@ -1184,6 +1206,45 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
              CAST(SUM(x.id * y.id % 1000003) % 1000003 AS BIGINT) AS pair_checksum
       FROM a x JOIN a y ON x.id < y.id AND x.s <= y.e AND y.s <= x.e""",
+    // equi-width histogram replay: slot = 1 + floor(x/width) (0/nbins+1 for
+    // outliers, matching hist_counts layout); quantiles re-derived from the
+    // bin counts with the same rank-walk interpolation arithmetic
+    "q_histogram" -> """
+      WITH v AS (
+        SELECT event_type, CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS x
+        FROM events),
+      b AS (
+        SELECT event_type,
+               CASE WHEN x < 0.0 THEN 0 WHEN x >= 50000.0 THEN 51
+                    ELSE 1 + LEAST(49, CAST(FLOOR(x / 1000.0) AS INT)) END AS slot
+        FROM v),
+      c AS (SELECT event_type, slot, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+      n AS (SELECT event_type, SUM(cnt) AS n FROM c WHERE slot BETWEEN 1 AND 50 GROUP BY 1),
+      w AS (
+        SELECT event_type, slot, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY slot) AS cum
+        FROM c WHERE slot BETWEEN 1 AND 50),
+      land AS (
+        SELECT w.event_type, q.qv, MIN(w.slot) AS slot
+        FROM w JOIN n ON n.event_type = w.event_type,
+             (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS qv) q
+        WHERE w.cum >= q.qv * n.n
+        GROUP BY w.event_type, q.qv),
+      est AS (
+        SELECT l.event_type, l.qv,
+               0.0 + 1000.0 * ((l.slot - 1) + ((l.qv * n.n) - (w.cum - w.cnt)) / w.cnt) AS est
+        FROM land l
+        JOIN w ON w.event_type = l.event_type AND w.slot = l.slot
+        JOIN n ON n.event_type = l.event_type),
+      qp AS (
+        SELECT event_type,
+               CAST(ROUND(MAX(CASE WHEN qv = 0.5 THEN est END) * 1000000) AS BIGINT) AS med_e6,
+               CAST(ROUND(MAX(CASE WHEN qv = 0.9 THEN est END) * 1000000) AS BIGINT) AS p90_e6
+        FROM est GROUP BY event_type)
+      SELECT c.event_type, CAST(c.slot AS INT) AS slot, CAST(c.cnt AS BIGINT) AS cnt,
+             qp.med_e6, qp.p90_e6
+      FROM c JOIN qp ON qp.event_type = c.event_type
+      ORDER BY c.event_type, slot""",
     // Morton interleave rebuilt from shift/mask arithmetic — generated from
     // the same (bits=8, dims=2) the Spark expression folds
     "q_zorder" -> {

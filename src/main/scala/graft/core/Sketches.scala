@@ -293,3 +293,100 @@ object KmvOps {
     shared
   }
 }
+
+object HistogramSketch {
+  val MaxBins = 1 << 16
+
+  def create(nbins: Int, lo: Double, hi: Double): HistogramSketch = {
+    require(nbins >= 1 && nbins <= MaxBins,
+      s"hist_sketch nbins must be in [1, $MaxBins], got $nbins")
+    require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi) && lo < hi,
+      s"hist_sketch needs finite lo < hi, got [$lo, $hi)")
+    new HistogramSketch(nbins, lo, hi, 0L, 0L, new Array[Long](nbins))
+  }
+
+  /** Blob: [i32 nbins][f64 lo][f64 hi][i64 below][i64 above][i64 × nbins], LE. */
+  def deserialize(bytes: Array[Byte]): HistogramSketch = {
+    require(bytes.length >= 36, "hist blob is too short")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nbins = bb.getInt
+    require(nbins >= 1 && nbins <= MaxBins, s"hist blob has invalid nbins=$nbins")
+    require(bytes.length == 36 + 8L * nbins,
+      s"hist blob length ${bytes.length} != ${36 + 8L * nbins}")
+    val lo = bb.getDouble; val hi = bb.getDouble
+    val below = bb.getLong; val above = bb.getLong
+    val counts = new Array[Long](nbins)
+    bb.asLongBuffer().get(counts)
+    new HistogramSketch(nbins, lo, hi, below, above, counts)
+  }
+}
+
+/** Fixed-range equi-width histogram: the one-pass, mergeable (vector-add)
+  * numeric-distribution state. At 100 TB it answers quantile/shape questions
+  * with a few KB per group and no sort — the scale path next to the exact
+  * sorted percentile. Bin placement is plain IEEE double arithmetic
+  * (`min(nbins-1, floor((x-lo)/width))` — the clamp makes `x = hi-ulp`
+  * rounding up to `nbins` part of the contract), so an engine-independent
+  * SQL replay produces identical counts; quantile interpolation is a pure
+  * function of the counts, replayable with a window cumsum.
+  */
+final class HistogramSketch(val nbins: Int, val lo: Double, val hi: Double,
+    var below: Long, var above: Long, val counts: Array[Long]) {
+
+  private val width: Double = (hi - lo) / nbins
+
+  def add(x: Double): Unit = {
+    if (java.lang.Double.isNaN(x)) return // NaN is neither below nor above
+    if (x < lo) below += 1
+    else if (x >= hi) above += 1
+    else {
+      val b = math.min(nbins - 1, ((x - lo) / width).toInt)
+      counts(b) += 1
+    }
+  }
+
+  def addMerge(other: HistogramSketch): Unit = {
+    require(other.nbins == nbins && other.lo == lo && other.hi == hi,
+      s"cannot merge histograms with different shapes: " +
+        s"[$lo,$hi)x$nbins vs [${other.lo},${other.hi})x${other.nbins}")
+    below += other.below; above += other.above
+    var i = 0
+    while (i < nbins) { counts(i) += other.counts(i); i += 1 }
+  }
+
+  def inRange: Long = { var s = 0L; var i = 0; while (i < nbins) { s += counts(i); i += 1 }; s }
+
+  /** Interpolated quantile over IN-RANGE values: rank `q*N` walked through
+    * the cumulative counts, uniform within the landing bin. q=0 gives the
+    * start of the first occupied bin, q=1 the end of the last. NULL-ish
+    * (NaN) when no in-range values or q outside [0,1].
+    */
+  def quantile(q: Double): Double = {
+    val n = inRange
+    if (n == 0 || q < 0.0 || q > 1.0 || java.lang.Double.isNaN(q)) return Double.NaN
+    val rank = q * n
+    var cum = 0L
+    var b = 0
+    while (b < nbins) {
+      val c = counts(b)
+      if (c > 0) {
+        val cumAfter = cum + c
+        if (cumAfter >= rank) {
+          val within = (rank - cum) / c
+          return lo + width * (b + math.max(0.0, within))
+        }
+        cum = cumAfter
+      }
+      b += 1
+    }
+    hi // unreachable for q <= 1, defensive
+  }
+
+  def serialize(): Array[Byte] = {
+    val out = ByteBuffer.allocate(36 + 8 * nbins).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(nbins).putDouble(lo).putDouble(hi).putLong(below).putLong(above)
+    var i = 0
+    while (i < nbins) { out.putLong(counts(i)); i += 1 }
+    out.array()
+  }
+}

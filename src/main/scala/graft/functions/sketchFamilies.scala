@@ -547,3 +547,167 @@ case class KmvIntersectCount(left: Expression, right: Expression) extends Binary
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvIntersectCount =
     copy(left = l, right = r)
 }
+
+/** Dense-from-first-row histogram state: nbins longs is small by contract
+  * (MaxBins 65536 = 512 KB worst case; typical use is a few hundred bins),
+  * so no sparse staging is needed.
+  */
+final class HistBuf(var sketch: HistogramSketch) {
+  def isEmpty: Boolean = sketch == null
+}
+
+/** SQL: `hist_sketch(nbins, lo, hi, x_or_blob)` — fixed-range equi-width
+  * histogram over DOUBLE values, or vector-add merge of existing histogram
+  * blobs (same overload-by-last-argument convention as the filter families).
+  */
+case class HistSketchAgg(
+    nbinsExpr: Expression,
+    loExpr: Expression,
+    hiExpr: Expression,
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HistBuf] {
+
+  override def children: Seq[Expression] = Seq(nbinsExpr, loExpr, hiExpr, child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hist_sketch"
+
+  private lazy val nbins: Int = AggUtil.foldableLong(nbinsExpr, "hist_sketch nbins").toInt
+  private def foldableDouble(e: Expression, what: String): Double = e.eval(null) match {
+    case null => throw new IllegalArgumentException(s"$what cannot be NULL")
+    case d: Double => d
+    case f: Float => f.toDouble
+    case n: Number => n.doubleValue()
+    case d: Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric constant, got $other")
+  }
+  private lazy val lo: Double = foldableDouble(loExpr, "hist_sketch lo")
+  private lazy val hi: Double = foldableDouble(hiExpr, "hist_sketch hi")
+  private lazy val mergeMode: Boolean = child.dataType == BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    for ((e, what) <- Seq(nbinsExpr -> "hist_sketch nbins", loExpr -> "hist_sketch lo",
+        hiExpr -> "hist_sketch hi")) {
+      val f = AggUtil.checkFoldable(e, what)
+      if (f != TypeCheckResult.TypeCheckSuccess) return f
+    }
+    if (!AggUtil.isIntegral(nbinsExpr.dataType))
+      return TypeCheckResult.TypeCheckFailure("hist_sketch nbins must be a constant integer")
+    child.dataType match {
+      case DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType | BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hist_sketch fourth argument must be numeric (values) or BINARY (hist blobs), got ${other.sql}")
+    }
+  }
+
+  override def createAggregationBuffer(): HistBuf = new HistBuf(null)
+
+  private def toDouble(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalStateException(s"unexpected histogram input $other")
+  }
+
+  override def update(buf: HistBuf, input: InternalRow): HistBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (buf.sketch == null) buf.sketch = HistogramSketch.create(nbins, lo, hi)
+      if (mergeMode)
+        buf.sketch.addMerge(HistogramSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+      else buf.sketch.add(toDouble(v))
+    }
+    buf
+  }
+
+  override def merge(buf: HistBuf, other: HistBuf): HistBuf = {
+    if (other.sketch != null) {
+      if (buf.sketch == null) buf.sketch = HistogramSketch.create(nbins, lo, hi)
+      buf.sketch.addMerge(other.sketch)
+    }
+    buf
+  }
+
+  override def eval(buf: HistBuf): Any =
+    if (buf.sketch == null) null else buf.sketch.serialize()
+
+  // shuffle wire = the blob format itself
+  override def serialize(buf: HistBuf): Array[Byte] =
+    if (buf.sketch == null) Array.emptyByteArray else buf.sketch.serialize()
+
+  override def deserialize(bytes: Array[Byte]): HistBuf =
+    if (bytes.isEmpty) new HistBuf(null)
+    else new HistBuf(HistogramSketch.deserialize(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HistSketchAgg =
+    copy(nbinsExpr = newChildren(0), loExpr = newChildren(1), hiExpr = newChildren(2),
+      child = newChildren(3))
+}
+
+/** SQL: `hist_counts(blob)` → ARRAY<BIGINT> of length nbins+2:
+  * `[below, bin_0 .. bin_{n-1}, above]` — the raw state, so cross-engine
+  * gates pin CONTENT (exact per-bin counts), not just interpolated
+  * estimates. Per-group cardinality ⇒ interpreted eval is fine.
+  */
+case class HistCounts(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "hist_counts"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"hist_counts requires a BINARY histogram blob, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val sk = HistogramSketch.deserialize(input.asInstanceOf[Array[Byte]])
+    val out = new Array[Long](sk.nbins + 2)
+    out(0) = sk.below
+    System.arraycopy(sk.counts, 0, out, 1, sk.nbins)
+    out(sk.nbins + 1) = sk.above
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HistCounts =
+    copy(child = newChild)
+}
+
+/** SQL: `hist_quantile(blob, q)` → DOUBLE interpolated quantile over the
+  * in-range values (NULL when the histogram holds none or q is out of
+  * [0, 1]). Per-group cardinality ⇒ interpreted eval is fine.
+  */
+case class HistQuantile(left: Expression, right: Expression) extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "hist_quantile"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"hist_quantile requires a BINARY histogram blob, got ${left.dataType.sql}")
+    else if (right.dataType != DoubleType && right.dataType != FloatType &&
+      !right.dataType.isInstanceOf[DecimalType] && !AggUtil.isIntegral(right.dataType))
+      TypeCheckResult.TypeCheckFailure(s"hist_quantile q must be numeric, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(blob: Any, qv: Any): Any = {
+    val q = qv match {
+      case d: Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalStateException(s"unexpected quantile argument $other")
+    }
+    val est = HistogramSketch.deserialize(blob.asInstanceOf[Array[Byte]]).quantile(q)
+    if (java.lang.Double.isNaN(est)) null else est
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HistQuantile =
+    copy(left = newLeft, right = newRight)
+}

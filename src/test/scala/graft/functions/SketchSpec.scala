@@ -239,4 +239,62 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT kmv_sketch(0, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(10)").collect())
     assert(e3.getMessage.contains("kmv_sketch k"))
   }
+
+  // --- histogram ---
+
+  test("hist: core binning, clamp edge, outliers, merge, round-trip") {
+    val h = graft.core.HistogramSketch.create(4, 0.0, 8.0) // width 2
+    Seq(-1.0, 0.0, 1.9, 2.0, 7.9, 8.0, 100.0, Double.NaN).foreach(h.add)
+    assert(h.below == 1 && h.above == 2) // 8.0 and 100.0 above; NaN dropped
+    assert(h.counts.toSeq == Seq(2L, 1L, 0L, 1L))
+    // the hi-ulp clamp: a value whose (x-lo)/width rounds to nbins stays in
+    // the last bin
+    val tight = graft.core.HistogramSketch.create(3, 0.0, 0.3)
+    tight.add(0.3 - math.ulp(0.3))
+    assert(tight.counts.toSeq == Seq(0L, 0L, 1L) && tight.above == 0)
+    val h2 = graft.core.HistogramSketch.deserialize(h.serialize())
+    assert(h2.counts.toSeq == h.counts.toSeq && h2.below == 1 && h2.above == 2)
+    h2.addMerge(h)
+    assert(h2.counts.toSeq == Seq(4L, 2L, 0L, 2L) && h2.below == 2 && h2.above == 4)
+    intercept[IllegalArgumentException](
+      h2.addMerge(graft.core.HistogramSketch.create(4, 0.0, 9.0)))
+  }
+
+  test("hist: quantile interpolation matches the closed form") {
+    val h = graft.core.HistogramSketch.create(4, 0.0, 8.0)
+    // 4 values in bin 0, 4 in bin 3 -> median at the bin boundary walk
+    Seq(0.1, 0.2, 0.3, 0.4, 6.1, 6.2, 6.3, 6.4).foreach(h.add)
+    assert(h.quantile(0.0) == 0.0)      // start of first occupied bin
+    assert(h.quantile(1.0) == 8.0)      // end of last occupied bin
+    assert(h.quantile(0.5) == 2.0)      // rank 4 lands at end of bin 0
+    assert(h.quantile(0.25) == 1.0)     // rank 2 = middle of bin 0
+    assert(h.quantile(0.75) == 7.0)     // rank 6 = middle of bin 3
+    assert(graft.core.HistogramSketch.create(2, 0.0, 1.0).quantile(0.5).isNaN)
+    assert(h.quantile(1.5).isNaN)
+  }
+
+  test("SQL: hist_sketch build/merge/counts/quantile and NULL semantics") {
+    val s = spark
+    import s.implicits._
+    (0 until 1000).map(i => (i % 10, i.toDouble)).toDF("g", "x")
+      .createOrReplaceTempView("hvals")
+    val one = spark.sql("""
+      SELECT hist_counts(hist_sketch(10, 0.0, 1000.0, x)) AS c,
+             hist_quantile(hist_sketch(10, 0.0, 1000.0, x), 0.5) AS med
+      FROM hvals""").collect().head
+    assert(one.getSeq[Long](0) == (Seq(0L) ++ Seq.fill(10)(100L) ++ Seq(0L)))
+    assert(one.getDouble(1) == 500.0)
+    // per-group build then blob merge == single global build
+    val merged = spark.sql("""
+      WITH per_g AS (SELECT g, hist_sketch(10, 0.0, 1000.0, x) AS h FROM hvals GROUP BY g)
+      SELECT hist_counts(hist_sketch(10, 0.0, 1000.0, h)) AS c FROM per_g""").collect().head
+    assert(merged.getSeq[Long](0) == one.getSeq[Long](0))
+    // empty/NULL group -> NULL blob
+    assert(spark.sql(
+      "SELECT hist_sketch(4, 0.0, 1.0, CAST(NULL AS DOUBLE)) FROM range(5)")
+      .collect().head.isNullAt(0))
+    val e = intercept[Exception](spark.sql(
+      "SELECT hist_sketch(0, 0.0, 1.0, CAST(id AS DOUBLE)) FROM range(5)").collect())
+    assert(e.getMessage.contains("nbins"))
+  }
 }
