@@ -683,6 +683,26 @@ object SparkEntry {
             sum("doc_id").cast("long").as("id_sum"))
           .orderBy("split")
       }),
+      // end-to-end curation pipeline: quality gate -> language filter ->
+      // exact dedup -> deterministic split assignment, composed from the
+      // SAME operators the per-component gates verify. The oracle chains
+      // the per-component SQL replays, so every intermediate row set (not
+      // just the final counts) must agree for the hashes to match.
+      "q_curation" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        val scored = TextAnalysis.withQualityMetrics(docs, "text")
+          .where(col("quality_score") >= 0.5)
+        val en = scored.where(TextAnalysis.langId(col("text")) === "en")
+        val deduped = Dedup.dropExactDuplicates(
+          en.select("doc_id", "text"), "text", "doc_id")
+        Sampling.assignSplits(deduped, "text")
+          .groupBy("split")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("doc_id").cast("long").as("id_sum"),
+            sum(expr("token_count(text)")).cast("long").as("tokens"))
+          .orderBy("split")
+      }),
       "q_sample_strat" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         Sampling.stratifiedTake(s.table("documents"), "lang", "text", 50, "doc_id")
@@ -1596,6 +1616,55 @@ object SparkEntry {
       SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
              CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM u GROUP BY 1 ORDER BY 1""",
+    // chained replay of the full curation pipeline: quality formula ->
+    // stopword-argmax language id -> keep-first dedup -> salted-hash split
+    "q_curation" -> {
+      def inList(lang: String) =
+        graft.operators.LangId.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+      def hits(lang: String) =
+        s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(${inList(lang)}, x))) AS $lang"
+      s"""
+      WITH m AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS DOUBLE) AS chars,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> list_contains(['the','a','an','and','or','of','in','to','is','it','that','for','on','with','as'], x))) AS DOUBLE) AS sw_hits,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS toks
+        FROM documents),
+      filt AS (
+        SELECT doc_id, text FROM m
+        WHERE least(1.0, greatest(0.0,
+                0.4 * least(words / 100.0, 1.0)
+              + 0.3 * (1.0 - least(punct / greatest(chars, 1.0) * 5.0, 1.0))
+              + 0.3 * least(sw_hits / greatest(toks, 1.0) * 4.0, 1.0))) >= 0.5),
+      lh AS (
+        SELECT doc_id, text, ${hits("de")}, ${hits("en")}, ${hits("es")}, ${hits("fr")}
+        FROM filt),
+      enl AS (
+        SELECT doc_id, text FROM lh
+        WHERE greatest(de, en, es, fr) > 0
+          AND en = greatest(de, en, es, fr)
+          AND fr < greatest(de, en, es, fr)
+          AND es < greatest(de, en, es, fr)),
+      ded AS (
+        SELECT doc_id, text
+        FROM (SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM enl) WHERE rn = 1),
+      sp AS (
+        SELECT doc_id, text,
+               CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, text,
+                     CAST(('0x' || substring(md5(text || 'graft-split'), 1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 AS u
+              FROM ded))
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens
+      FROM sp GROUP BY split ORDER BY split"""
+    },
     "q_sample_strat" -> """
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM (SELECT lang, doc_id,
