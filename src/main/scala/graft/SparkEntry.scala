@@ -357,6 +357,25 @@ object SparkEntry {
               FROM lineitem)
         GROUP BY zbucket ORDER BY zbucket""") _,
 
+      // filter-pruned join: the reference's bloom-join pushdown story run
+      // Spark-side — a fuse16 filter over the selective orders subset is
+      // folded to a scalar subquery and prunes the lineitem scan BEFORE the
+      // join shuffle; the real join then removes the bounded false
+      // positives, so the result is row-identical to the plain join.
+      "q_filter_join" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ord = s.table("orders").where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("orderkey"))
+        val li = s.table("lineitem").select(
+          col("l_orderkey").as("orderkey"), col("l_extendedprice"), col("l_discount"))
+        Joins.filterPrunedJoin(li, ord, Seq("orderkey"))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long")).cast("long").as("revenue_e2"),
+            (sum(col("orderkey") % lit(1000003L)) % lit(1000003L))
+              .cast("long").as("key_checksum"))
+      }),
+
       // --- duckdb hash surface ------------------------------------------
       "q_duckdb_hash" -> q("""
         SELECT o_orderkey, conv(hex(bitfilters_duckdb_hash('v1.5.1', o_orderkey)), 16, 10) AS h
@@ -1280,6 +1299,14 @@ object SparkEntry {
              CAST(MAX(zkey) AS BIGINT) AS zmax
       FROM z GROUP BY zbucket ORDER BY zbucket"""
     },
+    // no false negatives + real join after the prune => row-identical to
+    // the plain selective join
+    "q_filter_join" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
+             CAST(SUM(l_orderkey % 1000003) % 1000003 AS BIGINT) AS key_checksum
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'""",
     // the salted join must be row-identical to the plain equi-join
     "q_salted_join" -> """
       SELECT o_orderpriority,

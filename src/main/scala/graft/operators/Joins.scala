@@ -116,4 +116,38 @@ object Joins {
 
     restJoined.unionByName(hotJoined)
   }
+
+  /** Equi-join with the big side pre-pruned by a binary-fuse filter built
+    * over the small side's keys — the manual/cross-system bloom-join
+    * pushdown the reference exists to serve (docs/README.md:162-203),
+    * expressed Spark-side: build the filter ONCE (single-row aggregate,
+    * folded to a scalar subquery by [[graft.plans.FoldSingleRowJoin]] so
+    * the probe predicate sits on the left scan inside codegen), drop
+    * non-matching left rows BEFORE the join shuffle, then run the real
+    * join to remove the bounded false positives.
+    *
+    * No false negatives ⇒ the result is row-identical to the plain join.
+    * Worth it when `right` is too big to broadcast but its key set is far
+    * smaller than `left` (the filter is ~2.26 B/key — 100M keys ≈ 226 MB
+    * shipped once per executor, versus shuffling the full left side).
+    *
+    * @param how `"inner"` or `"left_semi"` (pruning drops unmatched left
+    *            rows, so outer joins are not expressible on this path).
+    */
+  def filterPrunedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String = "inner", hashVersion: String = "v1.5.1"): DataFrame = {
+    require(keys.nonEmpty, "filterPrunedJoin needs at least one key column")
+    require(how == "inner" || how == "left_semi",
+      s"filterPrunedJoin supports inner and left_semi joins, got '$how'")
+    for ((side, df) <- Seq("left" -> left, "right" -> right)) {
+      require(!df.columns.contains("__f"),
+        s"filterPrunedJoin $side input contains reserved helper column __f; rename it first")
+    }
+    val h = s"bitfilters_duckdb_hash('$hashVersion', ${keys.map(k => s"`$k`").mkString(", ")})"
+    val flt = right.agg(expr(s"binary_fuse16_filter($h)").as("__f"))
+    val pruned = left.crossJoin(broadcast(flt))
+      .where(expr(s"binary_fuse16_filter_contains(__f, $h)"))
+      .drop("__f")
+    pruned.join(right, keys, how)
+  }
 }

@@ -94,6 +94,24 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("__salt"))
   }
 
+  test("filterPrunedJoin inner equals the plain inner join") {
+    val (left, right) = skewed
+    val rightSel = right.where(col("k") % 7 === 0) // selective small side
+    graft.GraftFunctions.registerAll(spark)
+    val plain = left.join(rightSel, Seq("k"), "inner")
+    val pruned = Joins.filterPrunedJoin(left, rightSel, Seq("k"))
+    assert(sortedRows(pruned) == sortedRows(plain))
+    val semi = Joins.filterPrunedJoin(left, rightSel, Seq("k"), how = "left_semi")
+    assert(sortedRows(semi) == sortedRows(left.join(rightSel, Seq("k"), "left_semi")))
+  }
+
+  test("filterPrunedJoin with an empty build side returns no rows") {
+    val (left, right) = skewed
+    graft.GraftFunctions.registerAll(spark)
+    val empty = right.where(col("k") < 0)
+    assert(Joins.filterPrunedJoin(left, empty, Seq("k")).count() == 0)
+  }
+
   test("multi-column keys") {
     val s = spark
     import s.implicits._
