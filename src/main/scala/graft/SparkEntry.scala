@@ -300,10 +300,11 @@ object SparkEntry {
       }),
 
       // skew-salted join: orders x lineitem through Joins.saltedJoin with
-      // a deliberately tiny hot threshold (orderkeys with >4 lineitems take
-      // the salted fan-out path, the rest join plain) so BOTH paths carry
-      // real rows. The result is row-identical to the plain join by
-      // construction — the oracle replays the plain join + aggregate.
+      // a deliberately low hot threshold (orderkeys with >6 lineitems — the
+      // max-size orders, ~1/7 of keys — take the salted fan-out path, the
+      // rest join plain) so BOTH paths carry real rows. The result is
+      // row-identical to the plain join by construction — the oracle
+      // replays the plain join + aggregate.
       "q_salted_join" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val li = s.table("lineitem").select(
@@ -311,7 +312,7 @@ object SparkEntry {
         val ord = s.table("orders").select(
           col("o_orderkey").as("orderkey"), col("o_orderpriority"))
         Joins.saltedJoin(li, ord, Seq("orderkey"),
-            saltFactor = 4, hotKeyThreshold = 4L)
+            saltFactor = 4, hotKeyThreshold = 6L)
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).cast("long").as("cnt"),
             sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)

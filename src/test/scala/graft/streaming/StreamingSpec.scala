@@ -51,6 +51,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming histogram sketch folds state across micro-batches") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val hists = input.toDF().toDF("grp", "x")
+      .groupBy($"grp")
+      .agg(org.apache.spark.sql.functions.expr("hist_sketch(4, 0.0D, 8.0D, x)").as("h"))
+    val query = hists.writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((0L, 1.0), (0L, 3.0), (1L, 7.0))
+      query.processAllAvailable()
+      input.addData((0L, 1.5), (0L, 100.0), (1L, -1.0))
+      query.processAllAvailable()
+      val out = spark.table("hist_stream").collect()
+        .map(r => r.getLong(0) -> graft.core.HistogramSketch.deserialize(
+          r.getAs[Array[Byte]](1))).toMap
+      // group 0: 1.0, 1.5 in bin 0; 3.0 in bin 1; 100.0 above
+      assert(out(0L).counts.toSeq == Seq(2L, 1L, 0L, 0L) && out(0L).above == 1)
+      // group 1: 7.0 in bin 3; -1.0 below
+      assert(out(1L).counts.toSeq == Seq(0L, 0L, 0L, 1L) && out(1L).below == 1)
+    } finally query.stop()
+  }
+
   test("watermarked windowed filter aggregation") {
     val sps = spark; import sps.implicits._
     implicit val sqlCtx = spark.sqlContext
