@@ -189,6 +189,11 @@ object GraftFunctions {
     "kmv_intersect_count" -> FnDoc(
       arg("a - BINARY kmv blob", "b - BINARY kmv blob"),
       ex("SELECT kmv_intersect_count(a.s, b.s) / CAST(256 AS DOUBLE) AS jaccard_est FROM sa a, sb b;")),
+    "topk_agg" -> FnDoc(
+      arg("k - foldable INTEGER result size",
+        "ord - BIGINT ordering value (largest k kept)",
+        "payload - BIGINT carried id; ties on ord keep the smallest payloads; duplicate (ord, payload) pairs collapse"),
+      ex("SELECT g, topk_agg(5, score, item_id) FROM scores GROUP BY g;")),
     "hist_sketch" -> FnDoc(
       arg("nbins - foldable INTEGER number of equal-width bins",
         "lo - foldable numeric range start (inclusive)",
@@ -365,6 +370,9 @@ object GraftFunctions {
     ("hist_quantile",
       "hist_quantile(sketch, q) - interpolated quantile over the in-range values of a histogram BLOB",
       args => { arity("hist_quantile", 2, args); HistQuantile(args(0), args(1)) }),
+    ("topk_agg",
+      "topk_agg(k, ord, payload) - bounded-heap top-k per group: the k largest BIGINT ord values (ties to smaller payload) as ARRAY<STRUCT<ord, payload>>",
+      args => { arity("topk_agg", 3, args); TopKAgg(args(0), args(1), args(2)) }),
     // data-layout keys (write-path clustering for scan pruning)
     ("zorder_key",
       "zorder_key(bits, c1[, c2, ...]) - Morton interleave of the lowest `bits` bits of each integral column into one BIGINT clustering key",

@@ -322,6 +322,19 @@ object SparkEntry {
           .orderBy(col("o_orderpriority"))
       }),
 
+      // bounded-heap per-group top-k: the k highest-balance customers per
+      // nation WITHOUT sorting any group (k pairs per partition cross the
+      // shuffle). Deterministic (ord DESC, payload ASC) order makes the
+      // window-function replay exact.
+      "q_topk" -> q("""
+        SELECT c_nationkey, CAST(pos AS INT) AS rank,
+               e.ord AS bal_e2, e.payload AS custkey
+        FROM (SELECT c_nationkey,
+                     topk_agg(5, CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey) AS tk
+              FROM customer GROUP BY c_nationkey)
+        LATERAL VIEW posexplode(tk) t AS pos, e
+        ORDER BY c_nationkey, rank""") _,
+
       // histogram sketch: per-type fixed-range histograms over integer-exact
       // scaled values. Every occupied bin count rides the hash path (explode),
       // and the interpolated median/p90 are micro-rounded doubles whose
@@ -1246,6 +1259,16 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
              CAST(SUM(x.id * y.id % 1000003) % 1000003 AS BIGINT) AS pair_checksum
       FROM a x JOIN a y ON x.id < y.id AND x.s <= y.e AND y.s <= x.e""",
+    // bounded-heap top-k == row_number window replay (payloads unique)
+    "q_topk" -> """
+      SELECT c_nationkey, CAST(rn - 1 AS INT) AS rank,
+             CAST(bal_e2 AS BIGINT) AS bal_e2, CAST(c_custkey AS BIGINT) AS custkey
+      FROM (SELECT c_nationkey, c_custkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_e2,
+                   row_number() OVER (PARTITION BY c_nationkey
+                     ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC, c_custkey) AS rn
+            FROM customer)
+      WHERE rn <= 5 ORDER BY c_nationkey, rank""",
     // equi-width histogram replay: slot = 1 + floor(x/width) (0/nbins+1 for
     // outliers, matching hist_counts layout); quantiles re-derived from the
     // bin counts with the same rank-walk interpolation arithmetic

@@ -240,6 +240,37 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage.contains("kmv_sketch k"))
   }
 
+  // --- top-k aggregate ---
+
+  test("SQL: topk_agg matches the window-function replay, caps state, merges") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 20k rows, 8 groups, ord values with deliberate collisions (mod 500)
+    val rows = Seq.tabulate(20000)(i => (i % 8, (rnd.nextInt(500)).toLong, i.toLong))
+    rows.toDF("g", "v", "id").createOrReplaceTempView("tkv")
+    val got = spark.sql("""
+      SELECT g, e.ord AS v, e.payload AS id
+      FROM (SELECT g, topk_agg(10, v, id) AS tk FROM tkv GROUP BY g)
+      LATERAL VIEW posexplode(tk) t AS pos, e
+      ORDER BY g, pos""").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val expected = spark.sql("""
+      SELECT g, v, id
+      FROM (SELECT g, v, id, row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+            FROM tkv) WHERE rn <= 10
+      ORDER BY g, rn""").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    // k larger than the group emits the whole group, ordered
+    val small = spark.sql(
+      "SELECT size(topk_agg(100, v, id)) FROM tkv WHERE g = 0 AND id < 40 GROUP BY g")
+      .collect().head.getInt(0)
+    assert(small == 5) // ids 0,8,16,24,32
+    // all-NULL group -> NULL
+    assert(spark.sql(
+      "SELECT topk_agg(3, CAST(NULL AS BIGINT), id) FROM range(5)")
+      .collect().head.isNullAt(0))
+  }
+
   // --- histogram ---
 
   test("hist: core binning, clamp edge, outliers, merge, round-trip") {
