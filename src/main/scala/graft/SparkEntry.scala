@@ -239,6 +239,28 @@ object SparkEntry {
           .limit(20)
       }),
 
+      // hybrid retrieval: BM25 recall (full corpus, no doc-keyed shuffle)
+      // -> bounded-candidate cosine rerank against vec_id 0's embedding ->
+      // reciprocal-rank fusion. Ranks are small exact integers, so the
+      // fused ordering replays exactly; the cosine rank inherits the ANN
+      // gates' ordering contract.
+      "q_hybrid_search" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val qv = s.table("embeddings").where(col("vec_id") === 0L)
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .head().getSeq[Double](0)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        Ranking.hybridSearch(s.table("documents"), "text", "doc_id",
+            Seq("hash", "join", "vector"), emb, "vec", "vec_id", qv,
+            candidates = 100, k = 10)
+          .select(col("doc_id"), col("rank").cast("int").as("rank"),
+            col("rank_bm25").cast("int").as("rank_bm25"),
+            col("rank_cosine").cast("int").as("rank_cosine"),
+            round(col("rrf") * lit(1e6)).cast("long").as("rrf_e6"))
+          .orderBy(col("rank"))
+      }),
+
       // as-of join: attach each purchase's most recent preceding click
       // (same user, click ts <= purchase ts). The right side is unique on
       // (user_id, ts) in this corpus, so DuckDB's native ASOF LEFT JOIN
@@ -1226,6 +1248,60 @@ object SparkEntry {
              ) * 1e6) AS BIGINT) AS bm25_e6
       FROM tf, s
       ORDER BY bm25_e6 DESC, doc_id LIMIT 20""",
+    // hybrid retrieval: the bm25 replay above feeds a bounded candidate
+    // set, list_cosine_similarity reranks it, and reciprocal-rank fusion
+    // (exact rationals of small integer ranks) fixes the final order
+    "q_hybrid_search" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf2
+        FROM t),
+      s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+               CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+               CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+               CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        FROM tf),
+      sc AS (
+        SELECT doc_id,
+               CAST(round((
+                 ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2)
+                   / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2)
+                   / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2)
+                   / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               ) * 1e6) AS BIGINT) AS bm25_e6
+        FROM tf, s),
+      cand AS (
+        SELECT doc_id, rank_b FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rank_b
+          FROM sc) WHERE rank_b <= 100),
+      qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+      ce AS (
+        SELECT cand.doc_id, cand.rank_b,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.q) AS cos
+        FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id, qv),
+      rc AS (
+        SELECT doc_id, rank_b,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_c
+        FROM ce),
+      f AS (
+        SELECT doc_id, rank_b, rank_c,
+               1.0 / (60 + rank_b) + 1.0 / (60 + rank_c) AS rrf
+        FROM rc)
+      SELECT doc_id, CAST(rank AS INT) AS rank, CAST(rank_b AS INT) AS rank_bm25,
+             CAST(rank_c AS INT) AS rank_cosine,
+             CAST(round(rrf * 1e6) AS BIGINT) AS rrf_e6
+      FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f)
+      WHERE rank <= 10 ORDER BY rank""",
     // native ASOF LEFT JOIN (inclusive l.ts >= r.ts) — right side unique
     // on (user_id, ts), so the match DuckDB picks is the one match
     "q_asof_join" -> """

@@ -105,4 +105,62 @@ object Ranking {
             (col("tokens").cast("double") * lit(1e6) * lit(math.log(2.0))))
           .otherwise(lit(0.0)))
   }
+
+  /** Hybrid retrieval: a BM25 recall stage over the full corpus, then an
+    * exact cosine rerank of the bounded candidate set against `queryVec`,
+    * fused by reciprocal-rank fusion — `1/(rrfK + bm25_rank) + 1/(rrfK +
+    * cosine_rank)`, the standard score-scale-free fusion whose inputs are
+    * small integers, so the fused ordering replays exactly cross-engine.
+    *
+    * Scale shape: the corpus-wide work is exactly [[bm25]] (two narrow
+    * passes, no document-keyed shuffle); everything after operates on
+    * `candidates` rows (bounded small by contract — the global-window rank
+    * steps are single-task ON PURPOSE; raise no alarms at 100 TB because
+    * only the candidate set flows through them). Candidates without an
+    * embedding drop at the rerank join.
+    *
+    * Ordering determinism: candidate selection on the micro-rounded BM25
+    * score (then id), cosine rank on the raw double (then id) — same
+    * contract as the ANN gates — and the final order on the exact RRF
+    * rational (then id).
+    */
+  def hybridSearch(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String],
+      embeddings: DataFrame, vecCol: String, vecIdCol: String,
+      queryVec: Seq[Double], candidates: Int = 100, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k && k >= 1, "need candidates >= k >= 1")
+    require(queryVec.nonEmpty, "queryVec must not be empty")
+    val reserved = Seq("__bm25_e6", "__rank_b", "__v", "__cos", "__rank_c", "__rrf")
+    for ((side, df) <- Seq("docs" -> docs, "embeddings" -> embeddings)) {
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(clash.isEmpty,
+        s"hybridSearch $side input contains reserved helper column(s) ${clash.mkString(", ")}")
+    }
+    val scored = bm25(docs, textCol, idCol, queryTerms)
+      .select(col(idCol), round(col("bm25") * lit(1e6)).cast("long").as("__bm25_e6"))
+    val wb = Window.orderBy(col("__bm25_e6").desc, col(idCol))
+    val cand = scored.withColumn("__rank_b", row_number().over(wb))
+      .where(col("__rank_b") <= candidates)
+    val q = lit(queryVec.toArray)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    def norm(a: org.apache.spark.sql.Column) =
+      ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
+    val withCos = cand
+      .join(embeddings.select(col(vecIdCol).as(idCol), col(vecCol).as("__v")), Seq(idCol))
+      .withColumn("__cos", dot(col("__v"), q) / (norm(col("__v")) * norm(q)))
+    val wc = Window.orderBy(col("__cos").desc, col(idCol))
+    val wr = Window.orderBy(col("__rrf").desc, col(idCol))
+    withCos.withColumn("__rank_c", row_number().over(wc))
+      .withColumn("__rrf",
+        lit(1.0) / (lit(rrfK.toDouble) + col("__rank_b")) +
+          lit(1.0) / (lit(rrfK.toDouble) + col("__rank_c")))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"),
+        col("__rank_b").as("rank_bm25"), col("__rank_c").as("rank_cosine"),
+        col("__rrf").as("rrf"))
+  }
 }

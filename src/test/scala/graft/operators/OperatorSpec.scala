@@ -813,4 +813,41 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(row.getAs[Int]("max_bucket_size") == 12)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("hybrid search: rrf fusion order, candidate bound, guard") {
+    val s = spark
+    import s.implicits._
+    // 4 docs: doc 1 wins bm25 (term-rich), doc 3 wins cosine; rrf balances
+    val docs = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark query filler filler filler"),
+      (3L, "unrelated words entirely different content"),
+      (4L, "spark query engine filler filler")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(0.6, 0.8)), (3L, Seq(1.0, 0.0)), (4L, Seq(0.8, 0.6))
+    ).toDF("vec_id", "vec").select(col("vec_id"),
+      expr("transform(vec, x -> CAST(x AS DOUBLE))").as("vec"))
+    val out = Ranking.hybridSearch(docs, "text", "doc_id", Seq("spark", "query"),
+      emb, "vec", "vec_id", Seq(1.0, 0.0), candidates = 4, k = 4).collect()
+    assert(out.length == 4)
+    // rank_cosine: doc 3 (cos=1) first; rank_bm25: doc 1 or 4 high — the
+    // fused winner must dominate on combined rank; verify rrf is computed
+    // from the two integer ranks exactly
+    out.foreach { r =>
+      val (rb, rc, rrf) = (r.getInt(2), r.getInt(3), r.getDouble(4))
+      assert(rrf == 1.0 / (60 + rb) + 1.0 / (60 + rc))
+    }
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4))
+    // candidate bound: k > candidates rejected
+    intercept[IllegalArgumentException] {
+      Ranking.hybridSearch(docs, "text", "doc_id", Seq("spark"),
+        emb, "vec", "vec_id", Seq(1.0, 0.0), candidates = 2, k = 5)
+    }
+    // reserved helper name guard
+    intercept[IllegalArgumentException] {
+      Ranking.hybridSearch(docs.withColumn("__cos", lit(1)), "text", "doc_id",
+        Seq("spark"), emb, "vec", "vec_id", Seq(1.0, 0.0))
+    }
+  }
 }
