@@ -679,6 +679,25 @@ object SparkEntry {
             sum("doc_id").cast("long").as("id_sum"))
       }),
 
+      // corpus snapshot diff: two derived versions of the documents table
+      // (old drops doc_id%10==9, new drops %10==0 and edits %7==0) — the
+      // incremental-refresh primitive. Status assignment replays as the
+      // same md5 full-outer join in DuckDB.
+      "q_corpus_diff" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        val oldV = docs.where(col("doc_id") % 10 < 9).select(col("doc_id"), col("text"))
+        val newV = docs.where(col("doc_id") % 10 > 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        Dedup.corpusDiff(oldV, newV, "text", "doc_id")
+          .groupBy("status")
+          .agg(count(lit(1)).cast("long").as("ids"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .orderBy("status")
+      }),
+
       // --- text analysis ------------------------------------------------
       "q_text_stats" -> q("""
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
@@ -1619,6 +1638,16 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM (SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
             FROM documents) WHERE rn = 1""",
+    "q_corpus_diff" -> """
+      WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 < 9),
+      n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+            FROM documents WHERE doc_id % 10 > 0),
+      d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+                   WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS ids, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM d GROUP BY status ORDER BY status""",
     "q_fingerprint" -> """
       SELECT doc_id,
              substring(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp_md5,

@@ -489,4 +489,28 @@ object Dedup {
         coalesce(col("spans"), lit(0L)).as("spans"),
         coalesce(col("removed"), lit(0L)).as("removed"))
   }
+
+  /** Snapshot diff between two corpus versions: each id is `added`
+    * (new only), `removed` (old only), `changed` (both, different content
+    * hash), or `unchanged`. The incremental-curation primitive — a refresh
+    * re-processes `added`+`changed` rows instead of the whole corpus, and
+    * the diff doubles as a data-quality tripwire (an unexpected `removed`
+    * or `changed` spike means the upstream feed shifted under you).
+    *
+    * One full-outer hash join on the id (both sides reduced to
+    * (id, content-hash) first, so the shuffle carries ~48 B/row however
+    * wide the documents are).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def keyed(df: DataFrame, h: String) =
+      df.select(col(idCol), md5(col(textCol)).as(h))
+    keyed(oldDf, "__h_old").join(keyed(newDf, "__h_new"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") === col("__h_new"), "unchanged")
+          .otherwise("changed"))
+      .select(col(idCol), col("status"))
+  }
 }

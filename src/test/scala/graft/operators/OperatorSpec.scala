@@ -814,6 +814,16 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("corpus diff: added/removed/changed/unchanged statuses") {
+    val s = spark
+    import s.implicits._
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newV = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldV, newV, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
   test("hybrid search: rrf fusion order, candidate bound, guard") {
     val s = spark
     import s.implicits._
