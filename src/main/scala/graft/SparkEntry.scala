@@ -934,6 +934,26 @@ object SparkEntry {
             sum(col("target_width").cast("long")).as("sum_tw"))
       }),
 
+      // real-WAV round-trip: pixels' audio sibling. Samples route through
+      // actual RIFF/WAVE PCM-16 encode -> bytes -> decode -> feature
+      // extraction; PCM is lossless, so DuckDB recomputes sample sums,
+      // abs-sums, and zero crossings analytically from the sample formula.
+      // Capped at 2000 clips so the oracle's generated-series replay stays
+      // tractable at every sf.
+      "q_multimodal_audio" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ids = s.table("documents").where(col("doc_id") < 2000)
+        val payloads = Multimodal.synthesizeWavPayloads(ids, "doc_id")
+        val decoded = Multimodal.decodeAndFeaturize(payloads, "media_id", "payload", "audio", 4)
+        decoded.agg(count(lit(1)).cast("long").as("clips"),
+          sum(col("meta.width").cast("long")).as("frames_sum"),
+          sum(col("meta.channels").cast("long")).as("ch_sum"),
+          sum(col("meta.duration_ms")).cast("long").as("dur_sum"),
+          sum(element_at(col("features"), 1).cast("long")).as("s_sum"),
+          sum(element_at(col("features"), 2).cast("long")).as("abs_sum"),
+          sum(element_at(col("features"), 3).cast("long")).as("zx_sum"))
+      }),
+
       // --- cardinality / frequency / set sketches ------------------------
       // HLL per group over the engine hash. The gate pins the REGISTER
       // CONTENT with integer checksums (zeros, sum, position-weighted sum,
@@ -1726,6 +1746,29 @@ object SparkEntry {
     "q_multimodal_frames" -> """
       SELECT CAST(33094 AS BIGINT) AS frames, CAST(500 AS BIGINT) AS medias,
              CAST(718360500 AS BIGINT) AS ts_ms_sum""",
+    // live analytic replay of the WAV round-trip: PCM is lossless, so the
+    // decoded-sample stats equal the generator formula's stats; zero
+    // crossings need the lag window over the regenerated sample series
+    "q_multimodal_audio" -> """
+      WITH ids AS (
+        SELECT doc_id AS id, 400 + (doc_id % 7) * 100 AS frames, 1 + doc_id % 2 AS ch
+        FROM documents WHERE doc_id < 2000),
+      s AS (
+        SELECT id, ((id * 31 + i * 17) % 4001) - 2000 AS v, i
+        FROM (SELECT id, unnest(generate_series(0, frames * ch - 1)) AS i FROM ids)),
+      z AS (SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s),
+      per AS (
+        SELECT id, SUM(v) AS ssum, SUM(ABS(v)) AS asum,
+               SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END) AS zx
+        FROM z GROUP BY id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS clips,
+             CAST(SUM(ids.frames) AS BIGINT) AS frames_sum,
+             CAST(SUM(ids.ch) AS BIGINT) AS ch_sum,
+             CAST(SUM((ids.frames * 1000) // 8000) AS BIGINT) AS dur_sum,
+             CAST(SUM(per.ssum) AS BIGINT) AS s_sum,
+             CAST(SUM(per.asum) AS BIGINT) AS abs_sum,
+             CAST(SUM(per.zx) AS BIGINT) AS zx_sum
+      FROM ids JOIN per ON per.id = ids.id""",
     // deterministic content-hash sample: the md5-prefix uniform weight is
     // recomputed exactly (60-bit hex prefix -> BIGINT -> double / 2^60)
     "q_sample_det" -> """

@@ -17,11 +17,13 @@ import org.apache.spark.sql.types._
   * The image path is a REAL codec: payloads are PNG byte streams decoded with
   * `javax.imageio.ImageIO` (pure-JVM, no external libraries), metadata comes
   * from the decoded raster, and features are per-channel pixel statistics of
-  * the decoded pixels. Video/audio decode remains STUBBED behind
-  * [[StubCodec]] because no JVM video/audio codec exists in this container —
-  * swap `StubCodec` for a real decoder (JNI or subprocess) without touching
-  * any of the plumbing; the batching/partitioning shape is identical to the
-  * real image path.
+  * the decoded pixels. The audio path is likewise REAL: RIFF/WAVE PCM-16
+  * streams parsed and emitted by [[AudioCodec]] (the format is a fixed
+  * header over raw little-endian samples — no library needed). Only video
+  * decode remains STUBBED behind [[StubCodec]], because no JVM video codec
+  * exists in this container — swap `StubCodec` for a real decoder (JNI or
+  * subprocess) without touching any of the plumbing; the batching/
+  * partitioning shape is identical to the real image and audio paths.
   */
 object Multimodal {
 
@@ -85,10 +87,108 @@ object Multimodal {
     }
   }
 
-  /** STUB codec for video/audio kinds: deterministic fake decode deriving
+  /** Real audio codec: RIFF/WAVE 16-bit PCM encode/decode with plain
+    * ByteBuffer parsing (no libraries — WAV PCM is a 44-byte header over
+    * raw little-endian samples). Lossless like PNG, so decoded-sample
+    * statistics equal the source formula's statistics exactly — the same
+    * property that gives `q_multimodal_audio` a live analytic oracle.
+    */
+  object AudioCodec {
+    final case class Wav(sampleRate: Int, channels: Int, samples: Array[Short]) {
+      def frames: Int = samples.length / channels
+      def durationMs: Long = frames * 1000L / sampleRate
+    }
+
+    def encodeWav(samples: Array[Short], sampleRate: Int, channels: Int): Array[Byte] = {
+      require(channels >= 1 && samples.length % channels == 0,
+        s"sample count ${samples.length} not a multiple of $channels channels")
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * channels * 2) // byte rate
+        .putShort((channels * 2).toShort)  // block align
+        .putShort(16)                      // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
+    }
+
+    /** Returns null when the payload is not a PCM-16 WAV stream. Walks the
+      * RIFF chunk list (fmt may be preceded/followed by other chunks).
+      */
+    def decodeWav(bytes: Array[Byte]): Wav = {
+      if (bytes == null || bytes.length < 44) return null
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      if (tag() != "RIFF") return null
+      bb.getInt // riff size (trust the actual buffer instead)
+      if (tag() != "WAVE") return null
+      var sampleRate = 0; var channels = 0; var bits = 0; var fmtOk = false
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && samples == null) {
+        val id = tag(); val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return null
+        id match {
+          case "fmt " =>
+            val fmtEnd = bb.position() + len
+            val audioFormat = bb.getShort
+            channels = bb.getShort
+            sampleRate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            bits = bb.getShort
+            fmtOk = audioFormat == 1 && bits == 16 && channels >= 1 && sampleRate > 0
+            bb.position(fmtEnd + (len & 1))
+          case "data" =>
+            if (!fmtOk) return null
+            val n = len / 2
+            val out = new Array[Short](n)
+            bb.asShortBuffer().get(out)
+            samples = out
+          case _ =>
+            bb.position(bb.position() + len + (len & 1)) // skip, pad to even
+        }
+      }
+      if (samples == null) null else Wav(sampleRate, channels, samples)
+    }
+
+    /** Features of a decoded clip: `[sum(samples), sum(|s|),
+      * zero_crossings (strict sign flip), max(|s|), ...amplitude
+      * histogram]` — the first three are integral sums bounded well below
+      * 2^24 for gate-sized clips, so they are exact in Float.
+      */
+    def features(w: Wav, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val bins = dim - 4
+      var prev = 0
+      var i = 0
+      while (i < w.samples.length) {
+        val s = w.samples(i).toInt
+        if (dim > 0) out(0) += s
+        if (dim > 1) out(1) += math.abs(s)
+        if (dim > 2 && i > 0 && prev * s < 0) out(2) += 1f
+        if (dim > 3 && math.abs(s) > out(3)) out(3) = math.abs(s).toFloat
+        if (bins > 0) out(4 + math.min(bins - 1, math.abs(s) * bins / 32768)) += 1f
+        prev = s
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** STUB codec for the video kind: deterministic fake decode deriving
     * metadata and a feature vector from the payload bytes. Replace with a
-    * real decoder in production; every non-image call site goes through
-    * this object. (The image kind uses the real [[ImageCodec]].)
+    * real decoder in production (no JVM video codec exists in this
+    * container); every video call site goes through this object. Image and
+    * audio kinds use the real [[ImageCodec]] / [[AudioCodec]].
     */
   object StubCodec {
     /** ??? in production: video/audio decode. Deterministic fake here. */
@@ -142,6 +242,35 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic WAV payloads: one real PCM-16 WAV per input
+    * row at 8 kHz with `1 + id % 2` channels and `400 + (id % 7) * 100`
+    * frames; sample `i` (interleaved index) is `((id*31 + i*17) mod 4001)
+    * - 2000`. Plain integer arithmetic, so an external engine recomputes
+    * every sample statistic without a codec — while the payload is a
+    * genuine RIFF/WAVE stream (encoder exercised here, decoder in
+    * [[decodeAndFeaturize]]). Runs as `mapPartitions`; no shuffle.
+    */
+  def synthesizeWavPayloads(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val channels = (1 + id % 2).toInt
+        val frames = (400 + (id % 7) * 100).toInt
+        val samples = new Array[Short](frames * channels)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = (((id * 31 + i.toLong * 17) % 4001) - 2000).toShort
+          i += 1
+        }
+        Row(id, AudioCodec.encodeWav(samples, 8000, channels))
+      }
+    }
+  }
+
   /** Decode a binary payload column into a metadata struct + feature vector.
     *
     * Runs as `mapPartitions` with an internal batch iterator (`batchSize`
@@ -150,8 +279,10 @@ object Multimodal {
     * row. No shuffle is introduced; partitioning is inherited.
     *
     * `kind = "image"` uses the real [[ImageCodec]] (PNG/BMP/GIF — whatever
-    * `ImageIO` reads); undecodable payloads produce zeroed metadata and
-    * features rather than failing the task. Other kinds go through the
+    * `ImageIO` reads); `kind = "audio"` the real [[AudioCodec]] (PCM-16
+    * WAV; meta = (width=frame count, height=sample rate, channels,
+    * duration_ms)). Undecodable payloads produce zeroed metadata and
+    * features rather than failing the task. Video goes through the
     * documented [[StubCodec]].
     */
   def decodeAndFeaturize(df: DataFrame, idCol: String, binCol: String,
@@ -162,7 +293,6 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    val realImage = kind == "image"
     input.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch codec "session" — where a real implementation would
@@ -170,18 +300,26 @@ object Multimodal {
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          if (realImage) {
-            val img = ImageCodec.decode(bytes)
-            if (img == null)
-              Row(id, Row(kind, 0, 0, 0, 0L), new Array[Float](featureDim))
-            else {
-              val channels = img.getColorModel.getNumComponents
-              Row(id, Row(kind, img.getWidth, img.getHeight, channels, 0L),
-                ImageCodec.features(img, featureDim))
-            }
-          } else {
-            val (w, h, c, d) = StubCodec.decodeMeta(kind, bytes)
-            Row(id, Row(kind, w, h, c, d), StubCodec.extractFeatures(bytes, featureDim))
+          kind match {
+            case "image" =>
+              val img = ImageCodec.decode(bytes)
+              if (img == null)
+                Row(id, Row(kind, 0, 0, 0, 0L), new Array[Float](featureDim))
+              else {
+                val channels = img.getColorModel.getNumComponents
+                Row(id, Row(kind, img.getWidth, img.getHeight, channels, 0L),
+                  ImageCodec.features(img, featureDim))
+              }
+            case "audio" =>
+              val wav = AudioCodec.decodeWav(bytes)
+              if (wav == null)
+                Row(id, Row(kind, 0, 0, 0, 0L), new Array[Float](featureDim))
+              else
+                Row(id, Row(kind, wav.frames, wav.sampleRate, wav.channels, wav.durationMs),
+                  AudioCodec.features(wav, featureDim))
+            case _ =>
+              val (w, h, c, d) = StubCodec.decodeMeta(kind, bytes)
+              Row(id, Row(kind, w, h, c, d), StubCodec.extractFeatures(bytes, featureDim))
           }
         }
       }

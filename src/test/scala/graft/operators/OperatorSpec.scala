@@ -460,6 +460,38 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.count() > 5) // multiple frames per video
   }
 
+  test("multimodal: real WAV round-trip is exact and junk-tolerant") {
+    val sps = spark; import sps.implicits._
+    val ids = (1L to 50L).toDF("doc_id")
+    val wav = Multimodal.synthesizeWavPayloads(ids, "doc_id")
+    val rows = Multimodal.decodeAndFeaturize(wav, "media_id", "payload", "audio", 8)
+      .select("media_id", "meta.width", "meta.height", "meta.channels",
+        "meta.duration_ms", "features").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getSeq[Float](5))).sortBy(_._1)
+    rows.foreach { case (id, frames, rate, ch, durMs, feats) =>
+      val expFrames = (400 + (id % 7) * 100).toInt
+      val expCh = (1 + id % 2).toInt
+      assert(frames == expFrames && rate == 8000 && ch == expCh)
+      assert(durMs == expFrames * 1000L / 8000)
+      val samples = (0 until expFrames * expCh).map(i => ((id * 31 + i.toLong * 17) % 4001) - 2000)
+      assert(feats(0).toLong == samples.sum, s"sample sum for id=$id")
+      assert(feats(1).toLong == samples.map(math.abs).sum)
+      val zx = samples.sliding(2).count(p => p.head * p(1) < 0)
+      assert(feats(2).toLong == zx, s"zero crossings for id=$id")
+      assert(feats.drop(4).map(_.toLong).sum == samples.length, "amplitude bins cover all samples")
+    }
+    // core codec: byte-exact round trip + header tolerance
+    val enc = Multimodal.AudioCodec.encodeWav(Array[Short](0, 100, -100, 32767, -32768), 44100, 1)
+    val dec = Multimodal.AudioCodec.decodeWav(enc)
+    assert(dec.sampleRate == 44100 && dec.channels == 1 &&
+      dec.samples.toSeq == Seq[Short](0, 100, -100, 32767, -32768))
+    assert(Multimodal.AudioCodec.decodeWav("RIFFjunk".getBytes("UTF-8")) == null)
+    val junk = Seq((1L, "not a wav".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val z = Multimodal.decodeAndFeaturize(junk, "media_id", "payload", "audio", 8).head()
+    assert(z.getStruct(1).getInt(1) == 0 && z.getSeq[Float](2).forall(_ == 0f))
+  }
+
   test("source report: per-source docs, dup rates, and volume") {
     val sps = spark; import sps.implicits._
     val df = Seq(
