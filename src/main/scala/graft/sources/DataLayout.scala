@@ -44,4 +44,38 @@ object DataLayout {
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
   }
+
+  /** Z-order clustering for ARBITRARY numeric distributions: each dimension
+    * is first rank-normalized into `[0, 2^bits)` equi-depth buckets (via
+    * one `approx_percentile` pass — GK sketch, mergeable partials, no
+    * global sort), then Morton-interleaved as in [[clusterByZOrder]]. Raw
+    * interleaving wastes key bits on skewed columns (a heavy-tailed dim
+    * collapses into a handful of bucket values); equi-depth buckets spread
+    * every dimension uniformly, so the z-curve actually localizes.
+    *
+    * Two driver actions (the quantile collect, then the layout shuffle) —
+    * the normal shape for a write-path layout job. Bucket lookup is an
+    * O(2^bits) filter-count per row, so keep `bits` ≤ 10 (1024 boundaries).
+    */
+  def clusterByZOrderEquiDepth(df: DataFrame, bits: Int, dims: Seq[Column],
+      numPartitions: Int): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    require(bits >= 1 && bits <= 10, s"bits must be in [1, 10] for equi-depth buckets, got $bits")
+    require(!df.columns.contains("__zkey"),
+      "clusterByZOrderEquiDepth input contains reserved helper column __zkey; rename it first")
+    val nb = 1 << bits
+    // interior boundaries at ranks 1/nb .. (nb-1)/nb, one pass for all dims
+    val probs = (1 until nb).map(_.toDouble / nb)
+    val qCols = dims.zipWithIndex.map { case (d, i) =>
+      percentile_approx(d.cast("double"), lit(probs.toArray), lit(10000)).as(s"__q_$i")
+    }
+    val qRow = df.agg(qCols.head, qCols.tail: _*).head()
+    val bucketed = dims.zipWithIndex.map { case (d, i) =>
+      val bounds = qRow.getSeq[Double](i)
+      // bucket = |{boundary <= x}|, clamped to the top bucket
+      least(lit(nb - 1), size(filter(lit(bounds.toArray), b => b <= d.cast("double"))))
+        .cast("long")
+    }
+    clusterByZOrder(df, bits, bucketed, numPartitions)
+  }
 }

@@ -101,6 +101,33 @@ class DataLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("clusterByZOrderEquiDepth localizes a skewed distribution") {
+    val s = spark
+    import s.implicits._
+    // exponential-ish skew: raw interleave would collapse most rows into
+    // the low buckets of dim x
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(4096)((math.pow(rnd.nextDouble(), 4) * 1e6, rnd.nextDouble() * 100))
+    val df = data.toDF("x", "y")
+    val clustered = DataLayout.clusterByZOrderEquiDepth(df, 5, Seq(col("x"), col("y")), 16)
+    assert(clustered.count() == 4096)
+    assert(clustered.except(df).isEmpty && df.except(clustered).isEmpty)
+    // every partition carries a balanced share (range partition on an
+    // equi-depth key cannot starve or flood partitions by more than ~3x)
+    val sizes = clustered.withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().collect().map(_.getLong(1))
+    assert(sizes.length == 16)
+    assert(sizes.max <= 3 * (4096 / 16), s"balanced partitions: ${sizes.toSeq}")
+    val areas = DataLayout.clusterByZOrderEquiDepth(df, 5, Seq(col("x"), col("y")), 16)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .collect()
+    // no partition spans BOTH full ranges (the x span shrinks in rank
+    // space; y stays tight in value space since y is uniform)
+    assert(areas.forall(r => r.getDouble(2) < 100.0 * 0.6 || r.getDouble(1) < 1e6 * 0.6))
+  }
+
   test("clusterByZOrder rejects a __zkey input column") {
     val s = spark
     import s.implicits._

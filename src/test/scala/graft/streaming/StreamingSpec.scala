@@ -75,6 +75,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming topk_agg folds the bounded heap across micro-batches") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val tk = input.toDF().toDF("grp", "v", "id")
+      .groupBy($"grp")
+      .agg(org.apache.spark.sql.functions.expr("topk_agg(2, v, id)").as("tk"))
+    val query = tk.writeStream.format("memory").queryName("tk_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((0L, 10L, 1L), (0L, 5L, 2L), (0L, 8L, 3L))
+      query.processAllAvailable()
+      input.addData((0L, 20L, 4L), (0L, 1L, 5L))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT e.ord, e.payload FROM tk_stream LATERAL VIEW explode(tk) t AS e WHERE grp = 0")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((20L, 4L), (10L, 1L))) // top-2 across both batches
+    } finally query.stop()
+  }
+
   test("watermarked windowed filter aggregation") {
     val sps = spark; import sps.implicits._
     implicit val sqlCtx = spark.sqlContext
