@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Embeddings, Events, Joins, Multimodal, Ranking, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Events, Joins, Multimodal, Profile, Ranking, Sampling, TextAnalysis}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -342,6 +342,23 @@ object SparkEntry {
             (sum(col("orderkey") % lit(1000003L)) % lit(1000003L))
               .cast("long").as("key_checksum"))
           .orderBy(col("o_orderpriority"))
+      }),
+
+      // distribution drift: view-event values vs purchase-event values
+      // histogrammed over the same range; per-slot counts, micro-unit
+      // occupancy fractions, and the integer L1 drift number
+      "q_drift" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = s.table("events")
+        Profile.histDrift(
+            ev.where(col("event_type") === "view").select(col("value")),
+            ev.where(col("event_type") === "purchase").select(col("value")),
+            "value", 20, 0.0, 500.0)
+          .select(col("slot").cast("int").as("slot"),
+            col("old_cnt").cast("long").as("old_cnt"),
+            col("new_cnt").cast("long").as("new_cnt"),
+            col("old_frac_e6"), col("new_frac_e6"), col("l1_e6"))
+          .orderBy("slot")
       }),
 
       // bounded-heap per-group top-k: the k highest-balance customers per
@@ -1374,6 +1391,32 @@ object SparkEntry {
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
              CAST(SUM(x.id * y.id % 1000003) % 1000003 AS BIGINT) AS pair_checksum
       FROM a x JOIN a y ON x.id < y.id AND x.s <= y.e AND y.s <= x.e""",
+    // drift replay: both histograms rebuilt with the q_histogram slot
+    // arithmetic, fractions micro-rounded, L1 summed over integers
+    "q_drift" -> """
+      WITH so AS (
+        SELECT CASE WHEN value < 0.0 THEN 0 WHEN value >= 500.0 THEN 21
+                    ELSE 1 + LEAST(19, CAST(FLOOR(CAST(value AS DOUBLE) / 25.0) AS INT)) END AS slot
+        FROM events WHERE event_type = 'view'),
+      sn AS (
+        SELECT CASE WHEN value < 0.0 THEN 0 WHEN value >= 500.0 THEN 21
+                    ELSE 1 + LEAST(19, CAST(FLOOR(CAST(value AS DOUBLE) / 25.0) AS INT)) END AS slot
+        FROM events WHERE event_type = 'purchase'),
+      co AS (SELECT slot, COUNT(*) AS c FROM so GROUP BY slot),
+      cn AS (SELECT slot, COUNT(*) AS c FROM sn GROUP BY slot),
+      slots AS (SELECT unnest(generate_series(0, 21)) AS slot),
+      j AS (SELECT slots.slot, COALESCE(co.c, 0) AS old_cnt, COALESCE(cn.c, 0) AS new_cnt
+            FROM slots LEFT JOIN co ON co.slot = slots.slot
+                       LEFT JOIN cn ON cn.slot = slots.slot),
+      t AS (SELECT CAST(SUM(old_cnt) AS DOUBLE) AS ot, CAST(SUM(new_cnt) AS DOUBLE) AS nt FROM j),
+      f AS (SELECT slot, old_cnt, new_cnt,
+              CAST(round(old_cnt / t.ot * 1e6) AS BIGINT) AS old_frac_e6,
+              CAST(round(new_cnt / t.nt * 1e6) AS BIGINT) AS new_frac_e6
+            FROM j, t),
+      l1 AS (SELECT CAST(SUM(ABS(old_frac_e6 - new_frac_e6)) AS BIGINT) AS l1_e6 FROM f)
+      SELECT CAST(f.slot AS INT) AS slot, CAST(old_cnt AS BIGINT) AS old_cnt,
+             CAST(new_cnt AS BIGINT) AS new_cnt, old_frac_e6, new_frac_e6, l1.l1_e6
+      FROM f, l1 WHERE old_cnt > 0 OR new_cnt > 0 ORDER BY slot""",
     // bounded-heap top-k == row_number window replay (payloads unique)
     "q_topk" -> """
       SELECT c_nationkey, CAST(rn - 1 AS INT) AS rank,

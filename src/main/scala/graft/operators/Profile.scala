@@ -68,4 +68,49 @@ object Profile {
         col("c.n_nulls").as("n_nulls"), col("c.n_distinct").as("n_distinct"),
         col("c.min_e6").as("min_e6"), col("c.max_e6").as("max_e6"))
   }
+
+  /** Distribution drift between two corpus snapshots for one numeric
+    * column: both sides histogrammed over the SAME fixed range (one
+    * [[graft.functions.HistSketchAgg]] pass each — mergeable, a few KB of
+    * state), then compared per bin. Returns one row per occupied bin
+    * (`slot` 0 = below range, 1..nbins = bins, nbins+1 = above) with raw
+    * counts and micro-unit occupancy fractions, plus `l1_e6` — the L1
+    * distance of the micro-rounded fractions (= 2 × total variation
+    * distance, in micro-units) repeated on every row: the single drift
+    * number a refresh gate alarms on.
+    *
+    * `l1_e6` sums INTEGER per-bin values, so it is summation-order-
+    * independent — a raw double TVD would vary in the last ulp with
+    * partial-aggregation order and could flip a rounded result. Every
+    * output is an integer or a micro-rounded fraction of integer counts,
+    * so the whole report replays exactly in another engine.
+    */
+  def histDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+      nbins: Int, lo: Double, hi: Double): DataFrame = {
+    def counts(df: DataFrame, name: String) =
+      df.agg(ColumnBridge.column(graft.functions.HistCounts(ColumnBridge.expression(
+        ColumnBridge.column(graft.functions.HistSketchAgg(
+          ColumnBridge.expression(lit(nbins)), ColumnBridge.expression(lit(lo)),
+          ColumnBridge.expression(lit(hi)),
+          ColumnBridge.expression(col(valueCol).cast("double"))).toAggregateExpression()))))
+        .as(name))
+    val joined = counts(oldDf, "co").crossJoin(counts(newDf, "cn"))
+      .select(posexplode(arrays_zip(col("co"), col("cn"))).as(Seq("slot", "z")))
+      .select(col("slot"), col("z.co").as("old_cnt"), col("z.cn").as("new_cnt"))
+    // fractions and TVD need the totals on every row: a single-row
+    // aggregate broadcast back (bin counts are tiny — nbins+2 rows)
+    val t = joined.agg(sum("old_cnt").cast("double").as("ot"),
+      sum("new_cnt").cast("double").as("nt"))
+    val withFrac = joined.crossJoin(broadcast(t))
+      .withColumn("old_frac_e6",
+        round(col("old_cnt") / col("ot") * lit(1e6)).cast("long"))
+      .withColumn("new_frac_e6",
+        round(col("new_cnt") / col("nt") * lit(1e6)).cast("long"))
+    val l1 = withFrac.agg(
+      sum(abs(col("old_frac_e6") - col("new_frac_e6"))).cast("long").as("l1_e6"))
+    withFrac.crossJoin(broadcast(l1))
+      .where(col("old_cnt") > 0 || col("new_cnt") > 0)
+      .select(col("slot"), col("old_cnt"), col("new_cnt"),
+        col("old_frac_e6"), col("new_frac_e6"), col("l1_e6"))
+  }
 }

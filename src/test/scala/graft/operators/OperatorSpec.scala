@@ -846,6 +846,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("histDrift: per-slot counts, fractions, integer L1") {
+    val s = spark
+    import s.implicits._
+    val oldV = Seq(1.0, 1.0, 3.0, 9.0).toDF("v")    // bins(4,[0,8)): 2@b0, 1@b1, 1 above
+    val newV = Seq(1.0, 5.0, 5.0, -1.0).toDF("v")   // 1@b0, 2@b2, 1 below
+    val rows = Profile.histDrift(oldV, newV, "v", 4, 0.0, 8.0)
+      .orderBy("slot").collect()
+    val bySlot = rows.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySlot == Map(0 -> (0L, 1L), 1 -> (2L, 1L), 2 -> (1L, 0L),
+      3 -> (0L, 2L), 5 -> (1L, 0L)))
+    // fractions in micro-units of each side's total (4 rows each)
+    val r1 = rows.find(_.getInt(0) == 1).get
+    assert(r1.getLong(3) == 500000L && r1.getLong(4) == 250000L)
+    // L1 over ALL slots (incl. zero-count ones): |0-250000| + |500000-250000|
+    // + |250000-0| + |0-500000| + |0-0| + |250000-0| = 1500000
+    assert(rows.forall(_.getLong(5) == 1500000L))
+  }
+
   test("corpus diff: added/removed/changed/unchanged statuses") {
     val s = spark
     import s.implicits._
