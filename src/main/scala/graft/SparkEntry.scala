@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Embeddings, Events, Joins, Multimodal, Profile, Ranking, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Events, Joins, Multimodal, Packing, Profile, Ranking, Sampling, TextAnalysis}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -773,6 +773,49 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("docs"),
             sum("doc_id").cast("long").as("id_sum"))
           .orderBy("split")
+      }),
+      // target-mixture rebalance: integer-ppm quota arithmetic, binding
+      // stratum fixes the scale, per-stratum content-hash prefix keeps
+      // the mix exact without upsampling
+      "q_domain_mix" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Sampling.rebalanceMix(s.table("documents"), "source", "text", "doc_id",
+            Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .orderBy("source")
+      }),
+      // contiguous block packing into 512-token sequences per source:
+      // the assignment checksum (doc_id * (seq+1)) pins every block id,
+      // seq_pos sums pin the in-block offsets
+      "q_pack" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Packing.packSequences(s.table("documents"), "source",
+            expr("token_count(text)"), "text", "doc_id", budget = 512L)
+          .groupBy("source")
+          .agg(countDistinct("seq_id").cast("long").as("seqs"),
+            count(lit(1)).cast("long").as("docs"),
+            sum(expr("token_count(text)")).cast("long").as("tokens"),
+            sum(col("doc_id") * (col("seq_id") + lit(1L))).cast("long").as("assign_sum"),
+            sum("seq_pos").cast("long").as("pos_sum"))
+          .orderBy("source")
+      }),
+      // corpus-level repeated-line removal (boilerplate pass) over a
+      // derived multi-line view (the synthetic corpus is single-line, so
+      // both engines split it on a frequent token first); rebuilt texts
+      // ride the hash path via md5-prefix checksums
+      "q_line_dedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents").select(col("doc_id"),
+          expr("replace(text, ' table ', '\n')").as("text"))
+        Dedup.dropDuplicateLines(docs, "text", "doc_id", minCount = 3)
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("lines").cast("long").as("lines"),
+            sum("removed").cast("long").as("removed"),
+            sum(length(col("text_deduped"))).cast("long").as("chars"),
+            sum(conv(substring(md5(col("text_deduped")), 1, 15), 16, 10)
+              .cast("long") % 1000000000L).cast("long").as("checksum"))
       }),
       // end-to-end curation pipeline: quality gate -> language filter ->
       // exact dedup -> deterministic split assignment, composed from the
@@ -1858,6 +1901,69 @@ object SparkEntry {
       SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
              CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM u GROUP BY 1 ORDER BY 1""",
+    // integer-ppm quota replay: binding stratum scale -> per-stratum
+    // take -> content-hash prefix, all integer division
+    "q_domain_mix" -> """
+      WITH t AS (SELECT * FROM (VALUES ('src0', 400000), ('src1', 300000),
+                                       ('src2', 200000), ('src3', 100000)) v(source, ppm)),
+      c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+      j AS (SELECT t.source, t.ppm, c.cnt FROM t JOIN c USING (source)),
+      s AS (SELECT MIN(cnt * 1000000 // ppm) AS scale FROM j),
+      q AS (SELECT source, (SELECT scale FROM s) * ppm // 1000000 AS take FROM j),
+      r AS (SELECT d.source, d.doc_id,
+                   row_number() OVER (PARTITION BY d.source
+                     ORDER BY md5(d.text), d.doc_id) AS rn
+            FROM documents d JOIN t USING (source))
+      SELECT r.source, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(r.doc_id) AS BIGINT) AS id_sum
+      FROM r JOIN q ON r.source = q.source AND r.rn <= q.take
+      GROUP BY r.source ORDER BY r.source""",
+    // window-cumsum replay of contiguous block packing: exclusive cumsum
+    // in content-hash order, integer-divided by the 512-token budget
+    "q_pack" -> """
+      WITH t AS (
+        SELECT doc_id, source, text,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY md5(text), doc_id
+                              ROWS UNBOUNDED PRECEDING) - tok AS cum
+        FROM t),
+      p AS (SELECT source, doc_id, tok, cum // 512 AS seq,
+                   cum - (cum // 512) * 512 AS pos FROM c)
+      SELECT source, CAST(COUNT(DISTINCT seq) AS BIGINT) AS seqs,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(tok) AS BIGINT) AS tokens,
+             CAST(SUM(doc_id * (seq + 1)) AS BIGINT) AS assign_sum,
+             CAST(SUM(pos) AS BIGINT) AS pos_sum
+      FROM p GROUP BY source ORDER BY source""",
+    // repeated-line removal replay: split the derived multi-line view,
+    // count line hashes corpus-wide, drop lines with count >= 3, rebuild
+    "q_line_dedup" -> """
+      WITH d AS (
+        SELECT doc_id,
+               string_split(replace(text, ' table ', chr(10)), chr(10)) AS parts
+        FROM documents),
+      l AS (
+        SELECT doc_id, i, parts[i+1] AS line, md5(parts[i+1]) AS h,
+               doc_id * 1000000 + i AS packed
+        FROM (SELECT doc_id, parts, unnest(range(0, len(parts))) AS i FROM d)),
+      g AS (SELECT h, COUNT(*) AS cnt FROM l GROUP BY h),
+      k AS (SELECT l.doc_id, l.i, l.line, g.cnt < 3 AS keep
+            FROM l JOIN g USING (h)),
+      reb AS (
+        SELECT doc_id, COUNT(*) AS lines,
+               SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS removed,
+               coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i), '') AS newt
+        FROM k GROUP BY doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(lines) AS BIGINT) AS lines,
+             CAST(SUM(removed) AS BIGINT) AS removed,
+             CAST(SUM(length(newt)) AS BIGINT) AS chars,
+             CAST(SUM(CAST(('0x' || substring(md5(newt), 1, 15)) AS BIGINT)
+               % 1000000000) AS BIGINT) AS checksum
+      FROM reb""",
     // chained replay of the full curation pipeline: quality formula ->
     // stopword-argmax language id -> keep-first dedup -> salted-hash split
     "q_curation" -> {

@@ -490,6 +490,68 @@ object Dedup {
         coalesce(col("removed"), lit(0L)).as("removed"))
   }
 
+  /** Corpus-level repeated-LINE removal (the RefinedWeb / CCNet
+    * boilerplate pass): documents are split into lines, lines whose
+    * content occurs >= `minCount` times across the WHOLE corpus are
+    * removed from every document, and each document is rebuilt from its
+    * surviving lines. Unlike span dedup this defaults to `keepFirst =
+    * false` — a line repeated across many pages is boilerplate
+    * (navigation, cookie banners, copyright footers), and boilerplate is
+    * noise in EVERY document, including the first one crawled.
+    *
+    * With `normalizeKeys` the duplicate key is `lower(trim(line))` — the
+    * CCNet trick that catches near-identical boilerplate differing only
+    * in case/indentation — while the REBUILT text keeps each surviving
+    * line's original form.
+    *
+    * Returns (idCol, rebuilt text under `outCol`, `lines` total,
+    * `removed`). Documents whose every line was boilerplate survive with
+    * empty text.
+    *
+    * Scale shape: identical to [[dropDuplicateSpans]] — line counting
+    * groups on the line's md5 (16-byte exchange keys), the survivors join
+    * is co-partitioned with that aggregate, and the rebuild is one
+    * document-keyed aggregation — keyed shuffles with map-side partials
+    * throughout, nothing quadratic, no driver state. Boilerplate lines
+    * are by definition hot keys, but they carry only (hash, count) pairs
+    * through the aggregation, so a million-document footer costs one
+    * 24-byte partial per task, not a skewed shuffle.
+    *
+    * Plain string/hash arithmetic end to end, so another engine can
+    * replay the pass exactly (the q_line_dedup DuckDB oracle does).
+    */
+  def dropDuplicateLines(df: DataFrame, textCol: String, idCol: String,
+      minCount: Int = 2, keepFirst: Boolean = false,
+      normalizeKeys: Boolean = false, delimiter: String = "\n",
+      outCol: String = "text_deduped"): DataFrame = {
+    require(minCount >= 2, "minCount must be >= 2 (1 would remove everything)")
+    val lineKey: Column => Column =
+      if (normalizeKeys) l => lower(trim(l)) else identity
+    val lines = df
+      .select(col(idCol).cast("long").as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))))
+      .select(col("__id"), col("pos").cast("long").as("__pos"), col("col").as("__line"),
+        md5(lineKey(col("col"))).as("__h"),
+        (col("__id") * lit(1000000L) + col("pos")).as("__packed"))
+    val counts = lines.groupBy("__h")
+      .agg(count(lit(1)).cast("long").as("__cnt"), min("__packed").as("__first"))
+    val keep = col("__cnt") < lit(minCount.toLong) ||
+      (if (keepFirst) col("__packed") === col("__first") else lit(false))
+    val rebuilt = lines.join(counts, "__h").withColumn("__keep", keep)
+      .groupBy("__id")
+      .agg(count(lit(1)).cast("long").as("lines"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).cast("long").as("removed"),
+        concat_ws(delimiter, transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line"))).as(outCol))
+    df.select(col(idCol)).join(
+        rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(outCol), lit("")).as(outCol),
+        coalesce(col("lines"), lit(0L)).as("lines"),
+        coalesce(col("removed"), lit(0L)).as("removed"))
+  }
+
   /** Snapshot diff between two corpus versions: each id is `added`
     * (new only), `removed` (old only), `changed` (both, different content
     * hash), or `unchanged`. The incremental-curation primitive — a refresh

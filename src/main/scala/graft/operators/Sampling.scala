@@ -82,6 +82,69 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Rebalance a corpus to a target domain MIXTURE (the DoReMi /
+    * Pile-style "domain weights" primitive): given target proportions per
+    * stratum, keep the largest possible corpus whose stratum shares match
+    * the targets exactly, without upsampling any stratum.
+    *
+    * The math is integer-exact end to end (no float thresholds to wobble
+    * across engines): targets become parts-per-million, the binding
+    * stratum fixes the achievable scale
+    * `N = min_s(count_s * 1_000_000 / ppm_s)` (long division), and each
+    * stratum keeps its first `n_s = N * ppm_s / 1_000_000` rows in
+    * content-hash order. Strata absent from `targets` are dropped;
+    * targets naming absent strata make the mix unachievable and fail
+    * fast.
+    *
+    * Deterministic and append-degrading-gracefully: adding rows to a
+    * stratum never changes WHICH existing rows of other strata are kept
+    * (hash order is stable), it only raises `N` if the binding stratum
+    * grew.
+    *
+    * Scale shape: one tiny aggregation for the per-stratum counts (its
+    * result is #strata rows — broadcast), a 1-row min over it folded in
+    * as a broadcast, and ONE data-sized shuffle (the per-stratum
+    * row_number window). The row ranking reuses [[stratifiedTake]]'s
+    * ordering, so a rebalanced corpus is a prefix-union of stratified
+    * samples.
+    */
+  def rebalanceMix(df: DataFrame, strataCol: String, keyCol: String,
+      uniqueCol: String, targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "target weights must be positive")
+    require(targets.map(_._1).distinct.size == targets.size, "duplicate stratum in targets")
+    val wsum = targets.map(_._2).sum
+    val ppm = targets.map { case (s, w) =>
+      val p = math.round(w / wsum * 1000000.0)
+      require(p >= 1, s"target weight for '$s' rounds to < 1 ppm")
+      (s, p)
+    }
+    val spark = df.sparkSession
+    val tgt = broadcast(spark.createDataFrame(ppm).toDF(strataCol, "__ppm"))
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("long").as("__cnt"))
+      .join(tgt, Seq(strataCol), "right")
+    // a target stratum with no rows caps N at 0; surfacing that as an
+    // empty result would be silent data loss, so raise inside the plan
+    // (no extra driver-side pass) instead
+    val scale = counts
+      .agg(min(when(col("__cnt").isNull,
+          assert_true(lit(false), concat(lit("rebalanceMix: target stratum '"),
+            col(strataCol), lit("' has no rows"))).cast("long"))
+        // `div`, not `/`: Column./ is double division — the quota
+        // arithmetic must stay integer-exact for cross-engine replay
+        .otherwise(expr("__cnt * 1000000L div __ppm"))).as("__scale"))
+    val quota = counts.crossJoin(broadcast(scale))
+      .select(col(strataCol),
+        expr("__scale * __ppm div 1000000L").as("__take"),
+        col("__cnt"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(uniqueCol))
+    df.join(broadcast(quota.select(col(strataCol), col("__take"))), Seq(strataCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__take"))
+      .drop("__rn", "__take")
+  }
+
   /** Per-stratum weighted reservoir of `n` rows using the A-ES key
     * `weight^(1/w_i)` reformulated in log space: rank strata rows by
     * `-ln(u_i)/w_i` ascending (u_i = the content-hash uniform), keep the

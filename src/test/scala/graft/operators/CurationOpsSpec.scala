@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Line-level boilerplate dedup, sequence packing, and domain-mixture
+  * rebalancing: the three corpus-curation operators added in round 5's
+  * second half.
+  */
+class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-curation-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  // --- dropDuplicateLines ---
+
+  private def lineDocs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "unique alpha\nSubscribe now\nbody one"),
+      (2L, "Subscribe now\nbody two\nunique beta"),
+      (3L, "Subscribe now\nunique gamma"),
+      (4L, "only original content here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("dropDuplicateLines removes every copy of a boilerplate line by default") {
+    val out = Dedup.dropDuplicateLines(lineDocs, "text", "doc_id", minCount = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "unique alpha\nbody one")
+    assert(out(2L).getString(1) == "body two\nunique beta")
+    assert(out(3L).getString(1) == "unique gamma")
+    assert(out(4L).getString(1) == "only original content here")
+    assert(out(1L).getLong(3) == 1L && out(3L).getLong(3) == 1L)
+  }
+
+  test("dropDuplicateLines keepFirst keeps the smallest (doc, pos) occurrence") {
+    val out = Dedup.dropDuplicateLines(lineDocs, "text", "doc_id",
+        minCount = 3, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the first "Subscribe now" (doc 1, pos 1) and keeps it
+    assert(out(1L) == "unique alpha\nSubscribe now\nbody one")
+    assert(out(2L) == "body two\nunique beta")
+    assert(out(3L) == "unique gamma")
+  }
+
+  test("dropDuplicateLines normalizeKeys folds case/whitespace for counting, keeps original text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "SUBSCRIBE NOW\nkeep a"),
+      (2L, "  subscribe now \nkeep b"),
+      (3L, "Subscribe Now\nkeep c")
+    ).toDF("doc_id", "text")
+    val raw = Dedup.dropDuplicateLines(docs, "text", "doc_id", minCount = 3)
+      .agg(sum("removed")).collect()(0).getLong(0)
+    assert(raw == 0L, "raw keys differ, nothing should be removed")
+    val out = Dedup.dropDuplicateLines(docs, "text", "doc_id", minCount = 3,
+        normalizeKeys = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "keep a" && out(2L) == "keep b" && out(3L) == "keep c")
+  }
+
+  test("dropDuplicateLines: all-boilerplate documents survive with empty text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x\nx"), (2L, "x"), (3L, "x\ny")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(docs, "text", "doc_id", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "" && out(1L).getLong(3) == 2L)
+    assert(out(2L).getString(1) == "")
+    assert(out(3L).getString(1) == "y")
+  }
+
+  test("dropDuplicateLines is partitioning-invariant") {
+    val base = Dedup.dropDuplicateLines(lineDocs, "text", "doc_id", minCount = 3)
+    val shuffled = Dedup.dropDuplicateLines(lineDocs.repartition(7), "text", "doc_id", minCount = 3)
+    assert(rows(base) == rows(shuffled))
+  }
+
+  // --- packSequences ---
+
+  private def packDocs = {
+    val s = spark
+    import s.implicits._
+    (1 to 40).map(i => (i.toLong, "src" + (i % 2), 10L + (i % 7)))
+      .toDF("doc_id", "source", "tok")
+  }
+
+  test("packSequences: seq = floor(exclusive cumsum / budget) in content-hash order") {
+    val out = Packing.packSequences(packDocs, "source", col("tok"),
+        "doc_id", "doc_id", budget = 32L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // replay the layout per stratum: md5(doc_id as string) order
+    def md5hex(v: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    out.groupBy(_._1).foreach { case (_, gs) =>
+      val ordered = gs.sortBy(g => (md5hex(g._2), g._2))
+      var cum = 0L
+      ordered.foreach { case (_, _, tok, seq, pos) =>
+        assert(seq == cum / 32L, "block id must be exclusive-cumsum div budget")
+        assert(pos == cum - seq * 32L && pos >= 0 && pos < 32L)
+        cum += tok
+      }
+    }
+  }
+
+  test("packSequences preserves rows and tokens; blocks fill to >= budget minus straddle") {
+    val packed = Packing.packSequences(packDocs, "source", col("tok"),
+      "doc_id", "doc_id", budget = 32L)
+    assert(packed.count() == 40L)
+    val report = Packing.packingReport(packDocs, "source", col("tok"),
+        "doc_id", "doc_id", budget = 32L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val totalTokens = packDocs.agg(sum("tok")).collect()(0).getLong(0)
+    assert(report.map(_._3).sum == totalTokens)
+    // every non-final block holds >= budget - (max doc - 1) tokens
+    val maxDoc = 16L
+    report.groupBy(_._1).foreach { case (_, blocks) =>
+      val lastSeq = blocks.map(_._2).max
+      blocks.filter(_._2 < lastSeq).foreach { case (_, _, toks) =>
+        assert(toks > 32L - maxDoc, s"non-final block underfilled: $toks")
+      }
+    }
+  }
+
+  test("packSequences: a document longer than the budget gets blocks of its own") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a", 5L), (2L, "a", 100L), (3L, "a", 5L), (4L, "a", 5L))
+      .toDF("doc_id", "source", "tok")
+    val out = Packing.packSequences(docs, "source", col("tok"), "doc_id", "doc_id", 32L)
+      .select("doc_id", "seq_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay: the giant doc's 100 tokens advance the cumsum 3+ full
+    // blocks, so whoever follows it in hash order skips those block ids
+    def md5hex(v: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = Seq((1L, 5L), (2L, 100L), (3L, 5L), (4L, 5L))
+      .sortBy { case (id, _) => (md5hex(id), id) }
+    val expected = ordered.scanLeft(0L)(_ + _._2).zip(ordered)
+      .map { case (cum, (id, _)) => id -> cum / 32L }.toMap
+    assert(out == expected)
+    val giantIdx = ordered.indexWhere(_._1 == 2L)
+    if (giantIdx < ordered.size - 1) {
+      val next = ordered(giantIdx + 1)._1
+      assert(out(next) >= out(2L) + 3L, "blocks spanned by the giant doc are skipped")
+    }
+  }
+
+  test("packSequences is partitioning-invariant and rejects reserved columns") {
+    val a = Packing.packSequences(packDocs, "source", col("tok"), "doc_id", "doc_id", 32L)
+    val b = Packing.packSequences(packDocs.repartition(7), "source", col("tok"),
+      "doc_id", "doc_id", 32L)
+    assert(rows(a) == rows(b))
+    val bad = packDocs.withColumn("__cum", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(bad, "source", col("tok"), "doc_id", "doc_id", 32L)
+    }
+    assert(e.getMessage.contains("__cum"))
+  }
+
+  // --- rebalanceMix ---
+
+  private def mixDocs = {
+    val s = spark
+    import s.implicits._
+    // web: 100 docs, books: 30, code: 20, junk: 15 (junk not targeted)
+    ((1 to 100).map(i => (i.toLong, "web")) ++
+      (101 to 130).map(i => (i.toLong, "books")) ++
+      (131 to 150).map(i => (i.toLong, "code")) ++
+      (151 to 165).map(i => (i.toLong, "junk")))
+      .toDF("doc_id", "source")
+  }
+
+  test("rebalanceMix hits the integer quota of the binding stratum") {
+    val out = Sampling.rebalanceMix(mixDocs, "source", "doc_id", "doc_id",
+        Seq("web" -> 0.5, "books" -> 0.3, "code" -> 0.2))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ppm: 500000/300000/200000; N = min(100e6/5e5, 30e6/3e5, 20e6/2e5)
+    //    = min(200, 100, 100) = 100
+    // takes: 100*5e5/1e6 = 50, 30, 20 — books and code both binding
+    assert(out == Map("web" -> 50L, "books" -> 30L, "code" -> 20L))
+  }
+
+  test("rebalanceMix drops strata absent from the targets") {
+    val out = Sampling.rebalanceMix(mixDocs, "source", "doc_id", "doc_id",
+      Seq("web" -> 0.5, "books" -> 0.3, "code" -> 0.2))
+    assert(out.where(col("source") === "junk").count() == 0L)
+  }
+
+  test("rebalanceMix fails inside the plan when a target stratum has no rows") {
+    val e = intercept[Exception] {
+      Sampling.rebalanceMix(mixDocs, "source", "doc_id", "doc_id",
+        Seq("web" -> 0.5, "nosuch" -> 0.5)).count()
+    }
+    assert(e.getMessage.contains("nosuch"))
+  }
+
+  test("rebalanceMix growth is prefix-monotone for strata that did not grow") {
+    val targets = Seq("web" -> 0.5, "books" -> 0.3, "code" -> 0.2)
+    def keptWeb(df: DataFrame) =
+      Sampling.rebalanceMix(df, "source", "doc_id", "doc_id", targets)
+        .where(col("source") === "web")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = keptWeb(mixDocs)
+    val s = spark
+    import s.implicits._
+    // grow the binding strata: N rises, so web's quota only grows, and
+    // web's hash order is untouched — its kept set extends as a prefix.
+    // (A GROWN stratum has no such guarantee: new rows interleave into
+    // its hash order, so its own prefix re-selects.)
+    val grown = mixDocs.union(
+      ((1000 to 1040).map(i => (i.toLong, "books")) ++
+        (2000 to 2030).map(i => (i.toLong, "code"))).toDF("doc_id", "source"))
+    val after = keptWeb(grown)
+    assert(before.size == 50 && after.size == 100)
+    assert(before.subsetOf(after),
+      "kept rows of an ungrown stratum must stay kept when other strata grow")
+  }
+
+  test("rebalanceMix validates targets") {
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceMix(mixDocs, "source", "doc_id", "doc_id", Seq("web" -> -1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceMix(mixDocs, "source", "doc_id", "doc_id",
+        Seq("web" -> 0.5, "web" -> 0.5))
+    }
+  }
+}
