@@ -197,6 +197,20 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+      // bigram-LM surprisal: token TRANSITIONS scored under Jelinek-
+      // Mercer interpolation, first tokens under the unigram marginal;
+      // micro-unit integer sums keep every transition on the hash path
+      "q_bigram_lp" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val scored = Ranking.bigramLogProb(s.table("documents"), "text", "doc_id")
+        scored.join(s.table("documents").select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("tokens").cast("long").as("tokens"),
+            sum("lp_e6").cast("long").as("lp_e6_sum"))
+          .orderBy("source")
+      }),
+
       // corpus-level exact span dedup: 8-token windows occurring >= 2
       // times anywhere are removed (first occurrence kept); the rebuilt
       // texts ride the hash path via md5-prefix checksums
@@ -1249,6 +1263,47 @@ object SparkEntry {
              FROM f, tot),
       d AS (SELECT tok.doc_id, COUNT(*) AS toks, SUM(lp.lp_e6) AS lp_sum
             FROM tok JOIN lp ON tok.t = lp.t GROUP BY tok.doc_id),
+      j AS (SELECT doc.doc_id, doc.source,
+                   coalesce(d.toks, 0) AS toks, coalesce(d.lp_sum, 0) AS lp_sum
+            FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(toks) AS BIGINT) AS tokens,
+             CAST(SUM(lp_sum) AS BIGINT) AS lp_e6_sum
+      FROM j GROUP BY source ORDER BY source""",
+    // bigram replay: same pair construction, same bigram-start
+    // denominator, same interpolation arithmetic (0.9 / (1.0 - 0.9)
+    // literals so the IEEE weights match bit-for-bit), same micro-round
+    "q_bigram_lp" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      pr AS (
+        SELECT doc_id, toks[i+1] AS prev, toks[i+2] AS cur
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks) - 1, 0))) AS i FROM t)),
+      bg AS (SELECT prev, cur, COUNT(*) AS cnt FROM pr GROUP BY prev, cur),
+      st AS (SELECT prev, SUM(cnt) AS s_cnt FROM bg GROUP BY prev),
+      fs AS (SELECT doc_id, toks[1] AS tok FROM t WHERE len(toks) > 0),
+      un AS (SELECT u_tok, SUM(c) AS u_cnt FROM (
+               SELECT cur AS u_tok, cnt AS c FROM bg
+               UNION ALL
+               SELECT tok, COUNT(*) FROM fs GROUP BY tok) u(u_tok, c)
+             GROUP BY u_tok),
+      tot AS (SELECT SUM(u_cnt) AS total FROM un),
+      ps AS (SELECT pr.doc_id,
+                    CAST(round(ln(0.9 * (CAST(bg.cnt AS DOUBLE) / CAST(st.s_cnt AS DOUBLE))
+                         + (1.0 - 0.9) * (CAST(un.u_cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)))
+                         * 1e6) AS BIGINT) AS lp
+             FROM pr JOIN bg ON pr.prev = bg.prev AND pr.cur = bg.cur
+                     JOIN st ON pr.prev = st.prev
+                     JOIN un ON pr.cur = un.u_tok, tot),
+      fsc AS (SELECT fs.doc_id,
+                     CAST(round(ln(CAST(un.u_cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                          * 1e6) AS BIGINT) AS lp
+              FROM fs JOIN un ON fs.tok = un.u_tok, tot),
+      d AS (SELECT doc_id, COUNT(*) AS toks, SUM(lp) AS lp_sum
+            FROM (SELECT * FROM ps UNION ALL SELECT * FROM fsc) GROUP BY doc_id),
       j AS (SELECT doc.doc_id, doc.source,
                    coalesce(d.toks, 0) AS toks, coalesce(d.lp_sum, 0) AS lp_sum
             FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id)

@@ -106,6 +106,110 @@ object Ranking {
           .otherwise(lit(0.0)))
   }
 
+  /** Interpolated BIGRAM language-model scoring — the KenLM-style
+    * perplexity filter one order up from [[unigramLogProb]]: token
+    * transitions, not just token frequencies, so word-salad documents
+    * (every token common, no token ORDER plausible) finally score badly.
+    *
+    * Per-token probability, Jelinek-Mercer interpolation with fixed
+    * weight `lambda`:
+    *
+    *   p(cur | prev) = lambda * c(prev,cur)/c(prev,*) + (1-lambda) * c(cur)/total
+    *
+    * where `c(prev,*)` counts PREV AS A BIGRAM START (not raw unigram
+    * occurrences — a document-final token starts no bigram), so the
+    * conditional is a true distribution. A document's first token has no
+    * context and scores with the unigram model alone; tokens absent from
+    * the LM fall to the add-one floor 1/(total+1) on the unigram side and
+    * 0 on the bigram side (the interpolation keeps p > 0).
+    *
+    * Same exact-replay contract as the unigram scorer: per-token
+    * ln(p) is micro-rounded FIRST, documents sum integers, so shuffle
+    * order never changes a score and any engine replays it.
+    *
+    * Returns (idCol, `tokens`, `lp_e6`, `bits_per_token`).
+    *
+    * `lm`: optional (prev, cur, cnt) bigram reference distribution;
+    * defaults to self-training on `docs`. When supplied, its unigram
+    * marginals are derived from the bigram starts.
+    *
+    * Scale shape: bigrams are built per row with `zip_with` over the
+    * token array (no window, no self-join), counted with one
+    * token-pair-keyed aggregate; scoring joins are co-partitioned on the
+    * same keys (corpus-scale vocabularies — NOT broadcast), then one
+    * document-keyed rollup. All keyed shuffles with map-side partials,
+    * nothing quadratic, no driver state.
+    */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.9, lm: Option[DataFrame] = None): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0, 1)")
+    val arr = docs.select(col(idCol),
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")).as("__toks"))
+    // (prev, cur) per position 2..n, built row-locally
+    val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    val pairs = arr.select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), n1),
+        slice(col("__toks"), lit(2), n1),
+        (p, c) => struct(p.as("prev"), c.as("cur")))).as("__bg"))
+      .select(col(idCol), col("__bg.prev").as("__prev"), col("__bg.cur").as("__cur"))
+    val bigrams = lm.getOrElse(
+        pairs.groupBy(col("__prev").as("prev"), col("__cur").as("cur"))
+          .agg(count(lit(1)).cast("long").as("cnt")))
+      .select(col("prev"), col("cur"), col("cnt").cast("long").as("cnt"))
+    val starts = bigrams.groupBy(col("prev").as("s_prev"))
+      .agg(sum("cnt").cast("long").as("s_cnt"))
+    // unigram side: marginal over bigram CUR plus each document's first
+    // token (so the unigram total counts every token exactly once)
+    val firsts = arr.where(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks").getItem(0).as("__t"))
+    val unigrams = bigrams.groupBy(col("cur").as("u_tok"))
+      .agg(sum("cnt").cast("long").as("u_cnt"))
+      .join(firsts.groupBy(col("__t").as("u_tok"))
+          .agg(count(lit(1)).cast("long").as("f_cnt")),
+        Seq("u_tok"), "full_outer")
+      .select(col("u_tok"),
+        (coalesce(col("u_cnt"), lit(0L)) + coalesce(col("f_cnt"), lit(0L))).as("u_cnt"))
+    val total = unigrams.agg(sum("u_cnt").cast("long").as("total"))
+    val lam = lit(lambda)
+    val unl = lit(1.0) - lit(lambda)
+    // context tokens: p = lam * cb/cp + (1-lam) * cu/total
+    val pairScores = pairs
+      .join(bigrams, pairs("__prev") === bigrams("prev") && pairs("__cur") === bigrams("cur"), "left")
+      .join(starts, pairs("__prev") === starts("s_prev"), "left")
+      .join(unigrams, pairs("__cur") === unigrams("u_tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(
+          lam * (coalesce(col("cnt"), lit(0L)).cast("double") /
+            coalesce(col("s_cnt"), lit(1L)).cast("double")) +
+          unl * (coalesce(col("u_cnt"), lit(1L)).cast("double") /
+            when(col("u_cnt").isNull, (col("total") + lit(1L)).cast("double"))
+              .otherwise(col("total").cast("double")))
+        ) * lit(1e6)).cast("long").as("__lp"))
+    // first tokens: unigram-only (with the same add-one floor)
+    val firstScores = firsts
+      .join(unigrams, firsts("__t") === unigrams("u_tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(
+          coalesce(col("u_cnt"), lit(1L)).cast("double") /
+            when(col("u_cnt").isNull, (col("total") + lit(1L)).cast("double"))
+              .otherwise(col("total").cast("double"))
+        ) * lit(1e6)).cast("long").as("__lp"))
+    val scored = pairScores.union(firstScores)
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("tokens"), sum("__lp").cast("long").as("lp_e6"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("lp_e6"), lit(0L)).as("lp_e6"))
+      .withColumn("bits_per_token",
+        when(col("tokens") > 0,
+          -col("lp_e6").cast("double") /
+            (col("tokens").cast("double") * lit(1e6) * lit(math.log(2.0))))
+          .otherwise(lit(0.0)))
+  }
+
   /** Hybrid retrieval: a BM25 recall stage over the full corpus, then an
     * exact cosine rerank of the bounded candidate set against `queryVec`,
     * fused by reciprocal-rank fusion — `1/(rrfK + bm25_rank) + 1/(rrfK +

@@ -239,6 +239,49 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kept rows of an ungrown stratum must stay kept when other strata grow")
   }
 
+  // --- bigramLogProb ---
+
+  test("bigram logprob: exact micro-unit interpolation, first-token unigram") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    // bg: (a,b)x3, (b,a)x1; starts a:3, b:1; unigrams (curs + firsts):
+    // a = 1 + 2 = 3, b = 3; total 6
+    val unl = 1.0 - 0.9
+    def r(x: Double) = math.round(x * 1e6)
+    val first = r(math.log(3.0 / 6.0))
+    // (a,b): 0.9*(3/3) + unl*(3/6); (b,a): 0.9*(1/1) + unl*(3/6) — equal
+    val pair = r(math.log(0.9 * 1.0 + unl * 0.5))
+    val out = Ranking.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(out(1L) == ((4L, first + 3 * pair)), out(1L).toString)
+    assert(out(2L) == ((2L, first + pair)), out(2L).toString)
+    assert(out(3L) == ((0L, 0L)))
+  }
+
+  test("bigram logprob penalizes scrambled transitions that unigrams cannot see") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 3L).map(i => (i, "a b c a b c")).toSeq
+      .union(Seq((4L, "c b a"))).toDF("doc_id", "text")
+    val out = Ranking.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // doc 4 uses transitions (c,b),(b,a) the corpus never produces: its
+    // probability collapses to the (1-lambda) unigram leak, so its
+    // bits/token must sit well above the in-distribution documents'
+    assert(out(4L) > out(1L) + 1.0, s"scrambled=${out(4L)} fluent=${out(1L)}")
+  }
+
+  test("bigram logprob is partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 30L).map(i => (i, s"tok${i % 5} tok${i % 3} tok${i % 7} tok${i % 5}"))
+      .toDF("doc_id", "text")
+    val a = rows(Ranking.bigramLogProb(docs, "text", "doc_id"))
+    val b = rows(Ranking.bigramLogProb(docs.repartition(7), "text", "doc_id"))
+    assert(a == b)
+  }
+
   test("rebalanceMix validates targets") {
     intercept[IllegalArgumentException] {
       Sampling.rebalanceMix(mixDocs, "source", "doc_id", "doc_id", Seq("web" -> -1.0))
