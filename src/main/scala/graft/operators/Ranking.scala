@@ -138,7 +138,10 @@ object Ranking {
     * token-pair-keyed aggregate; scoring joins are co-partitioned on the
     * same keys (corpus-scale vocabularies — NOT broadcast), then one
     * document-keyed rollup. All keyed shuffles with map-side partials,
-    * nothing quadratic, no driver state.
+    * nothing quadratic, no driver state. The pair stream and the LM
+    * relations are persisted (MEMORY_AND_DISK): each is consumed by
+    * several downstream joins, and without the persist every consumer
+    * re-scans and re-tokenizes the whole corpus.
     */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.9, lm: Option[DataFrame] = None): DataFrame = {
@@ -147,15 +150,23 @@ object Ranking {
       filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")).as("__toks"))
     // (prev, cur) per position 2..n, built row-locally
     val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    // persisted: without it every downstream reference re-scans and
+    // re-tokenizes the corpus (the naive plan read the table 28 times).
+    // Same MEMORY_AND_DISK precedent as the minhash signature pipeline;
+    // callers run one scoring pass per corpus, Verify clears cache
+    // between gates.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = arr.select(col(idCol), explode(zip_with(
         slice(col("__toks"), lit(1), n1),
         slice(col("__toks"), lit(2), n1),
         (p, c) => struct(p.as("prev"), c.as("cur")))).as("__bg"))
       .select(col(idCol), col("__bg.prev").as("__prev"), col("__bg.cur").as("__cur"))
+      .persist(lvl)
     val bigrams = lm.getOrElse(
         pairs.groupBy(col("__prev").as("prev"), col("__cur").as("cur"))
           .agg(count(lit(1)).cast("long").as("cnt")))
       .select(col("prev"), col("cur"), col("cnt").cast("long").as("cnt"))
+      .persist(lvl)
     val starts = bigrams.groupBy(col("prev").as("s_prev"))
       .agg(sum("cnt").cast("long").as("s_cnt"))
     // unigram side: marginal over bigram CUR plus each document's first
@@ -169,6 +180,7 @@ object Ranking {
         Seq("u_tok"), "full_outer")
       .select(col("u_tok"),
         (coalesce(col("u_cnt"), lit(0L)) + coalesce(col("f_cnt"), lit(0L))).as("u_cnt"))
+      .persist(lvl)
     val total = unigrams.agg(sum("u_cnt").cast("long").as("total"))
     val lam = lit(lambda)
     val unl = lit(1.0) - lit(lambda)

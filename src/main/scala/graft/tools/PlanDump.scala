@@ -44,7 +44,11 @@ object PlanDump {
       "q_hll" -> "HLL gate: sketch agg and COUNT(DISTINCT) as separate aggregations joined on 3 rows — no Expand over the scan; estimate projected once per group below the register explode",
       "q_salted_join" -> "skew-salted join: hot-key count broadcast to split both sides; hot stream joins on (key, salt) with the small side exploded, rest stream joins plain; union feeds one partial+final agg",
       "q_curation" -> "curation pipeline: quality + language filters ride the single documents scan in one codegen stage; ONE content-hash exchange (dedup window), split label and token count computed post-dedup, small final agg",
-      "q_filter_join" -> "filter-pruned join: the fuse16 blob folds to a scalar subquery and the probe predicate prunes the lineitem side ON THE SCAN before the join — no blob-carrying nested-loop join anywhere")
+      "q_filter_join" -> "filter-pruned join: the fuse16 blob folds to a scalar subquery and the probe predicate prunes the lineitem side ON THE SCAN before the join — no blob-carrying nested-loop join anywhere",
+      "q_line_dedup" -> "line dedup: line counting groups on md5 keys, survivors join co-partitioned with the counting agg, one document-keyed rebuild — same shape as span dedup",
+      "q_pack" -> "sequence packing: ONE exchange (the stratum window) serves the cumsum, block ids and the per-source rollup",
+      "q_domain_mix" -> "domain mix: quota arithmetic folds to a broadcast (tiny counts agg + 1-row min); the data pays one stratum-window exchange only",
+      "q_bigram_lp" -> "bigram LM: pairs built row-locally (zip_with, no window), token-keyed LM aggregates, scoring joins co-partitioned on token keys, one doc-keyed rollup")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
