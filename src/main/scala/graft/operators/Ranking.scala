@@ -138,10 +138,11 @@ object Ranking {
     * token-pair-keyed aggregate; scoring joins are co-partitioned on the
     * same keys (corpus-scale vocabularies — NOT broadcast), then one
     * document-keyed rollup. All keyed shuffles with map-side partials,
-    * nothing quadratic, no driver state. The pair stream and the LM
-    * relations are persisted (MEMORY_AND_DISK): each is consumed by
-    * several downstream joins, and without the persist every consumer
-    * re-scans and re-tokenizes the whole corpus.
+    * nothing quadratic, no driver state. Per-token log-probs are
+    * computed once per DISTINCT bigram/token (vocab-sized relations) and
+    * the corpus-sized pair stream joins a single lookup; the cheap
+    * tokenize lineage is recomputed per consumer rather than cached
+    * (measured faster — see the in-body note).
     */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.9, lm: Option[DataFrame] = None): DataFrame = {
@@ -150,23 +151,21 @@ object Ranking {
       filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")).as("__toks"))
     // (prev, cur) per position 2..n, built row-locally
     val n1 = greatest(size(col("__toks")) - 1, lit(0))
-    // persisted: without it every downstream reference re-scans and
-    // re-tokenizes the corpus (the naive plan read the table 28 times).
-    // Same MEMORY_AND_DISK precedent as the minhash signature pipeline;
-    // callers run one scoring pass per corpus, Verify clears cache
-    // between gates.
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // NOT persisted, deliberately: the pair lineage is scan + lower +
+    // split + zip_with — recomputing it for its two consumers is cheaper
+    // than writing/reading a columnar cache of the string pairs
+    // (measured at sf0.1: 2.9 s uncached vs 8.9 s cached warm). The
+    // corpus is tokenized ~3x (bigram counts, pair scoring, firsts),
+    // each a cheap narrow pass.
     val pairs = arr.select(col(idCol), explode(zip_with(
         slice(col("__toks"), lit(1), n1),
         slice(col("__toks"), lit(2), n1),
         (p, c) => struct(p.as("prev"), c.as("cur")))).as("__bg"))
       .select(col(idCol), col("__bg.prev").as("__prev"), col("__bg.cur").as("__cur"))
-      .persist(lvl)
     val bigrams = lm.getOrElse(
         pairs.groupBy(col("__prev").as("prev"), col("__cur").as("cur"))
           .agg(count(lit(1)).cast("long").as("cnt")))
       .select(col("prev"), col("cur"), col("cnt").cast("long").as("cnt"))
-      .persist(lvl)
     val starts = bigrams.groupBy(col("prev").as("s_prev"))
       .agg(sum("cnt").cast("long").as("s_cnt"))
     // unigram side: marginal over bigram CUR plus each document's first
@@ -180,34 +179,65 @@ object Ranking {
         Seq("u_tok"), "full_outer")
       .select(col("u_tok"),
         (coalesce(col("u_cnt"), lit(0L)) + coalesce(col("f_cnt"), lit(0L))).as("u_cnt"))
-      .persist(lvl)
     val total = unigrams.agg(sum("u_cnt").cast("long").as("total"))
     val lam = lit(lambda)
     val unl = lit(1.0) - lit(lambda)
-    // context tokens: p = lam * cb/cp + (1-lam) * cu/total
-    val pairScores = pairs
-      .join(bigrams, pairs("__prev") === bigrams("prev") && pairs("__cur") === bigrams("cur"), "left")
-      .join(starts, pairs("__prev") === starts("s_prev"), "left")
-      .join(unigrams, pairs("__cur") === unigrams("u_tok"), "left")
+    // context tokens: p = lam * cb/cp + (1-lam) * cu/total.
+    // The log-prob is computed per DISTINCT bigram / token (vocab-sized
+    // relations) and the corpus-sized pair stream joins ONE lookup —
+    // scoring every occurrence through three corpus-sized joins measured
+    // ~2x slower at sf0.1. The arithmetic is expression-identical, so
+    // the oracle replay is unchanged.
+    val seenPairLp = bigrams
+      .join(starts, bigrams("prev") === starts("s_prev"))
+      .join(unigrams, bigrams("cur") === unigrams("u_tok"))
       .crossJoin(broadcast(total))
-      .select(col(idCol),
+      .select(col("prev"), col("cur"),
         round(log(
-          lam * (coalesce(col("cnt"), lit(0L)).cast("double") /
-            coalesce(col("s_cnt"), lit(1L)).cast("double")) +
-          unl * (coalesce(col("u_cnt"), lit(1L)).cast("double") /
-            when(col("u_cnt").isNull, (col("total") + lit(1L)).cast("double"))
-              .otherwise(col("total").cast("double")))
-        ) * lit(1e6)).cast("long").as("__lp"))
+          lam * (col("cnt").cast("double") / col("s_cnt").cast("double")) +
+          unl * (col("u_cnt").cast("double") / col("total").cast("double"))
+        ) * lit(1e6)).cast("long").as("__plp"))
+    val uniLp = unigrams.crossJoin(broadcast(total))
+      .select(col("u_tok"),
+        round(log(col("u_cnt").cast("double") / col("total").cast("double"))
+          * lit(1e6)).cast("long").as("__ulp"))
+    val pairScores =
+      if (lm.isEmpty) {
+        // self-trained: every pair is in the LM by construction
+        pairs.join(seenPairLp,
+            pairs("__prev") === seenPairLp("prev") && pairs("__cur") === seenPairLp("cur"))
+          .select(col(idCol), col("__plp").as("__lp"))
+      } else {
+        // external LM: unseen bigrams fall back to the unigram leak
+        // (lam * 0/1 + unl * cu/total) with the add-one OOV floor —
+        // the zero terms written out so the IEEE value is identical to
+        // the fused formula's
+        pairs.join(seenPairLp,
+            pairs("__prev") === seenPairLp("prev") && pairs("__cur") === seenPairLp("cur"), "left")
+          .join(unigrams, pairs("__cur") === unigrams("u_tok"), "left")
+          .crossJoin(broadcast(total))
+          .select(col(idCol),
+            coalesce(col("__plp"),
+              round(log(
+                lam * (lit(0.0) / lit(1.0)) +
+                unl * (coalesce(col("u_cnt"), lit(1L)).cast("double") /
+                  when(col("u_cnt").isNull, (col("total") + lit(1L)).cast("double"))
+                    .otherwise(col("total").cast("double")))
+              ) * lit(1e6)).cast("long")).as("__lp"))
+      }
     // first tokens: unigram-only (with the same add-one floor)
-    val firstScores = firsts
-      .join(unigrams, firsts("__t") === unigrams("u_tok"), "left")
-      .crossJoin(broadcast(total))
-      .select(col(idCol),
-        round(log(
-          coalesce(col("u_cnt"), lit(1L)).cast("double") /
-            when(col("u_cnt").isNull, (col("total") + lit(1L)).cast("double"))
-              .otherwise(col("total").cast("double"))
-        ) * lit(1e6)).cast("long").as("__lp"))
+    val firstScores =
+      if (lm.isEmpty) {
+        firsts.join(uniLp, firsts("__t") === uniLp("u_tok"))
+          .select(col(idCol), col("__ulp").as("__lp"))
+      } else {
+        firsts.join(uniLp, firsts("__t") === uniLp("u_tok"), "left")
+          .crossJoin(broadcast(total))
+          .select(col(idCol),
+            coalesce(col("__ulp"),
+              round(log(lit(1.0) / (col("total") + lit(1L)).cast("double"))
+                * lit(1e6)).cast("long")).as("__lp"))
+      }
     val scored = pairScores.union(firstScores)
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("tokens"), sum("__lp").cast("long").as("lp_e6"))

@@ -272,6 +272,22 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) > out(1L) + 1.0, s"scrambled=${out(4L)} fluent=${out(1L)}")
   }
 
+  test("bigram logprob external LM: unseen bigrams leak to unigram, OOV floor") {
+    val s = spark
+    import s.implicits._
+    val lm = Seq(("a", "b", 4L)).toDF("prev", "cur", "cnt")
+    val docs = Seq((9L, "z a b")).toDF("doc_id", "text")
+    // unigrams = LM curs (b:4) + scored-corpus firsts (z:1), total 5
+    val unl = 1.0 - 0.9
+    def r(x: Double) = math.round(x * 1e6)
+    val first = r(math.log(1.0 / 5.0))                      // z, seen via firsts
+    val za = r(math.log(0.9 * (0.0 / 1.0) + unl * (1.0 / 6.0))) // unseen pair, OOV cur
+    val ab = r(math.log(0.9 * (4.0 / 4.0) + unl * (4.0 / 5.0))) // seen pair
+    val out = Ranking.bigramLogProb(docs, "text", "doc_id", lm = Some(lm))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(out(9L) == ((3L, first + za + ab)), out(9L).toString)
+  }
+
   test("bigram logprob is partitioning-invariant") {
     val s = spark
     import s.implicits._
