@@ -579,6 +579,20 @@ object SparkEntry {
             numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true)
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
+      // refresh-time near-dup: a 10% "new" slice banded against the other
+      // 90% — only new-vs-old collisions are examined, never old-vs-old.
+      // Checksums pin every (new, old) pair and its micro-unit estimate.
+      "q_incremental_dedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        Dedup.incrementalNearDuplicates(
+            docs.where(col("doc_id") % 10 === 0), docs.where(col("doc_id") % 10 =!= 0),
+            "text", "doc_id",
+            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true)
+          .agg(count(lit(1)).cast("long").as("pairs"),
+            sum(col("new_id") * lit(3L) + col("old_id")).cast("long").as("pair_sum"),
+            sum(round(col("jaccard_est") * lit(1e6)).cast("long")).cast("long").as("est_e6_sum"))
+      }),
       // production mode of the same pipeline: xxhash64 shingles + splitmix
       // permutations (~2x cheaper than the md5-based portable mode above,
       // which exists to be replayable in SQL). The oracle is CROSS-MODE
@@ -1682,6 +1696,17 @@ object SparkEntry {
     "q_minhash_near_dup" -> s"""
       WITH $minhashPairCtes
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM est WHERE je >= 0.2""",
+    // same portable replay, restricted to cross-slice pairs: the full
+    // pipeline's candidate set intersected with (one side new, one side
+    // old) is exactly the incremental operator's collision set
+    "q_incremental_dedup" -> s"""
+      WITH $minhashPairCtes
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+             CAST(SUM(CASE WHEN id1 % 10 = 0 THEN id1 * 3 + id2
+                           ELSE id2 * 3 + id1 END) AS BIGINT) AS pair_sum,
+             CAST(SUM(CAST(round(je * 1e6) AS BIGINT)) AS BIGINT) AS est_e6_sum
+      FROM est
+      WHERE je >= 0.2 AND ((id1 % 10 = 0) <> (id2 % 10 = 0))""",
     // cross-mode recall gate: exact-duplicate pairs among shingle-eligible
     // docs MUST be recovered by both the fast (xxhash64/splitmix) and the
     // portable (md5/affine) pipelines — identical text => identical

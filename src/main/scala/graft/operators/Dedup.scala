@@ -254,6 +254,70 @@ object Dedup {
       .select("id1", "id2", "jaccard_est")
   }
 
+  /** Incremental near-duplicate detection: MinHash-LSH pairs between a NEW
+    * document slice and the EXISTING corpus — the refresh-time companion
+    * to [[corpusDiff]]. A corpus refresh only needs (a) new-vs-old
+    * collisions (this operator) and (b) new-vs-new collisions
+    * ([[minHashNearDuplicates]] over the slice, typically tiny): the
+    * old-vs-old bulk — the quadratic part that did not change — is never
+    * re-paired.
+    *
+    * Returns (new_id, old_id, jaccard_est) with est >= `threshold`. The
+    * slices must be disjoint on `idCol` (feed the `added`/`changed` rows
+    * from [[corpusDiff]] as `newDocs`).
+    *
+    * Scale shape: both sides run the fused signature kernel (shuffle-free
+    * projection); old-side band buckets group on (band_id, band_hash)
+    * carrying 8-byte ids; the new side equi-joins those buckets — with a
+    * refresh slice orders of magnitude smaller than the corpus, AQE
+    * broadcasts the new side and the old corpus is never shuffled at all.
+    * Signature joins run on the deduped collision set only. Same
+    * `maxBucketSize` fail-soft + `graft_lsh_buckets` skew telemetry as
+    * the batch pipeline (an old bucket of k docs emits k pairs per
+    * colliding new doc).
+    */
+  def incrementalNearDuplicates(newDocs: DataFrame, oldDocs: DataFrame,
+      textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
+      threshold: Double = 0.7, portable: Boolean = false,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def sigsOf(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        ColumnBridge.column(MinHashSignatureExpr(
+          ColumnBridge.expression(split(lower(col(textCol)), "\\s+")),
+          shingleSize, numHashes, portable)).as("sig"))
+      .where(col("sig").isNotNull)
+      .persist(lvl)
+    val newSigs = sigsOf(newDocs)
+    val oldSigs = sigsOf(oldDocs)
+    val rowsPerBand = math.max(1, numHashes / bands)
+    def banded(sigs: DataFrame) = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .toDF("doc_id", "band_id", "band_hash")
+    val oldBuckets = banded(oldSigs).groupBy("band_id", "band_hash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("olds"))
+      .observe(s"graft_lsh_buckets_${lshObserveId.incrementAndGet()}",
+        sum(when(size(col("olds")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(size(col("olds"))).as("max_bucket_size"))
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) oldBuckets
+      else oldBuckets.where(size(col("olds")) <= maxBucketSize)
+    val cand = banded(newSigs).join(guarded, Seq("band_id", "band_hash"))
+      .select(col("doc_id").as("new_id"), explode(col("olds")).as("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    cand
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig1")), "new_id")
+      .join(oldSigs.select(col("doc_id").as("old_id"), col("sig").as("sig2")), "old_id")
+      .withColumn("jaccard_est",
+        ColumnBridge.column(SigMatchCount(
+          ColumnBridge.expression(col("sig1")),
+          ColumnBridge.expression(col("sig2")))).cast("double") / numHashes)
+      .where(col("jaccard_est") >= threshold)
+      .select("new_id", "old_id", "jaccard_est")
+  }
+
   /** Connected components over a near-duplicate pair graph: every node gets
     * the smallest doc id reachable from it as its cluster label — the
     * dedup-GROUP assignment that follows pair generation in a real pipeline

@@ -239,6 +239,50 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kept rows of an ungrown stratum must stay kept when other strata grow")
   }
 
+  // --- incrementalNearDuplicates ---
+
+  test("incremental near-dup equals the full pipeline's cross-slice pairs") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 40L).map(i =>
+      (i, s"tok${i % 11} tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 13} filler$i end"))
+    // planted near-identical groups spanning the slice boundary
+    val docs = (base ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (110L, "one two three four five six seven eight nine"),
+      (111L, "one two three four five six seven eight nine ten"))).toDF("doc_id", "text")
+    val isNew = col("doc_id") % 2 === 0
+    val inc = Dedup.incrementalNearDuplicates(
+        docs.where(isNew), docs.where(!isNew), "text", "doc_id",
+        threshold = 0.2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minHashNearDuplicates(docs, "text", "doc_id",
+        threshold = 0.2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossFull = full.filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, e) => if (a % 2 == 0) (a, b, e) else (b, a, e) }.toSet
+    assert(inc == crossFull, s"inc=$inc cross=$crossFull")
+    assert(inc.exists { case (n, o, e) => Set(n, o) == Set(100L, 101L) && e == 1.0 },
+      "planted cross-slice exact dup must surface at estimate 1.0")
+    // never any same-slice pair
+    assert(inc.forall { case (n, o, _) => n % 2 == 0 && o % 2 == 1 })
+  }
+
+  test("incremental near-dup honors the old-bucket cap") {
+    val s = spark
+    import s.implicits._
+    val dup = "same text repeated across many docs making one hot bucket"
+    val olds = (1L to 30L).map(i => (i * 2 + 1, dup)).toDF("doc_id", "text")
+    val news = Seq((2L, dup)).toDF("doc_id", "text")
+    val uncapped = Dedup.incrementalNearDuplicates(news, olds, "text", "doc_id",
+      threshold = 0.2, portable = true)
+    assert(uncapped.count() == 30L)
+    val capped = Dedup.incrementalNearDuplicates(news, olds, "text", "doc_id",
+      threshold = 0.2, portable = true, maxBucketSize = 10)
+    assert(capped.count() == 0L, "hot old buckets above the cap are dropped")
+  }
+
   // --- bigramLogProb ---
 
   test("bigram logprob: exact micro-unit interpolation, first-token unigram") {
