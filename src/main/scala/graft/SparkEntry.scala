@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Embeddings, Events, Joins, Multimodal, Packing, Profile, Ranking, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Events, Joins, Multimodal, Packing, Profile, Ranking, Sampling, TextAnalysis, Vocab}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -195,6 +195,15 @@ object SparkEntry {
             sum("tokens").cast("long").as("tokens"),
             sum("lp_e6").cast("long").as("lp_e6_sum"))
           .orderBy("source")
+      }),
+
+      // BPE merge learning: 6 rounds of pair-count -> argmax -> merge
+      // over the corpus vocabulary; the returned merge table pins the
+      // whole iterative training run (counts, tie-breaks, merge order)
+      "q_bpe" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Vocab.bpeMerges(s.table("documents"), "text", numMerges = 6)
+          .orderBy("step")
       }),
 
       // bigram-LM surprisal: token TRANSITIONS scored under Jelinek-
@@ -1161,8 +1170,57 @@ object SparkEntry {
         FROM cand JOIN sig s1 ON cand.id1 = s1.doc_id JOIN sig s2 ON cand.id2 = s2.doc_id)"""
   }
 
+  /** Generated DuckDB replay of `numMerges` BPE training rounds: each
+    * round re-derives the pair stats, the (count DESC, p1, p2) argmax,
+    * and the left-to-right non-overlapping merge walk — the walk is a
+    * recursive CTE carrying (acc, pend) fold state per word, exactly the
+    * aggregate() fold the Spark side runs.
+    */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH RECURSIVE w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+               list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS syms
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w)""")
+    // every CTE a later round re-references is MATERIALIZED: without the
+    // hint DuckDB inlines the chain, and each of the 6 rounds re-expands
+    // its whole ancestry (exponential re-planning of the recursions)
+    for (k <- 1 to numMerges) sb.append(s""",
+      p$k AS MATERIALIZED (
+        SELECT syms[i] AS s1, syms[i + 1] AS s2, SUM(cnt) AS c
+        FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM w${k - 1} WHERE len(syms) >= 2)
+        GROUP BY 1, 2),
+      b$k AS MATERIALIZED (SELECT s1, s2, c FROM p$k ORDER BY c DESC, s1, s2 LIMIT 1),
+      r$k AS (
+        SELECT w, cnt, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS acc, CAST(NULL AS VARCHAR) AS pend
+        FROM w${k - 1}
+        UNION ALL
+        SELECT r.w, r.cnt, r.syms, r.pos + 1,
+               CASE WHEN r.pend IS NULL THEN r.acc
+                    WHEN r.pend = b.s1 AND r.syms[r.pos] = b.s2 THEN list_append(r.acc, b.s1 || b.s2)
+                    ELSE list_append(r.acc, r.pend) END,
+               CASE WHEN r.pend IS NULL THEN r.syms[r.pos]
+                    WHEN r.pend = b.s1 AND r.syms[r.pos] = b.s2 THEN CAST(NULL AS VARCHAR)
+                    ELSE r.syms[r.pos] END
+        FROM r$k r, b$k b WHERE r.pos <= len(r.syms)),
+      w$k AS MATERIALIZED (
+        SELECT w, cnt,
+               CASE WHEN pend IS NULL THEN acc ELSE list_append(acc, pend) END AS syms
+        FROM r$k WHERE pos = len(syms) + 1)""")
+    sb.append("\n      SELECT * FROM (\n        " +
+      (1 to numMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS step, s1 AS p1, s2 AS p2, CAST(c AS BIGINT) AS pair_count FROM b$k")
+        .mkString("\n        UNION ALL\n        ") +
+      "\n      ) ORDER BY step")
+    sb.toString
+  }
+
   /** DuckDB-runnable oracle SQL per query (same column names + ordering). */
   def oracleSql: Map[String, String] = Map(
+    "q_bpe" -> bpeOracleSql(6),
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,

@@ -112,6 +112,9 @@ object Sampling {
       uniqueCol: String, targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0), "target weights must be positive")
     require(targets.map(_._1).distinct.size == targets.size, "duplicate stratum in targets")
+    val clash = Seq("__ppm", "__cnt", "__scale", "__take", "__rn").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"rebalanceMix uses helper columns ${clash.mkString(", ")} which already exist in the input")
     val wsum = targets.map(_._2).sum
     val ppm = targets.map { case (s, w) =>
       val p = math.round(w / wsum * 1000000.0)

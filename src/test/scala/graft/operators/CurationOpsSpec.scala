@@ -239,6 +239,41 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kept rows of an ungrown stratum must stay kept when other strata grow")
   }
 
+  // --- bpeMerges / bpeTokenize ---
+
+  test("bpe merges: hand-traced counts, lexicographic tie-break, merge order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("low low low", "lower lower", "newest").toDF("text")
+    val out = Vocab.bpeMerges(docs, "text", numMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: (l,o)=5 ties (o,w)=5 -> smaller p1 wins; round 2: (lo,w)=5;
+    // round 3: (e,r)=2 ties (low,e)=2 -> 'e' < 'low'
+    assert(out == Seq((1L, "l", "o", 5L), (2L, "lo", "w", 5L), (3L, "e", "r", 2L)), out.toString)
+  }
+
+  test("bpe merge application is left-to-right non-overlapping; trainer stops when fully merged") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("aaa aaa").toDF("text")
+    val out = Vocab.bpeMerges(docs, "text", numMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // overlapping stats: "aaa" has (a,a) twice, word count 2 -> 4;
+    // the merge walk is non-overlapping: aaa -> [aa, a], NOT [aa, aa]
+    assert(out == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)), out.toString)
+  }
+
+  test("bpe tokenize applies the learned table in order to new text") {
+    val s = spark
+    import s.implicits._
+    val train = Seq("low low low", "lower lower", "newest").toDF("text")
+    val merges = Vocab.bpeMerges(train, "text", numMerges = 3)
+    val toks = Vocab.bpeTokenize(Seq("lowest low").toDF("text"), "text", merges)
+      .select("bpe_tokens").collect()(0).getSeq[String](0)
+    // lowest: chars -> (l,o) -> (lo,w) -> (e,r) no-op = [low, e, s, t]
+    assert(toks == Seq("low", "e", "s", "t", "low"), toks.toString)
+  }
+
   // --- incrementalNearDuplicates ---
 
   test("incremental near-dup equals the full pipeline's cross-slice pairs") {
