@@ -275,28 +275,35 @@ object Dedup {
     * `maxBucketSize` fail-soft + `graft_lsh_buckets` skew telemetry as
     * the batch pipeline (an old bucket of k docs emits k pairs per
     * colliding new doc).
+    *
+    * `newDocs` may be a STREAMING frame (the refresh feed): every join
+    * is then stream-static (the new signature rides the band rows) and
+    * `dropDuplicates` becomes the cross-batch stateful pair dedup —
+    * the spec proves batch/stream pair-set parity.
     */
   def incrementalNearDuplicates(newDocs: DataFrame, oldDocs: DataFrame,
       textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       threshold: Double = 0.7, portable: Boolean = false,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(!oldDocs.isStreaming, "the existing corpus must be a static frame")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def sigsOf(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"),
-        ColumnBridge.column(MinHashSignatureExpr(
-          ColumnBridge.expression(split(lower(col(textCol)), "\\s+")),
-          shingleSize, numHashes, portable)).as("sig"))
-      .where(col("sig").isNotNull)
-      .persist(lvl)
+    def sigsOf(df: DataFrame) = {
+      val s = df.select(col(idCol).as("doc_id"),
+          ColumnBridge.column(MinHashSignatureExpr(
+            ColumnBridge.expression(split(lower(col(textCol)), "\\s+")),
+            shingleSize, numHashes, portable)).as("sig"))
+        .where(col("sig").isNotNull)
+      if (df.isStreaming) s else s.persist(lvl)
+    }
     val newSigs = sigsOf(newDocs)
     val oldSigs = sigsOf(oldDocs)
     val rowsPerBand = math.max(1, numHashes / bands)
-    def banded(sigs: DataFrame) = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+    def bandCol = posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+    val oldBuckets = oldSigs.select(col("doc_id"), bandCol)
       .toDF("doc_id", "band_id", "band_hash")
-    val oldBuckets = banded(oldSigs).groupBy("band_id", "band_hash")
+      .groupBy("band_id", "band_hash")
       .agg(sort_array(collect_list(col("doc_id"))).as("olds"))
       .observe(s"graft_lsh_buckets_${lshObserveId.incrementAndGet()}",
         sum(when(size(col("olds")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
@@ -304,11 +311,7 @@ object Dedup {
     val guarded =
       if (maxBucketSize == Int.MaxValue) oldBuckets
       else oldBuckets.where(size(col("olds")) <= maxBucketSize)
-    val cand = banded(newSigs).join(guarded, Seq("band_id", "band_hash"))
-      .select(col("doc_id").as("new_id"), explode(col("olds")).as("old_id"))
-      .dropDuplicates("new_id", "old_id")
-    cand
-      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig1")), "new_id")
+    val est = (frame: DataFrame) => frame
       .join(oldSigs.select(col("doc_id").as("old_id"), col("sig").as("sig2")), "old_id")
       .withColumn("jaccard_est",
         ColumnBridge.column(SigMatchCount(
@@ -316,6 +319,30 @@ object Dedup {
           ColumnBridge.expression(col("sig2")))).cast("double") / numHashes)
       .where(col("jaccard_est") >= threshold)
       .select("new_id", "old_id", "jaccard_est")
+    if (newDocs.isStreaming) {
+      // streaming slice vs static corpus: the new signature RIDES the
+      // band rows (bands x sig duplication — the slice is small by
+      // contract), so every join is stream-static and no stream
+      // self-join is needed. dropDuplicates is the cross-batch stateful
+      // dedup: a pair colliding in several bands (or re-arriving in a
+      // later micro-batch) emits once. State = one entry per emitted
+      // pair; bound it upstream with watermarked ids if the stream is
+      // unbounded.
+      val cand = newSigs.select(col("doc_id"), col("sig"), bandCol)
+        .toDF("new_id", "sig1", "band_id", "band_hash")
+        .join(guarded, Seq("band_id", "band_hash"))
+        .select(col("new_id"), col("sig1"), explode(col("olds")).as("old_id"))
+        .dropDuplicates("new_id", "old_id")
+      est(cand)
+    } else {
+      val cand = newSigs.select(col("doc_id"), bandCol)
+        .toDF("doc_id", "band_id", "band_hash")
+        .join(guarded, Seq("band_id", "band_hash"))
+        .select(col("doc_id").as("new_id"), explode(col("olds")).as("old_id"))
+        .dropDuplicates("new_id", "old_id")
+        .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig1")), "new_id")
+      est(cand)
+    }
   }
 
   /** Connected components over a near-duplicate pair graph: every node gets

@@ -185,6 +185,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("incremental near-dup works stream-static and matches the batch pair set") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val olds = ((1L to 20L).map(i =>
+        (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} filler$i tail")) ++ Seq(
+        (101L, "alpha beta gamma delta epsilon zeta eta"),
+        (102L, "one two three four five six seven eight"))).toDF("doc_id", "text")
+    val newBatch1 = Seq(
+      (201L, "alpha beta gamma delta epsilon zeta eta"), // dup of 101
+      (202L, "totally novel content nothing shared here"))
+    val newBatch2 = Seq(
+      (201L, "alpha beta gamma delta epsilon zeta eta"), // re-arrival: state dedup
+      (203L, "one two three four five six seven eight")) // dup of 102
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.incrementalNearDuplicates(
+      stream, olds, "text", "doc_id", threshold = 0.5, portable = true)
+    val query = pairs.writeStream.format("memory").queryName("inc_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(newBatch1: _*)
+      query.processAllAvailable()
+      input.addData(newBatch2: _*)
+      query.processAllAvailable()
+      val got = spark.table("inc_dedup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the re-arrived (201, 101) pair must NOT emit twice
+      assert(got.length == got.distinct.length, s"duplicate emissions: ${got.toSeq}")
+      val batch = graft.operators.Dedup.incrementalNearDuplicates(
+          (newBatch1 ++ newBatch2).distinct.toDF("doc_id", "text"), olds,
+          "text", "doc_id", threshold = 0.5, portable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSet == batch.toSet, s"stream=${got.toSet} batch=${batch.toSet}")
+      assert(got.toSet.map((p: (Long, Long, Double)) => (p._1, p._2))
+        .intersect(Set((201L, 101L), (203L, 102L))) == Set((201L, 101L), (203L, 102L)))
+    } finally query.stop()
+  }
+
   test("bucketed range join works stream-static: streaming points against static intervals") {
     val sps = spark; import sps.implicits._
     implicit val sqlCtx = spark.sqlContext
