@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Embeddings, Events, Joins, Multimodal, Packing, Profile, Ranking, Sampling, TextAnalysis, Vocab}
+import graft.operators.{Classify, Dedup, Embeddings, Events, Joins, Multimodal, Packing, Profile, Ranking, Sampling, TextAnalysis, Vocab}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -195,6 +195,30 @@ object SparkEntry {
             sum("tokens").cast("long").as("tokens"),
             sum("lp_e6").cast("long").as("lp_e6_sum"))
           .orderBy("source")
+      }),
+
+      // in-engine quality classifier: 10 full-batch GD rounds of logistic
+      // regression (predict the document-length class from text-metric
+      // ratios — a learnable target on this corpus; 489/500 train
+      // accuracy from 256/500 base rate); the micro-unit final weights
+      // and the training accuracy pin every per-row sigmoid/gradient
+      // across all rounds
+      "q_logistic" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents").withColumn("__m", expr("text_metrics(text)"))
+        val fSw = col("__m.sw_hits").cast("double") / col("__m.toks").cast("double")
+        val fToks = col("__m.toks").cast("double") / lit(100.0)
+        val fLen = col("__m.chars").cast("double") / col("__m.words").cast("double") / lit(10.0)
+        val feats = Seq(fSw, fToks, fLen)
+        val y = when(col("n_chars") >= 300, 1.0).otherwise(0.0)
+        val w = Classify.logisticTrain(docs, feats, y, iterations = 10, lr = 5.0)
+        val pred = when(Classify.logisticScore(w, feats) >= 0.5, 1.0).otherwise(0.0)
+        def e6(d: Double): Long = // ties away from zero, like SQL round()
+          (if (d >= 0) math.floor(d * 1e6 + 0.5) else math.ceil(d * 1e6 - 0.5)).toLong
+        docs.agg(count(lit(1)).cast("long").as("n"),
+            sum(when(pred === y, 1L).otherwise(0L)).cast("long").as("correct"))
+          .withColumn("w0_e6", lit(e6(w(0)))).withColumn("w1_e6", lit(e6(w(1))))
+          .withColumn("w2_e6", lit(e6(w(2)))).withColumn("w3_e6", lit(e6(w(3))))
       }),
 
       // BPE merge learning: 6 rounds of pair-count -> argmax -> merge
@@ -1218,9 +1242,59 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Generated DuckDB replay of the logistic-regression training run:
+    * per-round gradients are micro-rounded integer sums over MATERIALIZED
+    * feature rows; the weight-update arithmetic mirrors the driver's
+    * operation order literally.
+    */
+  private def logisticOracleSql(iterations: Int, lr: Double): String = {
+    val enList = graft.operators.LangId.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    val z = (w: Int => String) =>
+      s"${w(0)} + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3"
+    val sb = new StringBuilder
+    sb.append(s"""WITH m AS MATERIALIZED (
+        SELECT CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+               CAST(sw_hits AS DOUBLE) / CAST(toks AS DOUBLE) AS f1,
+               CAST(toks AS DOUBLE) / 100.0 AS f2,
+               CAST(chars AS DOUBLE) / CAST(words AS DOUBLE) / 10.0 AS f3
+        FROM (SELECT n_chars, length(text) AS chars,
+                     len(string_split(text, ' ')) AS words,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> list_contains($enList, x))) AS sw_hits,
+                     len(string_split_regex(lower(text), '\\s+')) AS toks
+              FROM documents)),
+      nn AS (SELECT COUNT(*) AS n FROM m),
+      i0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""")
+    for (k <- 1 to iterations) {
+      val w = (j: Int) => s"w$j"
+      sb.append(s""",
+      g$k AS MATERIALIZED (
+        SELECT SUM(CAST(round((s - y) * 1e6) AS BIGINT)) AS g0,
+               SUM(CAST(round((s - y) * f1 * 1e6) AS BIGINT)) AS g1,
+               SUM(CAST(round((s - y) * f2 * 1e6) AS BIGINT)) AS g2,
+               SUM(CAST(round((s - y) * f3 * 1e6) AS BIGINT)) AS g3
+        FROM (SELECT y, f1, f2, f3,
+                     1.0 / (1.0 + exp(-(${z(w)}))) AS s
+              FROM m, i${k - 1})),
+      i$k AS (
+        SELECT ${(0 to 3).map(j =>
+          s"w$j - $lr * (CAST(g$j AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)) AS w$j").mkString(",\n               ")}
+        FROM i${k - 1}, g$k, nn)""")
+    }
+    sb.append(s"""
+      SELECT CAST(nn.n AS BIGINT) AS n,
+             (SELECT CAST(SUM(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-(${z(j => s"w$j")}))) >= 0.5
+                                          THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS BIGINT)
+              FROM m, i$iterations) AS correct,
+             ${(0 to 3).map(j => s"CAST(round(w$j * 1e6) AS BIGINT) AS w${j}_e6").mkString(",\n             ")}
+      FROM i$iterations, nn""")
+    sb.toString
+  }
+
   /** DuckDB-runnable oracle SQL per query (same column names + ordering). */
   def oracleSql: Map[String, String] = Map(
     "q_bpe" -> bpeOracleSql(6),
+    "q_logistic" -> logisticOracleSql(10, 5.0),
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine quality classification: logistic regression trained by
+  * full-batch gradient descent — the fasttext-style "quality classifier"
+  * a curation pipeline trains on labeled good/bad documents and applies
+  * corpus-wide, without leaving the engine.
+  *
+  * Exact-replay contract (same scheme as kmeans / the LM scorers): each
+  * row's gradient contribution is micro-rounded FIRST
+  * (`round((sigmoid(z) - y) * f_j * 1e6)` as BIGINT) and the batch
+  * gradient is an integer sum — shuffle-order-independent — while the
+  * (tiny) weight-update arithmetic runs on the driver with a fixed
+  * operation order another engine can replay literally. The q_logistic
+  * DuckDB oracle re-trains the full run and matches the final weights to
+  * the micro-unit.
+  *
+  * Scale shape: one aggregation pass per iteration (map-side partial
+  * sums, one 1-row result to the driver — weights live on the driver
+  * like kmeans centroids, never in a shuffle); scoring is a pure per-row
+  * projection. Iterations are sequential by nature; the per-iteration
+  * cost is one narrow scan however large the corpus.
+  */
+object Classify {
+
+  /** z = w0 + w1*f1 + ... — built left-assoc so the double arithmetic
+    * replays identically in SQL engines.
+    */
+  private def zCol(weights: Array[Double], feats: Seq[Column]): Column =
+    feats.zip(weights.drop(1)).foldLeft(lit(weights(0)): Column) {
+      case (acc, (f, w)) => acc + lit(w) * f
+    }
+
+  /** The logistic score column for fixed weights (bias first). */
+  def logisticScore(weights: Array[Double], feats: Seq[Column]): Column =
+    lit(1.0) / (lit(1.0) + exp(-zCol(weights, feats)))
+
+  /** Train `iterations` rounds of full-batch gradient descent from zero
+    * weights. `feats` are feature columns (engine-replayable arithmetic
+    * recommended — ratios of counts); `label` must evaluate to 0.0/1.0.
+    * Returns the learned weights, bias first.
+    */
+  def logisticTrain(df: DataFrame, feats: Seq[Column], label: Column,
+      iterations: Int = 3, lr: Double = 5.0): Array[Double] = {
+    require(feats.nonEmpty, "need at least one feature")
+    require(iterations >= 1, "iterations must be >= 1")
+    val weights = Array.fill(feats.size + 1)(0.0)
+    // project features/label once: every iteration scans this narrow frame
+    val cols = label.cast("double").as("__y") +:
+      feats.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__f$i") }
+    val base = df.select(cols: _*)
+    val n = base.count()
+    require(n > 0, "empty training frame")
+    for (_ <- 1 to iterations) {
+      val sig = lit(1.0) / (lit(1.0) +
+        exp(-zCol(weights, feats.indices.map(i => col(s"__f$i")))))
+      val gradCols = sum(round((sig - col("__y")) * lit(1e6)).cast("long")).as("g0") +:
+        feats.indices.map(i =>
+          sum(round((sig - col("__y")) * col(s"__f$i") * lit(1e6)).cast("long")).as(s"g${i + 1}"))
+      val g = base.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+      for (j <- weights.indices)
+        weights(j) = weights(j) - lr * (g.getLong(j).toDouble / (n.toDouble * 1e6))
+    }
+    weights
+  }
+}

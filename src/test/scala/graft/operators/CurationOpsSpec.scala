@@ -239,6 +239,33 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kept rows of an ungrown stratum must stay kept when other strata grow")
   }
 
+  // --- logisticTrain / logisticScore ---
+
+  test("logistic trainer separates linearly separable data") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 50).map(i => (0.1 + (i % 5) * 0.02, 0.0)) ++
+      (1 to 50).map(i => (0.8 + (i % 5) * 0.02, 1.0))).toDF("f", "y")
+    val w = Classify.logisticTrain(docs, Seq(col("f")), col("y"),
+      iterations = 50, lr = 10.0)
+    val acc = docs.select(
+        sum(when((Classify.logisticScore(w, Seq(col("f"))) >= 0.5)
+          .cast("int") === col("y").cast("int"), 1).otherwise(0)))
+      .collect()(0).getLong(0)
+    assert(acc == 100L, s"acc=$acc w=${w.toSeq}")
+    assert(w(1) > 0, "feature weight must be positive for an increasing feature")
+  }
+
+  test("logistic gradient sums are partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 200).map(i => ((i % 13) / 13.0, if (i % 3 == 0) 1.0 else 0.0))
+      .toDF("f", "y")
+    val w1 = Classify.logisticTrain(docs, Seq(col("f")), col("y"), iterations = 5)
+    val w2 = Classify.logisticTrain(docs.repartition(7), Seq(col("f")), col("y"), iterations = 5)
+    assert(w1.toSeq == w2.toSeq, "micro-rounded integer gradient sums must not depend on partitioning")
+  }
+
   // --- bpeMerges / bpeTokenize ---
 
   test("bpe merges: hand-traced counts, lexicographic tie-break, merge order") {
