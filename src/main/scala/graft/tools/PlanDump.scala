@@ -48,7 +48,8 @@ object PlanDump {
       "q_line_dedup" -> "line dedup: line counting groups on md5 keys, survivors join co-partitioned with the counting agg, one document-keyed rebuild — same shape as span dedup",
       "q_pack" -> "sequence packing: ONE exchange (the stratum window) serves the cumsum, block ids and the per-source rollup",
       "q_domain_mix" -> "domain mix: quota arithmetic folds to a broadcast (tiny counts agg + 1-row min); the data pays one stratum-window exchange only",
-      "q_bigram_lp" -> "bigram LM: pairs built row-locally (zip_with, no window), token-keyed LM aggregates, scoring joins co-partitioned on token keys, one doc-keyed rollup")
+      "q_bigram_lp" -> "bigram LM: pairs built row-locally (zip_with, no window), token-keyed LM aggregates, scoring joins co-partitioned on token keys, one doc-keyed rollup",
+      "q_incremental_dedup" -> "incremental near-dup: new slice's bands equi-join the old corpus's band buckets (ids only); old-vs-old never paired; estimate joins on the deduped collision set")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
