@@ -1026,14 +1026,33 @@ object SparkEntry {
       }),
 
       // --- multimodal plumbing (stub codec, real Spark plumbing) --------
+      // frame sampling over REAL decoded GIF durations (per-frame delay
+      // metadata read back from the GraphicControlExtension blocks)
       "q_multimodal_frames" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val payloads = s.table("documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
-        val decoded = Multimodal.decodeAndFeaturize(payloads, "doc_id", "payload", "video", 8)
+        val payloads = Multimodal.synthesizeGifPayloads(s.table("documents"), "doc_id")
+        val decoded = Multimodal.decodeAndFeaturize(payloads, "media_id", "payload", "video", 8)
         Multimodal.sampleFrames(decoded, 2.0)
           .agg(count(lit(1)).cast("long").as("frames"),
             countDistinct(col("media_id")).cast("long").as("medias"),
             sum("frame_ts_ms").cast("long").as("ts_ms_sum"))
+      }),
+      // REAL video codec round-trip: genuine animated GIFs (javax.imageio
+      // multi-frame encoder) decoded back frame by frame; the lossless
+      // gray palette lets DuckDB recompute every decoded-pixel statistic
+      // analytically from the frame formula
+      "q_multimodal_video" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val payloads = Multimodal.synthesizeGifPayloads(s.table("documents"), "doc_id")
+        val decoded = Multimodal.decodeAndFeaturize(payloads, "media_id", "payload", "video", 8)
+        decoded.agg(count(lit(1)).cast("long").as("medias"),
+          sum(col("meta.width")).cast("long").as("sum_w"),
+          sum(col("meta.height")).cast("long").as("sum_h"),
+          sum(col("meta.channels")).cast("long").as("sum_c"),
+          sum(col("meta.duration_ms")).cast("long").as("sum_ms"),
+          sum(element_at(col("features"), 1).cast("long")).cast("long").as("px_sum"),
+          sum(element_at(col("features"), 2).cast("long")).cast("long").as("first_sum"),
+          sum(element_at(col("features"), 3).cast("long")).cast("long").as("last_sum"))
       }),
       // REAL codec round-trip: synthesize one genuine PNG per document
       // (javax.imageio encoder), decode it back (javax.imageio decoder),
@@ -2039,11 +2058,46 @@ object SparkEntry {
            (SELECT CAST(SUM(v) AS BIGINT) AS px_sum,
                    CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum
             FROM px) p""",
-    // golden pin (sf0.01): frame-sampling totals over the stub codec's
-    // deterministic durations (same audited-run pinning as decode above)
+    // live analytic replay of frame sampling over real GIF durations:
+    // duration = frames * delay_cs * 10; sampled frames at 2 fps =
+    // max(1, floor(dur/1000*2)); ts sum = 500 * f * (f-1) / 2
     "q_multimodal_frames" -> """
-      SELECT CAST(33094 AS BIGINT) AS frames, CAST(500 AS BIGINT) AS medias,
-             CAST(718360500 AS BIGINT) AS ts_ms_sum""",
+      WITH d AS (
+        SELECT doc_id, 2 + doc_id % 4 AS nf, 20 + (doc_id % 5) * 10 AS delay
+        FROM documents),
+      fr AS (
+        SELECT doc_id,
+               GREATEST(1, CAST(FLOOR(CAST(nf * delay * 10 AS DOUBLE) / 1000.0 * 2.0) AS BIGINT)) AS f
+        FROM d)
+      SELECT CAST(SUM(f) AS BIGINT) AS frames, CAST(COUNT(*) AS BIGINT) AS medias,
+             CAST(SUM(500 * f * (f - 1) / 2) AS BIGINT) AS ts_ms_sum
+      FROM fr""",
+    // live analytic replay of the GIF round-trip: the lossless gray
+    // palette makes decoded pixels equal the generator formula exactly
+    "q_multimodal_video" -> """
+      WITH d AS (
+        SELECT doc_id, 6 + doc_id % 5 AS w, 6 + (doc_id // 5) % 5 AS h,
+               2 + doc_id % 4 AS nf, 20 + (doc_id % 5) * 10 AS delay
+        FROM documents),
+      px AS (
+        SELECT d.doc_id, fr.f AS fi, d.nf,
+               (d.doc_id * 31 + fr.f * 29 + x.x * 7 + y.y * 13) % 256 AS v
+        FROM d,
+             (SELECT unnest(generate_series(0, 4)) AS f) fr,
+             (SELECT unnest(generate_series(0, 10)) AS x) x,
+             (SELECT unnest(generate_series(0, 10)) AS y) y
+        WHERE fr.f < d.nf AND x.x < d.w AND y.y < d.h)
+      SELECT m.medias, m.sum_w, m.sum_h, m.sum_c, m.sum_ms, p.px_sum, p.first_sum, p.last_sum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS medias,
+                   CAST(SUM(w) AS BIGINT) AS sum_w,
+                   CAST(SUM(h) AS BIGINT) AS sum_h,
+                   CAST(COUNT(*) AS BIGINT) AS sum_c,
+                   CAST(SUM(nf * delay * 10) AS BIGINT) AS sum_ms
+            FROM d) m,
+           (SELECT CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(SUM(CASE WHEN fi = 0 THEN v ELSE 0 END) AS BIGINT) AS first_sum,
+                   CAST(SUM(CASE WHEN fi = nf - 1 THEN v ELSE 0 END) AS BIGINT) AS last_sum
+            FROM px) p""",
     // live analytic replay of the WAV round-trip: PCM is lossless, so the
     // decoded-sample stats equal the generator formula's stats; zero
     // crossings need the lag window over the regenerated sample series

@@ -19,11 +19,13 @@ import org.apache.spark.sql.types._
   * from the decoded raster, and features are per-channel pixel statistics of
   * the decoded pixels. The audio path is likewise REAL: RIFF/WAVE PCM-16
   * streams parsed and emitted by [[AudioCodec]] (the format is a fixed
-  * header over raw little-endian samples — no library needed). Only video
-  * decode remains STUBBED behind [[StubCodec]], because no JVM video codec
-  * exists in this container — swap `StubCodec` for a real decoder (JNI or
-  * subprocess) without touching any of the plumbing; the batching/
-  * partitioning shape is identical to the real image and audio paths.
+  * header over raw little-endian samples — no library needed). The video
+  * path is REAL too: animated GIF via [[VideoCodec]] (`javax.imageio`
+  * multi-frame read/write with per-frame GraphicControlExtension timing)
+  * over a lossless 256-gray palette. True motion codecs (H.264/VP9) need
+  * native libraries this container lacks — swap [[VideoCodec]] for a JNI
+  * or subprocess decoder without touching any of the plumbing; kinds with
+  * no JVM decoder at all go through the documented [[StubCodec]].
   */
 object Multimodal {
 
@@ -184,14 +186,177 @@ object Multimodal {
     }
   }
 
-  /** STUB codec for the video kind: deterministic fake decode deriving
+  /** Real video codec: animated GIF encode/decode via `javax.imageio` —
+    * a genuine multi-frame container with per-frame timing, the one video
+    * format the stock JVM can both read and write. Frames are written as
+    * full-coverage images over an explicit 256-gray palette, which makes
+    * the round-trip LOSSLESS (every gray value is a palette entry — no
+    * quantization), so decoded-pixel statistics equal the source
+    * formula's statistics exactly and `q_multimodal_video` gets a live
+    * analytic oracle like the image and audio gates. A true motion codec
+    * (H.264/VP9) needs native libraries this container lacks; the
+    * plumbing — payload bytes, per-frame metadata, batched decode — is
+    * identical either way.
+    */
+  object VideoCodec {
+    final case class Video(width: Int, height: Int, delaysCs: Array[Int],
+        frames: Array[BufferedImage]) {
+      def frameCount: Int = frames.length
+      def durationMs: Long = delaysCs.map(_.toLong).sum * 10L
+    }
+
+    private lazy val grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** A full-coverage grayscale frame over the lossless 256-gray palette. */
+    def grayFrame(width: Int, height: Int)(v: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, v(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      img
+    }
+
+    def encodeGif(frames: Seq[BufferedImage], delayCs: Int): Array[Byte] = {
+      require(frames.nonEmpty, "need at least one frame")
+      val writer = ImageIO.getImageWritersBySuffix("gif").next()
+      val bos = new ByteArrayOutputStream(1024)
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(f),
+          writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = {
+          val existing = root.getElementsByTagName("GraphicControlExtension")
+          if (existing.getLength > 0)
+            existing.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val node = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            root.appendChild(node); node
+          }
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        // write the frame's ACTUAL palette as a local color table: the
+        // writer keeps raster indices as-is but would otherwise emit its
+        // default web-safe global table, silently recoloring every pixel
+        // (indices survived, colors didn't — found by the oracle mismatch)
+        val lctName = "LocalColorTable"
+        val old = root.getElementsByTagName(lctName)
+        (0 until old.getLength).foreach(i => root.removeChild(old.item(i)))
+        val lct = new javax.imageio.metadata.IIOMetadataNode(lctName)
+        lct.setAttribute("sizeOfLocalColorTable", "256")
+        lct.setAttribute("sortFlag", "FALSE")
+        val icm = f.getColorModel.asInstanceOf[java.awt.image.IndexColorModel]
+        var ci = 0
+        while (ci < icm.getMapSize) {
+          val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
+          e.setAttribute("index", ci.toString)
+          e.setAttribute("red", icm.getRed(ci).toString)
+          e.setAttribute("green", icm.getGreen(ci).toString)
+          e.setAttribute("blue", icm.getBlue(ci).toString)
+          lct.appendChild(e)
+          ci += 1
+        }
+        root.appendChild(lct)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, meta), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
+
+    /** Returns null when the payload is not a decodable GIF stream. Every
+      * frame is read with its own GraphicControlExtension delay (10 ms
+      * units, per the GIF89a spec).
+      */
+    def decodeGif(bytes: Array[Byte]): Video = {
+      if (bytes == null || bytes.isEmpty) return null
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return null
+        val frames = Array.tabulate(n)(reader.read)
+        val delays = Array.tabulate(n) { i =>
+          val meta = reader.getImageMetadata(i)
+          val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gces = root.getElementsByTagName("GraphicControlExtension")
+          if (gces.getLength == 0) 0
+          else {
+            val d = gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              .getAttribute("delayTime")
+            if (d == null || d.isEmpty) 0 else d.toInt
+          }
+        }
+        Video(frames(0).getWidth, frames(0).getHeight, delays, frames)
+      } catch { case _: Exception => null } finally reader.dispose()
+    }
+
+    /** Features of a decoded clip: `[sum(gray) over all frames,
+      * sum(gray) of the first frame, sum(gray) of the last frame,
+      * frame count, ...per-frame mean-luminance histogram]` — the sums
+      * are 2^24-bounded integral values for gate-sized clips, exact in
+      * Float.
+      */
+    def features(v: Video, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val bins = dim - 4
+      var i = 0
+      while (i < v.frames.length) {
+        val f = v.frames(i)
+        var frameSum = 0L
+        var y = 0
+        while (y < f.getHeight) {
+          var x = 0
+          while (x < f.getWidth) {
+            val rgb = f.getRGB(x, y)
+            val g = (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)) / 3
+            frameSum += g
+            x += 1
+          }
+          y += 1
+        }
+        if (dim > 0) out(0) += frameSum
+        if (dim > 1 && i == 0) out(1) += frameSum
+        if (dim > 2 && i == v.frames.length - 1) out(2) += frameSum
+        if (bins > 0) {
+          val mean = (frameSum / (f.getWidth.toLong * f.getHeight)).toInt
+          out(4 + math.min(bins - 1, mean * bins / 256)) += 1f
+        }
+        i += 1
+      }
+      if (dim > 3) out(3) = v.frames.length.toFloat
+      out
+    }
+  }
+
+  /** STUB codec for kinds with no JVM decoder (anything beyond the real
+    * image/audio/video codecs): deterministic fake decode deriving
     * metadata and a feature vector from the payload bytes. Replace with a
-    * real decoder in production (no JVM video codec exists in this
-    * container); every video call site goes through this object. Image and
-    * audio kinds use the real [[ImageCodec]] / [[AudioCodec]].
+    * real decoder in production; the plumbing is identical.
     */
   object StubCodec {
-    /** ??? in production: video/audio decode. Deterministic fake here. */
+    /** ??? in production: exotic-format decode. Deterministic fake here. */
     def decodeMeta(kind: String, bytes: Array[Byte]): (Int, Int, Int, Long) = {
       val h = graft.core.DuckDbHash.hashBytes(bytes)
       val width = 64 + ((h >>> 8) & 0x3ff).toInt   // 64..1087
@@ -271,6 +436,39 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic animated-GIF payloads: one real GIF clip per
+    * input row with `6 + id % 5` x `6 + (id / 5) % 5` frames of
+    * `2 + id % 4` frames at `(20 + (id % 5) * 10) * 10` ms per frame
+    * (clip durations 400–3000 ms, so frame sampling at a few fps stays
+    * non-degenerate); frame `f`'s
+    * gray pixel is `(id*31 + f*29 + x*7 + y*13) mod 256`. The palette is
+    * the full 256-gray ramp, so the GIF round-trip is lossless and every
+    * pixel statistic is recomputable with plain integer arithmetic —
+    * while the payload is a genuine GIF89a stream produced by
+    * `javax.imageio` (encoder exercised here, decoder in
+    * [[decodeAndFeaturize]]). Runs as `mapPartitions`; no shuffle.
+    */
+  def synthesizeGifPayloads(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (6 + id % 5).toInt
+        val h = (6 + (id / 5) % 5).toInt
+        val n = (2 + id % 4).toInt
+        val delayCs = (20 + (id % 5) * 10).toInt
+        val frames = (0 until n).map { f =>
+          VideoCodec.grayFrame(w, h)((x, y) =>
+            ((id * 31 + f * 29 + x * 7 + y * 13) % 256).toInt)
+        }
+        Row(id, VideoCodec.encodeGif(frames, delayCs))
+      }
+    }
+  }
+
   /** Decode a binary payload column into a metadata struct + feature vector.
     *
     * Runs as `mapPartitions` with an internal batch iterator (`batchSize`
@@ -278,12 +476,14 @@ object Multimodal {
     * would use: a real codec amortizes model/codec init per batch, not per
     * row. No shuffle is introduced; partitioning is inherited.
     *
-    * `kind = "image"` uses the real [[ImageCodec]] (PNG/BMP/GIF — whatever
+    * `kind = "image"` uses the real [[ImageCodec]] (PNG/BMP — whatever
     * `ImageIO` reads); `kind = "audio"` the real [[AudioCodec]] (PCM-16
     * WAV; meta = (width=frame count, height=sample rate, channels,
-    * duration_ms)). Undecodable payloads produce zeroed metadata and
-    * features rather than failing the task. Video goes through the
-    * documented [[StubCodec]].
+    * duration_ms)); `kind = "video"` the real [[VideoCodec]] (animated
+    * GIF; meta = (width, height, 1, duration from the per-frame delays)).
+    * Undecodable payloads produce zeroed metadata and features rather
+    * than failing the task. Other kinds go through the documented
+    * [[StubCodec]].
     */
   def decodeAndFeaturize(df: DataFrame, idCol: String, binCol: String,
       kind: String = "image", featureDim: Int = 64, batchSize: Int = 256): DataFrame = {
@@ -317,6 +517,13 @@ object Multimodal {
               else
                 Row(id, Row(kind, wav.frames, wav.sampleRate, wav.channels, wav.durationMs),
                   AudioCodec.features(wav, featureDim))
+            case "video" =>
+              val clip = VideoCodec.decodeGif(bytes)
+              if (clip == null)
+                Row(id, Row(kind, 0, 0, 0, 0L), new Array[Float](featureDim))
+              else
+                Row(id, Row(kind, clip.width, clip.height, 1, clip.durationMs),
+                  VideoCodec.features(clip, featureDim))
             case _ =>
               val (w, h, c, d) = StubCodec.decodeMeta(kind, bytes)
               Row(id, Row(kind, w, h, c, d), StubCodec.extractFeatures(bytes, featureDim))

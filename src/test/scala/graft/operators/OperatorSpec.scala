@@ -152,6 +152,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ts.toSeq == ts.toSeq.distinct, "frame timestamps must be distinct")
   }
 
+  test("multimodal: real GIF round-trip is lossless, timed, batch-size-invariant") {
+    val sps = spark; import sps.implicits._
+    val ids = (0L to 40L).toDF("doc_id")
+    val gif = Multimodal.synthesizeGifPayloads(ids, "doc_id")
+    val a = Multimodal.decodeAndFeaturize(gif, "media_id", "payload", "video", 8, batchSize = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val b = Multimodal.decodeAndFeaturize(gif.repartition(5), "media_id", "payload", "video", 8,
+        batchSize = 1000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 40L).foreach { id =>
+      val (w, h, n, delay) = ((6 + id % 5).toInt, (6 + (id / 5) % 5).toInt,
+        (2 + id % 4).toInt, (20 + (id % 5) * 10).toInt)
+      val meta = a(id).getStruct(1)
+      assert(meta.getInt(1) == w && meta.getInt(2) == h && meta.getInt(3) == 1)
+      // duration comes from the per-frame GCE delays read back from the stream
+      assert(meta.getLong(4) == n.toLong * delay * 10,
+        s"id=$id duration=${meta.getLong(4)} want=${n.toLong * delay * 10}")
+      // decoded-pixel sum equals the generator formula exactly (lossless)
+      val expected = (for (f <- 0 until n; y <- 0 until h; x <- 0 until w)
+        yield ((id * 31 + f * 29 + x * 7 + y * 13) % 256)).sum
+      assert(a(id).getSeq[Float](2).head.toLong == expected, s"id=$id")
+      assert(a(id).getSeq[Float](2) == b(id).getSeq[Float](2), "batch/partition invariance")
+    }
+    // junk bytes are not a GIF: zeroed meta and features, no task failure
+    val junk = Seq((9L, "not a gif".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val z = Multimodal.decodeAndFeaturize(junk, "media_id", "payload", "video", 8).head()
+    assert(z.getStruct(1).getInt(1) == 0 && z.getSeq[Float](2).forall(_ == 0f))
+  }
+
   test("cosine exact: blocked kernel is bit-equal to the self-join form") {
     val sps = spark; import sps.implicits._
     val rnd = new scala.util.Random(7)
@@ -454,10 +483,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.decodeAndFeaturize(png, "media_id", "payload", "image", 8), 12)
       .select("target_width", "target_height").collect()
     assert(resized.forall(r => r.getInt(0) <= 12 && r.getInt(1) <= 12 && r.getInt(0) > 0))
-    val texts = (1L to 5L).map(i => (i, s"payload-$i".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val clips = Multimodal.synthesizeGifPayloads((1L to 5L).toDF("doc_id"), "doc_id")
     val frames = Multimodal.sampleFrames(
-      Multimodal.decodeAndFeaturize(texts, "media_id", "payload", "video", 8), 2.0)
-    assert(frames.count() > 5) // multiple frames per video
+      Multimodal.decodeAndFeaturize(clips, "media_id", "payload", "video", 8), 2.0)
+    assert(frames.count() > 5) // multiple frames per decoded clip
   }
 
   test("multimodal: real WAV round-trip is exact and junk-tolerant") {
