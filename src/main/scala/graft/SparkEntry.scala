@@ -1037,6 +1037,20 @@ object SparkEntry {
             countDistinct(col("media_id")).cast("long").as("medias"),
             sum("frame_ts_ms").cast("long").as("ts_ms_sum"))
       }),
+      // REAL byte-level resize: PNG decode -> nearest-neighbor resample
+      // -> PNG re-encode -> decode again; NN index arithmetic is integer,
+      // so DuckDB replays every resized pixel from the source formula
+      "q_multimodal_resize" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val png = Multimodal.synthesizePngPayloads(s.table("documents"), "doc_id")
+        val small = Multimodal.resizePayloads(png, "media_id", "payload", maxSide = 6)
+        Multimodal.decodeAndFeaturize(small, "media_id", "payload", "image", 4)
+          .agg(count(lit(1)).cast("long").as("medias"),
+            sum(col("meta.width")).cast("long").as("sum_w"),
+            sum(col("meta.height")).cast("long").as("sum_h"),
+            sum(element_at(col("features"), 1).cast("long")).cast("long").as("px_sum"),
+            sum(element_at(col("features"), 2).cast("long")).cast("long").as("r_sum"))
+      }),
       // REAL video codec round-trip: genuine animated GIFs (javax.imageio
       // multi-frame encoder) decoded back frame by frame; the lossless
       // gray palette lets DuckDB recompute every decoded-pixel statistic
@@ -2072,6 +2086,33 @@ object SparkEntry {
       SELECT CAST(SUM(f) AS BIGINT) AS frames, CAST(COUNT(*) AS BIGINT) AS medias,
              CAST(SUM(500 * f * (f - 1) / 2) AS BIGINT) AS ts_ms_sum
       FROM fr""",
+    // live analytic replay of the resize: target dims via the same
+    // LEAST/CEIL arithmetic, then source pixel (x*w // tw, y*h // th)
+    "q_multimodal_resize" -> """
+      WITH d AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h FROM documents),
+      t AS (
+        SELECT doc_id, w, h,
+               CAST(CEIL(w * LEAST(1.0, 6.0 / GREATEST(w, h))) AS BIGINT) AS tw,
+               CAST(CEIL(h * LEAST(1.0, 6.0 / GREATEST(w, h))) AS BIGINT) AS th
+        FROM d),
+      px AS (
+        SELECT t.doc_id, c.c,
+               (t.doc_id * 31 + ((x.x * t.w) // t.tw) * 7
+                + ((y.y * t.h) // t.th) * 13 + c.c * 101) % 256 AS v
+        FROM t,
+             (SELECT unnest(generate_series(0, 6)) AS x) x,
+             (SELECT unnest(generate_series(0, 6)) AS y) y,
+             (SELECT unnest(generate_series(0, 2)) AS c) c
+        WHERE x.x < t.tw AND y.y < t.th)
+      SELECT m.medias, m.sum_w, m.sum_h, p.px_sum, p.r_sum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS medias,
+                   CAST(SUM(tw) AS BIGINT) AS sum_w,
+                   CAST(SUM(th) AS BIGINT) AS sum_h
+            FROM t) m,
+           (SELECT CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum
+            FROM px) p""",
     // live analytic replay of the GIF round-trip: the lossless gray
     // palette makes decoded pixels equal the generator formula exactly
     "q_multimodal_video" -> """

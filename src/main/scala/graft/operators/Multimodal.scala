@@ -89,6 +89,32 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resample to exactly (tw, th): output pixel (x, y)
+    * copies source pixel (x*sw div tw, y*sh div th) — integer index
+    * arithmetic, so a resized image's pixels are an exact function of
+    * the source pattern and any engine can replay a resize
+    * analytically (the q_multimodal_resize oracle does). Production
+    * pipelines wanting smoothing can swap in Graphics2D bilinear without
+    * touching the plumbing; NN is the one resampler with a closed
+    * cross-engine form.
+    */
+  def resizeNearest(img: BufferedImage, tw: Int, th: Int): BufferedImage = {
+    require(tw >= 1 && th >= 1, "target dims must be >= 1")
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth
+    val sh = img.getHeight
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, img.getRGB(x * sw / tw, y * sh / th))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Real audio codec: RIFF/WAVE 16-bit PCM encode/decode with plain
     * ByteBuffer parsing (no libraries — WAV PCM is a 44-byte header over
     * raw little-endian samples). Lossless like PNG, so decoded-sample
@@ -465,6 +491,39 @@ object Multimodal {
             ((id * 31 + f * 29 + x * 7 + y * 13) % 256).toInt)
         }
         Row(id, VideoCodec.encodeGif(frames, delayCs))
+      }
+    }
+  }
+
+  /** REAL byte-level image resize: decode each payload, nearest-neighbor
+    * resample so the longest side is at most `maxSide` (aspect preserved,
+    * `ceil(dim * scale)` targets — the same arithmetic as
+    * [[withResizePlan]]), re-encode as PNG. Undecodable payloads pass
+    * through unchanged. Batched `mapPartitions`, no shuffle — the
+    * thumbnail/normalize pass of an image-corpus pipeline.
+    */
+  def resizePayloads(df: DataFrame, idCol: String, binCol: String,
+      maxSide: Int, batchSize: Int = 256): DataFrame = {
+    require(maxSide >= 1, "maxSide must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img = ImageCodec.decode(bytes)
+          if (img == null) Row(id, bytes)
+          else {
+            val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+            val tw = math.ceil(img.getWidth * scale).toInt
+            val th = math.ceil(img.getHeight * scale).toInt
+            Row(id, ImageCodec.encodePng(resizeNearest(img, tw, th)))
+          }
+        }
       }
     }
   }

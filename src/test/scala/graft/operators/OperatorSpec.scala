@@ -152,6 +152,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ts.toSeq == ts.toSeq.distinct, "frame timestamps must be distinct")
   }
 
+  test("multimodal: real nearest-neighbor resize replays the index arithmetic") {
+    val sps = spark; import sps.implicits._
+    val ids = (0L to 30L).toDF("doc_id")
+    val png = Multimodal.synthesizePngPayloads(ids, "doc_id")
+    val small = Multimodal.resizePayloads(png, "media_id", "payload", maxSide = 6)
+    val decoded = Multimodal.decodeAndFeaturize(small, "media_id", "payload", "image", 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 30L).foreach { id =>
+      val (w, h) = ((8 + id % 9).toInt, (8 + (id / 9) % 9).toInt)
+      val scale = math.min(1.0, 6.0 / math.max(w, h))
+      val (tw, th) = (math.ceil(w * scale).toInt, math.ceil(h * scale).toInt)
+      val meta = decoded(id).getStruct(1)
+      assert(meta.getInt(1) == tw && meta.getInt(2) == th, s"id=$id dims")
+      val expected = (for (y <- 0 until th; x <- 0 until tw; c <- 0 until 3)
+        yield (id * 31 + (x * w / tw) * 7 + (y * h / th) * 13 + c * 101) % 256).sum
+      assert(decoded(id).getSeq[Float](2).head.toLong == expected, s"id=$id pixels")
+    }
+    // a payload already within maxSide passes through unresized; junk
+    // bytes pass through untouched
+    val tiny = Multimodal.resizePayloads(png, "media_id", "payload", maxSide = 100)
+    val dims = Multimodal.decodeAndFeaturize(tiny, "media_id", "payload", "image", 4)
+      .select(col("meta.width")).collect().map(_.getInt(0))
+    assert(dims.toSet == (8 to 16).toSet.intersect(dims.toSet) && dims.max > 6)
+    val junk = Seq((9L, "not png".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val out = Multimodal.resizePayloads(junk, "media_id", "payload", 6).head()
+    assert(new String(out.getAs[Array[Byte]](1), "UTF-8") == "not png")
+  }
+
   test("multimodal: real GIF round-trip is lossless, timed, batch-size-invariant") {
     val sps = spark; import sps.implicits._
     val ids = (0L to 40L).toDF("doc_id")
