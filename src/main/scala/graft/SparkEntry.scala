@@ -197,6 +197,19 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+      // soft data-quality expectations: one agg pass, a row per check
+      // with violation counts (the hard plan-side variant is spec-tested
+      // — a gate cannot assert a job failure)
+      "q_expect" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Profile.expectReport(s.table("documents"), Seq(
+            "chars_match" -> (length(col("text")) === col("n_chars")),
+            "id_positive" -> (col("doc_id") >= 0),
+            "known_lang" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+            "long_text" -> (col("n_chars") >= 100)))
+          .orderBy("check")
+      }),
+
       // in-engine quality classifier: 10 full-batch GD rounds of logistic
       // regression (predict the document-length class from text-metric
       // ratios — a learnable target on this corpus; 489/500 train
@@ -1328,6 +1341,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_bpe" -> bpeOracleSql(6),
     "q_logistic" -> logisticOracleSql(10, 5.0),
+    "q_expect" -> """
+      WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN NOT coalesce(length(text) = n_chars, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+               CAST(SUM(CASE WHEN NOT coalesce(doc_id >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN NOT coalesce(lang IN ('en', 'de', 'fr', 'es', 'zh'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        FROM documents)
+      SELECT 'chars_match' AS "check", v0 AS violations, total FROM a
+      UNION ALL SELECT 'id_positive', v1, total FROM a
+      UNION ALL SELECT 'known_lang', v2, total FROM a
+      UNION ALL SELECT 'long_text', v3, total FROM a
+      ORDER BY 1""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,

@@ -85,6 +85,42 @@ object Profile {
     * output is an integer or a micro-rounded fraction of integer counts,
     * so the whole report replays exactly in another engine.
     */
+  /** HARD data-quality expectations: every check rides the existing scan
+    * as a plan-side assertion — a violating row fails the JOB, naming the
+    * check and the offending row's key. Zero extra passes and zero
+    * shuffles: the guard is a filter whose predicate raises instead of
+    * dropping (assert_true returns NULL on pass, so `isNull` keeps every
+    * surviving row). Use where corrupt input must stop a pipeline (the
+    * Great-Expectations-style contract gate); use [[expectReport]] where
+    * it should be counted instead.
+    */
+  def expect(df: DataFrame, keyCol: String, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    checks.foldLeft(df) { case (d, (name, pred)) =>
+      d.where(assert_true(pred,
+        concat(lit(s"expectation '$name' violated by $keyCol="),
+          col(keyCol).cast("string"))).isNull)
+    }
+  }
+
+  /** SOFT data-quality expectations: one aggregation pass returning a row
+    * per check with its violation count and total — the monitoring form
+    * of [[expect]], for dashboards and drop-decision thresholds.
+    */
+  def expectReport(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = count(lit(1)).cast("long").as("__total") +:
+      checks.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).cast("long").as(s"__v$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val out = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check"), col(s"__v$i").as("violations"), col("__total").as("total"))
+    }
+    row.select(explode(array(out: _*)).as("r"))
+      .select(col("r.check"), col("r.violations"), col("r.total"))
+  }
+
   def histDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
       nbins: Int, lo: Double, hi: Double): DataFrame = {
     def counts(df: DataFrame, name: String) =

@@ -239,6 +239,32 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kept rows of an ungrown stratum must stay kept when other strata grow")
   }
 
+  // --- expect / expectReport ---
+
+  test("hard expectations pass clean data through and fail the job on violation") {
+    val s = spark
+    import s.implicits._
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val checks = Seq[(String, org.apache.spark.sql.Column)](
+      "v_nonempty" -> (length(col("v")) > 0), "id_positive" -> (col("id") > 0))
+    assert(Profile.expect(clean, "id", checks).count() == 2L)
+    val dirty = clean.union(Seq((3L, "")).toDF("id", "v"))
+    val e = intercept[Exception] { Profile.expect(dirty, "id", checks).count() }
+    assert(e.getMessage.contains("v_nonempty") && e.getMessage.contains("id=3"),
+      e.getMessage)
+  }
+
+  test("soft expectations count violations (null predicate = violation)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, ""), (3L, null)).toDF("id", "v")
+    val out = Profile.expectReport(df, Seq(
+        "v_nonempty" -> (length(col("v")) > 0), "id_small" -> (col("id") < 3)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("v_nonempty") == ((2L, 3L)), out.toString) // "" fails, null fails
+    assert(out("id_small") == ((1L, 3L)))
+  }
+
   // --- logisticTrain / logisticScore ---
 
   test("logistic trainer separates linearly separable data") {
