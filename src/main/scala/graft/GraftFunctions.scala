@@ -131,6 +131,9 @@ object GraftFunctions {
     "text_metrics" -> FnDoc(
       arg("text - STRING document text"),
       ex("SELECT text_metrics(text).words FROM documents;")),
+    "compress_ratio" -> FnDoc(
+      arg("text - STRING document text"),
+      ex("SELECT compress_ratio(text) < 0.95 AS looks_natural FROM documents;")),
     "nfc_normalize" -> FnDoc(
       arg("text - STRING value to compose into Unicode NFC"),
       ex("SELECT nfc_normalize('e\\u0301clair'); -- composed 'éclair'")),
@@ -302,6 +305,9 @@ object GraftFunctions {
     ("text_metrics",
       "text_metrics(text) - one-pass STRUCT<chars,words,punct,digits,toks,sw_hits> quality metrics",
       args => { arity("text_metrics", 1, args); graft.operators.TextMetricsExpr(args(0)) }),
+    ("compress_ratio",
+      "compress_ratio(text) - deflate-compressed size / input size (gibberish ~1, boilerplate ~0)",
+      args => { arity("compress_ratio", 1, args); graft.operators.CompressRatioExpr(args(0)) }),
     ("nfc_normalize",
       "nfc_normalize(text) - Unicode NFC composition (canonical composed form)",
       args => { arity("nfc_normalize", 1, args); graft.operators.NfcNormalizeExpr(args(0)) }),

@@ -139,6 +139,56 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Deflate compression ratio — the Gopher-style gibberish/boilerplate
+  * signal: natural prose compresses to ~0.3-0.5 of its size, random
+  * token soup barely compresses (ratio near 1), and highly repetitive
+  * boilerplate collapses toward 0. Computed with `java.util.Deflater`
+  * at the default level over UTF-8 bytes; deterministic for a given
+  * input (zlib's output is fixed per level/strategy), JVM-internal (no
+  * SQL engine exposes deflate, so this signal is spec-verified rather
+  * than oracle-replayed — use the ratio, not the raw byte count, in
+  * cross-engine contracts).
+  */
+object CompressRatio {
+  def ratio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      out.toDouble / bytes.length.toDouble
+    } finally d.end()
+  }
+}
+
+/** SQL: `compress_ratio(text)` -> DOUBLE, deflated size / input size. */
+case class CompressRatioExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "compress_ratio"
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"compress_ratio requires STRING, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CompressRatio.ratio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.operators.CompressRatio.ratio($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): CompressRatioExpr =
+    copy(child = newChild)
+}
+
 /** SQL: `text_metrics(text)` -> STRUCT<chars, words, punct, digits, toks,
   * sw_hits : BIGINT>.
   */

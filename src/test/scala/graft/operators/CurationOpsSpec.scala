@@ -239,6 +239,32 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kept rows of an ungrown stratum must stay kept when other strata grow")
   }
 
+  // --- compress_ratio ---
+
+  test("compress_ratio separates repetitive, natural, and random text") {
+    val s = spark
+    import s.implicits._
+    graft.GraftFunctions.registerAll(spark)
+    val rnd = new scala.util.Random(11)
+    val docs = Seq(
+      (1L, "spam " * 400),                                    // boilerplate
+      (2L, ("the quick brown fox jumps over the lazy dog " +
+        "while rain falls softly on the quiet village ") * 20), // natural-ish
+      (3L, Array.fill(2000)(('!' + rnd.nextInt(90)).toChar).mkString), // noise
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = docs.selectExpr("doc_id", "compress_ratio(text) AS cr")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < 0.05, s"boilerplate ${r(1L)}")
+    assert(r(2L) > r(1L) && r(2L) < 0.5, s"natural ${r(2L)}")
+    assert(r(3L) > 0.8, s"random ${r(3L)}")
+    assert(r(4L) == 1.0)
+    // deterministic + codegen/eval parity via repartition rerun
+    val again = docs.repartition(3).selectExpr("doc_id", "compress_ratio(text) AS cr")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(again == r)
+  }
+
   // --- expect / expectReport ---
 
   test("hard expectations pass clean data through and fail the job on violation") {
