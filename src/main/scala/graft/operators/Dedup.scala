@@ -593,7 +593,9 @@ object Dedup {
     * With `normalizeKeys` the duplicate key is `lower(trim(line))` — the
     * CCNet trick that catches near-identical boilerplate differing only
     * in case/indentation — while the REBUILT text keeps each surviving
-    * line's original form.
+    * line's original form. With `scopeCol` (a shard/domain column) lines
+    * are counted WITHIN each scope, as CCNet does per shard: the same
+    * footer on two different domains is then two independent counts.
     *
     * Returns (idCol, rebuilt text under `outCol`, `lines` total,
     * `removed`). Documents whose every line was boilerplate survive with
@@ -614,15 +616,25 @@ object Dedup {
   def dropDuplicateLines(df: DataFrame, textCol: String, idCol: String,
       minCount: Int = 2, keepFirst: Boolean = false,
       normalizeKeys: Boolean = false, delimiter: String = "\n",
+      scopeCol: Option[String] = None,
       outCol: String = "text_deduped"): DataFrame = {
     require(minCount >= 2, "minCount must be >= 2 (1 would remove everything)")
     val lineKey: Column => Column =
       if (normalizeKeys) l => lower(trim(l)) else identity
+    // scoped counting (CCNet counts within a shard/domain, not globally):
+    // the scope value rides the hash key, so the plan is unchanged — one
+    // aggregation on 16-byte keys either way
+    val hashIn: Column = scopeCol match {
+      case Some(s) => concat(col(s).cast("string"), lit(" "), lineKey(col("col")))
+      case None => lineKey(col("col"))
+    }
+    val baseCols = Seq(col(idCol).cast("long").as("__id")) ++
+      scopeCol.map(s => col(s)).toSeq
     val lines = df
-      .select(col(idCol).cast("long").as("__id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))))
+      .select(baseCols :+
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))): _*)
       .select(col("__id"), col("pos").cast("long").as("__pos"), col("col").as("__line"),
-        md5(lineKey(col("col"))).as("__h"),
+        md5(hashIn).as("__h"),
         (col("__id") * lit(1000000L) + col("pos")).as("__packed"))
     val counts = lines.groupBy("__h")
       .agg(count(lit(1)).cast("long").as("__cnt"), min("__packed").as("__first"))

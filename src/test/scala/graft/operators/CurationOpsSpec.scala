@@ -89,6 +89,26 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L).getString(1) == "y")
   }
 
+  test("dropDuplicateLines scoped counting keeps cross-scope lines independent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a.com", "footer\nkeep one"),
+      (2L, "a.com", "footer\nkeep two"),
+      (3L, "b.com", "footer\nkeep three")
+    ).toDF("doc_id", "host", "text")
+    // global counting: "footer" occurs 3x -> removed everywhere
+    val global = Dedup.dropDuplicateLines(docs, "text", "doc_id", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(global(3L) == "keep three")
+    // scoped on host: b.com's single footer survives, a.com's two don't
+    val scoped = Dedup.dropDuplicateLines(docs, "text", "doc_id", minCount = 2,
+        scopeCol = Some("host"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scoped(1L) == "keep one" && scoped(2L) == "keep two")
+    assert(scoped(3L) == "footer\nkeep three")
+  }
+
   test("dropDuplicateLines is partitioning-invariant") {
     val base = Dedup.dropDuplicateLines(lineDocs, "text", "doc_id", minCount = 3)
     val shuffled = Dedup.dropDuplicateLines(lineDocs.repartition(7), "text", "doc_id", minCount = 3)

@@ -185,6 +185,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming curation composition: quality gate + cross-batch dedup match batch") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    import StreamingFilters.ShardedDoc
+    val good = "the quick brown fox jumps over the lazy dog and that is fine for a test of quality"
+    val junk = "!!!???!!!"
+    val batch1 = Seq((1L, good + " one"), (2L, junk), (3L, good + " three"))
+    val batch2 = Seq((4L, good + " one"), (5L, good + " five"), (6L, junk))
+    val input = MemoryStream[(Long, String)]
+    // the SAME operators as batch: metric projection + quality filter ride
+    // the stream; content fingerprints feed the stateful dedup
+    val gated = TextAnalysis.withQualityMetrics(
+        input.toDF().toDF("doc_id", "text"), "text")
+      .where(col("quality_score") >= 0.5)
+      .select(lit(0L).as("shard"), col("doc_id").as("docId"),
+        expr("bitfilters_duckdb_hash('v1.5.1', text)").as("fingerprint"))
+      .as[ShardedDoc]
+    val deduped = StreamingFilters.approximateDedupStream(gated, numSectors = 4096)
+    val query = deduped.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+      val streamIds = spark.table("curation_stream").as[ShardedDoc]
+        .collect().map(_.docId).toSet
+      // batch replay with the batch operators: quality gate then
+      // keep-first exact dedup — doc 4 duplicates doc 1 across batches
+      val batchDocs = (batch1 ++ batch2).toDF("doc_id", "text")
+      val expected = graft.operators.Dedup.dropExactDuplicates(
+          TextAnalysis.withQualityMetrics(batchDocs, "text")
+            .where(col("quality_score") >= 0.5).select("doc_id", "text"),
+          "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamIds == expected, s"stream=$streamIds batch=$expected")
+      assert(streamIds == Set(1L, 3L, 5L), streamIds.toString)
+    } finally query.stop()
+  }
+
   test("incremental near-dup works stream-static and matches the batch pair set") {
     val sps = spark; import sps.implicits._
     implicit val sqlCtx = spark.sqlContext
