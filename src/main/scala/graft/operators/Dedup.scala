@@ -622,10 +622,17 @@ object Dedup {
     val lineKey: Column => Column =
       if (normalizeKeys) l => lower(trim(l)) else identity
     // scoped counting (CCNet counts within a shard/domain, not globally):
-    // the scope value rides the hash key, so the plan is unchanged — one
+    // the scope folds into the hash key as a FIXED-WIDTH md5 prefix (a
+    // raw separator would make scope "a b" + line "c" collide with
+    // scope "a" + line "b c") with a null flag (a null scope would
+    // otherwise null the whole key and collapse every null-scope line
+    // into one duplicate group), so the plan is unchanged — one
     // aggregation on 16-byte keys either way
     val hashIn: Column = scopeCol match {
-      case Some(s) => concat(col(s).cast("string"), lit(" "), lineKey(col("col")))
+      case Some(s) => concat(
+        when(col(s).isNull, lit("n" + "0" * 32))
+          .otherwise(concat(lit("v"), md5(col(s).cast("string")))),
+        lineKey(col("col")))
       case None => lineKey(col("col"))
     }
     val baseCols = Seq(col(idCol).cast("long").as("__id")) ++
