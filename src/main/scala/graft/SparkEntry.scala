@@ -2093,7 +2093,7 @@ object SparkEntry {
                    CAST(SUM(w) AS BIGINT) AS sum_w,
                    CAST(SUM(h) AS BIGINT) AS sum_h,
                    CAST(3 * COUNT(*) AS BIGINT) AS sum_c,
-                   CAST(SUM(CAST(CEIL(w * LEAST(1.0, 12.0 / GREATEST(w, h))) AS BIGINT)) AS BIGINT) AS sum_tw
+                   CAST(SUM(LEAST(12, CAST(CEIL(w * LEAST(1.0, 12.0 / GREATEST(w, h))) AS BIGINT))) AS BIGINT) AS sum_tw
             FROM d) m,
            (SELECT CAST(SUM(v) AS BIGINT) AS px_sum,
                    CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum
@@ -2119,8 +2119,8 @@ object SparkEntry {
         SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h FROM documents),
       t AS (
         SELECT doc_id, w, h,
-               CAST(CEIL(w * LEAST(1.0, 6.0 / GREATEST(w, h))) AS BIGINT) AS tw,
-               CAST(CEIL(h * LEAST(1.0, 6.0 / GREATEST(w, h))) AS BIGINT) AS th
+               LEAST(6, CAST(CEIL(w * LEAST(1.0, 6.0 / GREATEST(w, h))) AS BIGINT)) AS tw,
+               LEAST(6, CAST(CEIL(h * LEAST(1.0, 6.0 / GREATEST(w, h))) AS BIGINT)) AS th
         FROM d),
       px AS (
         SELECT t.doc_id, c.c,
@@ -2283,7 +2283,7 @@ object SparkEntry {
                doc_id * 1000000 + i AS packed
         FROM (SELECT doc_id, parts, unnest(range(0, len(parts))) AS i FROM d)),
       g AS (SELECT h, COUNT(*) AS cnt FROM l GROUP BY h),
-      k AS (SELECT l.doc_id, l.i, l.line, g.cnt < 3 AS keep
+      k AS (SELECT l.doc_id, l.i, l.line, (g.cnt < 3 OR l.line = '') AS keep
             FROM l JOIN g USING (h)),
       reb AS (
         SELECT doc_id, COUNT(*) AS lines,

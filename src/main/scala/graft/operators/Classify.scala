@@ -47,10 +47,15 @@ object Classify {
     require(feats.nonEmpty, "need at least one feature")
     require(iterations >= 1, "iterations must be >= 1")
     val weights = Array.fill(feats.size + 1)(0.0)
-    // project features/label once: every iteration scans this narrow frame
+    // project features/label once and PERSIST the narrow double frame:
+    // without the cache every GD round (plus the count) re-runs feature
+    // extraction over the raw corpus — here the cached rows are a few
+    // doubles each, so unlike heavyweight string caches (see
+    // bigramLogProb) the cache always wins
     val cols = label.cast("double").as("__y") +:
       feats.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__f$i") }
     val base = df.select(cols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
     require(n > 0, "empty training frame")
     for (_ <- 1 to iterations) {
@@ -63,6 +68,7 @@ object Classify {
       for (j <- weights.indices)
         weights(j) = weights(j) - lr * (g.getLong(j).toDouble / (n.toDouble * 1e6))
     }
+    base.unpersist()
     weights
   }
 }

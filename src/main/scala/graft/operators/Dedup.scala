@@ -519,6 +519,18 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** The packed (doc, position) occurrence id assumes < 1e6 positions
+    * per document; past that the keep-first winner would collide into a
+    * NEIGHBORING document's range and silently keep/remove the wrong
+    * occurrence — raise inside the plan instead (one codegen'd
+    * comparison per row, no extra pass).
+    */
+  private def packedPosGuard(op: String, unit: String): Column =
+    when(col("pos") < lit(1000000L), col("pos").cast("long"))
+      .otherwise(assert_true(lit(false),
+        lit(s"$op: document has >= 1e6 $unit; keep-first packing would " +
+          "collide across documents — split the document upstream")).cast("long"))
+
   /** Corpus-level exact SPAN dedup (the fixed-granularity form of
     * Lee et al.'s "Deduplicating Training Data" exact-substring pass, and
     * the span analogue of RefinedWeb's repeated-line removal): every
@@ -561,7 +573,7 @@ object Dedup {
         s"i -> concat_ws(' ', slice(__toks, i * $w + 1, $w))) END")))
       .select(col("__id"), col("pos").cast("long").as("__pos"), col("col").as("__span"),
         md5(col("col")).as("__h"),
-        (col("__id") * lit(1000000L) + col("pos")).as("__packed"))
+        (col("__id") * lit(1000000L) + packedPosGuard("dropDuplicateSpans", "spans")).as("__packed"))
     val counts = spans.groupBy("__h")
       .agg(count(lit(1)).cast("long").as("__cnt"), min("__packed").as("__first"))
     val keep = col("__cnt") < lit(minCount.toLong) ||
@@ -642,10 +654,13 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))): _*)
       .select(col("__id"), col("pos").cast("long").as("__pos"), col("col").as("__line"),
         md5(hashIn).as("__h"),
-        (col("__id") * lit(1000000L) + col("pos")).as("__packed"))
+        (col("__id") * lit(1000000L) + packedPosGuard("dropDuplicateLines", "lines")).as("__packed"))
     val counts = lines.groupBy("__h")
       .agg(count(lit(1)).cast("long").as("__cnt"), min("__packed").as("__first"))
-    val keep = col("__cnt") < lit(minCount.toLong) ||
+    // empty lines are STRUCTURE, not content: a corpus-frequent blank
+    // paragraph separator must never be stripped (with minCount=2 it
+    // would vanish from every document, collapsing paragraph layout)
+    val keep = col("__cnt") < lit(minCount.toLong) || col("__line") === lit("") ||
       (if (keepFirst) col("__packed") === col("__first") else lit(false))
     val rebuilt = lines.join(counts, "__h").withColumn("__keep", keep)
       .groupBy("__id")

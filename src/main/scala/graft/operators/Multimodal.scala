@@ -519,8 +519,11 @@ object Multimodal {
           if (img == null) Row(id, bytes)
           else {
             val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
-            val tw = math.ceil(img.getWidth * scale).toInt
-            val th = math.ceil(img.getHeight * scale).toInt
+            // clamp: ceil(dim * (maxSide/dim)) can land one past maxSide
+            // when the float product rounds up (e.g. 187 * (3/187) ->
+            // 3.0000000000000004 -> ceil 4), breaking the contract
+            val tw = math.min(maxSide, math.ceil(img.getWidth * scale).toInt)
+            val th = math.min(maxSide, math.ceil(img.getHeight * scale).toInt)
             Row(id, ImageCodec.encodePng(resizeNearest(img, tw, th)))
           }
         }
@@ -599,9 +602,11 @@ object Multimodal {
     val w = col("meta.width").cast("double")
     val h = col("meta.height").cast("double")
     val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
+    // least-clamp: the float product can round one past maxSide (see
+    // resizePayloads) — the plan must honor the contract it documents
     decoded
-      .withColumn("target_width", ceil(w * scale).cast("int"))
-      .withColumn("target_height", ceil(h * scale).cast("int"))
+      .withColumn("target_width", least(lit(maxSide), ceil(w * scale).cast("int")))
+      .withColumn("target_height", least(lit(maxSide), ceil(h * scale).cast("int")))
   }
 
   /** Frame sampling plan for video/audio: one row per sampled frame

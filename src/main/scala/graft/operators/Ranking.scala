@@ -130,8 +130,9 @@ object Ranking {
     * Returns (idCol, `tokens`, `lp_e6`, `bits_per_token`).
     *
     * `lm`: optional (prev, cur, cnt) bigram reference distribution;
-    * defaults to self-training on `docs`. When supplied, its unigram
-    * marginals are derived from the bigram starts.
+    * defaults to self-training on `docs`. When supplied, the unigram
+    * marginal is the LM's own cur-counts — batch-invariant: a document's
+    * score never depends on what else is scored alongside it.
     *
     * Scale shape: bigrams are built per row with `zip_with` over the
     * token array (no window, no self-join), counted with one
@@ -168,17 +169,25 @@ object Ranking {
       .select(col("prev"), col("cur"), col("cnt").cast("long").as("cnt"))
     val starts = bigrams.groupBy(col("prev").as("s_prev"))
       .agg(sum("cnt").cast("long").as("s_cnt"))
-    // unigram side: marginal over bigram CUR plus each document's first
-    // token (so the unigram total counts every token exactly once)
+    // unigram side. Self-trained: marginal over bigram CUR plus each
+    // document's first token, so the unigram total counts every corpus
+    // token exactly once. External LM: the marginal comes from the LM
+    // ALONE (its cur counts) — mixing in the scored batch's first tokens
+    // would make a document's score depend on which other documents are
+    // scored alongside it, and a reference distribution must be
+    // batch-invariant.
     val firsts = arr.where(size(col("__toks")) > 0)
       .select(col(idCol), col("__toks").getItem(0).as("__t"))
-    val unigrams = bigrams.groupBy(col("cur").as("u_tok"))
+    val curMarginal = bigrams.groupBy(col("cur").as("u_tok"))
       .agg(sum("cnt").cast("long").as("u_cnt"))
-      .join(firsts.groupBy(col("__t").as("u_tok"))
-          .agg(count(lit(1)).cast("long").as("f_cnt")),
-        Seq("u_tok"), "full_outer")
-      .select(col("u_tok"),
-        (coalesce(col("u_cnt"), lit(0L)) + coalesce(col("f_cnt"), lit(0L))).as("u_cnt"))
+    val unigrams =
+      if (lm.isDefined) curMarginal
+      else curMarginal
+        .join(firsts.groupBy(col("__t").as("u_tok"))
+            .agg(count(lit(1)).cast("long").as("f_cnt")),
+          Seq("u_tok"), "full_outer")
+        .select(col("u_tok"),
+          (coalesce(col("u_cnt"), lit(0L)) + coalesce(col("f_cnt"), lit(0L))).as("u_cnt"))
     val total = unigrams.agg(sum("u_cnt").cast("long").as("total"))
     val lam = lit(lambda)
     val unl = lit(1.0) - lit(lambda)

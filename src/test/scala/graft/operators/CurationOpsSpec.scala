@@ -89,6 +89,22 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L).getString(1) == "y")
   }
 
+  test("dropDuplicateLines never strips blank lines (paragraph structure)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "para three\n\npara four"),
+      (3L, "other\n\nthing")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(docs, "text", "doc_id", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the blank separator occurs 3x corpus-wide but is structure, not
+    // content — every document keeps its paragraph layout
+    assert(out(1L) == "para one\n\npara two", out(1L))
+    assert(out(3L) == "other\n\nthing")
+  }
+
   test("dropDuplicateLines scoped counting keeps cross-scope lines independent") {
     val s = spark
     import s.implicits._
@@ -455,15 +471,29 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val lm = Seq(("a", "b", 4L)).toDF("prev", "cur", "cnt")
     val docs = Seq((9L, "z a b")).toDF("doc_id", "text")
-    // unigrams = LM curs (b:4) + scored-corpus firsts (z:1), total 5
+    // unigram marginal comes from the LM ALONE (curs: b:4, total 4) —
+    // batch-invariant, never contaminated by the scored corpus
     val unl = 1.0 - 0.9
     def r(x: Double) = math.round(x * 1e6)
-    val first = r(math.log(1.0 / 5.0))                      // z, seen via firsts
-    val za = r(math.log(0.9 * (0.0 / 1.0) + unl * (1.0 / 6.0))) // unseen pair, OOV cur
-    val ab = r(math.log(0.9 * (4.0 / 4.0) + unl * (4.0 / 5.0))) // seen pair
+    val first = r(math.log(1.0 / 5.0))                      // z: OOV floor 1/(4+1)
+    val za = r(math.log(0.9 * (0.0 / 1.0) + unl * (1.0 / 5.0))) // unseen pair, OOV cur
+    val ab = r(math.log(0.9 * (4.0 / 4.0) + unl * (4.0 / 4.0))) // seen pair
     val out = Ranking.bigramLogProb(docs, "text", "doc_id", lm = Some(lm))
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
     assert(out(9L) == ((3L, first + za + ab)), out(9L).toString)
+  }
+
+  test("bigram logprob external LM scoring is batch-invariant") {
+    val s = spark
+    import s.implicits._
+    val lm = Seq(("a", "b", 4L), ("b", "c", 2L)).toDF("prev", "cur", "cnt")
+    def score(docs: Seq[(Long, String)]): Long =
+      Ranking.bigramLogProb(docs.toDF("doc_id", "text"), "text", "doc_id", lm = Some(lm))
+        .where(col("doc_id") === 9L).collect()(0).getLong(2)
+    val alone = score(Seq((9L, "z a b")))
+    val together = score(Seq((9L, "z a b"), (10L, "z z q r z")))
+    assert(alone == together,
+      "a reference-LM score must not depend on what else is in the batch")
   }
 
   test("bigram logprob is partitioning-invariant") {

@@ -162,7 +162,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0L to 30L).foreach { id =>
       val (w, h) = ((8 + id % 9).toInt, (8 + (id / 9) % 9).toInt)
       val scale = math.min(1.0, 6.0 / math.max(w, h))
-      val (tw, th) = (math.ceil(w * scale).toInt, math.ceil(h * scale).toInt)
+      val (tw, th) = (math.min(6, math.ceil(w * scale).toInt),
+        math.min(6, math.ceil(h * scale).toInt))
       val meta = decoded(id).getStruct(1)
       assert(meta.getInt(1) == tw && meta.getInt(2) == th, s"id=$id dims")
       val expected = (for (y <- 0 until th; x <- 0 until tw; c <- 0 until 3)
