@@ -29,6 +29,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every encode/decode
+  // otherwise creates (and fsyncs) a temp file — measured dominating the
+  // 50k-payload gates. Payloads here are in-memory byte arrays; cache in
+  // memory. (Global JVM setting, the standard server-side configuration.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -236,6 +242,19 @@ object Multimodal {
       new java.awt.image.IndexColorModel(8, 256, g, g, g)
     }
 
+    // per-thread codec instances, reset between payloads: plugin lookup +
+    // writer/reader construction measured comparable to the actual
+    // encode/decode work for thumbnail-sized clips (Spark tasks are
+    // thread-confined, so ThreadLocal reuse is safe)
+    private val pooledWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        ImageIO.getImageWritersBySuffix("gif").next()
+    }
+    private val pooledReader = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        ImageIO.getImageReadersBySuffix("gif").next()
+    }
+
     /** A full-coverage grayscale frame over the lossless 256-gray palette. */
     def grayFrame(width: Int, height: Int)(v: (Int, Int) => Int): BufferedImage = {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
@@ -251,12 +270,23 @@ object Multimodal {
 
     def encodeGif(frames: Seq[BufferedImage], delayCs: Int): Array[Byte] = {
       require(frames.nonEmpty, "need at least one frame")
-      val writer = ImageIO.getImageWritersBySuffix("gif").next()
+      val writer = pooledWriter.get()
       val bos = new ByteArrayOutputStream(1024)
       val ios = ImageIO.createImageOutputStream(bos)
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
+      // one metadata object per clip, not per frame: the tree
+      // build/merge below is the expensive part of the encode, and a
+      // clip's frames share palette/delay (dims live on the image
+      // itself). Reuse only while the color model is the SAME instance —
+      // a frame with a different palette gets a fresh tree.
+      var cachedMeta: javax.imageio.metadata.IIOMetadata = null
+      var cachedCm: java.awt.image.ColorModel = null
       frames.foreach { f =>
+        if (cachedMeta != null && (cachedCm eq f.getColorModel)) {
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, cachedMeta), null)
+        }
+        else {
         val meta = writer.getDefaultImageMetadata(
           javax.imageio.ImageTypeSpecifier.createFromRenderedImage(f),
           writer.getDefaultWriteParam)
@@ -299,11 +329,14 @@ object Multimodal {
         }
         root.appendChild(lct)
         meta.setFromTree(fmt, root)
+        cachedMeta = meta
+        cachedCm = f.getColorModel
         writer.writeToSequence(new javax.imageio.IIOImage(f, null, meta), null)
+        }
       }
       writer.endWriteSequence()
       ios.close()
-      writer.dispose()
+      writer.reset() // pooled: clear output/listeners, keep the instance
       bos.toByteArray
     }
 
@@ -312,11 +345,12 @@ object Multimodal {
       * units, per the GIF89a spec).
       */
     def decodeGif(bytes: Array[Byte]): Video = {
-      if (bytes == null || bytes.isEmpty) return null
+      // magic sniff replaces the per-payload plugin lookup: this decoder
+      // reads GIF streams, everything else is "not decodable" by contract
+      if (bytes == null || bytes.length < 6 ||
+        bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') return null
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return null
-      val reader = readers.next()
+      val reader = pooledReader.get()
       try {
         reader.setInput(iis, false)
         val n = reader.getNumImages(true)
@@ -335,7 +369,8 @@ object Multimodal {
           }
         }
         Video(frames(0).getWidth, frames(0).getHeight, delays, frames)
-      } catch { case _: Exception => null } finally reader.dispose()
+      } catch { case _: Exception => null }
+      finally { reader.reset(); iis.close() }
     }
 
     /** Features of a decoded clip: `[sum(gray) over all frames,
@@ -399,6 +434,16 @@ object Multimodal {
     }
   }
 
+  /** Codec work is CPU-bound and the id-only input is tiny, so the
+    * synthesizers spread the ids across the session's full parallelism —
+    * a small table read as one 128MB-bounded partition would otherwise
+    * encode 50k payloads on a single core (measured: the sf1 gates ran
+    * single-threaded, 30s instead of ~2s).
+    */
+  private def synthInput(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Deterministic synthetic PNG payloads: one real PNG per input row, with
     * dimensions `8 + id % 9` x `8 + (id / 9) % 9` and RGB pixel values
     * `(id*31 + x*7 + y*13 + channel*101) mod 256`. The formula is plain
@@ -412,7 +457,7 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+    synthInput(df, idCol).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = (8 + id % 9).toInt
@@ -446,7 +491,7 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+    synthInput(df, idCol).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val channels = (1 + id % 2).toInt
@@ -479,7 +524,7 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+    synthInput(df, idCol).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = (6 + id % 5).toInt
