@@ -2283,7 +2283,8 @@ object SparkEntry {
                doc_id * 1000000 + i AS packed
         FROM (SELECT doc_id, parts, unnest(range(0, len(parts))) AS i FROM d)),
       g AS (SELECT h, COUNT(*) AS cnt FROM l GROUP BY h),
-      k AS (SELECT l.doc_id, l.i, l.line, (g.cnt < 3 OR l.line = '') AS keep
+      k AS (SELECT l.doc_id, l.i, l.line,
+                   (g.cnt < 3 OR regexp_matches(l.line, '^\s*$')) AS keep
             FROM l JOIN g USING (h)),
       reb AS (
         SELECT doc_id, COUNT(*) AS lines,

@@ -56,19 +56,20 @@ object Classify {
       feats.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__f$i") }
     val base = df.select(cols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = base.count()
-    require(n > 0, "empty training frame")
-    for (_ <- 1 to iterations) {
-      val sig = lit(1.0) / (lit(1.0) +
-        exp(-zCol(weights, feats.indices.map(i => col(s"__f$i")))))
-      val gradCols = sum(round((sig - col("__y")) * lit(1e6)).cast("long")).as("g0") +:
-        feats.indices.map(i =>
-          sum(round((sig - col("__y")) * col(s"__f$i") * lit(1e6)).cast("long")).as(s"g${i + 1}"))
-      val g = base.agg(gradCols.head, gradCols.tail: _*).collect()(0)
-      for (j <- weights.indices)
-        weights(j) = weights(j) - lr * (g.getLong(j).toDouble / (n.toDouble * 1e6))
-    }
-    base.unpersist()
-    weights
+    try {
+      val n = base.count()
+      require(n > 0, "empty training frame")
+      for (_ <- 1 to iterations) {
+        val sig = lit(1.0) / (lit(1.0) +
+          exp(-zCol(weights, feats.indices.map(i => col(s"__f$i")))))
+        val gradCols = sum(round((sig - col("__y")) * lit(1e6)).cast("long")).as("g0") +:
+          feats.indices.map(i =>
+            sum(round((sig - col("__y")) * col(s"__f$i") * lit(1e6)).cast("long")).as(s"g${i + 1}"))
+        val g = base.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+        for (j <- weights.indices)
+          weights(j) = weights(j) - lr * (g.getLong(j).toDouble / (n.toDouble * 1e6))
+      }
+      weights
+    } finally base.unpersist() // a failed round must not pin the cache
   }
 }

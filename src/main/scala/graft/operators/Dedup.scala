@@ -657,10 +657,12 @@ object Dedup {
         (col("__id") * lit(1000000L) + packedPosGuard("dropDuplicateLines", "lines")).as("__packed"))
     val counts = lines.groupBy("__h")
       .agg(count(lit(1)).cast("long").as("__cnt"), min("__packed").as("__first"))
-    // empty lines are STRUCTURE, not content: a corpus-frequent blank
+    // blank lines are STRUCTURE, not content: a corpus-frequent blank
     // paragraph separator must never be stripped (with minCount=2 it
-    // would vanish from every document, collapsing paragraph layout)
-    val keep = col("__cnt") < lit(minCount.toLong) || col("__line") === lit("") ||
+    // would vanish from every document, collapsing paragraph layout).
+    // Whitespace-class match, not equality: a CRLF corpus split on \n
+    // leaves "\r" separators, indented blanks leave spaces.
+    val keep = col("__cnt") < lit(minCount.toLong) || col("__line").rlike("^\\s*$") ||
       (if (keepFirst) col("__packed") === col("__first") else lit(false))
     val rebuilt = lines.join(counts, "__h").withColumn("__keep", keep)
       .groupBy("__id")

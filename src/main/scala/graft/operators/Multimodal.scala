@@ -273,6 +273,7 @@ object Multimodal {
       val writer = pooledWriter.get()
       val bos = new ByteArrayOutputStream(1024)
       val ios = ImageIO.createImageOutputStream(bos)
+      try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       // one metadata object per clip, not per frame: the tree
@@ -336,7 +337,11 @@ object Multimodal {
       }
       writer.endWriteSequence()
       ios.close()
-      writer.reset() // pooled: clear output/listeners, keep the instance
+      // the finally-reset restores the POOLED instance even when a bad
+      // frame aborts mid-sequence — without it the thread-local writer
+      // would stay in-sequence and poison every later encode on this
+      // executor thread
+      } finally writer.reset()
       bos.toByteArray
     }
 

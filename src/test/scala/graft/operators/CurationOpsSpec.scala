@@ -103,6 +103,13 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // content — every document keeps its paragraph layout
     assert(out(1L) == "para one\n\npara two", out(1L))
     assert(out(3L) == "other\n\nthing")
+    // CRLF corpora: splitting on \n leaves "\r" separator lines — the
+    // whitespace-class exemption must protect those too
+    val crlf = Seq((1L, "para one\r\n\r\npara two"), (2L, "para three\r\n\r\npara four"))
+      .toDF("doc_id", "text")
+    val outCrlf = Dedup.dropDuplicateLines(crlf, "text", "doc_id", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outCrlf(1L) == "para one\r\n\r\npara two", outCrlf(1L).replace("\r", "\\r"))
   }
 
   test("dropDuplicateLines scoped counting keeps cross-scope lines independent") {

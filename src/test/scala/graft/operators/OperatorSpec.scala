@@ -181,6 +181,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(out.getAs[Array[Byte]](1), "UTF-8") == "not png")
   }
 
+  test("multimodal: a failed GIF encode does not poison the pooled writer") {
+    import Multimodal.VideoCodec
+    val good = VideoCodec.grayFrame(4, 4)((x, y) => x + y)
+    // a TYPE_INT_RGB frame has no IndexColorModel: the local-color-table
+    // build throws mid-sequence on this thread's pooled writer
+    val bad = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    intercept[Exception] { VideoCodec.encodeGif(Seq(bad), 10) }
+    // the same thread's next encode must still produce a decodable clip
+    val clip = VideoCodec.decodeGif(VideoCodec.encodeGif(Seq(good, good), 10))
+    assert(clip != null && clip.frameCount == 2 && clip.delaysCs.toSeq == Seq(10, 10))
+  }
+
   test("multimodal: real GIF round-trip is lossless, timed, batch-size-invariant") {
     val sps = spark; import sps.implicits._
     val ids = (0L to 40L).toDF("doc_id")
