@@ -286,6 +286,22 @@ object SparkEntry {
           .orderBy("cid")
       }),
 
+      // SemDeDup: spherical k-means clusters, then per-cluster cosine
+      // pruning — keep the smallest-id member of every semantic-duplicate
+      // ball. Assignment argmax and the drop threshold are micro-rounded
+      // on both sides, so the cross-engine compare is integer-robust.
+      "q_semdedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        Embeddings.semanticDeduplicate(emb, "vec", "vec_id", k = 8, threshold = 0.35)
+          .groupBy("cid")
+          .agg(count(lit(1)).cast("long").as("members"),
+            sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
+            sum(when(col("keep"), col("vec_id"))).cast("long").as("kept_id_sum"))
+          .orderBy("cid")
+      }),
+
       // BM25 corpus search: top-20 docs for a 3-term query. Scores are
       // micro-unit-rounded and the ordering is on the ROUNDED score (then
       // doc_id), so the cross-engine compare never rests on a double tie.
@@ -1576,6 +1592,40 @@ object SparkEntry {
       SELECT cid, CAST(COUNT(*) AS BIGINT) AS members,
              CAST(SUM(vec_id) AS BIGINT) AS id_sum
       FROM a1 GROUP BY cid ORDER BY cid""",
+    // SemDeDup: the q_kmeans assignment chain, then the per-cluster drop
+    // rule — a vector is dropped iff a same-cluster smaller-id neighbor has
+    // round(sim*1e6) >= 350000 (threshold 0.35 micro-rounded, as in Spark)
+    "q_semdedup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      a0 AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c0.cv) * 1e6) DESC, c0.cid) AS rn
+        FROM e, c0) WHERE rn = 1),
+      dims AS (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a0),
+      sums AS (SELECT cid, i, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s_e6,
+                      COUNT(*) AS m
+               FROM dims GROUP BY cid, i),
+      c1 AS (SELECT cid, list(CAST(s_e6 AS DOUBLE) / (CAST(m AS DOUBLE) * 1e6)
+                              ORDER BY i) AS cv
+             FROM sums GROUP BY cid),
+      a1 AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c1.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c1.cv) * 1e6) DESC, c1.cid) AS rn
+        FROM e, c1) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id > b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(ea.v, eb.v) * 1e6) >= 350000)
+      SELECT a1.cid, CAST(COUNT(*) AS BIGINT) AS members,
+             CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a1.vec_id END) AS BIGINT) AS kept_id_sum
+      FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
+      GROUP BY a1.cid ORDER BY a1.cid""",
     // BM25 replayed with the same fold order (term0 + term1 + term2) and
     // the same Lucene idf; ln() is natural log in DuckDB (log() is base-10)
     "q_bm25" -> """

@@ -330,6 +330,48 @@ object Embeddings {
     kmeansFit(embeddings, vecCol, idCol, k, iterations).toDF("cid", "cvec")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over an embedding column. Clusters the space with
+    * spherical k-means ([[kmeansLloyd]]'s exact deterministic recipe), then
+    * within each cluster drops every vector that has a cosine >= threshold
+    * neighbor with a SMALLER id — one survivor per semantic-duplicate
+    * ball, so the corpus keeps its first copy. Returns (idCol, cid, keep).
+    *
+    * Oracle-replayable end to end: assignment is the micro-rounded argmax
+    * of [[kmeansLloyd]], and the drop rule compares
+    * `round(sim*1e6) >= round(threshold*1e6)`, so no cross-engine raw
+    * double comparison ever decides a pair.
+    *
+    * Scale shape: assignment is a pure map over driver-held centroid
+    * literals (zero shuffle); candidate generation is ONE cid-keyed
+    * self-join, quadratic only within a cluster — SemDeDup's own contract
+    * (k grows with corpus size to keep clusters bounded; the paper runs
+    * k=50k over 5B embeddings). Norms are projected once per vector before
+    * the join, and dropped ids collapse through DISTINCT before the final
+    * id-keyed join, so in-cluster pair fan-out never reaches the output.
+    */
+  def semanticDeduplicate(embeddings: DataFrame, vecCol: String, idCol: String,
+      k: Int, threshold: Double, iterations: Int = 1): DataFrame = {
+    val reserved = Seq("cid", "__norm", "__drop")
+    require(!embeddings.columns.exists(reserved.contains),
+      s"semanticDeduplicate reserves column names ${reserved.mkString(", ")}; " +
+        "rename the input columns")
+    val cents = kmeansFit(embeddings, vecCol, idCol, k, iterations)
+    val assigned = kmeansAssign(embeddings, vecCol, cents)
+      .select(col(idCol), col(vecCol), col("cid"))
+      .withColumn("__norm", vecNorm(col(vecCol)))
+    val thrE6 = math.round(threshold * 1e6)
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col(s"a.$idCol") > col(s"b.$idCol"))
+      .where(round((vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.__norm") * col("b.__norm"))) * lit(1e6)).cast("long") >= lit(thrE6))
+      .select(col(s"a.$idCol").as(idCol))
+      .distinct()
+    assigned.select(col(idCol), col("cid"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cid"), col("__drop").isNull.as("keep"))
+  }
+
   private def kmeansFit(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, iterations: Int): Seq[(Long, Seq[Double])] = {
     require(k >= 1, "k must be >= 1")

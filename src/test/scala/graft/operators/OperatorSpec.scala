@@ -387,6 +387,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.count() == 2L)
   }
 
+  test("semdedup: drops same-cluster near-duplicates, keeps first copy") {
+    // cluster A: ids 1/3/5 nearly parallel (sim ~1); cluster B: 2/4 parallel,
+    // 6 orthogonal-ish to both B members but assigned to B's centroid side
+    val vecs = spark.createDataFrame(Seq(
+      (1L, Seq(1.0, 0.0, 0.1)), (2L, Seq(0.0, 1.0, 0.1)),
+      (3L, Seq(0.99, 0.01, 0.1)), (4L, Seq(0.01, 0.99, 0.1)),
+      (5L, Seq(1.0, 0.01, 0.09)), (6L, Seq(0.1, 1.0, 0.0))
+    )).toDF("vec_id", "vec")
+    val out = Embeddings.semanticDeduplicate(vecs, "vec", "vec_id",
+        k = 2, threshold = 0.95, iterations = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // smallest id per ball survives; 3/5 duplicate 1, 4/6 duplicate 2
+    assert(out(1L)._2 && out(2L)._2, out.toString)
+    assert(!out(3L)._2 && !out(5L)._2, out.toString)
+    assert(!out(4L)._2 && !out(6L)._2, out.toString)
+    // members of different clusters are never compared: with a threshold
+    // below every cross-cluster sim nothing else drops
+    val loose = Embeddings.semanticDeduplicate(vecs, "vec", "vec_id",
+        k = 2, threshold = 1.1, iterations = 2)
+      .where(col("keep")).count()
+    assert(loose == 6L) // impossible threshold keeps everything
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      Embeddings.semanticDeduplicate(vecs.withColumn("cid", lit(1L)),
+        "vec", "vec_id", k = 2, threshold = 0.9)
+    }
+  }
+
   test("bm25: exact Lucene-idf scores, zero for no-hit docs, dl normalization") {
     val docs = spark.createDataFrame(Seq(
       (1L, "spark spark query"),
