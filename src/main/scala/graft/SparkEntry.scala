@@ -703,6 +703,28 @@ object SparkEntry {
             countDistinct("label").cast("long").as("clusters"),
             sum("label").cast("long").as("label_sum"))
       }),
+
+      // keep-best near-dup resolution: docs sharing a 2-token prefix pair
+      // up, components form, and the longest member (n_chars, ties to the
+      // smaller doc_id) survives each cluster. The integer score makes the
+      // cross-engine argmax exact.
+      "q_keep_best" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val d = s.table("documents")
+        val keyed = d.select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(filter(split(lower(col("text")), "\\s+"), t => t =!= ""), 1, 2))).as("pk"))
+        val pairs = keyed.as("a").join(keyed.as("b"),
+            col("a.pk") === col("b.pk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        Dedup.resolveNearDuplicates(
+            d.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", pairs)
+          .agg(count(lit(1)).cast("long").as("docs"),
+            countDistinct("cluster").cast("long").as("clusters"),
+            sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
+            sum(when(col("keep"), col("doc_id"))).cast("long").as("kept_id_sum"),
+            sum(when(!col("keep"), col("doc_id"))).cast("long").as("dropped_id_sum"))
+      }),
       "q_simhash_near_dup" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         Dedup.simHashNearDuplicates(s.table("documents"), "text", "doc_id",
@@ -1979,6 +2001,37 @@ object SparkEntry {
              CAST(COUNT(DISTINCT label) AS BIGINT) AS clusters,
              CAST(SUM(label) AS BIGINT) AS label_sum
       FROM lab""",
+    // keep-best resolution: 2-token-prefix pair graph -> components
+    // (recursive min-reachable-id) -> per-cluster argmax on (n_chars,
+    // smaller id); singletons keep trivially via the left join
+    "q_keep_best" -> """
+      WITH RECURSIVE k AS (
+        SELECT doc_id, n_chars,
+               md5(array_to_string(list_slice(
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                 1, 2), ' ')) AS pk
+        FROM documents),
+      p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM k a JOIN k b ON a.pk = b.pk AND a.doc_id < b.doc_id),
+      e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+      reach(src, dst) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+      lab AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src),
+      cl AS (SELECT k.doc_id, k.n_chars, COALESCE(lab.label, k.doc_id) AS cluster
+             FROM k LEFT JOIN lab ON k.doc_id = lab.id),
+      win AS (SELECT cluster, doc_id AS winner FROM (
+        SELECT cluster, doc_id,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM cl) WHERE rn = 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(COUNT(DISTINCT cl.cluster) AS BIGINT) AS clusters,
+             CAST(SUM(CASE WHEN cl.doc_id = w.winner THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(SUM(CASE WHEN cl.doc_id = w.winner THEN cl.doc_id END) AS BIGINT) AS kept_id_sum,
+             CAST(SUM(CASE WHEN cl.doc_id <> w.winner THEN cl.doc_id END) AS BIGINT) AS dropped_id_sum
+      FROM cl JOIN win w ON cl.cluster = w.cluster""",
         // independent replication of the portable SimHash pipeline: md5-prefix
     // token hashes -> per-bit +1/-1 votes -> 64-bit fingerprint -> 4x16-bit
     // band blocking -> hamming<=3 verify

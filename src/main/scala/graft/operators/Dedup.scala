@@ -434,6 +434,45 @@ object Dedup {
     labels
   }
 
+  /** Resolve near-duplicate PAIRS into per-document keep/drop decisions:
+    * connected components over the pair graph, then ONE survivor per
+    * component — the member with the highest `scoreCol` value, ties to the
+    * smallest id (the "keep the best copy" curation policy; score =
+    * quality, length, recency, ...). Documents appearing in no pair form
+    * singleton clusters and trivially keep. Returns (idCol, cluster,
+    * keep).
+    *
+    * The argmax compares the RAW score value — pass an integer (or
+    * pre-rounded) score when cross-engine replay matters, as the
+    * q_keep_best gate does with `n_chars`.
+    *
+    * Scale shape: components come from [[nearDuplicateClusters]] (label
+    * propagation sized by the DUPLICATE subgraph, not the corpus);
+    * everything after is one id-keyed labels→docs left join, one
+    * cluster-keyed argmax of (score, -id) structs (partial-aggregated
+    * map-side), and one winners join back on the cluster key. No
+    * corpus-sized quadratic step anywhere.
+    */
+  def resolveNearDuplicates(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, maxIter: Int = 20, shortcut: Boolean = false): DataFrame = {
+    val reserved = Seq("cluster", "__label", "__best", "__winner")
+    require(!docs.columns.exists(reserved.contains),
+      s"resolveNearDuplicates reserves column names ${reserved.mkString(", ")}; " +
+        "rename the input columns")
+    val labels = nearDuplicateClusters(pairs, maxIter, shortcut)
+      .select(col("id").as(idCol), col("label").as("__label"))
+    val clustered = docs.select(col(idCol), col(scoreCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("__label"), col(idCol)).as("cluster"))
+    val winners = clustered.groupBy("cluster")
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("nid"))).as("__best"))
+      .select(col("cluster"), (-col("__best.nid")).as("__winner"))
+    clustered.join(winners, Seq("cluster"))
+      .select(col(idCol), col("cluster"),
+        (col(idCol) === col("__winner")).as("keep"))
+  }
+
   /** Train/held-out contamination check — the canonical filter-library
     * pipeline use: a binary fuse filter built over the held-out set's
     * content fingerprints prunes the corpus scan (no false negatives, so

@@ -67,6 +67,27 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       8L -> 8L, 9L -> 8L, 10L -> 8L))
   }
 
+  test("resolveNearDuplicates: best score per cluster wins, ties to smallest id") {
+    val sps = spark; import sps.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // cluster 1: 2 wins on score
+      (4L, 5L),                        // singleton keeps
+      (5L, 7L), (6L, 7L)               // score tie: 5 wins on smaller id
+    ).toDF("doc_id", "score")
+    val out = Dedup.resolveNearDuplicates(docs, "doc_id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, true)) &&
+      out(3L) == ((1L, false)), out.toString)
+    assert(out(4L) == ((4L, true)), out.toString)
+    assert(out(5L) == ((5L, true)) && out(6L) == ((5L, false)), out.toString)
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      Dedup.resolveNearDuplicates(docs.withColumn("cluster", lit(1L)),
+        "doc_id", "score", pairs)
+    }
+  }
+
   test("minhash signatures are partitioning-invariant (merge correctness)") {
     for (affine <- Seq(false, true)) {
       val sh = Dedup.shingleHashes(docsDf, "text", "doc_id", 3, portable = affine)
