@@ -398,22 +398,149 @@ object Embeddings {
     cents
   }
 
-  private def kmeansAssign(embeddings: DataFrame, vecCol: String,
-      cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    val scored = cents.map { case (cid, cv) =>
-      val cl = typedlit(cv)
-      // Argmax over the micro-unit-ROUNDED similarity: Spark folds
-      // dot/(sqrt(a)*sqrt(b)) sequentially while DuckDB's
-      // list_cosine_similarity computes dot/sqrt(a*b), so raw-double argmax
-      // could flip near-tie assignments on ULP divergence. Rounding both
-      // sides to 1e-6 (ties to smaller cid) makes the compare integer-robust.
-      val sim = vecDot(col(vecCol), cl) / (vecNorm(col(vecCol)) * vecNorm(cl))
-      struct(round(sim * lit(1e6)).cast("long").as("sim_e6"), lit(-cid).as("ncid"))
+  /** Above this k the literal-argmax plan (k `greatest` structs, each
+    * holding a dim-length array literal) stops being a reasonable
+    * expression tree, so assignment switches to the broadcast-matrix
+    * kernel. Both paths compute the IDENTICAL micro-rounded argmax
+    * (spec-asserted on near-tie fixtures), so the oracle replay and all
+    * results are path-independent.
+    */
+  private[operators] val AssignLiteralMaxK = 64
+
+  private[operators] def kmeansAssign(embeddings: DataFrame, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], forceBroadcast: Boolean = false): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    if (forceBroadcast || sorted.size > AssignLiteralMaxK) {
+      // large-k path (SemDeDup runs k in the tens of thousands): the
+      // centroid matrix rides the expression into the broadcast task
+      // binary — k·dim doubles shipped once per stage, never per row —
+      // and assignment stays inside whole-stage codegen.
+      val nc = NearestCentroid(ColumnBridge.expression(col(vecCol)),
+        sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray)
+      embeddings.withColumn("cid", ColumnBridge.column(nc))
+    } else {
+      val scored = sorted.map { case (cid, cv) =>
+        val cl = typedlit(cv)
+        // Argmax over the micro-unit-ROUNDED similarity: Spark folds
+        // dot/(sqrt(a)*sqrt(b)) sequentially while DuckDB's
+        // list_cosine_similarity computes dot/sqrt(a*b), so raw-double argmax
+        // could flip near-tie assignments on ULP divergence. Rounding both
+        // sides to 1e-6 (ties to smaller cid) makes the compare integer-robust.
+        val sim = vecDot(col(vecCol), cl) / (vecNorm(col(vecCol)) * vecNorm(cl))
+        struct(round(sim * lit(1e6)).cast("long").as("sim_e6"), lit(-cid).as("ncid"))
+      }
+      val best =
+        if (scored.size == 1) scored.head else greatest(scored: _*)
+      embeddings.withColumn("cid", -best.getField("ncid"))
     }
-    val best =
-      if (scored.size == 1) scored.head else greatest(scored: _*)
-    embeddings.withColumn("cid", -best.getField("ncid"))
   }
+}
+
+/** Nearest-centroid assignment against a driver-built centroid matrix —
+  * the large-k path of spherical k-means / SemDeDup. Bit-replicates the
+  * literal-argmax plan: sequential vec_dot/vec_norm folds, Spark's
+  * HALF_UP `round(sim*1e6)` with NaN/Inf passthrough, the JVM double→long
+  * cast, and ties broken to the SMALLEST cid — so switching paths never
+  * changes a single assignment (spec-asserted on near-tie fixtures).
+  *
+  * Any NULL vector element null-propagates the row (the dotChecked
+  * contract); callers feed non-null embedding arrays. `cids` must be
+  * ascending — the tie policy depends on scan order.
+  *
+  * `doGenCode` is a reference-object call so assignment stays inside
+  * whole-stage codegen; the matrix serializes with the expression into
+  * the per-stage task binary (k·dim doubles, shipped once, never per
+  * row).
+  */
+case class NearestCentroid(child: Expression, cids: Array[Long],
+    centroids: Array[Array[Double]]) extends UnaryExpression {
+
+  require(cids.nonEmpty && cids.length == centroids.length,
+    "need one cid per centroid, at least one")
+  require((1 until cids.length).forall(i => cids(i - 1) < cids(i)),
+    "cids must be strictly ascending (tie policy: smallest cid wins)")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // centroid norms: same sequential sum-of-squares fold as vec_norm
+  @transient private lazy val norms: Array[Double] = centroids.map { cv =>
+    var acc = 0.0
+    var i = 0
+    while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Public entry shared by interpreted eval and generated code; boxed so
+    * a null element can null-propagate exactly like vec_dot's checked
+    * form.
+    */
+  def assign(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var vn = 0.0
+    i = 0
+    while (i < n) { vn += v(i) * v(i); i += 1 }
+    val vnorm = math.sqrt(vn)
+    var bestE6 = 0L
+    var bestCid = 0L
+    var first = true
+    var c = 0
+    while (c < cids.length) {
+      val cv = centroids(c)
+      val len = math.min(n, cv.length) // == vec_dot's min-length contract
+      var dot = 0.0
+      var j = 0
+      while (j < len) { dot += v(j) * cv(j); j += 1 }
+      val x = dot / (vnorm * norms(c)) * 1e6
+      // Spark Round(double): NaN/Inf pass through, else shortest-decimal
+      // BigDecimal HALF_UP; the long cast is the JVM d2l (NaN→0,
+      // Inf→Long.Max) — identical to cast(round(sim*1e6) as long)
+      val simE6 =
+        if (x.isNaN || x.isInfinite) x.toLong
+        else java.math.BigDecimal.valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      if (first || simE6 > bestE6) { bestE6 = simE6; bestCid = cids(c); first = false }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    assign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+    val r = ctx.freshName("cid")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.Long $r = $ref.assign($v);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+    """)
+  }
+
+  override def prettyName: String = "nearest_centroid"
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
 }
 
 /** Random-hyperplane signature: bit j of the result is the sign of

@@ -436,6 +436,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kmeans assignment: broadcast path bit-matches the literal path") {
+    val sps = spark; import sps.implicits._
+    // near-tie fixture: centroids 1 and 2 are IDENTICAL directions, so
+    // every vector ties between them at full precision and the rounded
+    // argmax must break to cid 1 on both paths; centroid 3 is distinct.
+    val cents = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(2.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)))
+    val vecs = (1 to 50).map { i =>
+      val a = i / 50.0
+      (i.toLong, Seq(math.cos(a), math.sin(a), a / 7.0))
+    }.toDF("vec_id", "vec")
+    val lit0 = Embeddings.kmeansAssign(vecs, "vec", cents)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = Embeddings.kmeansAssign(vecs, "vec", cents, forceBroadcast = true)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lit0 == bc, s"paths diverge: ${lit0.toSeq.sorted} vs ${bc.toSeq.sorted}")
+    assert(bc.values.toSet.subsetOf(Set(1L, 3L))) // ties never pick cid 2
+    // float input dispatches the float getter on both paths
+    val fvecs = vecs.withColumn("vec", col("vec").cast("array<float>"))
+    val litF = Embeddings.kmeansAssign(fvecs, "vec", cents)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcF = Embeddings.kmeansAssign(fvecs, "vec", cents, forceBroadcast = true)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(litF == bcF)
+    // a k > AssignLiteralMaxK end-to-end run goes down the broadcast path
+    val many = (1 to 200).map(i =>
+      (i.toLong, Seq(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1 + 1)))).toDF("vec_id", "vec")
+    val out = Embeddings.semanticDeduplicate(many, "vec", "vec_id",
+      k = 100, threshold = 0.999)
+    assert(out.count() == 200L)
+    assert(out.where(col("keep")).count() <= 200L)
+  }
+
   test("bm25: exact Lucene-idf scores, zero for no-hit docs, dl normalization") {
     val docs = spark.createDataFrame(Seq(
       (1L, "spark spark query"),
