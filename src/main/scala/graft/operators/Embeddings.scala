@@ -21,6 +21,8 @@ import graft.core.Hashing
   */
 object Embeddings {
 
+  private val semdedupObserveId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Dot product / L2 norm of ARRAY<FLOAT>/ARRAY<DOUBLE> columns — fused
     * native kernels (see [[VectorOps]]); sequential double accumulation,
     * bit-equal to the `aggregate(zip_with(...))` HOF form it replaces.
@@ -349,10 +351,22 @@ object Embeddings {
     * k=50k over 5B embeddings). Norms are projected once per vector before
     * the join, and dropped ids collapse through DISTINCT before the final
     * id-keyed join, so in-cluster pair fan-out never reaches the output.
+    *
+    * `maxClusterSize` is the fail-soft skew backstop (same contract as the
+    * LSH `maxBucketSize`): a degenerate cluster — k sized too small, or a
+    * corpus slice collapsing onto one centroid — would otherwise make the
+    * self-join quadratic in that cluster's size (10^5 members = 5·10^9
+    * pairs, an executor OOM rather than a slow query). Clusters over the
+    * cap are excluded from PAIRING — every member keeps (conservative: no
+    * false drops) — and the capped-cluster count plus the max observed
+    * cluster size are published as a `graft_semdedup_clusters` observable
+    * metric. Default = no cap, because skipping clusters changes results
+    * and any threshold must be the caller's call.
     */
   def semanticDeduplicate(embeddings: DataFrame, vecCol: String, idCol: String,
-      k: Int, threshold: Double, iterations: Int = 1): DataFrame = {
-    val reserved = Seq("cid", "__norm", "__drop")
+      k: Int, threshold: Double, iterations: Int = 1,
+      maxClusterSize: Int = Int.MaxValue): DataFrame = {
+    val reserved = Seq("cid", "__norm", "__drop", "__csize")
     require(!embeddings.columns.exists(reserved.contains),
       s"semanticDeduplicate reserves column names ${reserved.mkString(", ")}; " +
         "rename the input columns")
@@ -360,8 +374,22 @@ object Embeddings {
     val assigned = kmeansAssign(embeddings, vecCol, cents)
       .select(col(idCol), col(vecCol), col("cid"))
       .withColumn("__norm", vecNorm(col(vecCol)))
+    val paired =
+      if (maxClusterSize == Int.MaxValue) assigned
+      else {
+        val sizes = assigned.groupBy(col("cid"))
+          .agg(count(lit(1)).as("__csize"))
+          .observe(s"graft_semdedup_clusters_${semdedupObserveId.incrementAndGet()}",
+            sum(when(col("__csize") > maxClusterSize, 1L).otherwise(0L))
+              .as("capped_clusters"),
+            max(col("__csize")).as("max_cluster_size"))
+        // k rows at most — rides to every executor as a broadcast, the
+        // data-sized side never reshuffles for the guard
+        assigned.join(broadcast(
+          sizes.where(col("__csize") <= lit(maxClusterSize)).select("cid")), Seq("cid"))
+      }
     val thrE6 = math.round(threshold * 1e6)
-    val dropped = assigned.as("a").join(assigned.as("b"),
+    val dropped = paired.as("a").join(paired.as("b"),
         col("a.cid") === col("b.cid") && col(s"a.$idCol") > col(s"b.$idCol"))
       .where(round((vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
           (col("a.__norm") * col("b.__norm"))) * lit(1e6)).cast("long") >= lit(thrE6))

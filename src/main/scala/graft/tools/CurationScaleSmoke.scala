@@ -70,6 +70,33 @@ object CurationScaleSmoke {
     t("bpe merges (4 rounds on the vocab)") {
       Vocab.bpeMerges(docs, "text", numMerges = 4).count()
     }
+    t("keep-best resolution (token 6-8 prefix graph)") {
+      // key on tokens PAST the planted boilerplate line: a prefix key
+      // containing the shared first line would put half the corpus in one
+      // cluster and the pair self-join would go quadratic on it (measured:
+      // the naive 2-token key here means a 500k-member bucket = 1.25e11
+      // pairs). Near-dup detectors guard this with maxBucketSize; ad-hoc
+      // pair generators must pick keys with bounded group sizes.
+      val keyed = docs.select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(filter(split(lower(col("text")), "\\s+"), x => x =!= ""), 6, 3))).as("pk"))
+      val pairs = keyed.as("a").join(keyed.as("b"),
+          col("a.pk") === col("b.pk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      Dedup.resolveNearDuplicates(
+          docs.select(col("doc_id"), length(col("text")).as("len")),
+          "doc_id", "len", pairs, shortcut = true)
+        .where(col("keep")).count()
+    }
+    t("semdedup 200k vecs, k=512 (broadcast assignment path)") {
+      val nv = math.min(n, 200000L)
+      val vecs = spark.range(nv).select(col("id").as("vec_id"),
+        expr("""transform(sequence(1, 16),
+             i -> CAST(CAST(xxhash64(id * 31 + i) % 1000 AS DOUBLE) / 1000.0 AS DOUBLE))""").as("vec"))
+      graft.operators.Embeddings.semanticDeduplicate(
+          vecs, "vec", "vec_id", k = 512, threshold = 0.995)
+        .where(!col("keep")).count()
+    }
     t("logistic classifier (5 GD rounds, correct)") {
       val m = expr("text_metrics(text)")
       val feats = Seq(m.getField("toks").cast("double") / lit(100.0),

@@ -434,6 +434,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Embeddings.semanticDeduplicate(vecs.withColumn("cid", lit(1L)),
         "vec", "vec_id", k = 2, threshold = 0.9)
     }
+    // fail-soft skew cap: both 3-member clusters exceed the cap, so no
+    // pairing happens and every member keeps (conservative, no drops)
+    val capped = Embeddings.semanticDeduplicate(vecs, "vec", "vec_id",
+        k = 2, threshold = 0.95, iterations = 2, maxClusterSize = 2)
+      .where(col("keep")).count()
+    assert(capped == 6L)
   }
 
   test("kmeans assignment: broadcast path bit-matches the literal path") {
