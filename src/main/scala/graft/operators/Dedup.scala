@@ -455,7 +455,9 @@ object Dedup {
     */
   def resolveNearDuplicates(docs: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame, maxIter: Int = 20, shortcut: Boolean = false): DataFrame = {
-    val reserved = Seq("cluster", "__label", "__best", "__winner")
+    // "keep" is the output flag and "nid" the argmax struct's tie field —
+    // an input named either would alias/ambiguate downstream references
+    val reserved = Seq("cluster", "keep", "nid", "__label", "__best", "__winner")
     require(!docs.columns.exists(reserved.contains),
       s"resolveNearDuplicates reserves column names ${reserved.mkString(", ")}; " +
         "rename the input columns")

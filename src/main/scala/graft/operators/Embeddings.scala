@@ -359,21 +359,29 @@ object Embeddings {
     * pairs, an executor OOM rather than a slow query). Clusters over the
     * cap are excluded from PAIRING — every member keeps (conservative: no
     * false drops) — and the capped-cluster count plus the max observed
-    * cluster size are published as a `graft_semdedup_clusters` observable
-    * metric. Default = no cap, because skipping clusters changes results
-    * and any threshold must be the caller's call.
+    * cluster size are published as an observable metric named
+    * `graft_semdedup_clusters_<n>` (unique suffix per call, same contract
+    * as the LSH bucket metric — listeners match on the prefix). Default =
+    * no cap, because skipping clusters changes results and any threshold
+    * must be the caller's call.
     */
   def semanticDeduplicate(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, threshold: Double, iterations: Int = 1,
       maxClusterSize: Int = Int.MaxValue): DataFrame = {
-    val reserved = Seq("cid", "__norm", "__drop", "__csize")
+    val reserved = Seq("cid", "keep", "__norm", "__drop", "__csize")
     require(!embeddings.columns.exists(reserved.contains),
       s"semanticDeduplicate reserves column names ${reserved.mkString(", ")}; " +
         "rename the input columns")
     val cents = kmeansFit(embeddings, vecCol, idCol, k, iterations)
+    // persisted: the assignment kernel is O(k·dim) per row and this frame
+    // feeds both self-join sides, the cap path's sizes aggregate, and the
+    // final keep join — recomputing it per consumer would quadruple the
+    // dominant cost (house persist style: callers clearCache between
+    // pipelines, as Verify/Bench do)
     val assigned = kmeansAssign(embeddings, vecCol, cents)
       .select(col(idCol), col(vecCol), col("cid"))
       .withColumn("__norm", vecNorm(col(vecCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val paired =
       if (maxClusterSize == Int.MaxValue) assigned
       else {
@@ -388,7 +396,11 @@ object Embeddings {
         assigned.join(broadcast(
           sizes.where(col("__csize") <= lit(maxClusterSize)).select("cid")), Seq("cid"))
       }
-    val thrE6 = math.round(threshold * 1e6)
+    // same HALF_UP semantics as the sim side's Spark round — math.round
+    // (half toward +inf) would shift the boundary by one micro-unit for
+    // negative thresholds landing exactly on .5
+    val thrE6 = java.math.BigDecimal.valueOf(threshold * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
     val dropped = paired.as("a").join(paired.as("b"),
         col("a.cid") === col("b.cid") && col(s"a.$idCol") > col(s"b.$idCol"))
       .where(round((vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
@@ -471,9 +483,14 @@ object Embeddings {
   * cast, and ties broken to the SMALLEST cid — so switching paths never
   * changes a single assignment (spec-asserted on near-tie fixtures).
   *
-  * Any NULL vector element null-propagates the row (the dotChecked
-  * contract); callers feed non-null embedding arrays. `cids` must be
-  * ascending — the tie policy depends on scan order.
+  * That fidelity includes degenerate inputs: a NULL vector or NULL
+  * element nulls every similarity in the literal path, whose
+  * greatest-of-structs then tie-breaks all (null, -cid) structs to the
+  * smallest cid — a NON-null assignment (and DuckDB's `ORDER BY sim
+  * DESC NULLS LAST, cid` replay agrees). This expression therefore
+  * returns `cids(0)` for null input/elements and is total
+  * (nullable=false). `cids` must be ascending — both the tie policy and
+  * the null policy depend on it.
   *
   * `doGenCode` is a reference-object call so assignment stays inside
   * whole-stage codegen; the matrix serializes with the expression into
@@ -489,7 +506,7 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
     "cids must be strictly ascending (tie policy: smallest cid wins)")
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -510,16 +527,16 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
     math.sqrt(acc)
   }
 
-  /** Public entry shared by interpreted eval and generated code; boxed so
-    * a null element can null-propagate exactly like vec_dot's checked
-    * form.
+  /** Public entry shared by interpreted eval and generated code. A null
+    * element short-circuits to the smallest cid — the literal path's
+    * all-sims-null tie-break (see class doc).
     */
-  def assign(arr: ArrayData): java.lang.Long = {
+  def assign(arr: ArrayData): Long = {
     val n = arr.numElements()
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return null
+      if (arr.isNullAt(i)) return cids(0)
       v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
@@ -551,19 +568,22 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
     bestCid
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    assign(input.asInstanceOf[ArrayData])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) cids(0) else assign(v.asInstanceOf[ArrayData])
+  }
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
     val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
-    val r = ctx.freshName("cid")
-    nullSafeCodeGen(ctx, ev, v => s"""
-      java.lang.Long $r = $ref.assign($v);
-      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
-    """)
+    ev.copy(code = childGen.code + code"""
+      final long ${ev.value} =
+        ${childGen.isNull} ? ${cids(0)}L : $ref.assign(${childGen.value});
+    """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override def prettyName: String = "nearest_centroid"

@@ -467,6 +467,17 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bcF = Embeddings.kmeansAssign(fvecs, "vec", cents, forceBroadcast = true)
       .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(litF == bcF)
+    // degenerate inputs: a null element (or null vector) nulls every sim,
+    // and BOTH paths tie-break to the smallest cid (non-null assignment)
+    val degen = Seq(1L).toDF("vec_id")
+      .withColumn("vec", expr("array(1.0, cast(null as double), 0.0)"))
+      .union(Seq(2L).toDF("vec_id").withColumn("vec", expr("cast(null as array<double>)")))
+    val litD = Embeddings.kmeansAssign(degen, "vec", cents)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcD = Embeddings.kmeansAssign(degen, "vec", cents, forceBroadcast = true)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(litD == Map(1L -> 1L, 2L -> 1L), litD.toString)
+    assert(bcD == litD, s"null handling diverges: $litD vs $bcD")
     // a k > AssignLiteralMaxK end-to-end run goes down the broadcast path
     val many = (1 to 200).map(i =>
       (i.toLong, Seq(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1 + 1)))).toDF("vec_id", "vec")
