@@ -290,11 +290,13 @@ object SparkEntry {
       // pruning — keep the smallest-id member of every semantic-duplicate
       // ball. Assignment argmax and the drop threshold are micro-rounded
       // on both sides, so the cross-engine compare is integer-robust.
+      // k=32 keeps clusters small the way SemDeDup sizes them (pair work
+      // is n^2/k; k=8 at sf1 meant 2500-member clusters and 25M pairs).
       "q_semdedup" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
-        Embeddings.semanticDeduplicate(emb, "vec", "vec_id", k = 8, threshold = 0.35)
+        Embeddings.semanticDeduplicate(emb, "vec", "vec_id", k = 32, threshold = 0.35)
           .groupBy("cid")
           .agg(count(lit(1)).cast("long").as("members"),
             sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
@@ -1619,7 +1621,7 @@ object SparkEntry {
     // round(sim*1e6) >= 350000 (threshold 0.35 micro-rounded, as in Spark)
     "q_semdedup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 32),
       a0 AS (SELECT vec_id, v, cid FROM (
         SELECT e.vec_id, e.v, c0.cid,
                row_number() OVER (PARTITION BY e.vec_id
