@@ -106,9 +106,18 @@ object Dedup {
             named_struct('id1', a, 'id2', b))))""")).as("p"))
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
+    // merge-hinted: the pair side's size estimate descends from an
+    // explode (Catalyst assumes rows-out = rows-in), so the static
+    // planner can pick BuildLeft BROADCAST of the pair frame — at sf1's
+    // fixture shape that is a multi-GB driver build (observed OOM).
+    // Neither side is broadcastable at real scale (pairs are data-sized,
+    // sizes is corpus-sized), so the id-keyed shuffle join IS the 100 TB
+    // plan; at small scale the extra exchanges are noise.
     common
-      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1")
+        .hint("merge"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2")
+        .hint("merge"), "id2")
       .withColumn("jaccard", col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
   }
 
