@@ -304,6 +304,25 @@ object SparkEntry {
           .orderBy("cid")
       }),
 
+      // incremental SemDeDup: the refresh slice (vec_id % 10 = 0) is
+      // assigned into the cluster space fit on the REST (frozen — the old
+      // corpus is not re-clustered); a new vector drops on a >=-threshold
+      // OLD neighbor or a smaller-id NEW neighbor. Old-vs-old, the
+      // unchanged quadratic bulk, is never paired.
+      "q_incremental_semdedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        Embeddings.incrementalSemanticDeduplicate(
+            emb.where(col("vec_id") % 10 === 0), emb.where(col("vec_id") % 10 =!= 0),
+            "vec", "vec_id", k = 32, threshold = 0.35)
+          .groupBy("cid")
+          .agg(count(lit(1)).cast("long").as("members"),
+            sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
+            sum(when(col("keep"), col("vec_id"))).cast("long").as("kept_id_sum"))
+          .orderBy("cid")
+      }),
+
       // BM25 corpus search: top-20 docs for a 3-term query. Scores are
       // micro-unit-rounded and the ordering is on the ROUNDED score (then
       // doc_id), so the cross-engine compare never rests on a double tie.
@@ -1649,6 +1668,46 @@ object SparkEntry {
              CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
              CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a1.vec_id END) AS BIGINT) AS kept_id_sum
       FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
+      GROUP BY a1.cid ORDER BY a1.cid""",
+    // incremental SemDeDup: the kmeans chain fit on the OLD slice only,
+    // ALL vectors assigned into it, drop rule restricted to new-side
+    // vectors against (old OR smaller-id new) same-cluster neighbors
+    "q_incremental_semdedup" -> """
+      WITH eo AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id % 10 <> 0),
+      ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    vec_id % 10 = 0 AS isnew
+             FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM eo ORDER BY vec_id LIMIT 32),
+      a0 AS (SELECT vec_id, v, cid FROM (
+        SELECT eo.vec_id, eo.v, c0.cid,
+               row_number() OVER (PARTITION BY eo.vec_id
+                 ORDER BY round(list_cosine_similarity(eo.v, c0.cv) * 1e6) DESC, c0.cid) AS rn
+        FROM eo, c0) WHERE rn = 1),
+      dims AS (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a0),
+      sums AS (SELECT cid, i, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s_e6,
+                      COUNT(*) AS m
+               FROM dims GROUP BY cid, i),
+      c1 AS (SELECT cid, list(CAST(s_e6 AS DOUBLE) / (CAST(m AS DOUBLE) * 1e6)
+                              ORDER BY i) AS cv
+             FROM sums GROUP BY cid),
+      a1 AS (SELECT vec_id, isnew, cid FROM (
+        SELECT ea.vec_id, ea.isnew, c1.cid,
+               row_number() OVER (PARTITION BY ea.vec_id
+                 ORDER BY round(list_cosine_similarity(ea.v, c1.cv) * 1e6) DESC, c1.cid) AS rn
+        FROM ea, c1) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.isnew
+          AND (NOT b.isnew OR b.vec_id < a.vec_id)
+        JOIN ea x ON x.vec_id = a.vec_id
+        JOIN ea y ON y.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(x.v, y.v) * 1e6) >= 350000)
+      SELECT a1.cid, CAST(COUNT(*) AS BIGINT) AS members,
+             CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a1.vec_id END) AS BIGINT) AS kept_id_sum
+      FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
+      WHERE a1.isnew
       GROUP BY a1.cid ORDER BY a1.cid""",
     // BM25 replayed with the same fold order (term0 + term1 + term2) and
     // the same Lucene idf; ln() is natural log in DuckDB (log() is base-10)

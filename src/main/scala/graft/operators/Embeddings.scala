@@ -412,6 +412,63 @@ object Embeddings {
       .select(col(idCol), col("cid"), col("__drop").isNull.as("keep"))
   }
 
+  /** Incremental SemDeDup for corpus refreshes — the embedding-space
+    * sibling of `Dedup.incrementalNearDuplicates`. The OLD corpus's
+    * k-means fit is the frozen reference space: the new slice is assigned
+    * into it with the same pure-map kernel (the old corpus is NOT
+    * re-clustered), and a new vector drops iff a same-cluster neighbor
+    * with precedence — any OLD member, or a smaller-id NEW member — sits
+    * at cosine >= threshold. Old members always keep (they are already
+    * curated), so old-vs-old — the unchanged quadratic bulk — is never
+    * paired: per-cluster pair work is |new|·|all| instead of |all|^2.
+    * Returns (idCol, cid, keep) for the NEW slice only.
+    *
+    * Ids must be unique across both frames (the usual corpus contract).
+    * Same micro-rounded drop rule and `maxClusterSize` fail-soft cap
+    * (combined cluster size) as [[semanticDeduplicate]], so the gate
+    * replays exactly in DuckDB.
+    */
+  def incrementalSemanticDeduplicate(newEmb: DataFrame, oldEmb: DataFrame,
+      vecCol: String, idCol: String, k: Int, threshold: Double,
+      iterations: Int = 1, maxClusterSize: Int = Int.MaxValue): DataFrame = {
+    val reserved = Seq("cid", "keep", "__new", "__norm", "__drop", "__csize")
+    for (df <- Seq(newEmb, oldEmb))
+      require(!df.columns.exists(reserved.contains),
+        s"incrementalSemanticDeduplicate reserves column names " +
+          s"${reserved.mkString(", ")}; rename the input columns")
+    val cents = kmeansFit(oldEmb, vecCol, idCol, k, iterations)
+    val assignedAll = kmeansAssign(oldEmb, vecCol, cents)
+      .select(col(idCol), col(vecCol), col("cid")).withColumn("__new", lit(false))
+      .unionByName(kmeansAssign(newEmb, vecCol, cents)
+        .select(col(idCol), col(vecCol), col("cid")).withColumn("__new", lit(true)))
+      .withColumn("__norm", vecNorm(col(vecCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val paired =
+      if (maxClusterSize == Int.MaxValue) assignedAll
+      else {
+        val sizes = assignedAll.groupBy(col("cid"))
+          .agg(count(lit(1)).as("__csize"))
+          .observe(s"graft_semdedup_clusters_${semdedupObserveId.incrementAndGet()}",
+            sum(when(col("__csize") > maxClusterSize, 1L).otherwise(0L))
+              .as("capped_clusters"),
+            max(col("__csize")).as("max_cluster_size"))
+        assignedAll.join(broadcast(
+          sizes.where(col("__csize") <= lit(maxClusterSize)).select("cid")), Seq("cid"))
+      }
+    val thrE6 = java.math.BigDecimal.valueOf(threshold * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val dropped = paired.where(col("__new")).as("a").join(paired.as("b"),
+        col("a.cid") === col("b.cid") &&
+          (!col("b.__new") || col(s"b.$idCol") < col(s"a.$idCol")))
+      .where(round((vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.__norm") * col("b.__norm"))) * lit(1e6)).cast("long") >= lit(thrE6))
+      .select(col(s"a.$idCol").as(idCol))
+      .distinct()
+    assignedAll.where(col("__new")).select(col(idCol), col("cid"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cid"), col("__drop").isNull.as("keep"))
+  }
+
   private def kmeansFit(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, iterations: Int): Seq[(Long, Seq[Double])] = {
     require(k >= 1, "k must be >= 1")

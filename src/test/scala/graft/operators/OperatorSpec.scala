@@ -442,6 +442,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == 6L)
   }
 
+  test("incremental semdedup: old wins, new-vs-new to smaller id, old never paired") {
+    val sps = spark; import sps.implicits._
+    val oldE = Seq(
+      (1L, Seq(1.0, 0.0, 0.05)), (2L, Seq(0.0, 1.0, 0.05)),
+      (3L, Seq(0.95, 0.05, 0.05))).toDF("vec_id", "vec")
+    val newE = Seq(
+      (11L, Seq(0.99, 0.01, 0.05)), // dup of OLD 1 -> drops
+      (12L, Seq(0.05, 1.0, 0.0)),   // dup of OLD 2 -> drops
+      (14L, Seq(0.0, 0.02, 1.0)),   // genuinely new direction -> keeps
+      (15L, Seq(0.01, 0.02, 1.0))   // dup of NEW 14 (smaller id) -> drops
+    ).toDF("vec_id", "vec")
+    val out = Embeddings.incrementalSemanticDeduplicate(newE, oldE,
+        "vec", "vec_id", k = 2, threshold = 0.95, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // only the NEW slice comes back
+    assert(out.keySet == Set(11L, 12L, 14L, 15L), out.toString)
+    assert(!out(11L) && !out(12L), out.toString)
+    assert(out(14L), out.toString) // new direction survives
+    assert(!out(15L), out.toString) // loses to smaller-id new twin
+    // old-vs-old near-dups (1 vs 3, sim ~0.996) must NOT affect anything:
+    // rerunning with ONLY those as input slices proves no old drops ever
+    val none = Embeddings.incrementalSemanticDeduplicate(
+        newE.where(col("vec_id") === 14L), oldE, "vec", "vec_id",
+        k = 2, threshold = 0.95)
+      .where(!col("keep")).count()
+    assert(none == 0L)
+  }
+
   test("kmeans assignment: broadcast path bit-matches the literal path") {
     val sps = spark; import sps.implicits._
     // near-tie fixture: centroids 1 and 2 are IDENTICAL directions, so
