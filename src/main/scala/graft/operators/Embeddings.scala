@@ -382,34 +382,11 @@ object Embeddings {
       .select(col(idCol), col(vecCol), col("cid"))
       .withColumn("__norm", vecNorm(col(vecCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val paired =
-      if (maxClusterSize == Int.MaxValue) assigned
-      else {
-        val sizes = assigned.groupBy(col("cid"))
-          .agg(count(lit(1)).as("__csize"))
-          .observe(s"graft_semdedup_clusters_${semdedupObserveId.incrementAndGet()}",
-            sum(when(col("__csize") > maxClusterSize, 1L).otherwise(0L))
-              .as("capped_clusters"),
-            max(col("__csize")).as("max_cluster_size"))
-        // k rows at most — rides to every executor as a broadcast, the
-        // data-sized side never reshuffles for the guard
-        assigned.join(broadcast(
-          sizes.where(col("__csize") <= lit(maxClusterSize)).select("cid")), Seq("cid"))
-      }
-    // same HALF_UP semantics as the sim side's Spark round — math.round
-    // (half toward +inf) would shift the boundary by one micro-unit for
-    // negative thresholds landing exactly on .5
-    val thrE6 = java.math.BigDecimal.valueOf(threshold * 1e6)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-    val dropped = paired.as("a").join(paired.as("b"),
-        col("a.cid") === col("b.cid") && col(s"a.$idCol") > col(s"b.$idCol"))
-      .where(round((vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
-          (col("a.__norm") * col("b.__norm"))) * lit(1e6)).cast("long") >= lit(thrE6))
-      .select(col(s"a.$idCol").as(idCol))
-      .distinct()
-    assigned.select(col(idCol), col("cid"))
-      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
-      .select(col(idCol), col("cid"), col("__drop").isNull.as("keep"))
+    val paired = capClusters(assigned, maxClusterSize)
+    val dropped = droppedIds(paired, paired, idCol, vecCol,
+      col("a.cid") === col("b.cid") && col(s"a.$idCol") > col(s"b.$idCol"),
+      thresholdE6(threshold))
+    withKeep(assigned.select(col(idCol), col("cid")), dropped, idCol)
   }
 
   /** Incremental SemDeDup for corpus refreshes — the embedding-space
@@ -443,31 +420,59 @@ object Embeddings {
         .select(col(idCol), col(vecCol), col("cid")).withColumn("__new", lit(true)))
       .withColumn("__norm", vecNorm(col(vecCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val paired =
-      if (maxClusterSize == Int.MaxValue) assignedAll
-      else {
-        val sizes = assignedAll.groupBy(col("cid"))
-          .agg(count(lit(1)).as("__csize"))
-          .observe(s"graft_semdedup_clusters_${semdedupObserveId.incrementAndGet()}",
-            sum(when(col("__csize") > maxClusterSize, 1L).otherwise(0L))
-              .as("capped_clusters"),
-            max(col("__csize")).as("max_cluster_size"))
-        assignedAll.join(broadcast(
-          sizes.where(col("__csize") <= lit(maxClusterSize)).select("cid")), Seq("cid"))
-      }
-    val thrE6 = java.math.BigDecimal.valueOf(threshold * 1e6)
+    val paired = capClusters(assignedAll, maxClusterSize)
+    val dropped = droppedIds(paired.where(col("__new")), paired, idCol, vecCol,
+      col("a.cid") === col("b.cid") &&
+        (!col("b.__new") || col(s"b.$idCol") < col(s"a.$idCol")),
+      thresholdE6(threshold))
+    withKeep(assignedAll.where(col("__new")).select(col(idCol), col("cid")),
+      dropped, idCol)
+  }
+
+  /** Shared SemDeDup machinery (batch + incremental forms). */
+
+  // same HALF_UP semantics as the sim side's Spark round — math.round
+  // (half toward +inf) would shift the boundary by one micro-unit for
+  // negative thresholds landing exactly on .5
+  private def thresholdE6(threshold: Double): Long =
+    java.math.BigDecimal.valueOf(threshold * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-    val dropped = paired.where(col("__new")).as("a").join(paired.as("b"),
-        col("a.cid") === col("b.cid") &&
-          (!col("b.__new") || col(s"b.$idCol") < col(s"a.$idCol")))
+
+  /** Fail-soft cluster cap: oversized clusters leave the pairing set
+    * (every member keeps); the capped count and max observed size publish
+    * under a uniquely-suffixed `graft_semdedup_clusters` metric. The
+    * sizes frame is at most k rows — it broadcasts, so the data-sized
+    * side never reshuffles for the guard.
+    */
+  private def capClusters(assigned: DataFrame, maxClusterSize: Int): DataFrame =
+    if (maxClusterSize == Int.MaxValue) assigned
+    else {
+      val sizes = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("__csize"))
+        .observe(s"graft_semdedup_clusters_${semdedupObserveId.incrementAndGet()}",
+          sum(when(col("__csize") > maxClusterSize, 1L).otherwise(0L))
+            .as("capped_clusters"),
+          max(col("__csize")).as("max_cluster_size"))
+      assigned.join(broadcast(
+        sizes.where(col("__csize") <= lit(maxClusterSize)).select("cid")), Seq("cid"))
+    }
+
+  /** In-cluster drop join: `candidates` (alias a) against `neighbors`
+    * (alias b) under `pairCond`, keeping candidate ids whose micro-rounded
+    * cosine clears `thrE6`; collapses through DISTINCT so pair fan-out
+    * never reaches the keep join.
+    */
+  private def droppedIds(candidates: DataFrame, neighbors: DataFrame,
+      idCol: String, vecCol: String, pairCond: Column, thrE6: Long): DataFrame =
+    candidates.as("a").join(neighbors.as("b"), pairCond)
       .where(round((vecDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
           (col("a.__norm") * col("b.__norm"))) * lit(1e6)).cast("long") >= lit(thrE6))
       .select(col(s"a.$idCol").as(idCol))
       .distinct()
-    assignedAll.where(col("__new")).select(col(idCol), col("cid"))
-      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+
+  private def withKeep(base: DataFrame, dropped: DataFrame, idCol: String): DataFrame =
+    base.join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cid"), col("__drop").isNull.as("keep"))
-  }
 
   private def kmeansFit(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, iterations: Int): Seq[(Long, Seq[Double])] = {

@@ -468,6 +468,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         k = 2, threshold = 0.95)
       .where(!col("keep")).count()
     assert(none == 0L)
+    // fail-soft cap on the COMBINED cluster size: every cluster here holds
+    // old+new members over the cap, so nothing pairs and every new keeps
+    val capped = Embeddings.incrementalSemanticDeduplicate(newE, oldE,
+        "vec", "vec_id", k = 2, threshold = 0.95, maxClusterSize = 1)
+      .where(col("keep")).count()
+    assert(capped == 4L)
   }
 
   test("kmeans assignment: broadcast path bit-matches the literal path") {
