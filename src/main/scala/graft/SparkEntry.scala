@@ -768,6 +768,22 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
 
+      // graded contamination: per-doc fraction of distinct 3-shingles
+      // found in the held-out slice (doc_id % 17 = 0). The fuse filter
+      // only prunes — the exact semi-join makes every count replayable.
+      "q_contamination" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        Dedup.contaminationScore(
+            docs.where(col("doc_id") % 17 =!= 0), docs.where(col("doc_id") % 17 === 0),
+            "text", "doc_id", shingleSize = 3, portable = true)
+          .select(col("doc_id"), col("shingles").cast("long").as("shingles"),
+            col("contaminated").cast("long").as("contaminated"),
+            round(col("contaminated_frac") * lit(1e6)).cast("long").as("frac_e6"))
+          .orderBy(col("frac_e6").desc, col("doc_id"))
+          .limit(20)
+      }),
+
       // --- similarity search --------------------------------------------
       "q_ann_topk" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
@@ -2137,6 +2153,28 @@ object SparkEntry {
         FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
                     JOIN sizes s2 ON common.id2 = s2.doc_id)
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM j WHERE jac >= 0.2""",
+    // graded contamination: distinct portable shingle hashes per doc,
+    // held slice = doc_id % 17 = 0, exact hit counts per corpus doc
+    // (the Spark side's fuse filter only prunes; results are exact)
+    "q_contamination" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      held AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0),
+      corp AS (SELECT doc_id, h FROM sh WHERE doc_id % 17 <> 0),
+      tot AS (SELECT doc_id, COUNT(*) AS shingles FROM corp GROUP BY doc_id),
+      hit AS (SELECT c.doc_id, COUNT(*) AS contaminated
+              FROM corp c JOIN held ON c.h = held.h GROUP BY c.doc_id)
+      SELECT t.doc_id, CAST(t.shingles AS BIGINT) AS shingles,
+             CAST(COALESCE(hit.contaminated, 0) AS BIGINT) AS contaminated,
+             CAST(round(CAST(COALESCE(hit.contaminated, 0) AS DOUBLE)
+               / t.shingles * 1e6) AS BIGINT) AS frac_e6
+      FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id
+      ORDER BY frac_e6 DESC, t.doc_id LIMIT 20""",
     // full replication of the IVF pipeline: seed centroids, cell
     // assignment (argmax cosine, ties to smallest cid), nprobe=4 query
     // cells, in-cell exact ranking

@@ -495,6 +495,50 @@ object Dedup {
     * semi-join of the (small) held-out fingerprints; the filter blob rides
     * the scalar-subquery once-per-task path.
     */
+  /** Per-document contamination SCORE against a held-out set: the
+    * fraction of a document's DISTINCT shingles that appear anywhere in
+    * the held-out corpus — the graded companion to [[flagContaminated]]'s
+    * binary whole-document fingerprint match (eval-set leakage is usually
+    * partial: quoted passages, shared boilerplate, paraphrase cores). A
+    * binary fuse filter over the held-out shingle set prunes the probe on
+    * the scan (no false negatives — no contaminated shingle escapes), and
+    * the broadcast exact semi-join removes the filter's false positives,
+    * so counts are EXACT and oracle-checkable. Returns (doc_id, shingles,
+    * contaminated, contaminated_frac); documents with fewer than
+    * shingleSize tokens have no shingles and no output row (the standard
+    * shingle-eligibility contract).
+    *
+    * 100 TB shape: corpus shingles are a per-row explode feeding ONE
+    * doc-keyed aggregation; the held-out side (eval sets are small by
+    * nature) rides broadcast twice — as a KB-scale filter blob and as the
+    * exact shingle set — so the corpus never shuffles on shingle keys.
+    */
+  def contaminationScore(corpus: DataFrame, heldOut: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    import graft.functions.filters.{binaryFuse16Filter, binaryFuse16FilterContains}
+    val corpusSh = shingleHashes(corpus, textCol, idCol, shingleSize, portable)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heldSh = shingleHashes(heldOut, textCol, idCol, shingleSize, portable)
+      .select(col("shingle")).distinct()
+    val filt = heldSh.agg(binaryFuse16Filter(col("shingle")).as("__filt"))
+    val hits = corpusSh
+      // single-row filter frame: FoldSingleRowJoin rewrites this into the
+      // scalar-subquery probe riding the shingle stream (empty held-out
+      // set => NULL blob => probe NULL => zero candidates, still exact)
+      .crossJoin(broadcast(filt))
+      .where(binaryFuse16FilterContains(col("__filt"), col("shingle")))
+      .join(broadcast(heldSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("contaminated"))
+    corpusSh.groupBy("doc_id").agg(count(lit(1)).as("shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("shingles"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+      .withColumn("contaminated_frac",
+        col("contaminated").cast("double") / col("shingles"))
+  }
+
   def flagContaminated(corpus: DataFrame, heldOut: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     import graft.functions.filters.{binaryFuse16Filter, binaryFuse16FilterContains}

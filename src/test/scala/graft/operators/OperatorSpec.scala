@@ -442,6 +442,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == 6L)
   }
 
+  test("contamination score: exact per-doc shingle overlap, filter only prunes") {
+    val sps = spark; import sps.implicits._
+    val held = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox sleeps"),   // shingles: 3 total, 2 in held
+      (2L, "totally different words here"), // 0 contaminated
+      (3L, "tiny doc")                      // < 3 tokens: no output row
+    ).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val out = Dedup.contaminationScore(corpus, held, "text", "doc_id",
+          shingleSize = 3, portable = portable)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(out.keySet == Set(1L, 2L), s"portable=$portable: $out")
+      assert(out(1L)._1 == 3L && out(1L)._2 == 2L, s"portable=$portable: $out")
+      assert(math.abs(out(1L)._3 - 2.0 / 3.0) < 1e-12)
+      assert(out(2L) == ((2L, 0L, 0.0)), s"portable=$portable: $out")
+    }
+    // empty held-out set: NULL filter blob, zero candidates, all exact 0
+    val none = Dedup.contaminationScore(corpus,
+        held.where(col("doc_id") === -1L), "text", "doc_id")
+      .agg(sum("contaminated")).head().getLong(0)
+    assert(none == 0L)
+  }
+
   test("incremental semdedup: old wins, new-vs-new to smaller id, old never paired") {
     val sps = spark; import sps.implicits._
     val oldE = Seq(
