@@ -768,6 +768,20 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
 
+      // asymmetric containment pairs (|A∩B|/|A|): subset/quote detection —
+      // a short doc embedded in a long one scores near 1 where jaccard is
+      // near 0. Same integer-ratio arithmetic both engines, sums
+      // micro-rounded.
+      "q_containment" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Dedup.exactJaccardPairs(Dedup.shingleHashes(s.table("documents"), "text", "doc_id", 3))
+          .where(greatest(col("containment1"), col("containment2")) >= 0.6)
+          .agg(count(lit(1)).cast("long").as("pairs"),
+            sum(col("id1") * 3 + col("id2")).cast("long").as("pair_sum"),
+            sum(round(col("containment1") * lit(1e6)).cast("long") +
+              round(col("containment2") * lit(1e6)).cast("long")).cast("long").as("cont_e6_sum"))
+      }),
+
       // graded contamination: per-doc fraction of distinct 3-shingles
       // found in the held-out slice (doc_id % 17 = 0). The fuse filter
       // only prunes — the exact semi-join makes every count replayable.
@@ -2153,6 +2167,31 @@ object SparkEntry {
         FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
                     JOIN sizes s2 ON common.id2 = s2.doc_id)
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM j WHERE jac >= 0.2""",
+    // containment replayed from the same shingle/common/sizes relations;
+    // c/sz is the same integer-input IEEE division in both engines
+    "q_containment" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      flt AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      f AS (SELECT sh.doc_id, sh.s FROM sh JOIN flt USING (s)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM f GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT id1, id2, c * 1.0 / s1.sz AS c1, c * 1.0 / s2.sz AS c2
+        FROM common JOIN sizes s1 ON common.id1 = s1.doc_id
+                    JOIN sizes s2 ON common.id2 = s2.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+             CAST(SUM(id1 * 3 + id2) AS BIGINT) AS pair_sum,
+             CAST(SUM(CAST(round(c1 * 1e6) AS BIGINT)
+                    + CAST(round(c2 * 1e6) AS BIGINT)) AS BIGINT) AS cont_e6_sum
+      FROM p WHERE greatest(c1, c2) >= 0.6""",
     // graded contamination: distinct portable shingle hashes per doc,
     // held slice = doc_id % 17 = 0, exact hit counts per corpus doc
     // (the Spark side's fuse filter only prunes; results are exact)

@@ -88,6 +88,12 @@ object Dedup {
     * Scale note: the widest shuffle now carries one row per distinct
     * shingle with a <=maxDocFreq id list, instead of one row per
     * (shingle-collision pair).
+    *
+    * Besides symmetric `jaccard`, each pair carries the asymmetric
+    * CONTAINMENT scores (`containment1` = |A∩B|/|A|, `containment2` =
+    * |A∩B|/|B|) — the subset/quote-detection criterion: a short document
+    * wholly embedded in a long one has jaccard near 0 but containment
+    * near 1. Free here (same common/size inputs).
     */
   def exactJaccardPairs(shingles0: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
     // collect_set: input rows are per-doc multisets (see shingleHashes);
@@ -119,6 +125,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2")
         .hint("merge"), "id2")
       .withColumn("jaccard", col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
+      .withColumn("containment1", col("common").cast("double") / col("sz1"))
+      .withColumn("containment2", col("common").cast("double") / col("sz2"))
   }
 
   /** Candidate pairs WITH their signature-match estimate. One groupBy on

@@ -55,6 +55,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - exact) < 0.15, s"estimate $est vs exact $exact")
     // exact dup pair must have jaccard estimate 1.0
     assert(pairs.find(p => p._1 == 1 && p._2 == 4).get._3 == 1.0)
+    // asymmetric containment: a SUBSET doc (its shingles all inside a
+    // bigger doc) scores containment 1.0 on its side while jaccard < 1
+    val sps2 = spark; import sps2.implicits._
+    val sub = Seq(
+      (1L, "a b c d e f g h"), // superset
+      (2L, "c d e f")          // 2 shingles, both inside doc 1
+    ).toDF("doc_id", "text")
+    val row = Dedup.exactJaccardPairs(Dedup.shingleHashes(sub, "text", "doc_id", 3))
+      .select("id1", "id2", "jaccard", "containment1", "containment2").head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+    assert(row.getDouble(4) == 1.0, row.toString) // doc2 fully contained
+    assert(row.getDouble(3) < 0.5 && row.getDouble(2) < 0.5, row.toString)
   }
 
   test("near-duplicate clustering: min-label connected components") {
