@@ -286,6 +286,18 @@ object SparkEntry {
           .orderBy("cid")
       }),
 
+      // feature-hashed text vectors (hashing trick): md5-bucket tf counts,
+      // L2-normalized — the in-engine text vectorizer. nnz + micro-rounded
+      // element sums checksum every vector for the first 20 docs.
+      "q_text_vectors" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Embeddings.featureHashVectors(s.table("documents"), "text", "doc_id", dim = 32)
+          .select(col("doc_id"),
+            expr("aggregate(vec, 0L, (a, x) -> a + IF(x != CAST(0.0 AS DOUBLE), 1L, 0L))").as("nnz"),
+            expr("aggregate(vec, 0L, (a, x) -> a + CAST(round(x * 1e6) AS LONG))").as("sum_e6"))
+          .orderBy("doc_id").limit(20)
+      }),
+
       // SemDeDup: spherical k-means clusters, then per-cluster cosine
       // pruning — keep the smallest-id member of every semantic-duplicate
       // ball. Assignment argmax and the drop threshold are micro-rounded
@@ -1665,6 +1677,26 @@ object SparkEntry {
       SELECT cid, CAST(COUNT(*) AS BIGINT) AS members,
              CAST(SUM(vec_id) AS BIGINT) AS id_sum
       FROM a1 GROUP BY cid ORDER BY cid""",
+    // feature-hash vectors replayed: same md5-prefix bucket, same integer
+    // counts, same IEEE normalize; docs with no tokens keep a zero row
+    "q_text_vectors" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        FROM documents),
+      b AS (SELECT doc_id,
+              CAST(CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 32 AS INT) AS bkt
+            FROM toks),
+      c AS (SELECT doc_id, bkt, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY doc_id, bkt),
+      nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS n FROM c GROUP BY doc_id),
+      v AS (SELECT c.doc_id, c.c / nrm.n AS x FROM c JOIN nrm ON c.doc_id = nrm.doc_id),
+      agg AS (SELECT doc_id, COUNT(*) AS nnz,
+                     SUM(CAST(round(x * 1e6) AS BIGINT)) AS s
+              FROM v GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(agg.nnz, 0) AS BIGINT) AS nnz,
+             CAST(COALESCE(agg.s, 0) AS BIGINT) AS sum_e6
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id LIMIT 20""",
     // SemDeDup: the q_kmeans assignment chain, then the per-cluster drop
     // rule — a vector is dropped iff a same-cluster smaller-id neighbor has
     // round(sim*1e6) >= 350000 (threshold 0.35 micro-rounded, as in Spark)

@@ -332,6 +332,42 @@ object Embeddings {
     kmeansFit(embeddings, vecCol, idCol, k, iterations).toDF("cid", "cvec")
   }
 
+  /** Feature-hashed text vectors (the "hashing trick", Weinberger et al.
+    * 2009): whitespace token → portable md5-prefix hash → bucket
+    * `h mod dim`, per-document bucket counts assembled into a dense
+    * `ARRAY<DOUBLE>`, L2-normalized by default. The in-engine text
+    * VECTORIZER that feeds the similarity stack (bruteForceTopK /
+    * lshTopK / ivfTopK, cosineNearDuplicates, kmeansLloyd,
+    * semanticDeduplicate) when no external embedding model is in play —
+    * and, being pure md5 arithmetic, every vector replays exactly in any
+    * SQL engine. Documents with no tokens get the zero vector
+    * (normalization leaves it untouched).
+    *
+    * Scale shape: one token explode → (doc, bucket) count with map-side
+    * partial aggregation → one doc-keyed map assembly; both exchanges
+    * carry (id, int, long) rows, never the text. The dense expansion and
+    * normalization are per-row projections with the norm hoisted out of
+    * the element lambda.
+    */
+  def featureHashVectors(docs: DataFrame, textCol: String, idCol: String,
+      dim: Int, normalize: Boolean = true): DataFrame = {
+    require(dim >= 1 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
+    val counts = docs
+      .select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("__tok"))
+      .select(col(idCol),
+        pmod(Dedup.portableHash64(col("__tok")), lit(dim.toLong)).cast("int").as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).cast("double").as("__c"))
+    val maps = counts.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c")))).as("__m"))
+    val raw = docs.select(col(idCol)).join(maps, Seq(idCol), "left")
+      .withColumn("vec",
+        expr(s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(__m, i), CAST(0.0 AS DOUBLE)))"))
+      .drop("__m")
+    if (!normalize) raw
+    else withNormalized(raw, "vec", "vec").select(col(idCol), col("vec"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication over an embedding column. Clusters the space with
     * spherical k-means ([[kmeansLloyd]]'s exact deterministic recipe), then

@@ -454,6 +454,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == 6L)
   }
 
+  test("feature-hash vectors: deterministic buckets, unit norm, zero-doc safe") {
+    val sps = spark; import sps.implicits._
+    // delta/omega/kappa land in distinct md5 buckets at dim=16 (1, 4, 2);
+    // alpha/beta/gamma all collide in bucket 11 — chosen deliberately
+    val docs = Seq(
+      (1L, "delta omega delta"), // delta counted twice
+      (2L, "delta omega delta"), // identical text => identical vector
+      (3L, "kappa"),
+      (4L, "")                   // no tokens => zero vector
+    ).toDF("doc_id", "text")
+    val out = Embeddings.featureHashVectors(docs, "text", "doc_id", dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == out(2L)) // pure function of text
+    assert(out(1L).size == 16 && out(1L).count(_ != 0.0) == 2) // alpha+beta buckets
+    // unit norm; the 2:1 count ratio survives normalization
+    assert(math.abs(math.sqrt(out(1L).map(x => x * x).sum) - 1.0) < 1e-12)
+    assert(math.abs(out(1L).max / out(1L).filter(_ != 0.0).min - 2.0) < 1e-12)
+    assert(out(4L).forall(_ == 0.0)) // zero vector, not NaN
+    // un-normalized form carries raw counts
+    val raw = Embeddings.featureHashVectors(docs, "text", "doc_id", 16, normalize = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(raw(1L).sum == 3.0 && raw(1L).max == 2.0)
+    // composes with the similarity stack: identical docs are each other's
+    // top cosine neighbor
+    val vecs = Embeddings.featureHashVectors(docs, "text", "doc_id", 16)
+      .withColumn("vec", col("vec").cast("array<float>"))
+    val top = Embeddings.bruteForceTopK(vecs.where(col("doc_id") =!= 4L), "vec", "doc_id",
+      vecs.where(col("doc_id") === 1L).select(col("doc_id").as("qid"), col("vec").as("qvec")),
+      "qvec", "qid", k = 2)
+    val best = top.orderBy(col("rank")).collect()
+    assert(best.exists(r => r.getLong(2) == 2L)) // doc 2 in the top-2
+  }
+
   test("contamination score: exact per-doc shingle overlap, filter only prunes") {
     val sps = spark; import sps.implicits._
     val held = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
