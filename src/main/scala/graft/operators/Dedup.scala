@@ -492,6 +492,56 @@ object Dedup {
         (col(idCol) === col("__winner")).as("keep"))
   }
 
+  /** Per-document contamination SCORE against a held-out set: the
+    * fraction of a document's DISTINCT shingles that appear anywhere in
+    * the held-out corpus — the graded companion to [[flagContaminated]]'s
+    * binary whole-document fingerprint match (eval-set leakage is usually
+    * partial: quoted passages, shared boilerplate, paraphrase cores). A
+    * binary fuse filter over the held-out shingle set gates the exact
+    * lookup (no false negatives — no contaminated shingle escapes), and
+    * the broadcast exact-set match removes the filter's false positives,
+    * so counts are EXACT and oracle-checkable. Returns (doc_id, shingles,
+    * contaminated, contaminated_frac); documents with fewer than
+    * shingleSize tokens have no shingles and no output row (the standard
+    * shingle-eligibility contract).
+    *
+    * 100 TB shape: corpus shingles are a per-row explode feeding ONE
+    * doc-keyed aggregation — no persist, no second pass. The held-out
+    * side (eval sets are small by nature) rides broadcast twice: as a
+    * KB-scale filter blob whose probe gates the exact lookup inside the
+    * join condition (probe-false rows skip the hash probe but still
+    * count toward the denominator; the gating pays off when a large
+    * held-out set must shuffle-join instead of broadcasting), and as the
+    * exact shingle set. The corpus never shuffles on shingle keys.
+    */
+  def contaminationScore(corpus: DataFrame, heldOut: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    import graft.functions.filters.{binaryFuse16Filter, binaryFuse16FilterContains}
+    val corpusSh = shingleHashes(corpus, textCol, idCol, shingleSize, portable)
+      .distinct()
+    val heldSh = shingleHashes(heldOut, textCol, idCol, shingleSize, portable)
+      .select(col("shingle")).distinct()
+    val filt = heldSh.agg(binaryFuse16Filter(col("shingle")).as("__filt"))
+    corpusSh
+      // single-row filter frame: FoldSingleRowJoin rewrites this into the
+      // scalar-subquery probe riding the shingle stream (empty held-out
+      // set => NULL blob => NULL probe => join condition never matches =>
+      // zero contaminated, still exact)
+      .crossJoin(broadcast(filt))
+      .withColumn("__cand", binaryFuse16FilterContains(col("__filt"), col("shingle")))
+      // held set is DISTINCT, so the left join never duplicates a corpus
+      // shingle row; a match == exact membership (the filter has no false
+      // negatives, so gating on the probe drops no true hit)
+      .join(broadcast(heldSh.select(col("shingle").as("__held"))),
+        col("shingle") === col("__held") && col("__cand"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shingles"),
+        sum(when(col("__held").isNotNull, 1L).otherwise(0L)).as("contaminated"))
+      .withColumn("contaminated_frac",
+        col("contaminated").cast("double") / col("shingles"))
+  }
+
   /** Train/held-out contamination check — the canonical filter-library
     * pipeline use: a binary fuse filter built over the held-out set's
     * content fingerprints prunes the corpus scan (no false negatives, so
@@ -503,50 +553,6 @@ object Dedup {
     * semi-join of the (small) held-out fingerprints; the filter blob rides
     * the scalar-subquery once-per-task path.
     */
-  /** Per-document contamination SCORE against a held-out set: the
-    * fraction of a document's DISTINCT shingles that appear anywhere in
-    * the held-out corpus — the graded companion to [[flagContaminated]]'s
-    * binary whole-document fingerprint match (eval-set leakage is usually
-    * partial: quoted passages, shared boilerplate, paraphrase cores). A
-    * binary fuse filter over the held-out shingle set prunes the probe on
-    * the scan (no false negatives — no contaminated shingle escapes), and
-    * the broadcast exact semi-join removes the filter's false positives,
-    * so counts are EXACT and oracle-checkable. Returns (doc_id, shingles,
-    * contaminated, contaminated_frac); documents with fewer than
-    * shingleSize tokens have no shingles and no output row (the standard
-    * shingle-eligibility contract).
-    *
-    * 100 TB shape: corpus shingles are a per-row explode feeding ONE
-    * doc-keyed aggregation; the held-out side (eval sets are small by
-    * nature) rides broadcast twice — as a KB-scale filter blob and as the
-    * exact shingle set — so the corpus never shuffles on shingle keys.
-    */
-  def contaminationScore(corpus: DataFrame, heldOut: DataFrame,
-      textCol: String, idCol: String, shingleSize: Int = 3,
-      portable: Boolean = false): DataFrame = {
-    import graft.functions.filters.{binaryFuse16Filter, binaryFuse16FilterContains}
-    val corpusSh = shingleHashes(corpus, textCol, idCol, shingleSize, portable)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val heldSh = shingleHashes(heldOut, textCol, idCol, shingleSize, portable)
-      .select(col("shingle")).distinct()
-    val filt = heldSh.agg(binaryFuse16Filter(col("shingle")).as("__filt"))
-    val hits = corpusSh
-      // single-row filter frame: FoldSingleRowJoin rewrites this into the
-      // scalar-subquery probe riding the shingle stream (empty held-out
-      // set => NULL blob => probe NULL => zero candidates, still exact)
-      .crossJoin(broadcast(filt))
-      .where(binaryFuse16FilterContains(col("__filt"), col("shingle")))
-      .join(broadcast(heldSh), Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("contaminated"))
-    corpusSh.groupBy("doc_id").agg(count(lit(1)).as("shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("shingles"),
-        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
-      .withColumn("contaminated_frac",
-        col("contaminated").cast("double") / col("shingles"))
-  }
-
   def flagContaminated(corpus: DataFrame, heldOut: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     import graft.functions.filters.{binaryFuse16Filter, binaryFuse16FilterContains}

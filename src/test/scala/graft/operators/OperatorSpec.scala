@@ -456,8 +456,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("feature-hash vectors: deterministic buckets, unit norm, zero-doc safe") {
     val sps = spark; import sps.implicits._
-    // delta/omega/kappa land in distinct md5 buckets at dim=16 (1, 4, 2);
-    // alpha/beta/gamma all collide in bucket 11 — chosen deliberately
+    // delta/omega/kappa land in DISTINCT md5 buckets at dim=16 (1, 4, 2 —
+    // verified against python md5), so per-token counts stay separable
     val docs = Seq(
       (1L, "delta omega delta"), // delta counted twice
       (2L, "delta omega delta"), // identical text => identical vector
@@ -468,7 +468,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(out.keySet == Set(1L, 2L, 3L, 4L))
     assert(out(1L) == out(2L)) // pure function of text
-    assert(out(1L).size == 16 && out(1L).count(_ != 0.0) == 2) // alpha+beta buckets
+    assert(out(1L).size == 16 && out(1L).count(_ != 0.0) == 2) // delta+omega buckets
     // unit norm; the 2:1 count ratio survives normalization
     assert(math.abs(math.sqrt(out(1L).map(x => x * x).sum) - 1.0) < 1e-12)
     assert(math.abs(out(1L).max / out(1L).filter(_ != 0.0).min - 2.0) < 1e-12)
