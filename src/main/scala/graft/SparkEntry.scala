@@ -795,8 +795,8 @@ object SparkEntry {
       }),
 
       // graded contamination: per-doc fraction of distinct 3-shingles
-      // found in the held-out slice (doc_id % 17 = 0). The fuse filter
-      // only prunes — the exact semi-join makes every count replayable.
+      // found in the held-out slice (doc_id % 17 = 0); one broadcast
+      // exact-set match per shingle, every count replayable.
       "q_contamination" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val docs = s.table("documents")
@@ -2226,7 +2226,7 @@ object SparkEntry {
       FROM p WHERE greatest(c1, c2) >= 0.6""",
     // graded contamination: distinct portable shingle hashes per doc,
     // held slice = doc_id % 17 = 0, exact hit counts per corpus doc
-    // (the Spark side's fuse filter only prunes; results are exact)
+    // (one broadcast exact-set match per shingle; results are exact)
     "q_contamination" -> """
       WITH toks AS (
         SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),

@@ -497,44 +497,36 @@ object Dedup {
     * the held-out corpus — the graded companion to [[flagContaminated]]'s
     * binary whole-document fingerprint match (eval-set leakage is usually
     * partial: quoted passages, shared boilerplate, paraphrase cores). A
-    * binary fuse filter over the held-out shingle set gates the exact
-    * lookup (no false negatives — no contaminated shingle escapes), and
-    * the broadcast exact-set match removes the filter's false positives,
-    * so counts are EXACT and oracle-checkable. Returns (doc_id, shingles,
-    * contaminated, contaminated_frac); documents with fewer than
-    * shingleSize tokens have no shingles and no output row (the standard
-    * shingle-eligibility contract).
+    * broadcast exact-set match per shingle makes counts EXACT and
+    * oracle-checkable. Returns (doc_id, shingles, contaminated,
+    * contaminated_frac); documents with fewer than shingleSize tokens
+    * have no shingles and no output row (the standard shingle-eligibility
+    * contract).
     *
     * 100 TB shape: corpus shingles are a per-row explode feeding ONE
-    * doc-keyed aggregation — no persist, no second pass. The held-out
-    * side (eval sets are small by nature) rides broadcast twice: as a
-    * KB-scale filter blob whose probe gates the exact lookup inside the
-    * join condition (probe-false rows skip the hash probe but still
-    * count toward the denominator; the gating pays off when a large
-    * held-out set must shuffle-join instead of broadcasting), and as the
-    * exact shingle set. The corpus never shuffles on shingle keys.
+    * doc-keyed aggregation — no persist, no second pass; the held-out
+    * side (eval sets are small by nature) broadcasts as the exact
+    * distinct shingle set, so the corpus never shuffles on shingle keys.
+    * Deliberately NO fuse-filter gate here: with a broadcast hash join,
+    * Spark evaluates extra join conditions AFTER the hash-relation
+    * lookup, so a probe would be pure per-row overhead (measured in the
+    * committed plan dumps). If the held-out set ever outgrows broadcast,
+    * the right composition is [[flagContaminated]]'s shape — fuse-blob
+    * `.where(probe)` prune feeding a SHUFFLE semi-join for the hit count,
+    * with the denominator from a separate unpruned aggregate.
     */
   def contaminationScore(corpus: DataFrame, heldOut: DataFrame,
       textCol: String, idCol: String, shingleSize: Int = 3,
       portable: Boolean = false): DataFrame = {
-    import graft.functions.filters.{binaryFuse16Filter, binaryFuse16FilterContains}
     val corpusSh = shingleHashes(corpus, textCol, idCol, shingleSize, portable)
       .distinct()
     val heldSh = shingleHashes(heldOut, textCol, idCol, shingleSize, portable)
-      .select(col("shingle")).distinct()
-    val filt = heldSh.agg(binaryFuse16Filter(col("shingle")).as("__filt"))
+      .select(col("shingle").as("__held")).distinct()
     corpusSh
-      // single-row filter frame: FoldSingleRowJoin rewrites this into the
-      // scalar-subquery probe riding the shingle stream (empty held-out
-      // set => NULL blob => NULL probe => join condition never matches =>
-      // zero contaminated, still exact)
-      .crossJoin(broadcast(filt))
-      .withColumn("__cand", binaryFuse16FilterContains(col("__filt"), col("shingle")))
       // held set is DISTINCT, so the left join never duplicates a corpus
-      // shingle row; a match == exact membership (the filter has no false
-      // negatives, so gating on the probe drops no true hit)
-      .join(broadcast(heldSh.select(col("shingle").as("__held"))),
-        col("shingle") === col("__held") && col("__cand"), "left")
+      // shingle row; a match == exact membership; empty held-out set =>
+      // nothing matches => contaminated 0, denominator intact
+      .join(broadcast(heldSh), col("shingle") === col("__held"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("shingles"),
         sum(when(col("__held").isNotNull, 1L).otherwise(0L)).as("contaminated"))

@@ -52,7 +52,7 @@ object PlanDump {
       "q_incremental_dedup" -> "incremental near-dup: new slice's bands equi-join the old corpus's band buckets (ids only); old-vs-old never paired; estimate joins on the deduped collision set",
       "q_semdedup" -> "SemDeDup: zero-shuffle centroid assignment on the scan; ONE cid-keyed self-join (quadratic only within a cluster), dropped ids collapse through a partial-agg distinct before the id-keyed keep join",
       "q_keep_best" -> "keep-best resolution: prefix-pair graph feeds label propagation (sized by duplicates, not corpus); winner = one cluster-keyed partial-agg struct max, then a co-partitioned keep join",
-      "q_contamination" -> "graded contamination: fuse probe gates the exact broadcast lookup inside the join condition; ONE doc-keyed aggregation computes denominator and hit count together — no persist, no second pass",
+      "q_contamination" -> "graded contamination: ONE broadcast exact-set left join on the shingle stream, ONE doc-keyed aggregation computing denominator and hit count together — no persist, no second pass, no redundant filter probe",
       "q_text_vectors" -> "feature-hash vectorizer: token explode -> partial-agg (doc,bucket) counts -> doc-keyed map assembly; dense expansion and normalization are per-row projections with the norm hoisted out of the lambda")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
