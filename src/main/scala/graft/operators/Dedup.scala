@@ -3,6 +3,35 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Task-side max accumulator (Spark ships only sum/collect built-ins).
+  * `add` is idempotent for repeated observations of the same value, so the
+  * merged max is exact even under task retry.
+  */
+final class MaxLongAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var _max = 0L
+  override def isZero: Boolean = _max == 0L
+  override def copy(): MaxLongAccumulator = {
+    val a = new MaxLongAccumulator; a._max = _max; a
+  }
+  override def reset(): Unit = _max = 0L
+  override def add(v: Long): Unit = if (v > _max) _max = v
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    _max = math.max(_max, other.value)
+  override def value: Long = _max
+}
+
+/** Per-pipeline-run LSH bucket-skew telemetry, accumulator-backed so the
+  * values survive AQE re-planning (which hides `observe` metrics from
+  * `observedMetrics` — the re-planned CollectMetrics accumulator is not
+  * the one collected). `maxBucket` is exact under task retry (max is
+  * idempotent); `dropped` can overcount under retry or multi-action
+  * recompute — it is telemetry, never part of a result.
+  */
+final class LshRunStats private[operators] (
+    val name: String,
+    val maxBucket: MaxLongAccumulator,
+    val dropped: org.apache.spark.util.LongAccumulator) extends Serializable
+
 /** Document deduplication operators for large-scale training-data pipelines.
   *
   * All operators are pure DataFrame transformations built from codegen'd
@@ -19,6 +48,32 @@ object Dedup {
     * results.
     */
   private val lshObserveId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Recent per-run skew accumulators, newest last, bounded at
+    * [[LshRegistryCap]] (a stopped-being-polled entry just stops being
+    * tracked). Listeners registered by
+    * [[registerLshBucketWarningListener]] poll this after every query.
+    */
+  private val lshRunRegistry =
+    new java.util.concurrent.ConcurrentLinkedDeque[LshRunStats]()
+  private val LshRegistryCap = 128
+
+  private def newLshRunStats(spark: org.apache.spark.sql.SparkSession,
+      name: String): LshRunStats = {
+    val mx = new MaxLongAccumulator
+    spark.sparkContext.register(mx, s"${name}_max")
+    val dr = spark.sparkContext.longAccumulator(s"${name}_dropped")
+    val st = new LshRunStats(name, mx, dr)
+    lshRunRegistry.addLast(st)
+    while (lshRunRegistry.size > LshRegistryCap) lshRunRegistry.pollFirst()
+    st
+  }
+
+  private[graft] def lshRunStatsSnapshot(): Seq[LshRunStats] = {
+    val b = Seq.newBuilder[LshRunStats]
+    lshRunRegistry.forEach(st => b += st)
+    b.result()
+  }
 
   /** Exact duplicate statistics by content hash (md5 for oracle parity). */
   def exactDuplicateStats(df: DataFrame, textCol: String): DataFrame =
@@ -150,13 +205,15 @@ object Dedup {
     * corpus slice with 10^5 near-identical docs would otherwise emit
     * 5*10^9 pairs — an executor OOM, not a slow query). Capped buckets are
     * DROPPED (their pairs are not emitted); the drop count and max
-    * observed bucket size are published as the `graft_lsh_buckets`
-    * observable metric (`df.observe` — collected by the same job, readable
-    * from a QueryExecutionListener; NOTE: with AQE enabled the re-planned
-    * CollectMetrics accumulator is not the one `observedMetrics` collects,
-    * so the metric surfaces reliably only with AQE off — the guard itself
-    * is unaffected). Default = no cap, because dropping buckets changes
-    * results and any threshold must be the caller's call.
+    * observed bucket size are published twice: as the `graft_lsh_buckets`
+    * observable metric (`df.observe`, readable from
+    * `queryExecution.observedMetrics` — but hidden when AQE re-plans the
+    * query), and as per-run registered accumulators ([[LshRunStats]]),
+    * which survive AQE and are what
+    * [[registerLshBucketWarningListener]] polls — so the skew warning
+    * fires with `spark.sql.adaptive.enabled=true` (the default). Default
+    * = no cap, because dropping buckets changes results and any threshold
+    * must be the caller's call.
     *
     * NOTE: `sigs` is consumed three times (banding + both estimate joins) —
     * persist it, as [[minHashNearDuplicates]] does, or the signature
@@ -169,6 +226,17 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .toDF("doc_id", "band_id", "band_hash")
+    val runId = lshObserveId.incrementAndGet()
+    // AQE-safe telemetry: per-run accumulators updated by an always-true
+    // nondeterministic filter over the (post-aggregate) bucket rows —
+    // nondeterministic so Catalyst neither folds it away nor reorders it.
+    val stats = newLshRunStats(sigs.sparkSession, s"graft_lsh_buckets_$runId")
+    val cap = maxBucketSize
+    val record = udf { (sz: Int) =>
+      stats.maxBucket.add(sz.toLong)
+      if (sz > cap) stats.dropped.add(1L)
+      true
+    }.asNondeterministic()
     val buckets = banded.groupBy("band_id", "band_hash")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .where(size(col("docs")) > 1)
@@ -179,9 +247,10 @@ object Dedup {
       // nodes with the same name but different results in ONE query (e.g.
       // a fast-vs-portable pipeline comparison); listeners match on the
       // "graft_lsh_buckets" prefix.
-      .observe(s"graft_lsh_buckets_${lshObserveId.incrementAndGet()}",
+      .observe(s"graft_lsh_buckets_$runId",
         sum(when(size(col("docs")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
         max(size(col("docs"))).as("max_bucket_size"))
+      .where(record(size(col("docs"))))
     val guarded =
       if (maxBucketSize == Int.MaxValue) buckets
       else buckets.where(size(col("docs")) <= maxBucketSize)
@@ -214,33 +283,43 @@ object Dedup {
     * the fix is dropping exact duplicates upstream or setting
     * `maxBucketSize`.
     *
-    * NOTE: with AQE enabled Spark does not surface `observedMetrics` for
-    * re-planned queries (the re-planned CollectMetrics accumulator is not
-    * the one collected), so the listener warns reliably only with
-    * `spark.sql.adaptive.enabled=false`; the guard and the metric
-    * publication themselves are unaffected.
+    * The listener polls the per-run [[LshRunStats]] accumulators (not
+    * `observedMetrics`), so it fires with AQE on or off. Pipelines that
+    * already ran before registration are latched at their current
+    * high-water mark and do not retro-trigger; each run warns at most
+    * once per observed maximum (re-executing a pipeline that finds a
+    * bigger bucket warns again).
     */
   def registerLshBucketWarningListener(spark: org.apache.spark.sql.SparkSession,
       threshold: Long = 10000L,
       onWarn: (Long, Long) => Unit = (_, _) => ()): Unit = {
+    // per-listener latch: warn only when a run's max grows past what THIS
+    // listener already reported (weak keys: dropped registry entries fall out)
+    val warned = new java.util.WeakHashMap[LshRunStats, java.lang.Long]()
+    warned.synchronized {
+      lshRunStatsSnapshot().foreach(st => warned.put(st, st.maxBucket.value))
+    }
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      private def check(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        qe.observedMetrics.collect {
-          case (name, row) if name.startsWith("graft_lsh_buckets") => row
-        }.foreach { row =>
-          val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
-          val maxBucket = if (row.isNullAt(1)) 0L else row.getInt(1).toLong
+      private def check(): Unit = warned.synchronized {
+        lshRunStatsSnapshot().foreach { st =>
+          val maxBucket = st.maxBucket.value
           if (maxBucket > threshold) {
-            org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
-              s"graft: LSH bucket skew — max candidate bucket has $maxBucket docs " +
-                s"(threshold $threshold), $dropped buckets dropped by maxBucketSize. " +
-                "An uncapped hot bucket emits O(k^2) pairs; drop exact duplicates " +
-                "upstream or pass maxBucketSize to fail soft.")
-            onWarn(maxBucket, dropped)
+            val prev = Option(warned.get(st)).fold(0L)(_.longValue)
+            if (maxBucket > prev) {
+              warned.put(st, maxBucket)
+              val dropped = st.dropped.value
+              org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+                s"graft: LSH bucket skew — max candidate bucket has $maxBucket docs " +
+                  s"(threshold $threshold), $dropped buckets dropped by maxBucketSize. " +
+                  "An uncapped hot bucket emits O(k^2) pairs; drop exact duplicates " +
+                  "upstream or pass maxBucketSize to fail soft.")
+              onWarn(maxBucket, dropped)
+            }
           }
         }
+      }
       override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = check(qe)
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = check()
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     })

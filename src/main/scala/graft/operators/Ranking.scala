@@ -268,11 +268,12 @@ object Ranking {
     * small integers, so the fused ordering replays exactly cross-engine.
     *
     * Scale shape: the corpus-wide work is exactly [[bm25]] (two narrow
-    * passes, no document-keyed shuffle); everything after operates on
-    * `candidates` rows (bounded small by contract — the global-window rank
-    * steps are single-task ON PURPOSE; raise no alarms at 100 TB because
-    * only the candidate set flows through them). Candidates without an
-    * embedding drop at the rerank join.
+    * passes, no document-keyed shuffle) plus a TakeOrderedAndProject
+    * top-`candidates` selection (parallel per-partition top-k, no global
+    * sort); everything after operates on `candidates` rows (bounded small
+    * by contract — the global-window rank steps are single-task ON
+    * PURPOSE; only the candidate set flows through them). Candidates
+    * without an embedding drop at the rerank join.
     *
     * Ordering determinism: candidate selection on the micro-rounded BM25
     * score (then id), cosine rank on the raw double (then id) — same
@@ -295,9 +296,15 @@ object Ranking {
     }
     val scored = bm25(docs, textCol, idCol, queryTerms)
       .select(col(idCol), round(col("bm25") * lit(1e6)).cast("long").as("__bm25_e6"))
+    // Candidate selection is orderBy().limit() so Catalyst plans
+    // TakeOrderedAndProject — a parallel per-partition top-k merged on the
+    // driver — instead of funneling every BM25-scored document through a
+    // single-task global window. The sort key (micro-rounded score desc,
+    // then id) is a total order, so the selected set — and the ranks
+    // derived from it below — are identical to a corpus-wide row_number.
     val wb = Window.orderBy(col("__bm25_e6").desc, col(idCol))
-    val cand = scored.withColumn("__rank_b", row_number().over(wb))
-      .where(col("__rank_b") <= candidates)
+    val cand = scored.orderBy(col("__bm25_e6").desc, col(idCol)).limit(candidates)
+      .withColumn("__rank_b", row_number().over(wb))
     val q = lit(queryVec.toArray)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

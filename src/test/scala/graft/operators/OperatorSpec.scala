@@ -808,7 +808,9 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.registerLshBucketWarningListener(spark, threshold = 10L,
       onWarn = (mx, dr) => seen.set((mx, dr)))
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false") // see scaladoc: AQE hides observedMetrics
+    // accumulator-backed listener works either way; this test pins the
+    // AQE-off half, the test below pins the AQE-on (default) half
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // 40 identical docs: every band bucket holds all 40 -> hot-bucket skew
       val docs = (1L to 40L)
@@ -823,6 +825,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(seen.get()._1 == 40L, s"expected max bucket 40, got ${seen.get()}")
       assert(seen.get()._2 == 0L, "uncapped run must not drop buckets")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("lsh bucket warning listener fires with AQE enabled (accumulator path)") {
+    val sps = spark; import sps.implicits._
+    val seen = new java.util.concurrent.atomic.AtomicReference[(Long, Long)](null)
+    // registration latches pre-existing runs (e.g. the AQE-off test above)
+    // at their current high-water mark, so only THIS pipeline can fire
+    Dedup.registerLshBucketWarningListener(spark, threshold = 10L,
+      onWarn = (mx, dr) => seen.set((mx, dr)))
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "this test exists to prove the warning fires under the AQE default")
+    // 30 identical docs: every band bucket holds all 30 -> hot-bucket skew
+    val docs = (1L to 30L)
+      .map(i => (i, "identical body carried by each and every document of this aqe corpus"))
+      .toDF("doc_id", "text")
+    Dedup.minHashNearDuplicates(docs, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5).count()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (seen.get() == null && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(seen.get() != null, "bucket-skew warning did not fire under AQE")
+    assert(seen.get()._1 == 30L, s"expected max bucket 30, got ${seen.get()}")
+    assert(seen.get()._2 == 0L, "uncapped run must not drop buckets")
   }
 
   test("connected components: pointer jumping converges on a long path in O(log d) rounds") {
