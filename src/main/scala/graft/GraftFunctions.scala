@@ -54,9 +54,11 @@ object GraftFunctions {
     "quotient_filter" -> FnDoc(
       arg("q - INTEGER, number of quotient bits (filter holds ~2^q slots)",
         "r - INTEGER, number of remainder bits per slot",
-        "hash_or_blob - BIGINT hash to insert, or BINARY quotient-filter blob to union-merge"),
+        "hash_or_blob - BIGINT hash to insert, or BINARY quotient-filter blob to union-merge",
+        "strict - optional foldable BOOLEAN (default false): raise on merge overflow instead of the reference's silent key drop"),
       ex("SELECT quotient_filter(16, 8, bitfilters_duckdb_hash('v1.5.1', x)) FROM VALUES (1),(2) t(x);",
-        "SELECT quotient_filter(16, 8, f) FROM per_group_filters; -- blob merge")),
+        "SELECT quotient_filter(16, 8, f) FROM per_group_filters; -- blob merge",
+        "SELECT quotient_filter(8, 4, f, true) FROM per_group_filters; -- raise if keys would drop")),
     "quotient_filter_contains" -> FnDoc(
       arg("filter - BINARY quotient-filter blob",
         "hash - BIGINT hashed probe value (same hash as at build time)"),
@@ -219,8 +221,15 @@ object GraftFunctions {
   /** (name, usage, builder) for every SQL function we expose. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("quotient_filter",
-      "quotient_filter(q, r, hash_or_blob) - aggregate hashes (BIGINT) into a quotient filter BLOB, or union-merge filter BLOBs",
-      args => { arity("quotient_filter", 3, args); QuotientFilterAgg(args(0), args(1), args(2)) }),
+      "quotient_filter(q, r, hash_or_blob[, strict]) - aggregate hashes (BIGINT) into a quotient filter BLOB, or union-merge filter BLOBs; strict=true raises when a merge overflow would silently drop keys (parity default: false)",
+      args => {
+        if (args.size != 3 && args.size != 4)
+          throw new IllegalArgumentException(
+            s"quotient_filter requires 3 or 4 arguments, got ${args.size}")
+        val strict = args.size == 4 &&
+          functions.AggUtil.foldableBoolean(args(3), "quotient_filter strict")
+        QuotientFilterAgg(args(0), args(1), args(2), strict)
+      }),
     ("quotient_filter_contains",
       "quotient_filter_contains(filter, hash) - probe a quotient filter",
       args => { arity("quotient_filter_contains", 2, args); QuotientFilterContains(args(0), args(1)) }),

@@ -168,8 +168,14 @@ final class QuotientFilter private (
     false
   }
 
-  /** Union-merge; reference cpp:388-406 (including its drop-on-overflow quirk). */
-  def merge(other: QuotientFilter): QuotientFilter = {
+  /** Union-merge; reference cpp:388-406 (including its drop-on-overflow
+    * quirk: insert() failures during merge are ignored, silently dropping
+    * keys once the destination table fills). `strict = true` raises on the
+    * first dropped key instead — the reference has no such mode (SURVEY §7
+    * flagged "replicate or raise"; we ship both, replicate as the parity
+    * default, so blob compatibility is unchanged unless opted in).
+    */
+  def merge(other: QuotientFilter, strict: Boolean = false): QuotientFilter = {
     if (qbits == other.qbits && rbits == other.rbits) {
       // in-place absorb: same layout means this table IS the output layout.
       // The reference rebuilds a fresh filter and reinserts both sides on
@@ -178,25 +184,40 @@ final class QuotientFilter private (
       // inserts + P table allocations). Absorbing costs only other.entries
       // inserts and is bit-identical: insert() is the same operation the
       // rebuild would perform, in a table of the same geometry.
-      absorb(other)
+      absorb(other, strict)
       this
     } else {
       val out = QuotientFilter.create(math.max(qbits, other.qbits), math.max(rbits, other.rbits))
       val it1 = new QuotientFilterIterator(this)
-      while (!it1.done) out.insert(it1.next())
+      while (!it1.done) out.mergeInsert(it1.next(), strict)
       val it2 = new QuotientFilterIterator(other)
-      while (!it2.done) out.insert(it2.next())
+      while (!it2.done) out.mergeInsert(it2.next(), strict)
       out
     }
   }
 
   /** Insert every stored value of `other` (same q,r) into this filter,
-    * ignoring overflow like the reference's merge (cpp:399,403).
+    * ignoring overflow like the reference's merge (cpp:399,403) unless
+    * `strict`.
     */
-  private def absorb(other: QuotientFilter): Unit = {
+  private def absorb(other: QuotientFilter, strict: Boolean): Unit = {
     val it = new QuotientFilterIterator(other)
-    while (!it.done) insert(it.next())
+    while (!it.done) mergeInsert(it.next(), strict)
   }
+
+  /** A merge-path insert: non-strict replicates the reference's silent
+    * drop-on-overflow; strict raises on the first key genuinely LOST —
+    * insert() rejects any key once the table is full, including
+    * already-present duplicates, so the mayContain check keeps strict
+    * from raising when nothing was actually dropped (e.g. merging a full
+    * filter with itself).
+    */
+  private def mergeInsert(hash: Long, strict: Boolean): Unit =
+    if (!insert(hash) && strict && !mayContain(hash))
+      throw new IllegalStateException(
+        s"quotient filter strict merge overflow: destination table q=$qbits r=$rbits " +
+          s"is full at $entries entries; the reference (and strict=false) would " +
+          "silently drop this key")
 
   /** Wire format: 40-byte header + table bytes; reference hpp:91-98. */
   def serialize(): Array[Byte] = {

@@ -62,6 +62,13 @@ private[graft] object AggUtil {
     case other => throw new IllegalArgumentException(s"$what must be an integer constant, got $other")
   }
 
+  /** Evaluate a required-foldable boolean constructor argument. */
+  def foldableBoolean(e: Expression, what: String): Boolean = e.eval(null) match {
+    case null => throw new IllegalArgumentException(s"$what cannot be NULL")
+    case b: Boolean => b
+    case other => throw new IllegalArgumentException(s"$what must be a boolean constant, got $other")
+  }
+
   def foldableString(e: Expression, what: String): String = e.eval(null) match {
     case null => throw new IllegalArgumentException(s"$what cannot be NULL")
     case s: UTF8String => s.toString
@@ -182,15 +189,20 @@ final class QuotientBuf(var filter: QuotientFilter) extends SparseKeys {
   def isEmpty: Boolean = filter == null && keyCount == 0
 }
 
-/** SQL: `quotient_filter(q, r, hash_or_blob)` — like the reference, a single
-  * name with two overloads resolved by the third argument's type
-  * (src/bitfilters_quotient_filter.cpp:269-289): LongType input inserts
-  * hashes; BinaryType input union-merges existing filter blobs.
+/** SQL: `quotient_filter(q, r, hash_or_blob[, strict])` — like the
+  * reference, a single name with two overloads resolved by the third
+  * argument's type (src/bitfilters_quotient_filter.cpp:269-289): LongType
+  * input inserts hashes; BinaryType input union-merges existing filter
+  * blobs. `strict` (default false = reference parity) makes a merge that
+  * overflows the destination table RAISE instead of silently dropping
+  * keys (the reference ignores insert() failures during merge,
+  * quotient_filter.cpp:399,403).
   */
 case class QuotientFilterAgg(
     qExpr: Expression,
     rExpr: Expression,
     child: Expression,
+    strict: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[QuotientBuf] {
@@ -243,7 +255,8 @@ case class QuotientFilterAgg(
     if (v != null) {
       if (mergeMode) {
         if (buf.filter == null) buf.filter = QuotientFilter.create(q, r)
-        buf.filter = buf.filter.merge(QuotientFilter.deserialize(v.asInstanceOf[Array[Byte]]))
+        buf.filter = buf.filter.merge(
+          QuotientFilter.deserialize(v.asInstanceOf[Array[Byte]]), strict)
       } else if (buf.filter != null) {
         insertOrThrow(buf.filter, v.asInstanceOf[Long])
       } else {
@@ -262,12 +275,12 @@ case class QuotientFilterAgg(
         if (buf.keyCount >= denseThreshold) densify(buf)
       } else if (buf.filter == null) {
         if (buf.keyCount == 0) buf.filter = other.filter
-        else { densify(buf); buf.filter = buf.filter.merge(other.filter) }
+        else { densify(buf); buf.filter = buf.filter.merge(other.filter, strict) }
       } else if (other.filter == null) {
         var i = 0
         while (i < other.keyCount) { insertOrThrow(buf.filter, other.keys(i)); i += 1 }
       } else {
-        buf.filter = buf.filter.merge(other.filter)
+        buf.filter = buf.filter.merge(other.filter, strict)
       }
     }
     buf

@@ -30,8 +30,8 @@ object filters {
     c(DuckDbHashExpr(e(lit(version)) +: cols.map(e)))
 
   // aggregates -------------------------------------------------------------
-  def quotientFilter(q: Int, r: Int, hash: Column): Column =
-    c(QuotientFilterAgg(e(lit(q)), e(lit(r)), e(hash)).toAggregateExpression())
+  def quotientFilter(q: Int, r: Int, hash: Column, strict: Boolean = false): Column =
+    c(QuotientFilterAgg(e(lit(q)), e(lit(r)), e(hash), strict).toAggregateExpression())
   def xor8Filter(hash: Column): Column = c(XorFilterAgg(e(hash), 8).toAggregateExpression())
   def xor16Filter(hash: Column): Column = c(XorFilterAgg(e(hash), 16).toAggregateExpression())
   def binaryFuse8Filter(hash: Column): Column = c(BinaryFuseFilterAgg(e(hash), 8).toAggregateExpression())

@@ -119,6 +119,32 @@ class CoreFilterSpec extends AnyFunSuite {
     assert((ha ++ hb).forall(m.mayContain))
   }
 
+  test("quotient: strict merge raises on overflow; default merge drops silently (parity)") {
+    // fill two same-geometry 16-slot filters from disjoint key ranges
+    def fullFilter(seed: Long): QuotientFilter = {
+      val f = QuotientFilter.create(4, 8)
+      var i = seed
+      while (f.entries < f.maxSize) { f.insert(DuckDbHash.hashLong(i)); i += 1 }
+      f
+    }
+    val a = fullFilter(0L)
+    val b = fullFilter(1000000L)
+    // parity default: merge of two full filters completes, silently
+    // dropping b's keys (reference quotient_filter.cpp:399,403)
+    val dropped = QuotientFilter.deserialize(a.serialize()).merge(b)
+    assert(dropped.entries == a.maxSize)
+    // strict: the same merge raises instead of losing keys
+    val ex = intercept[IllegalStateException] {
+      QuotientFilter.deserialize(a.serialize()).merge(b, strict = true)
+    }
+    assert(ex.getMessage.contains("strict merge overflow"))
+    // strict does NOT raise when nothing is lost: full filter merged with
+    // itself re-inserts only already-present fingerprints
+    val self = QuotientFilter.deserialize(a.serialize())
+      .merge(QuotientFilter.deserialize(a.serialize()), strict = true)
+    assert(self.entries == a.maxSize)
+  }
+
   test("quotient: full filter rejects inserts") {
     val qf = QuotientFilter.create(2, 4) // 4 slots
     var inserted = 0

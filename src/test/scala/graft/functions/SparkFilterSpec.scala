@@ -65,6 +65,30 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq(Seq(0L, 2264L), Seq(1L, 2273L)))
   }
 
+  test("quotient filter SQL: strict merge raises on overflow, default merge is silent (parity)") {
+    // two 10-key filters over disjoint ranges; their union (~20 fingerprints)
+    // overflows the 16-slot q=4 table
+    spark.range(0, 10).toDF("id").createOrReplaceTempView("qs_a")
+    spark.range(1000, 1010).toDF("id").createOrReplaceTempView("qs_b")
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW qs_parts AS
+      SELECT quotient_filter(4, 8, bitfilters_duckdb_hash('v1.5.1', id)) AS f FROM qs_a
+      UNION ALL
+      SELECT quotient_filter(4, 8, bitfilters_duckdb_hash('v1.5.1', id)) AS f FROM qs_b
+    """)
+    // parity default: the blob merge completes, silently capped at 16 slots
+    val merged = sqlRows("SELECT quotient_filter(4, 8, f) FROM qs_parts")
+    val blob = merged.head.head.asInstanceOf[Array[Byte]]
+    assert(graft.core.QuotientFilter.deserialize(blob).entries == 16L)
+    // strict: the same merge raises instead of dropping keys
+    val ex = intercept[Exception] {
+      spark.sql("SELECT quotient_filter(4, 8, f, true) FROM qs_parts").collect()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("strict merge overflow")), messages.mkString(" | "))
+  }
+
   test("binary fuse filters SQL: membership + golden FP counts") {
     spark.sql("""
       CREATE OR REPLACE TEMP VIEW fuse_filters AS
