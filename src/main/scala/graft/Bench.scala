@@ -9,15 +9,19 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the very expressions under test). Single cold-JVM passes
   * swing +/-2x on multi-second queries (JIT/codegen-compile/GC timing; a
   * contended driver box is worse), so a second pass runs whenever the
-  * first stays within SPARK_GRAFT_BENCH_BUDGET (default 240s — sized so
-  * it practically always runs) and each query reports its minimum; the
-  * `iterations` field records which.
+  * first stays within SPARK_GRAFT_BENCH_BUDGET and each query reports its
+  * minimum; the `iterations` field records which. The default budget
+  * SCALES WITH THE GATE COUNT — max(240s, 5s x queries) — because a fixed
+  * 240s stopped fitting a cold pass once the suite grew past ~60 gates
+  * (round 5 shipped a single-cold-pass bench that was unusable for
+  * round-over-round comparison); set the env to override.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val secondPassBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "240").toDouble
+    val secondPassBudget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
+      .getOrElse(math.max(240.0, 5.0 * SparkEntry.queries.size))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -383,6 +383,11 @@ object Dedup {
       threshold: Double = 0.7, portable: Boolean = false,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(!oldDocs.isStreaming, "the existing corpus must be a static frame")
+    // both signature frames are persisted: each feeds banding AND an
+    // estimate join, and recompute would re-run the signature kernel over
+    // the full corpus (house persist style: callers clearCache between
+    // pipelines, as Verify/Bench do — in a long-lived session these
+    // corpus-sized caches otherwise accumulate until LRU eviction)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def sigsOf(df: DataFrame) = {
       val s = df.select(col(idCol).as("doc_id"),
@@ -654,9 +659,30 @@ object Dedup {
       .agg(ColumnBridge.column(SimHashAgg(ColumnBridge.expression(col("h"))).toAggregateExpression()).as("simhash"))
   }
 
-  /** SimHash near-duplicates: block on 4x16-bit bands (any equal band is a
-    * candidate: a pair within Hamming distance 3 shares at least one intact
-    * 16-bit quarter by pigeonhole), verify with bit_count(xor) <= maxHamming.
+  /** SimHash near-duplicates: Manku-style multi-index blocking (WWW'07
+    * "Detecting Near-Duplicates for Web Crawling" §3), then an exact
+    * verify with bit_count(xor) <= maxHamming.
+    *
+    * The 64 fingerprint bits split into `blocks` near-equal contiguous
+    * blocks; a pair within Hamming distance `maxHamming` corrupts at most
+    * `maxHamming` blocks, so at least `blocks - maxHamming` stay intact —
+    * every combination of `blocks - maxHamming` blocks becomes a band
+    * whose key is those blocks' bits concatenated, and by pigeonhole any
+    * near-dup pair shares at least one band key EXACTLY (recall 1.0, so
+    * the verified result set is independent of `blocks`). The knob trades
+    * band rows for bucket-key space: blocks=4 (the minimal layout at
+    * maxHamming=3) emits 4 bands of 16-bit keys — 65,536 bucket values,
+    * so bucket sizes grow LINEARLY with corpus size; the default
+    * blocks=6 emits C(6,3)=20 bands of ~32-bit keys — 4e9 bucket values,
+    * which keeps buckets near-singleton into the billions of documents.
+    * Pick the smallest `blocks` whose key space comfortably exceeds the
+    * corpus size; `maxBucketSize` + the `graft_lsh_buckets` telemetry
+    * remain the fail-soft backstop for adversarial corpora (identical
+    * fingerprints collide in EVERY scheme). `blocks = 0` (the default)
+    * auto-selects `max(6, maxHamming + 1)` — the smallest recall-exact
+    * layout with at least ~32-bit keys. (The pre-round-6 fixed 4x16
+    * layout was silently recall-lossy for maxHamming > 3; the pigeonhole
+    * precondition is now enforced.)
     *
     * Same in-bucket pair emission as [[lshNearDuplicatePairs]] — one
     * groupBy on (band_id, band_val) replaces the band self-join (two wide
@@ -666,23 +692,46 @@ object Dedup {
     */
   def simHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, portable: Boolean = false,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue, blocks: Int = 0): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    val nBlocks = if (blocks == 0) math.max(6, maxHamming + 1) else blocks
+    require(nBlocks > maxHamming && nBlocks <= 64,
+      s"need maxHamming < blocks <= 64 for pigeonhole recall, got blocks=$nBlocks maxHamming=$maxHamming")
     val fps = simHashFingerprints(df, textCol, idCol, portable)
-    val bandCols = (0 until 4).map(b =>
-      struct(lit(b).as("band_id"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val")))
+    // block i holds sizes(i) bits starting at bit offsets(i) (LSB-first);
+    // the first (64 % blocks) blocks absorb the remainder bit
+    val sizes = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val bandCols = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+      .zipWithIndex.map { case (combo, ci) =>
+        val key = combo.foldLeft(lit(0L)) { (acc, bi) =>
+          shiftleft(acc, sizes(bi)).bitwiseOR(
+            shiftrightunsigned(col("simhash"), offsets(bi))
+              .bitwiseAND(lit(if (sizes(bi) >= 64) -1L else (1L << sizes(bi)) - 1L)))
+        }
+        struct(lit(ci).as("band_id"), key.as("band_val"))
+      }
+    val runId = lshObserveId.incrementAndGet()
+    // same skew telemetry + fail-soft cap as the minhash variant: a band
+    // key shared by k docs emits k^2/2 candidate pairs. Dual publication
+    // as in [[lshNearDuplicatePairs]]: observe metric + AQE-safe per-run
+    // accumulators polled by [[registerLshBucketWarningListener]].
+    val stats = newLshRunStats(fps.sparkSession, s"graft_lsh_buckets_$runId")
+    val cap = maxBucketSize
+    val record = udf { (sz: Int) =>
+      stats.maxBucket.add(sz.toLong)
+      if (sz > cap) stats.dropped.add(1L)
+      true
+    }.asNondeterministic()
     val buckets = fps
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
       .groupBy(col("band.band_id"), col("band.band_val"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
       .where(size(col("docs")) > 1)
-      // same skew telemetry + fail-soft cap as the minhash variant: a
-      // 16-bit band value shared by k docs emits k^2/2 candidate pairs,
-      // and band capacity is FIXED (65536 values), so bucket sizes grow
-      // linearly with corpus size — at large n, cap or dedup upstream
-      .observe(s"graft_lsh_buckets_${lshObserveId.incrementAndGet()}",
+      .observe(s"graft_lsh_buckets_$runId",
         sum(when(size(col("docs")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
         max(size(col("docs"))).as("max_bucket_size"))
+      .where(record(size(col("docs"))))
     (if (maxBucketSize == Int.MaxValue) buckets
      else buckets.where(size(col("docs")) <= maxBucketSize))
       .select(explode(expr("""

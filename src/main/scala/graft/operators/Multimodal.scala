@@ -336,12 +336,15 @@ object Multimodal {
         }
       }
       writer.endWriteSequence()
-      ios.close()
       // the finally-reset restores the POOLED instance even when a bad
       // frame aborts mid-sequence — without it the thread-local writer
       // would stay in-sequence and poison every later encode on this
-      // executor thread
-      } finally writer.reset()
+      // executor thread. ios closes there too so an abort doesn't leak
+      // the stream object (memory-backed: no fd at stake, see setUseCache).
+      } finally {
+        try ios.close() catch { case _: java.io.IOException => () }
+        writer.reset()
+      }
       bos.toByteArray
     }
 
@@ -455,7 +458,8 @@ object Multimodal {
     * integer arithmetic so an external engine can recompute every pixel
     * statistic without a codec — while the payload itself is genuine PNG
     * bytes produced by `javax.imageio` (encoder exercised here, decoder in
-    * [[decodeAndFeaturize]]). Runs as `mapPartitions`; no shuffle.
+    * [[decodeAndFeaturize]]). Runs as `mapPartitions` after the one
+    * round-robin exchange [[synthInput]] introduces for codec parallelism.
     */
   def synthesizePngPayloads(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -489,7 +493,8 @@ object Multimodal {
     * - 2000`. Plain integer arithmetic, so an external engine recomputes
     * every sample statistic without a codec — while the payload is a
     * genuine RIFF/WAVE stream (encoder exercised here, decoder in
-    * [[decodeAndFeaturize]]). Runs as `mapPartitions`; no shuffle.
+    * [[decodeAndFeaturize]]). Runs as `mapPartitions` after the one
+    * round-robin exchange [[synthInput]] introduces for codec parallelism.
     */
   def synthesizeWavPayloads(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -522,7 +527,8 @@ object Multimodal {
     * pixel statistic is recomputable with plain integer arithmetic —
     * while the payload is a genuine GIF89a stream produced by
     * `javax.imageio` (encoder exercised here, decoder in
-    * [[decodeAndFeaturize]]). Runs as `mapPartitions`; no shuffle.
+    * [[decodeAndFeaturize]]). Runs as `mapPartitions` after the one
+    * round-robin exchange [[synthInput]] introduces for codec parallelism.
     */
   def synthesizeGifPayloads(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(

@@ -97,9 +97,11 @@ object Profile {
   def expect(df: DataFrame, keyCol: String, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
     checks.foldLeft(df) { case (d, (name, pred)) =>
+      // coalesce the key: a NULL key would null the whole concat and the
+      // job would fail with an empty message that no longer names the check
       d.where(assert_true(pred,
         concat(lit(s"expectation '$name' violated by $keyCol="),
-          col(keyCol).cast("string"))).isNull)
+          coalesce(col(keyCol).cast("string"), lit("NULL")))).isNull)
     }
   }
 

@@ -154,6 +154,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhash: verified pair set is independent of the banding layout (recall 1.0)") {
+    val sps = spark; import sps.implicits._
+    // corpus with identical pairs, single-token edits, and unrelated docs
+    val docs = (1L to 30L).map { i =>
+      val base = s"shared prefix tokens alpha beta gamma delta epsilon zeta eta theta iota kappa doc${i % 7}"
+      val text =
+        if (i % 3 == 0) base                       // clusters of identical docs
+        else if (i % 3 == 1) base + s" tail$i"      // near dups of the cluster
+        else s"completely different content number $i with its own words $i $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    def pairSet(blocks: Int) =
+      Dedup.simHashNearDuplicates(docs, "text", "doc_id", maxHamming = 3, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val legacy = pairSet(4)   // pre-round-6 fixed 4x16 layout
+    assert(legacy.nonEmpty, "fixture must produce some near-dup pairs")
+    assert(pairSet(6) == legacy)
+    assert(pairSet(7) == legacy)
+  }
+
   test("embeddings: cosine + brute-force top-k correctness") {
     val sps = spark; import sps.implicits._
     val vecs = Seq(
