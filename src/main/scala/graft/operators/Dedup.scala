@@ -75,6 +75,21 @@ object Dedup {
     b.result()
   }
 
+  /** Always-true filter over a bucket-size column that feeds a fresh
+    * per-run pair of skew accumulators — nondeterministic so Catalyst
+    * neither folds it away nor reorders it past the cap filter. Apply to
+    * the post-aggregate bucket stream: `.where(skewRecord(...)(size(...)))`.
+    */
+  private def skewRecord(spark: org.apache.spark.sql.SparkSession,
+      name: String, cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val stats = newLshRunStats(spark, name)
+    udf { (sz: Int) =>
+      stats.maxBucket.add(sz.toLong)
+      if (sz > cap) stats.dropped.add(1L)
+      true
+    }.asNondeterministic()
+  }
+
   /** Exact duplicate statistics by content hash (md5 for oracle parity). */
   def exactDuplicateStats(df: DataFrame, textCol: String): DataFrame =
     df.agg(
@@ -228,15 +243,8 @@ object Dedup {
       .toDF("doc_id", "band_id", "band_hash")
     val runId = lshObserveId.incrementAndGet()
     // AQE-safe telemetry: per-run accumulators updated by an always-true
-    // nondeterministic filter over the (post-aggregate) bucket rows —
-    // nondeterministic so Catalyst neither folds it away nor reorders it.
-    val stats = newLshRunStats(sigs.sparkSession, s"graft_lsh_buckets_$runId")
-    val cap = maxBucketSize
-    val record = udf { (sz: Int) =>
-      stats.maxBucket.add(sz.toLong)
-      if (sz > cap) stats.dropped.add(1L)
-      true
-    }.asNondeterministic()
+    // filter over the (post-aggregate) bucket rows
+    val record = skewRecord(sigs.sparkSession, s"graft_lsh_buckets_$runId", maxBucketSize)
     val buckets = banded.groupBy("band_id", "band_hash")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .where(size(col("docs")) > 1)
@@ -402,13 +410,18 @@ object Dedup {
     val rowsPerBand = math.max(1, numHashes / bands)
     def bandCol = posexplode(transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+    val runId = lshObserveId.incrementAndGet()
+    // dual skew telemetry, as in [[lshNearDuplicatePairs]]: observe metric
+    // + AQE-safe per-run accumulators for the warning listener
+    val record = skewRecord(oldSigs.sparkSession, s"graft_lsh_buckets_$runId", maxBucketSize)
     val oldBuckets = oldSigs.select(col("doc_id"), bandCol)
       .toDF("doc_id", "band_id", "band_hash")
       .groupBy("band_id", "band_hash")
       .agg(sort_array(collect_list(col("doc_id"))).as("olds"))
-      .observe(s"graft_lsh_buckets_${lshObserveId.incrementAndGet()}",
+      .observe(s"graft_lsh_buckets_$runId",
         sum(when(size(col("olds")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
         max(size(col("olds"))).as("max_bucket_size"))
+      .where(record(size(col("olds"))))
     val guarded =
       if (maxBucketSize == Int.MaxValue) oldBuckets
       else oldBuckets.where(size(col("olds")) <= maxBucketSize)
@@ -716,13 +729,7 @@ object Dedup {
     // key shared by k docs emits k^2/2 candidate pairs. Dual publication
     // as in [[lshNearDuplicatePairs]]: observe metric + AQE-safe per-run
     // accumulators polled by [[registerLshBucketWarningListener]].
-    val stats = newLshRunStats(fps.sparkSession, s"graft_lsh_buckets_$runId")
-    val cap = maxBucketSize
-    val record = udf { (sz: Int) =>
-      stats.maxBucket.add(sz.toLong)
-      if (sz > cap) stats.dropped.add(1L)
-      true
-    }.asNondeterministic()
+    val record = skewRecord(fps.sparkSession, s"graft_lsh_buckets_$runId", maxBucketSize)
     val buckets = fps
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
       .groupBy(col("band.band_id"), col("band.band_val"))
