@@ -56,8 +56,16 @@ object SparkEntry {
     * checkpoints an expensive pair relation the same way — the second
     * consumer reads the checkpoint instead of re-running the
     * shingle-groupBy pipeline (the containment columns are free on the
-    * jaccard pair stream, SURVEY §2c). Long-lived embedders should call
-    * [[clearSharedRelations]] to drop the checkpoint files.
+    * jaccard pair stream, SURVEY §2c).
+    *
+    * Only rows satisfying the UNION of the two consumers' thresholds are
+    * written (`jaccard >= 0.2 OR max containment >= 0.6`): the raw pair
+    * relation is near-quadratic in the replica-shared fixture (writing it
+    * all at sf1 cost more than recomputing it — measured 188 s vs 137 s),
+    * while the near-dup survivors are a tiny fraction. Each gate applies
+    * its own, strictly tighter, filter on top, so results are unchanged.
+    * Long-lived embedders should call [[clearSharedRelations]] to drop
+    * the checkpoint files.
     */
   private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
     synchronized {
@@ -68,6 +76,8 @@ object SparkEntry {
           .getAbsolutePath
         Dedup.exactJaccardPairs(
             Dedup.shingleHashes(s.table("documents"), "text", "doc_id", 3))
+          .where(col("jaccard") >= 0.2 ||
+            greatest(col("containment1"), col("containment2")) >= 0.6)
           .write.mode("overwrite").parquet(path)
         s.read.parquet(path)
       })
