@@ -38,7 +38,12 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    def pass(): Seq[(String, Double)] =
+    def pass(): Seq[(String, Double)] = {
+      // drop cross-gate checkpoints so every pass pays each shared
+      // relation's build exactly once (in its first consumer) — otherwise
+      // the min-of passes would report only the checkpoint-read cost and
+      // the build would vanish from the totals
+      SparkEntry.clearSharedRelations()
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try {
@@ -51,6 +56,7 @@ object Bench {
                                    // query's persisted frames pressure the next
         name -> (if (ok) dt else -1.0)
       }
+    }
 
     // box-load context for cross-round comparisons: single passes swing
     // ±30% with co-tenant load, so every JSON line carries the 1-min
