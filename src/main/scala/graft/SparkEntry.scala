@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classify, Dedup, Embeddings, Events, Joins, Multimodal, Packing, Profile, Ranking, Sampling, TextAnalysis, Vocab}
+import graft.operators.{Classify, Dedup, Embeddings, Events, Joins, Multimodal, Packing, Pca, Profile, Ranking, Sampling, TextAnalysis, Vocab}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -897,6 +897,42 @@ object SparkEntry {
         Embeddings.ivfTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5, nlist = 16, nprobe = 4)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy("query_id", "rank")
+      }),
+      // 1-bit sign quantization: the packed word + its popcount per vector
+      // certify the exact bit layout (LSB-first within word) against a
+      // DuckDB rebuild from embedding[j] > 0 tests
+      "q_embed_binary" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.table("embeddings")
+          .select(col("vec_id"),
+            Embeddings.quantizeBinary(col("embedding")).as("__sig"))
+          .select(col("vec_id"), element_at(col("__sig"), 1).as("w0"),
+            bit_count(element_at(col("__sig"), 1)).cast("int").as("popcnt"))
+          .orderBy("vec_id")
+      }),
+      // two-stage binary ANN: Hamming prescreen (top-20 by packed-signature
+      // popcount) then exact cosine rerank to top-5 — both stages replayed
+      // verbatim by the oracle from float sign tests
+      "q_ann_hamming" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Embeddings.hammingTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+            k = 5, candidates = 20)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      }),
+      // PCA's distributed phase: one-pass Gram accumulation in replay mode
+      // (per-row products micro-rounded to e6 integers, summed as BIGINT —
+      // exact in any engine/order); first-8-dims slice keeps the oracle at
+      // 36 pair sums
+      "q_pca_cov" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb8 = s.table("embeddings").select(slice(col("embedding"), 1, 8).as("v8"))
+        Pca.gramMatrix(emb8, "v8", roundE6 = true)
+          .orderBy("i", "j")
       }),
       "q_cosine_pairs" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
@@ -2809,6 +2845,54 @@ object SparkEntry {
              CAST(SUM(list_reduce(q, (a, b) -> a + b)) AS BIGINT) AS q_sum,
              CAST(SUM(list_reduce(qn, (a, b) -> a + b)) AS BIGINT) AS qn_sum
       FROM q""",
+    // packed sign-bit word rebuilt from embedding[j] > 0: HUGEINT power
+    // sum (DuckDB raises on 1::BIGINT << 63), two's-complement fold back
+    // to BIGINT; popcnt from the SAME packed word certifies the layout
+    "q_embed_binary" -> """
+      WITH p AS (
+        SELECT vec_id,
+          list_reduce(list_transform(range(least(len(embedding), 64)), j ->
+            CASE WHEN embedding[j+1] > 0 THEN (1::HUGEINT << CAST(j AS INT)) ELSE 0::HUGEINT END),
+            (a, b) -> a + b) AS s
+        FROM embeddings),
+      w AS (
+        SELECT vec_id,
+          CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS w0
+        FROM p)
+      SELECT vec_id, w0, bit_count(w0) AS popcnt FROM w ORDER BY vec_id""",
+    // two-stage replay: hamming = count of sign disagreements (== popcount
+    // of xor of the packed words by construction), top-20 candidates by
+    // (hamming, id), exact-cosine top-5 among them
+    "q_ann_hamming" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      ham AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               len(list_filter(range(len(e.v)), j -> (e.v[j+1] > 0) <> (q.v[j+1] > 0))) AS hamming
+        FROM e, q WHERE e.vec_id != q.vec_id),
+      cand AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hr
+        FROM ham),
+      ranked AS (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY list_cosine_similarity(e2.v, q2.v) DESC, c.neighbor_id) AS rank
+        FROM cand c JOIN e e2 ON e2.vec_id = c.neighbor_id JOIN q q2 ON q2.vec_id = c.query_id
+        WHERE c.hr <= 20)
+      SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // upper-triangle Gram over the first 8 dims, each product micro-rounded
+    // to e6 (floor(x + 0.5): the only half-rounding identical across
+    // engines) before the exact integer sum
+    "q_pca_cov" -> """
+      WITH e AS (SELECT list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      prods AS (
+        SELECT ii.i AS i, jj.j AS j,
+               CAST(floor(v[ii.i+1] * v[jj.j+1] * 1000000.0 + 0.5) AS BIGINT) AS p
+        FROM e, (SELECT unnest(range(8)) AS i) ii, (SELECT unnest(range(8)) AS j) jj
+        WHERE jj.j >= ii.i)
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, CAST(SUM(p) AS BIGINT) AS gram_e6
+      FROM prods GROUP BY 1, 2 ORDER BY i, j""",
     "q_ann_topk" -> """
       SELECT query_id, rank, neighbor_id FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -100,6 +100,67 @@ object Embeddings {
       .drop(m, sc)
   }
 
+  /** 1-bit sign quantization: packs a vector into ceil(dim/64) longs, bit
+    * `i % 64` of word `i / 64` set iff `x_i > 0` (see [[BinaryQuantize]]).
+    * 32x smaller than FLOAT storage; pair with [[wordHamming]] for the
+    * memory-bound ANN prescreen ([[hammingTopK]]).
+    */
+  def quantizeBinary(vec: Column): Column =
+    ColumnBridge.column(BinaryQuantize(ColumnBridge.expression(vec)))
+
+  /** Hamming distance between two [[quantizeBinary]] signatures — a fused
+    * popcount-of-xor per word ([[WordHamming]]).
+    */
+  def wordHamming(a: Column, b: Column): Column =
+    ColumnBridge.column(WordHamming(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Two-stage binary-quantized top-k: Hamming prescreen over 1-bit
+    * signatures, exact cosine rerank over the survivors.
+    *
+    * Stage 1 streams the corpus once computing `word_hamming(sig, qsig)`
+    * against the broadcast query signatures — the candidate rows carry
+    * only (id, hamming), never the float vectors, so the window that
+    * takes the `candidates` best per query sorts ~16-byte rows. Stage 2
+    * joins the ≤ `candidates`·|queries| survivors BACK to the embeddings
+    * table for their float vectors and ranks by exact cosine. At 100 TB
+    * this is the memory-bound scale path: the prescreen touches 8 bytes
+    * per dim-64 vector (a popcount per candidate, inside whole-stage
+    * codegen) and the expensive float arithmetic is bounded by the
+    * candidate budget, not the corpus. sign-bit Hamming approximates
+    * angular distance (1-bit hyperplane LSH), so recall depends on
+    * `candidates`/k — both stages are deterministic (id tie-breaks), and
+    * the DuckDB oracle replays prescreen + rerank exactly.
+    */
+  def hammingTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, candidates: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = if (candidates <= 0) 4 * k else candidates
+    require(c >= k, s"candidates ($c) must be >= k ($k)")
+    val embSig = embeddings.select(col(idCol), quantizeBinary(col(vecCol)).as("__sig"))
+    val qrySig = queries.select(col(queryIdCol), quantizeBinary(col(queryVecCol)).as("__qsig"))
+    val wPre = Window.partitionBy(col(queryIdCol)).orderBy(col("hamming").asc, col(idCol))
+    val cand = embSig.crossJoin(broadcast(qrySig))
+      .where(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol), wordHamming(col("__sig"), col("__qsig")).as("hamming"))
+      .withColumn("__hr", row_number().over(wPre))
+      .where(col("__hr") <= c)
+      .drop("__hr")
+    // join-back pins the ≤ c·|queries| candidate set as the BROADCAST side:
+    // the corpus scans once more (columns pruned to id + vector) probing a
+    // tiny hash table — no shuffle, and the float vectors surface only for
+    // rows that survived the prescreen
+    val wFin = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    embeddings.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), idCol)
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))), queryIdCol)
+      .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(wFin))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), col("sim"), col("hamming"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast); the embeddings table streams through one stage.
     */

@@ -177,6 +177,105 @@ object SigMatchCount {
   }
 }
 
+/** SQL: `binary_quantize(vec)` -> ARRAY<BIGINT>: 1-bit sign quantization.
+  * Bit `i % 64` (LSB-first) of word `i / 64` is set iff `vec[i] > 0` —
+  * ceil(dim/64) words, so a dim-64 embedding packs into ONE 8-byte long
+  * (32x smaller than FLOAT, 256x smaller than DOUBLE). The standard
+  * memory-bound scale path for vector search: at 100 TB the packed
+  * signatures of a billion-vector corpus fit executor memory where the
+  * float vectors never could, and Hamming distance over the words
+  * ([[WordHamming]]) is a popcount — a proven proxy for cosine distance
+  * on normalized embeddings (sign(x) is the 1-bit hyperplane LSH with
+  * axis-aligned planes). The layout is plain integer arithmetic, so a
+  * DuckDB oracle rebuilds the exact words from `embedding[j] > 0` tests.
+  *
+  * NULL elements quantize to 0 bits (stay total, like [[SigMatchCount]]).
+  * NaN also quantizes to 0 (Java `NaN > 0` is false); note DuckDB orders
+  * NaN ABOVE zero, so cross-engine replay of the layout assumes NaN-free
+  * vectors (the oracle's data is).
+  */
+case class BinaryQuantize(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "binary_quantize"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!VectorOps.isVec(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"binary_quantize requires an ARRAY<FLOAT>/ARRAY<DOUBLE> argument, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private def aF = VectorOps.isFloatVec(child.dataType)
+
+  override protected def nullSafeEval(a: Any): Any =
+    BinaryQuantize.pack(a.asInstanceOf[ArrayData], aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.operators.BinaryQuantize.pack($a, $aF)")
+
+  override protected def withNewChildInternal(newChild: Expression): BinaryQuantize =
+    copy(child = newChild)
+}
+
+object BinaryQuantize {
+  def pack(a: ArrayData, aFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        if (v > 0.0) words(i / 64) |= 1L << (i % 64)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
+  }
+}
+
+/** SQL: `word_hamming(a, b)` -> INT: popcount of xor over two packed
+  * ARRAY<BIGINT> bit signatures ([[BinaryQuantize]] output), over
+  * min(|a|, |b|) words. The fused replacement for
+  * `aggregate(zip_with(a, b, (x,y) -> bit_count(x ^ y)), 0, +)` — one
+  * Long.bitCount per word, no intermediate array. NULL words compare
+  * as 0L (totality, as [[SigMatchCount]]).
+  */
+case class WordHamming(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "word_hamming"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"word_hamming requires two ARRAY<BIGINT> arguments, got ${l.sql}, ${r.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    WordHamming.distance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.operators.WordHamming.distance($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordHamming =
+    copy(left = l, right = r)
+}
+
+object WordHamming {
+  def distance(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0L else a.getLong(i)
+      val y = if (b.isNullAt(i)) 0L else b.getLong(i)
+      c += java.lang.Long.bitCount(x ^ y)
+      i += 1
+    }
+    c
+  }
+}
+
 /** SQL: `vec_norm(a)` -> DOUBLE. */
 case class VecNorm(child: Expression) extends UnaryExpression {
 

@@ -1230,4 +1230,126 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("spark"), emb, "vec", "vec_id", Seq(1.0, 0.0))
     }
   }
+
+  test("binary quantize: LSB-first packing, multi-word vectors, hamming") {
+    val sps = spark; import sps.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, -2.0, 3.0)),                       // bits 0,2 -> 0b101
+      (2L, Array(-1.0, 2.0, -3.0)),                      // bit 1    -> 0b010
+      (3L, Array.fill(70)(1.0)),                         // two words: -1L, 0x3F
+      (4L, Array.tabulate(70)(i => if (i == 69) -1.0 else 1.0))
+    ).toDF("vec_id", "vec")
+    val sigs = vecs.select($"vec_id", Embeddings.quantizeBinary($"vec").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == Seq(5L))
+    assert(sigs(2L) == Seq(2L))
+    assert(sigs(3L) == Seq(-1L, 0x3FL))
+    assert(sigs(4L) == Seq(-1L, 0x1FL)) // bit 69 -> word 1 bit 5 cleared
+    // hamming = sign disagreements; multi-word xor popcount spans words
+    val ham = vecs.where($"vec_id".isin(1L, 2L))
+      .select(Embeddings.quantizeBinary($"vec").as("s")).collect()
+    val d = spark.range(1).select(Embeddings.wordHamming(
+        typedLit(sigs(1L)), typedLit(sigs(2L))).as("h"))
+      .head().getInt(0)
+    assert(d == 3 && ham.length == 2)
+    assert(spark.range(1).select(Embeddings.wordHamming(
+      typedLit(sigs(3L)), typedLit(sigs(4L)))).head().getInt(0) == 1)
+  }
+
+  test("hamming top-k: full candidate budget reproduces brute force; prescreen bounds work") {
+    val sps = spark; import sps.implicits._
+    // deterministic spread of 10 vectors on varied sign patterns
+    val vecs = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1.0) + (if ((i + j) % 3 == 0) 0.5 else -0.25)))
+    }.toDF("vec_id", "vec")
+    val queries = vecs.where($"vec_id" < 2).select($"vec_id".as("qid"), $"vec".as("qvec"))
+    // candidates >= corpus: the rerank sees every non-self vector, so the
+    // result must equal exact brute force rank-for-rank
+    val full = Embeddings.hammingTopK(vecs, "vec", "vec_id", queries, "qvec", "qid",
+        k = 3, candidates = 9)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val brute = Embeddings.bruteForceTopK(vecs, "vec", "vec_id", queries, "qvec", "qid", 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(full == brute)
+    // tight budget: k results still returned, all from the hamming top-c set
+    val tight = Embeddings.hammingTopK(vecs, "vec", "vec_id", queries, "qvec", "qid",
+      k = 2, candidates = 3).collect()
+    assert(tight.count(_.getLong(0) == 0L) == 2 && tight.count(_.getLong(0) == 1L) == 2)
+    // every returned hamming must be within the 3 smallest for its query
+    val sigs = vecs.select($"vec_id", Embeddings.quantizeBinary($"vec").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def hm(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    for (q <- Seq(0L, 1L)) {
+      val dists = (0L until 10L).filter(_ != q).map(n => hm(sigs(q), sigs(n))).sorted
+      val cut = dists(2)
+      tight.filter(_.getLong(0) == q).foreach(r => assert(r.getInt(4) <= cut))
+    }
+    intercept[IllegalArgumentException] {
+      Embeddings.hammingTopK(vecs, "vec", "vec_id", queries, "qvec", "qid",
+        k = 5, candidates = 3)
+    }
+  }
+
+  test("pca: jacobi eigen, fit recovers dominant axis, projection matches by hand") {
+    // closed-form 2x2: eigenvalues 3 and 1, eigenvectors (1,1)/sqrt2, (1,-1)/sqrt2
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = vals.zipWithIndex.sortBy(-_._1)
+    assert(math.abs(sorted(0)._1 - 3.0) < 1e-12 && math.abs(sorted(1)._1 - 1.0) < 1e-12)
+    val v0 = Array(vecs(0)(sorted(0)._2), vecs(1)(sorted(0)._2))
+    assert(math.abs(math.abs(v0(0)) - math.abs(v0(1))) < 1e-12)
+
+    val sps = spark; import sps.implicits._
+    // points on the line t*(3,4)/5 + deterministic small orthogonal noise
+    val d = Array(0.6, 0.8); val o = Array(-0.8, 0.6)
+    val pts = (-5 to 5).map { t =>
+      val eps = 0.05 * ((t * 7 % 3 + 3) % 3 - 1)
+      (t.toLong, Array(t * d(0) + eps * o(0) + 10.0, t * d(1) + eps * o(1) - 3.0))
+    }.toDF("id", "vec")
+    val model = Pca.fit(pts, "vec", k = 2)
+    assert(math.abs(model.mean(0) - 10.0) < 1e-9 && math.abs(model.mean(1) + 3.0) < 1e-9)
+    // dominant component is the line direction (sign-canonicalized)
+    assert(math.abs(math.abs(model.components(0)(0)) - 0.6) < 1e-3)
+    assert(math.abs(math.abs(model.components(0)(1)) - 0.8) < 1e-3)
+    assert(model.eigenvalues(0) > model.eigenvalues(1) && model.eigenvalues(1) >= 0)
+    assert(model.explainedVariance(1) > 0.97)
+    // orthonormal components
+    val dot01 = model.components(0).zip(model.components(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot01) < 1e-9)
+    // projection = centered dot product, checked by hand on one row
+    val proj = Pca.project(pts, "vec", model).where($"id" === 3L)
+      .select("pca").head().getSeq[Double](0)
+    val x = Array(3 * d(0) + 0.05 * 0 * o(0) + 10.0, 3 * d(1) - 3.0) // eps(3)=0: (21%3+3)%3-1 = 0-... recompute below
+    val raw = pts.where($"id" === 3L).select("vec").head().getSeq[Double](0)
+    val centered = raw.toArray.zip(model.mean).map { case (a, m) => a - m }
+    val exp0 = centered.zip(model.components(0)).map { case (a, w) => a * w }.sum
+    assert(math.abs(proj(0) - exp0) < 1e-12 && x.length == 2)
+    // uncentered mode: zero mean, second-moment eigenbasis
+    val raw2 = Pca.fit(pts, "vec", k = 1, center = false)
+    assert(raw2.mean.forall(_ == 0.0))
+  }
+
+  test("pca gram matrix: double mode equals hand-computed sums, e6 mode is integer-exact") {
+    val sps = spark; import sps.implicits._
+    val rows = Seq(
+      Array(1.0f, 2.0f, -1.5f),
+      Array(0.5f, -1.0f, 2.0f),
+      Array(3.0f, 0.25f, 0.125f))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val gram = Pca.gramMatrix(df, "vec").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(gram.size == 6)
+    for (i <- 0 until 3; j <- i until 3) {
+      val exp = rows.map(v => v(i).toDouble * v(j).toDouble).sum
+      assert(math.abs(gram((i, j)) - exp) < 1e-12, s"entry ($i,$j)")
+    }
+    val e6 = Pca.gramMatrix(df, "vec", roundE6 = true).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for (i <- 0 until 3; j <- i until 3) {
+      val exp = rows.map(v => math.floor(v(i).toDouble * v(j).toDouble * 1e6 + 0.5).toLong).sum
+      assert(e6((i, j)) == exp, s"e6 entry ($i,$j)")
+    }
+  }
 }
