@@ -1302,10 +1302,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(math.abs(v0(0)) - math.abs(v0(1))) < 1e-12)
 
     val sps = spark; import sps.implicits._
-    // points on the line t*(3,4)/5 + deterministic small orthogonal noise
+    // points on the line t*(3,4)/5 + deterministic small orthogonal noise.
+    // The noise factors are even in t (so Σ t·eps = 0: no tilt of the
+    // dominant axis) and sum to zero over t = -5..5 (2 + 2·(1-1+1-1-1) = 0:
+    // the empirical mean is exactly the line offset).
     val d = Array(0.6, 0.8); val o = Array(-0.8, 0.6)
+    val epsByAbsT = Array(2, 1, -1, 1, -1, -1)
     val pts = (-5 to 5).map { t =>
-      val eps = 0.05 * ((t * 7 % 3 + 3) % 3 - 1)
+      val eps = 0.05 * epsByAbsT(math.abs(t))
       (t.toLong, Array(t * d(0) + eps * o(0) + 10.0, t * d(1) + eps * o(1) - 3.0))
     }.toDF("id", "vec")
     val model = Pca.fit(pts, "vec", k = 2)
@@ -1321,11 +1325,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // projection = centered dot product, checked by hand on one row
     val proj = Pca.project(pts, "vec", model).where($"id" === 3L)
       .select("pca").head().getSeq[Double](0)
-    val x = Array(3 * d(0) + 0.05 * 0 * o(0) + 10.0, 3 * d(1) - 3.0) // eps(3)=0: (21%3+3)%3-1 = 0-... recompute below
     val raw = pts.where($"id" === 3L).select("vec").head().getSeq[Double](0)
     val centered = raw.toArray.zip(model.mean).map { case (a, m) => a - m }
     val exp0 = centered.zip(model.components(0)).map { case (a, w) => a * w }.sum
-    assert(math.abs(proj(0) - exp0) < 1e-12 && x.length == 2)
+    assert(math.abs(proj(0) - exp0) < 1e-12)
     // uncentered mode: zero mean, second-moment eigenbasis
     val raw2 = Pca.fit(pts, "vec", k = 1, center = false)
     assert(raw2.mean.forall(_ == 0.0))
