@@ -108,7 +108,16 @@ object SparkEntry {
           df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
         else df
       }
-      fixed.createOrReplaceTempView(t)
+      // Generated parquet has flipped between isAdjustedToUTC=true and
+      // =false across rounds; the latter infers as TIMESTAMP_NTZ, which
+      // unix_micros/window functions reject. All sessions here run UTC,
+      // so the cast is value-preserving.
+      val normalized = fixed.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+      }.foldLeft(fixed) { (df, c) =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      }
+      normalized.createOrReplaceTempView(t)
     }
     spark
   }
