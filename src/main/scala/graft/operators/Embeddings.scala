@@ -118,9 +118,14 @@ object Embeddings {
     * signatures, exact cosine rerank over the survivors.
     *
     * Stage 1 streams the corpus once computing `word_hamming(sig, qsig)`
-    * against the broadcast query signatures — the candidate rows carry
-    * only (id, hamming), never the float vectors, so the window that
-    * takes the `candidates` best per query sorts ~16-byte rows. Stage 2
+    * against the broadcast query signatures, and takes the `candidates`
+    * best per query with the bounded-heap [[graft.functions.TopKAgg]]
+    * (`ord = -hamming`, payload = id, so ties break to the smaller id):
+    * each task keeps at most `candidates` (hamming, id) pairs per query
+    * through the partial phase, the exchange carries ≤ candidates ·
+    * |queries| pairs per partition, and no task ever materializes or
+    * sorts a full per-query partition — a `row_number()` window here
+    * would funnel ALL n corpus rows of a query into one task. Stage 2
     * joins the ≤ `candidates`·|queries| survivors BACK to the embeddings
     * table for their float vectors and ranks by exact cosine. At 100 TB
     * this is the memory-bound scale path: the prescreen touches 8 bytes
@@ -130,6 +135,8 @@ object Embeddings {
     * angular distance (1-bit hyperplane LSH), so recall depends on
     * `candidates`/k — both stages are deterministic (id tie-breaks), and
     * the DuckDB oracle replays prescreen + rerank exactly.
+    *
+    * Ids must be integral (they ride the heap as BIGINT payloads).
     */
   def hammingTopK(embeddings: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
@@ -137,15 +144,20 @@ object Embeddings {
     import org.apache.spark.sql.expressions.Window
     val c = if (candidates <= 0) 4 * k else candidates
     require(c >= k, s"candidates ($c) must be >= k ($k)")
+    val idType = embeddings.schema(idCol).dataType
     val embSig = embeddings.select(col(idCol), quantizeBinary(col(vecCol)).as("__sig"))
     val qrySig = queries.select(col(queryIdCol), quantizeBinary(col(queryVecCol)).as("__qsig"))
-    val wPre = Window.partitionBy(col(queryIdCol)).orderBy(col("hamming").asc, col(idCol))
     val cand = embSig.crossJoin(broadcast(qrySig))
       .where(col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol), col(idCol), wordHamming(col("__sig"), col("__qsig")).as("hamming"))
-      .withColumn("__hr", row_number().over(wPre))
-      .where(col("__hr") <= c)
-      .drop("__hr")
+      .groupBy(col(queryIdCol))
+      .agg(ColumnBridge.column(graft.functions.TopKAgg(
+        ColumnBridge.expression(lit(c)),
+        ColumnBridge.expression((-col("hamming")).cast("long")),
+        ColumnBridge.expression(col(idCol).cast("long"))).toAggregateExpression()).as("__tk"))
+      .select(col(queryIdCol), explode(col("__tk")).as("__e"))
+      .select(col(queryIdCol), col("__e.payload").cast(idType).as(idCol),
+        (-col("__e.ord")).cast("int").as("hamming"))
     // join-back pins the ≤ c·|queries| candidate set as the BROADCAST side:
     // the corpus scans once more (columns pruned to id + vector) probing a
     // tiny hash table — no shuffle, and the float vectors surface only for

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
 object Pca {
 
   /** One-pass upper-triangle Gram matrix: `value(i, j) = Σ_rows x_i · x_j`
-    * for `0 <= i <= j < dim`. Each row explodes into dim·(dim+1)/2
-    * (i, j, product) entries that feed a hash aggregation keyed on
-    * (i, j) — partial aggregation collapses every partition to at most
-    * dim^2/2 rows BEFORE the exchange, so the shuffle carries
-    * O(dim^2 · partitions) pair sums, never O(rows). (dim = 64 -> 2,080
-    * keys: a few KB per task.)
+    * for `0 <= i <= j < dim`, as (i, j, sum) rows. The distributed work is
+    * a single [[graft.functions.GramAgg]] — a fused multiply-add sweep per
+    * row accumulating into ONE dim·(dim+1)/2 buffer per partition, so the
+    * shuffle carries O(dim² · partitions) numbers, never O(rows), and no
+    * per-pair row machinery touches the hot loop. (dim = 64 → 2,080 sums:
+    * ~16 KB per task; the earlier explode-per-pair form generated 2,080
+    * structs PER ROW through a Generate — same shuffle, ~3 orders more
+    * per-row CPU.) The final explode unpacks one driver-sized array row.
     *
     * `roundE6 = true` is the cross-engine replay mode: each per-row
     * product is rounded to an integer micropoint (floor(p·1e6 + 0.5) —
@@ -35,17 +37,13 @@ object Pca {
     * verbatim in DuckDB. The double mode (default) is what [[fit]] uses.
     */
   def gramMatrix(df: DataFrame, vecCol: String, roundE6: Boolean = false): DataFrame = {
-    val prod = s"element_at(__v, i + 1) * element_at(__v, j + 1)"
-    val entry = if (roundE6) s"CAST(floor(($prod) * 1000000.0 + 0.5) AS BIGINT)" else prod
-    val pairs = df
-      .select(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, size(__v) - 1), i ->
-              transform(sequence(i, size(__v) - 1), j ->
-                named_struct('i', i, 'j', j, 'p', $entry))))""")).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-    val agg = pairs.groupBy("i", "j")
-    if (roundE6) agg.agg(sum("p").as("gram_e6")) else agg.agg(sum("p").as("gram"))
+    val vec = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    val agg = ColumnBridge.column(graft.functions.GramAgg(
+      ColumnBridge.expression(vec), roundE6).toAggregateExpression())
+    df.agg(agg.as("__g"))
+      .select(explode(col("__g")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"),
+        col("e.v").as(if (roundE6) "gram_e6" else "gram"))
   }
 
   /** Driver-side PCA model: `components(c)` is the c-th eigenvector of the

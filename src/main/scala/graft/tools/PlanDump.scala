@@ -55,7 +55,9 @@ object PlanDump {
       "q_contamination" -> "graded contamination: ONE broadcast exact-set left join on the shingle stream, ONE doc-keyed aggregation computing denominator and hit count together — no persist, no second pass, no redundant filter probe",
       "q_text_vectors" -> "feature-hash vectorizer: token explode -> partial-agg (doc,bucket) counts -> doc-keyed map assembly; dense expansion and normalization are per-row projections with the norm hoisted out of the lambda",
       "q_hybrid_search" -> "hybrid retrieval: BM25 candidate selection is TakeOrderedAndProject (parallel per-partition top-k, round 6 — no single-partition Window over the corpus); the rank/RRF windows below operate on the <= candidates rows only",
-      "q_simhash_near_dup" -> "simhash near-dup: multi-index banding (round 6) — 20 concatenated-block band keys per doc explode row-locally, ONE (band_id, band_val) groupBy, in-bucket pair lambdas + codegen'd xor/popcount verify; no self-join")
+      "q_simhash_near_dup" -> "simhash near-dup: multi-index banding (round 6) — 20 concatenated-block band keys per doc explode row-locally, ONE (band_id, band_val) groupBy, in-bucket pair lambdas + codegen'd xor/popcount verify; no self-join",
+      "q_ann_hamming" -> "binary ANN: Hamming prescreen is a bounded-heap topk_agg (ObjectHashAggregate partial+final — no per-query Window sort over the corpus, round 8); rerank joins the <= candidates*queries survivors back broadcast",
+      "q_pca_cov" -> "PCA Gram: ONE fused gram_agg sweep (ObjectHashAggregate partial per partition, dim^2-bounded state) — no per-pair Generate rows; the explode below unpacks a single driver-sized array row")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")

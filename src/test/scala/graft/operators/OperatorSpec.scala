@@ -1355,4 +1355,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e6((i, j)) == exp, s"e6 entry ($i,$j)")
     }
   }
+
+  test("pca gram agg: partition-invariant e6 sums; ragged and null elements skip their pairs") {
+    val sps = spark; import sps.implicits._
+    // ragged lengths (2, 3) and an embedded NULL: a NULL element contributes
+    // to NO pair; a short row contributes only to the pairs it has — the
+    // semantics of the SQL sum-of-products form GramAgg replaced
+    val rows: Seq[Seq[Option[Double]]] = Seq(
+      Seq(Some(1.5), Some(-2.0)),
+      Seq(Some(0.25), None, Some(4.0)),
+      Seq(Some(-1.0), Some(3.0), Some(0.5)))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    def expected(i: Int, j: Int): Long = rows.flatMap { v =>
+      if (j < v.length) for (a <- v(i); b <- v(j))
+        yield math.floor(a * b * 1e6 + 0.5).toLong
+      else None
+    }.sum
+    for (parts <- Seq(1, 7)) {
+      val got = Pca.gramMatrix(df.repartition(parts), "vec", roundE6 = true).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      assert(got.size == 6, s"parts=$parts")
+      for (i <- 0 until 3; j <- i until 3)
+        assert(got((i, j)) == expected(i, j), s"parts=$parts entry ($i,$j)")
+    }
+    // empty input: the single agg row holds NULL, explode drops it
+    assert(Pca.gramMatrix(df.where($"id" < 0), "vec").collect().isEmpty)
+  }
 }
