@@ -38,13 +38,13 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    def pass(): Seq[(String, Double)] = {
+    def pass(only: String => Boolean = _ => true): Seq[(String, Double)] = {
       // drop cross-gate checkpoints so every pass pays each shared
       // relation's build exactly once (in its first consumer) — otherwise
       // the min-of passes would report only the checkpoint-read cost and
       // the build would vanish from the totals
       SparkEntry.clearSharedRelations()
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(p => only(p._1)).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
@@ -80,6 +80,7 @@ object Bench {
     // 2/3 cap, so a slow/contended box never risks an external runner
     // timeout for a marginal gain.
     var results = pass()
+    var prevPass = results.toMap
     var spent = results.map(_._2).filter(_ >= 0).sum
     var lastTotal = spent
     var iters = 1
@@ -98,8 +99,31 @@ object Bench {
         val v2 = byName.getOrElse(k, -1.0)
         k -> (if (v1 < 0 || v2 < 0) math.max(v1, v2) else math.min(v1, v2))
       }
+      prevPass = byName
       iters += 1
       System.err.println(s"[bench] pass$iters " + jsonLine(results, iters))
+    }
+    // Targeted noise trim: when the full third pass didn't fit, re-run
+    // just the queries whose two passes disagreed by >3x (first-pass cold
+    // cost — codec gates mostly — inflates min-of-2 into a phantom
+    // regression vs matched runs). Their own projected cost gates the
+    // extra pass, so a loaded box skips it rather than risking a runner
+    // timeout.
+    if (iters == 2) {
+      val noisy = results.collect {
+        case (k, vMin) if vMin >= 0 && prevPass.getOrElse(k, -1.0) >= 0 &&
+          math.max(vMin, prevPass(k)) / math.max(math.min(vMin, prevPass(k)), 1e-3) > 3.0 => k
+      }.toSet
+      val projected = results.collect { case (k, v) if noisy(k) && v >= 0 => v }.sum
+      if (noisy.nonEmpty && spent + projected <= secondPassBudget) {
+        val next = pass(noisy).toMap
+        results = results.map { case (k, v1) =>
+          val v2 = next.getOrElse(k, v1)
+          k -> (if (v1 < 0 || v2 < 0) math.max(v1, v2) else math.min(v1, v2))
+        }
+        System.err.println(s"[bench] noisy-trim pass over ${noisy.size} queries: " +
+          noisy.toSeq.sorted.mkString(", "))
+      }
     }
 
     println(jsonLine(results, iters))

@@ -943,6 +943,26 @@ object SparkEntry {
         Pca.gramMatrix(emb8, "v8", roundE6 = true)
           .orderBy("i", "j")
       }),
+      // full PCA path (fit k=4 -> project) under exactReplay: the e6-integer
+      // Gram makes the model a pure function of the data, so per-component
+      // checksums of the e6-rounded projections are golden-pinnable (like
+      // q_ann_lsh); any error anywhere in gram/eigen/sign/projection moves
+      // them
+      "q_pca_project" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val model = Pca.fit(emb, "vec", k = 4, exactReplay = true)
+        Pca.project(emb, "vec", model, "pca")
+          .select(posexplode(col("pca")).as(Seq("component", "x")))
+          .select(col("component"),
+            expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("x_e6"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n"), sum("x_e6").as("sum_e6"),
+            sum(abs(col("x_e6"))).as("sum_abs_e6"),
+            min(col("x_e6")).as("min_e6"), max(col("x_e6")).as("max_e6"))
+          .orderBy("component")
+      }),
       "q_cosine_pairs" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
@@ -2890,6 +2910,22 @@ object SparkEntry {
         FROM cand c JOIN e e2 ON e2.vec_id = c.neighbor_id JOIN q q2 ON q2.vec_id = c.query_id
         WHERE c.hr <= 20)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // full fit->project path, golden-pinned (audited exactReplay run:
+    // e6-integer Gram -> driver Jacobi -> literal-broadcast projection;
+    // verified identical across different partitionings/thread counts).
+    // Per-component checksums of e6-rounded projections over sf0.01
+    // embeddings, k=4
+    "q_pca_project" -> """
+      SELECT CAST(component AS INT) AS component, CAST(n AS BIGINT) AS n,
+             CAST(sum_e6 AS BIGINT) AS sum_e6, CAST(sum_abs_e6 AS BIGINT) AS sum_abs_e6,
+             CAST(min_e6 AS BIGINT) AS min_e6, CAST(max_e6 AS BIGINT) AS max_e6
+      FROM (VALUES
+        (0, 500,  5, 67121585, -477643, 436444),
+        (1, 500,  3, 66181471, -489693, 513665),
+        (2, 500, -9, 65159093, -515790, 423566),
+        (3, 500, -2, 63494132, -578719, 522941))
+        t(component, n, sum_e6, sum_abs_e6, min_e6, max_e6)
+      ORDER BY component""",
     // upper-triangle Gram over the first 8 dims, each product micro-rounded
     // to e6 (floor(x + 0.5): the only half-rounding identical across
     // engines) before the exact integer sum

@@ -20,6 +20,22 @@ final class MaxLongAccumulator extends org.apache.spark.util.AccumulatorV2[Long,
   override def value: Long = _max
 }
 
+/** Task-side min accumulator, the dual of [[MaxLongAccumulator]]; zero
+  * state is Long.MaxValue. `add` is idempotent under task retry.
+  */
+final class MinLongAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var _min = Long.MaxValue
+  override def isZero: Boolean = _min == Long.MaxValue
+  override def copy(): MinLongAccumulator = {
+    val a = new MinLongAccumulator; a._min = _min; a
+  }
+  override def reset(): Unit = _min = Long.MaxValue
+  override def add(v: Long): Unit = if (v < _min) _min = v
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    _min = math.min(_min, other.value)
+  override def value: Long = _min
+}
+
 /** Per-pipeline-run LSH bucket-skew telemetry, accumulator-backed so the
   * values survive AQE re-planning (which hides `observe` metrics from
   * `observedMetrics` — the re-planned CollectMetrics accumulator is not

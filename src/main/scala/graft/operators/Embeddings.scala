@@ -114,6 +114,54 @@ object Embeddings {
   def wordHamming(a: Column, b: Column): Column =
     ColumnBridge.column(WordHamming(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Per-run [[hammingTopK]] recall telemetry (accumulator-backed, AQE-safe
+    * like [[LshRunStats]]). The signal: if `maxKeptHamming ==
+    * maxCandidateHamming`, the final top-k reached the prescreen boundary —
+    * the candidate budget was fully consumed and true neighbors may have
+    * been cut; raise `candidates`. A healthy margin (kept max well below
+    * candidate max) means the budget had slack. `minKeptSimE6` is the worst
+    * cosine that made the final top-k, floored to e6 micro-units.
+    */
+  final class HammingRunStats private[operators] (
+      val name: String,
+      val maxCandidateHamming: MaxLongAccumulator,
+      val maxKeptHamming: MaxLongAccumulator,
+      val minKeptSimE6: MinLongAccumulator) extends Serializable {
+    /** True when the final top-k consumed the entire prescreen budget —
+      * the raise-`candidates` signal. Only meaningful after an action ran
+      * the query.
+      */
+    def saturated: Boolean =
+      maxKeptHamming.value >= maxCandidateHamming.value
+  }
+
+  private val hammingObserveId = new java.util.concurrent.atomic.AtomicLong()
+  private val hammingRunRegistry =
+    new java.util.concurrent.ConcurrentLinkedDeque[HammingRunStats]()
+  private val HammingRegistryCap = 128
+
+  /** Recent [[hammingTopK]] run telemetry, newest last (bounded buffer). */
+  def hammingRunStatsSnapshot(): Seq[HammingRunStats] = {
+    val b = Seq.newBuilder[HammingRunStats]
+    hammingRunRegistry.forEach(st => b += st)
+    b.result()
+  }
+
+  private def newHammingRunStats(spark: org.apache.spark.sql.SparkSession):
+      HammingRunStats = {
+    val name = s"graft_hamming_${hammingObserveId.incrementAndGet()}"
+    val candMax = new MaxLongAccumulator
+    spark.sparkContext.register(candMax, s"${name}_cand_max")
+    val keptMax = new MaxLongAccumulator
+    spark.sparkContext.register(keptMax, s"${name}_kept_max")
+    val keptMinSim = new MinLongAccumulator
+    spark.sparkContext.register(keptMinSim, s"${name}_kept_min_sim_e6")
+    val st = new HammingRunStats(name, candMax, keptMax, keptMinSim)
+    hammingRunRegistry.addLast(st)
+    while (hammingRunRegistry.size > HammingRegistryCap) hammingRunRegistry.pollFirst()
+    st
+  }
+
   /** Two-stage binary-quantized top-k: Hamming prescreen over 1-bit
     * signatures, exact cosine rerank over the survivors.
     *
@@ -136,6 +184,10 @@ object Embeddings {
     * `candidates`/k — both stages are deterministic (id tie-breaks), and
     * the DuckDB oracle replays prescreen + rerank exactly.
     *
+    * Recall telemetry: every run registers a [[HammingRunStats]]
+    * (see [[hammingRunStatsSnapshot]]); `saturated` after an action means
+    * the top-k consumed the whole prescreen budget — raise `candidates`.
+    *
     * Ids must be integral (they ride the heap as BIGINT payloads).
     */
   def hammingTopK(embeddings: DataFrame, vecCol: String, idCol: String,
@@ -145,6 +197,16 @@ object Embeddings {
     val c = if (candidates <= 0) 4 * k else candidates
     require(c >= k, s"candidates ($c) must be >= k ($k)")
     val idType = embeddings.schema(idCol).dataType
+    val stats = newHammingRunStats(embeddings.sparkSession)
+    // telemetry recorders: always-true nondeterministic filters over the
+    // already-tiny candidate / kept rows (≤ candidates·|queries| each)
+    val recordCand = udf { (h: Int) => stats.maxCandidateHamming.add(h.toLong); true }
+      .asNondeterministic()
+    val recordKept = udf { (h: Int, sim: Double) =>
+      stats.maxKeptHamming.add(h.toLong)
+      stats.minKeptSimE6.add(math.floor(sim * 1000000.0).toLong)
+      true
+    }.asNondeterministic()
     val embSig = embeddings.select(col(idCol), quantizeBinary(col(vecCol)).as("__sig"))
     val qrySig = queries.select(col(queryIdCol), quantizeBinary(col(queryVecCol)).as("__qsig"))
     val cand = embSig.crossJoin(broadcast(qrySig))
@@ -158,6 +220,7 @@ object Embeddings {
       .select(col(queryIdCol), explode(col("__tk")).as("__e"))
       .select(col(queryIdCol), col("__e.payload").cast(idType).as(idCol),
         (-col("__e.ord")).cast("int").as("hamming"))
+      .where(recordCand(col("hamming")))
     // join-back pins the ≤ c·|queries| candidate set as the BROADCAST side:
     // the corpus scans once more (columns pruned to id + vector) probing a
     // tiny hash table — no shuffle, and the float vectors surface only for
@@ -169,6 +232,7 @@ object Embeddings {
       .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
       .withColumn("rank", row_number().over(wFin))
       .where(col("rank") <= k)
+      .where(recordKept(col("hamming"), col("sim")))
       .select(col(queryIdCol).as("query_id"), col("rank"),
         col(idCol).as("neighbor_id"), col("sim"), col("hamming"))
   }

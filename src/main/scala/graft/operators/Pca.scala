@@ -70,18 +70,31 @@ object Pca {
     * eigendecomposition run on the driver (O(dim^3) on 64 x 64 — well
     * under a millisecond; the collect is dim^2/2 rows, config-sized like
     * the k-means centroid collect).
+    *
+    * `exactReplay = true` feeds the fit from the e6-micropoint integer
+    * Gram (see [[gramMatrix]]): the model — and every [[project]] output —
+    * becomes a deterministic pure function of the data, independent of
+    * partitioning and summation order, so whole fit→project pipelines can
+    * be golden-pinned (the `q_pca_project` gate). Double mode (default)
+    * differs only in float-sum rounding noise.
     */
-  def fit(df: DataFrame, vecCol: String, k: Int, center: Boolean = true): PcaModel = {
+  def fit(df: DataFrame, vecCol: String, k: Int, center: Boolean = true,
+      exactReplay: Boolean = false): PcaModel = {
     val aug = df.select(expr(
       s"array_append(transform($vecCol, x -> CAST(x AS DOUBLE)), 1.0d)").as("__aug"))
-    val entries = gramMatrix(aug, "__aug").collect()
+    val entries = gramMatrix(aug, "__aug", roundE6 = exactReplay).collect()
     require(entries.nonEmpty, "fit requires a non-empty input")
     val adim = entries.iterator.map(_.getInt(1)).max + 1
     val dim = adim - 1
     require(k >= 1 && k <= dim, s"need 1 <= k <= dim ($dim), got $k")
     val g = Array.ofDim[Double](adim, adim)
     entries.foreach { r =>
-      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      // exactReplay: e6-micropoint integer sums (partitioning- and
+      // order-independent) scaled back — the whole model, and therefore
+      // every projection, becomes a deterministic pure function of the
+      // data, golden-oracle-pinnable across engines and cluster layouts
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = if (exactReplay) r.getLong(2) / 1e6 else r.getDouble(2)
       g(i)(j) = v; g(j)(i) = v
     }
     val n = g(dim)(dim)

@@ -1381,4 +1381,53 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty input: the single agg row holds NULL, explode drops it
     assert(Pca.gramMatrix(df.where($"id" < 0), "vec").collect().isEmpty)
   }
+
+  test("pca exactReplay fit: partition-invariant model, within noise of double mode") {
+    val sps = spark; import sps.implicits._
+    val pts = (0 until 64).map { t =>
+      (t.toLong, Array(math.sin(t * 0.7) * 3 + 1.0, math.cos(t * 0.9) * 2 - 0.5,
+        math.sin(t * 1.3) * 0.7))
+    }.toDF("id", "vec")
+    val m1 = Pca.fit(pts.repartition(1), "vec", k = 3, exactReplay = true)
+    val m2 = Pca.fit(pts.repartition(13), "vec", k = 3, exactReplay = true)
+    // integer gram sums: bit-identical model whatever the partitioning
+    assert(m1.mean.sameElements(m2.mean))
+    assert(m1.eigenvalues.sameElements(m2.eigenvalues))
+    assert(m1.components.zip(m2.components).forall { case (a, b) => a.sameElements(b) })
+    // e6 micropoints only perturb the covariance at ~1e-6: same axes as
+    // the double fit to far beyond that
+    val md = Pca.fit(pts, "vec", k = 3)
+    m1.eigenvalues.zip(md.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4, s"$a vs $b") }
+    m1.components.zip(md.components).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-4) } }
+  }
+
+  test("hamming top-k telemetry: generous budget has margin, exhausted budget saturates") {
+    val sps = spark; import sps.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 1.7 + d * 0.61) + 0.05))
+    }.toDF("vec_id", "vec")
+    val queries = vecs.where($"vec_id" < 2).select($"vec_id".as("qid"), $"vec".as("qvec"))
+    def lastStats(run: => Unit): Embeddings.HammingRunStats = {
+      run
+      Embeddings.hammingRunStatsSnapshot().last
+    }
+    // candidates == corpus: the kept max hamming sits well inside the
+    // admitted candidate range — budget had slack
+    val loose = lastStats {
+      Embeddings.hammingTopK(vecs, "vec", "vec_id", queries, "qvec", "qid",
+        k = 3, candidates = 39).count(): Unit
+    }
+    assert(loose.maxCandidateHamming.value > loose.maxKeptHamming.value)
+    assert(!loose.saturated)
+    assert(loose.minKeptSimE6.value <= 1000000L) // a real cosine, not zero-state
+    // candidates == k: every admitted candidate is kept, so the top-k
+    // touches the prescreen boundary — the raise-candidates signal
+    val tight = lastStats {
+      Embeddings.hammingTopK(vecs, "vec", "vec_id", queries, "qvec", "qid",
+        k = 3, candidates = 3).count(): Unit
+    }
+    assert(tight.saturated)
+  }
 }
