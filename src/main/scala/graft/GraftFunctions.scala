@@ -199,6 +199,17 @@ object GraftFunctions {
         "ord - BIGINT ordering value (largest k kept)",
         "payload - BIGINT carried id; ties on ord keep the smallest payloads; duplicate (ord, payload) pairs collapse"),
       ex("SELECT g, topk_agg(5, score, item_id) FROM scores GROUP BY g;")),
+    "binary_quantize" -> FnDoc(
+      arg("vec - ARRAY<FLOAT>/ARRAY<DOUBLE> embedding; bit i%64 of word i/64 set iff vec[i] > 0"),
+      ex("SELECT binary_quantize(embedding) FROM embeddings;")),
+    "word_hamming" -> FnDoc(
+      arg("a - ARRAY<BIGINT> packed signature (binary_quantize output)",
+        "b - same length as a"),
+      ex("SELECT word_hamming(binary_quantize(a.embedding), binary_quantize(b.embedding)) FROM e a, e b;")),
+    "gram_agg" -> FnDoc(
+      arg("vec - ARRAY<DOUBLE> input vectors",
+        "round_e6 - optional foldable BOOLEAN (default false): floor(p*1e6+0.5) each product and sum as exact BIGINT (partitioning-independent replay mode)"),
+      ex("SELECT gram_agg(CAST(embedding AS ARRAY<DOUBLE>)) FROM embeddings;")),
     "hist_sketch" -> FnDoc(
       arg("nbins - foldable INTEGER number of equal-width bins",
         "lo - foldable numeric range start (inclusive)",
@@ -388,6 +399,20 @@ object GraftFunctions {
     ("topk_agg",
       "topk_agg(k, ord, payload) - bounded-heap top-k per group: the k largest BIGINT ord values (ties to smaller payload) as ARRAY<STRUCT<ord, payload>>",
       args => { arity("topk_agg", 3, args); TopKAgg(args(0), args(1), args(2)) }),
+    ("binary_quantize",
+      "binary_quantize(vec) - 1-bit sign quantization of an embedding into ARRAY<BIGINT> packed words (32x smaller than FLOAT)",
+      args => { arity("binary_quantize", 1, args); graft.operators.BinaryQuantize(args(0)) }),
+    ("word_hamming",
+      "word_hamming(a, b) - Hamming distance between two binary_quantize signatures (fused popcount-of-xor)",
+      args => { arity("word_hamming", 2, args); graft.operators.WordHamming(args(0), args(1)) }),
+    ("gram_agg",
+      "gram_agg(vec[, round_e6]) - one-pass upper-triangle Gram sums of ARRAY<DOUBLE> vectors as ARRAY<STRUCT<i, j, v>>; round_e6 = exact e6-micropoint BIGINT replay mode",
+      args => {
+        if (args.isEmpty || args.size > 2)
+          throw new IllegalArgumentException("gram_agg takes 1-2 arguments")
+        val e6 = args.size >= 2 && AggUtil.foldableBoolean(args(1), "gram_agg round_e6")
+        GramAgg(args(0), e6)
+      }),
     // data-layout keys (write-path clustering for scan pruning)
     ("zorder_key",
       "zorder_key(bits, c1[, c2, ...]) - Morton interleave of the lowest `bits` bits of each integral column into one BIGINT clustering key",

@@ -328,4 +328,35 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT hist_sketch(0, 0.0, 1.0, CAST(id AS DOUBLE)) FROM range(5)").collect())
     assert(e.getMessage.contains("nbins"))
   }
+
+  test("SQL: binary_quantize / word_hamming / gram_agg surface") {
+    spark.sql("""
+      SELECT id, array(CAST(id AS DOUBLE) - 2.0, 1.0D, CAST(-id AS DOUBLE)) AS v
+      FROM range(5)""").createOrReplaceTempView("gvals")
+    // sign-bit packing: v = (id-2, 1, -id); id=0 -> bits {1,_}; id=3 -> bits {0,1}
+    val sig = spark.sql(
+      "SELECT word_hamming(binary_quantize(array(1.0D, -1.0D, 2.0D)), " +
+        "binary_quantize(array(-1.0D, -1.0D, 2.0D)))").head().getInt(0)
+    assert(sig == 1)
+    // gram_agg equals the SQL sum-of-products replay, both modes
+    val g = spark.sql("""
+      WITH a AS (SELECT e.i, e.j, e.v FROM (SELECT gram_agg(v) AS tk FROM gvals), LATERAL explode(tk) AS t(e)),
+      b AS (
+        SELECT ii.i AS i, jj.j AS j, SUM(element_at(v, ii.i + 1) * element_at(v, jj.j + 1)) AS s
+        FROM gvals,
+          (SELECT explode(sequence(0, 2)) AS i) ii,
+          (SELECT explode(sequence(0, 2)) AS j) jj
+        WHERE jj.j >= ii.i GROUP BY 1, 2)
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN abs(a.v - b.s) < 1e-12 THEN 1 ELSE 0 END) AS eq
+      FROM a JOIN b ON a.i = b.i AND a.j = b.j""").head()
+    assert(g.getLong(0) == 6L && g.getLong(1) == 6L)
+    val e6 = spark.sql(
+      "SELECT e.v FROM (SELECT gram_agg(v, true) AS tk FROM gvals), LATERAL explode(tk) AS t(e) " +
+        "WHERE e.i = 0 AND e.j = 0").head().getLong(0)
+    // sum over id of floor((id-2)^2 * 1e6 + 0.5) = (4+1+0+1+4)*1e6
+    assert(e6 == 10000000L)
+    // empty group -> NULL
+    assert(spark.sql("SELECT gram_agg(v) FROM gvals WHERE id < 0").head().isNullAt(0))
+  }
 }
