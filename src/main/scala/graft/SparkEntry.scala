@@ -933,6 +933,20 @@ object SparkEntry {
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy("query_id", "rank")
       }),
+      // MMR diversity rerank over the exact-cosine top-20 candidates:
+      // integer e6/ppm greedy (pure function of the data), replayed step
+      // for step by a DuckDB recursive CTE
+      "q_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val cand = Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 20)
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("vec")), "neighbor_id")
+        Embeddings.mmrRerank(cand, "query_id", "neighbor_id", "sim", "vec", k = 5)
+          .orderBy("query_id", "mmr_rank")
+      }),
       // PCA's distributed phase: one-pass Gram accumulation in replay mode
       // (per-row products micro-rounded to e6 integers, summed as BIGINT —
       // exact in any engine/order); first-8-dims slice keeps the oracle at
@@ -2910,6 +2924,49 @@ object SparkEntry {
         FROM cand c JOIN e e2 ON e2.vec_id = c.neighbor_id JOIN q q2 ON q2.vec_id = c.query_id
         WHERE c.hr <= 20)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // MMR greedy rerank replayed step for step: candidate cosines with the
+    // EXACT Spark arithmetic (sequential list_reduce dot, dot/(sqrt*sqrt))
+    // so the e6 floors agree bit-for-bit, then a recursive CTE advances
+    // every query one rank per iteration — LATERAL argmax over the
+    // not-yet-chosen candidates, penalty = MAX pair sim to the chosen list
+    "q_mmr_rerank" -> """
+      WITH RECURSIVE
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.qid, e.vec_id AS id, e.v,
+               list_reduce(list_transform(range(len(e.v)), i -> e.v[i+1] * qv[i+1]), (a,b) -> a+b)
+                 / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b)->a+b))
+                    * sqrt(list_reduce(list_transform(qv, x -> x*x), (a,b)->a+b))) AS sim
+        FROM e, q WHERE e.vec_id != q.qid),
+      cand AS (
+        SELECT qid, id, v, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS rel_e6
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM scored)
+        WHERE rn <= 20),
+      pair AS (
+        SELECT a.qid, a.id AS id1, b.id AS id2,
+               CAST(floor(
+                 list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]), (x,y)->x+y)
+                 / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y)->x+y))
+                    * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y)->x+y))) * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id),
+      sel AS (
+        SELECT qid, 1 AS mmr_rank, id, 700000 * rel_e6 AS score, [id] AS chosen
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel_e6 DESC, id) AS rn FROM cand)
+        WHERE rn = 1
+        UNION ALL
+        SELECT s.qid, s.mmr_rank + 1, pick.id, pick.score, list_append(s.chosen, pick.id)
+        FROM sel s, LATERAL (
+          SELECT c.id,
+                 700000 * c.rel_e6 - 300000 * (
+                   SELECT MAX(p.sim_e6) FROM pair p
+                   WHERE p.qid = s.qid AND p.id1 = c.id AND list_contains(s.chosen, p.id2)) AS score
+          FROM cand c
+          WHERE c.qid = s.qid AND NOT list_contains(s.chosen, c.id)
+          ORDER BY score DESC, c.id LIMIT 1) pick
+        WHERE s.mmr_rank < 5)
+      SELECT qid AS query_id, CAST(mmr_rank AS INT) AS mmr_rank, id, score AS mmr_score_e12
+      FROM sel ORDER BY query_id, mmr_rank""",
     // full fit->project path, golden-pinned (audited exactReplay run:
     // e6-integer Gram -> driver Jacobi -> literal-broadcast projection;
     // verified identical across different partitionings/thread counts).

@@ -252,6 +252,103 @@ object Embeddings {
       .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
   }
 
+  /** Maximal-marginal-relevance diversity rerank over a (query, candidate)
+    * relation: greedily selects `k` candidates per query maximizing
+    * `λ·rel(q, c) − (1−λ)·max_{s∈selected} cos(c, s)` — the standard
+    * redundancy-removal pass between ANN retrieval and downstream use
+    * (RAG context assembly, eval-set selection, dedup-aware sampling).
+    *
+    * Scale shape: ONE shuffle on the query key; per-group state and work
+    * are bounded by the CANDIDATE budget of the upstream retrieval stage
+    * (`O(k · c)` cosines of driver-free in-task arithmetic per query),
+    * never by corpus size — `maxCandidates` fails fast if a caller feeds
+    * an unbounded relation. The corpus itself is never touched here.
+    *
+    * Determinism / replayability: relevance and pairwise cosines are
+    * floored to e6 micro-units (`floor(x·1e6 + 0.5)`), λ is an integer
+    * ppm, and scores are exact `λppm·relE6 − (1e6−λppm)·maxPairE6`
+    * longs (|score| ≤ 2e12, no overflow); ties break to the smaller
+    * candidate id. The whole greedy run is therefore a pure integer
+    * function of the input doubles — the `q_mmr_rerank` oracle replays
+    * it in DuckDB with a recursive CTE, step for step.
+    *
+    * The first pick (empty selected set) carries zero penalty — pure
+    * relevance, the textbook Carbonell–Goldstein definition.
+    *
+    * Output: (query_id, mmr_rank 1..k, id, mmr_score_e12).
+    */
+  def mmrRerank(candidates: DataFrame, queryIdCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int, lambdaPpm: Long = 700000L,
+      maxCandidates: Int = 100000): DataFrame = {
+    require(k >= 1, "mmrRerank: k must be >= 1")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"mmrRerank: lambdaPpm must be in [0, 1000000], got $lambdaPpm")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    val mu = 1000000L - lambdaPpm
+    candidates.select(
+        col(queryIdCol).cast("long").as("q"),
+        col(idCol).cast("long").as("id"),
+        col(relCol).cast("double").as("rel"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("vec"))
+      .as[(Long, Long, Double, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val arr = it.toArray
+        require(arr.length <= maxCandidates, s"mmrRerank: query $q has " +
+          s"${arr.length} candidates (> maxCandidates=$maxCandidates); " +
+          "bound the retrieval stage that feeds this rerank")
+        val n = arr.length
+        val ids = arr.map(_._2)
+        val relE6 = arr.map(c => e6(c._3))
+        val vecs = arr.map(_._4)
+        val norms = vecs.map { v =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          math.sqrt(s)
+        }
+        def pairE6(a: Int, b: Int): Long = {
+          val (va, vb) = (vecs(a), vecs(b))
+          var s = 0.0; var i = 0
+          val m = math.min(va.length, vb.length)
+          while (i < m) { s += va(i) * vb(i); i += 1 }
+          e6(s / (norms(a) * norms(b)))
+        }
+        val chosen = new Array[Boolean](n)
+        val maxSim = new Array[Long](n)
+        val out = Seq.newBuilder[(Long, Int, Long, Long)]
+        var step = 0
+        while (step < math.min(k, n)) {
+          var best = -1; var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val pen = if (step == 0) 0L else maxSim(i)
+              val s = lambdaPpm * relE6(i) - mu * pen
+              if (s > bestScore || (s == bestScore && (best < 0 || ids(i) < ids(best)))) {
+                best = i; bestScore = s
+              }
+            }
+            i += 1
+          }
+          chosen(best) = true
+          out += ((q, step + 1, ids(best), bestScore))
+          i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val s6 = pairE6(i, best)
+              if (step == 0 || s6 > maxSim(i)) maxSim(i) = s6
+            }
+            i += 1
+          }
+          step += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "mmr_rank", "id", "mmr_score_e12")
+  }
+
   /** 64-bit random-hyperplane signature column (deterministic from `seed`). */
   def hyperplaneSignature(vec: Column, numBits: Int = 64, seed: Long = 42L): Column =
     ColumnBridge.column(HyperplaneSignature(ColumnBridge.expression(vec), numBits, seed))

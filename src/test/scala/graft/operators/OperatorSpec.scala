@@ -1293,6 +1293,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mmr rerank: diversity beats redundancy, lambda=1 is relevance order, cap guards") {
+    val sps = spark; import sps.implicits._
+    // query along +x; a and b nearly identical high-relevance, c orthogonal-ish
+    // moderate relevance: pure relevance ranks (a, b, ...), MMR (lambda=0.7)
+    // must pick c second
+    val cands = Seq(
+      (1L, 10L, 0.99, Seq(1.0, 0.01, 0.0)),   // a
+      (1L, 11L, 0.98, Seq(1.0, 0.02, 0.0)),   // b  (near-duplicate of a)
+      (1L, 12L, 0.60, Seq(0.1, 1.0, 0.0)),    // c  (diverse)
+      (1L, 13L, 0.55, Seq(0.1, 0.9, 0.1)))    // d
+      .toDF("qid", "id", "rel", "vec")
+    val mmr = Embeddings.mmrRerank(cands, "qid", "id", "rel", "vec", k = 3)
+      .orderBy("mmr_rank").collect()
+    assert(mmr.map(_.getLong(2)).toSeq == Seq(10L, 12L, 11L))
+    // rank-1 score is pure relevance: lambda * relE6
+    assert(mmr.head.getLong(3) == 700000L * 990000L)
+    // lambda = 1.0 degenerates to relevance order (ties to smaller id)
+    val rel = Embeddings.mmrRerank(cands, "qid", "id", "rel", "vec", k = 4,
+      lambdaPpm = 1000000L).orderBy("mmr_rank").collect()
+    assert(rel.map(_.getLong(2)).toSeq == Seq(10L, 11L, 12L, 13L))
+    // candidate-budget guard fails fast
+    val e = intercept[org.apache.spark.SparkException] {
+      Embeddings.mmrRerank(cands, "qid", "id", "rel", "vec", k = 2,
+        maxCandidates = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("pca: jacobi eigen, fit recovers dominant axis, projection matches by hand") {
     // closed-form 2x2: eigenvalues 3 and 1, eigenvectors (1,1)/sqrt2, (1,-1)/sqrt2
     val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
