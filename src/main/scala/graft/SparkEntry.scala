@@ -1054,6 +1054,18 @@ object SparkEntry {
             sum(round(col("mean_word_len") * 1e6).cast("long")).as("mwl_e6"),
             sum(round(col("quality_score") * 1e6).cast("long")).as("quality_e6"))
       }),
+      // per-source adaptive quality trim: drop each source's worst 25% by
+      // its OWN histogram quantile; thresholds + filter + rollup all
+      // replayed (integer bin counts -> interpolated quantile -> >= cut)
+      "q_adaptive_filter" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.adaptiveQualityFilter(s.table("documents"), "text", "source", 0.25)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("kept"),
+            sum(round(col("quality_score") * 1e6).cast("long")).as("quality_e6"),
+            min(round(col("quality_score") * 1e6).cast("long")).as("min_q_e6"))
+          .orderBy("source")
+      }),
       // two portable fingerprints: md5 of whitespace-normalized text and the
       // rolling_hash native expression — both independently recomputable in
       // DuckDB, giving this gate a real per-row oracle (the duckdb-hash-based
@@ -2207,6 +2219,56 @@ object SparkEntry {
                + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
                + 0.3 * least(sw_ratio * 4.0, 1.0))) * 1e6) AS BIGINT)) AS BIGINT) AS quality_e6
       FROM p""",
+    // adaptive per-source trim replay: per-doc quality score (the
+    // q_quality_score formula), 65-bin width-1/64 histogram slots,
+    // cumulative-count interpolated quantile with the EXACT
+    // lo + width*(slot + (rank-cum_before)/cnt) arithmetic of
+    // HistogramSketch.quantile, then the >= threshold cut and rollup
+    "q_adaptive_filter" -> """
+      WITH m AS (
+        SELECT source,
+               CAST(length(text) AS DOUBLE) AS chars,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> list_contains(['the','a','an','and','or','of','in','to','is','it','that','for','on','with','as'], x))) AS DOUBLE) AS sw_hits,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS toks
+        FROM documents),
+      sc AS (
+        SELECT source,
+               least(1.0, greatest(0.0,
+                   0.4 * least(words / 100.0, 1.0)
+                 + 0.3 * (1.0 - least((punct / greatest(chars, 1.0)) * 5.0, 1.0))
+                 + 0.3 * least((sw_hits / greatest(toks, 1.0)) * 4.0, 1.0))) AS q
+        FROM m),
+      slotted AS (
+        SELECT source, q,
+               CAST(LEAST(64, CAST(FLOOR(q / 0.015625) AS INT)) AS INT) AS slot
+        FROM sc WHERE q >= 0.0 AND q < 1.015625),
+      c AS (SELECT source, slot, COUNT(*) AS cnt FROM slotted GROUP BY 1, 2),
+      n AS (SELECT source, SUM(cnt) AS n FROM c GROUP BY 1),
+      w AS (
+        SELECT source, slot, cnt,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY slot) AS cum
+        FROM c),
+      land AS (
+        SELECT w.source, MIN(w.slot) AS slot
+        FROM w JOIN n ON n.source = w.source
+        WHERE w.cum >= 0.25 * n.n
+        GROUP BY w.source),
+      thr AS (
+        SELECT l.source,
+               0.0 + 0.015625 * (l.slot + GREATEST(0.0, ((0.25 * n.n) - (w.cum - w.cnt)) / w.cnt)) AS t
+        FROM land l
+        JOIN w ON w.source = l.source AND w.slot = l.slot
+        JOIN n ON n.source = l.source)
+      SELECT sc.source,
+             CAST(COUNT(*) AS BIGINT) AS kept,
+             CAST(SUM(CAST(round(sc.q * 1e6) AS BIGINT)) AS BIGINT) AS quality_e6,
+             CAST(MIN(CAST(round(sc.q * 1e6) AS BIGINT)) AS BIGINT) AS min_q_e6
+      FROM sc LEFT JOIN thr ON thr.source = sc.source
+      WHERE sc.q >= COALESCE(thr.t, CAST('-infinity' AS DOUBLE))
+      GROUP BY sc.source ORDER BY sc.source""",
     // full independent replication of the portable MinHash-LSH pipeline:
     // string shingles -> md5-prefix 60-bit hashes -> the SAME affine
     // permutations (constants embedded below from MinHashPerm.params) ->

@@ -98,6 +98,49 @@ object TextAnalysis {
             + lit(0.3) * least(col("stopword_ratio_en") * 4.0, lit(1.0)))))
   }
 
+  /** Per-source ADAPTIVE quality filtering: each source keeps only the
+    * documents at or above its OWN `quantile`-th quality percentile — the
+    * curation policy that drops the worst X% of every domain instead of
+    * applying one global cutoff that a clean domain sails over and a noisy
+    * domain dies under (the C4/Gopher per-source trim).
+    *
+    * Thresholds come from the mergeable [[graft.functions.HistSketchAgg]]
+    * histogram (one partial-agged groupBy on the source key — per-source
+    * state is `nbins` longs, never rows) and its interpolated
+    * [[graft.functions.HistQuantile]]; the per-source threshold relation
+    * (#sources rows) broadcasts back over a second narrow scan. No
+    * per-document sort, no window, corpus shuffled zero times.
+    *
+    * Defaults make the sketch EXACT for the [0, 1] score: width = 1/64
+    * (binary-exact), `hi = 65/64` so a perfect 1.0 score stays in-range.
+    * The quantile interpolation and the `>=` cut are plain double
+    * arithmetic on integer bin counts — deterministic, and replayed
+    * op-for-op by the `q_adaptive_filter` oracle. A source with no
+    * in-range scores has a NULL threshold and keeps everything (no
+    * information, no cut).
+    *
+    * Returns the [[withQualityMetrics]] columns of the surviving rows.
+    */
+  def adaptiveQualityFilter(df: DataFrame, textCol: String, sourceCol: String,
+      quantile: Double, nbins: Int = 65, lo: Double = 0.0,
+      hi: Double = 1.015625): DataFrame = {
+    require(quantile > 0.0 && quantile < 1.0,
+      s"adaptiveQualityFilter: quantile must be in (0, 1), got $quantile")
+    val scored = withQualityMetrics(df, textCol)
+    val h = ColumnBridge.column(graft.functions.HistSketchAgg(
+      ColumnBridge.expression(lit(nbins)), ColumnBridge.expression(lit(lo)),
+      ColumnBridge.expression(lit(hi)),
+      ColumnBridge.expression(col("quality_score"))).toAggregateExpression())
+    val thr = scored.groupBy(col(sourceCol)).agg(h.as("__h"))
+      .select(col(sourceCol), ColumnBridge.column(graft.functions.HistQuantile(
+        ColumnBridge.expression(col("__h")),
+        ColumnBridge.expression(lit(quantile)))).as("__thr"))
+    scored.join(broadcast(thr), Seq(sourceCol), "left")
+      .where(col("quality_score") >=
+        coalesce(col("__thr"), lit(Double.NegativeInfinity)))
+      .drop("__thr")
+  }
+
   /** 64-bit content fingerprint of whitespace-normalized lowercased text,
     * using the DuckDB-compatible hash (so fingerprints are stable across
     * engines that implement the same hash).

@@ -710,6 +710,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qm.getAs[Double]("quality_score") > 0.0 && qm.getAs[Double]("quality_score") <= 1.0)
   }
 
+  test("adaptive quality filter: per-source quantile cut, no-information source keeps all") {
+    val sps = spark; import sps.implicits._
+    // source A: 8 low-quality docs with SPREAD scores (word-count
+    // component varies, one per histogram bin) + 2 high-quality; source B:
+    // uniformly decent. The 0.25-quantile rank (2.5 of 10) lands in A's
+    // third-lowest bin, so at least the two worst docs are cut; B's
+    // homogeneous score interpolates to itself and `>=` keeps all of B.
+    val good = "the cat is on the mat and it is happy with the other cats " * 4
+    def bad(i: Int) = Seq.fill(4 * i)("zz").mkString(" ")
+    val docs = ((1 to 8).map(i => (i.toLong, "A", bad(i))) ++
+      Seq((9L, "A", good), (10L, "A", good)) ++
+      (11 to 16).map(i => (i.toLong, "B", good))).toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.adaptiveQualityFilter(docs, "text", "source", 0.25)
+    val bySource = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // B is homogeneous: its quantile threshold equals the shared score, >= keeps all
+    assert(bySource("B") == 6L)
+    // A keeps the high-quality docs and loses (at least) its two worst
+    val keptA = kept.where($"source" === "A").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptA.contains(9L) && keptA.contains(10L))
+    assert(!keptA.contains(1L) && !keptA.contains(2L))
+    assert(bySource("A") >= 7L && bySource("A") <= 8L)
+    // per-source independence: A's cut did not leak into B
+    assert(bySource.values.sum == kept.count())
+  }
+
   test("n-gram language id detects via trigram profiles") {
     val sps = spark; import sps.implicits._
     val df = Seq(
