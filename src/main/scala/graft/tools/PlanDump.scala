@@ -57,7 +57,9 @@ object PlanDump {
       "q_hybrid_search" -> "hybrid retrieval: BM25 candidate selection is TakeOrderedAndProject (parallel per-partition top-k, round 6 — no single-partition Window over the corpus); the rank/RRF windows below operate on the <= candidates rows only",
       "q_simhash_near_dup" -> "simhash near-dup: multi-index banding (round 6) — 20 concatenated-block band keys per doc explode row-locally, ONE (band_id, band_val) groupBy, in-bucket pair lambdas + codegen'd xor/popcount verify; no self-join",
       "q_ann_hamming" -> "binary ANN: Hamming prescreen is a bounded-heap topk_agg (ObjectHashAggregate partial+final — no per-query Window sort over the corpus, round 8); rerank joins the <= candidates*queries survivors back broadcast",
-      "q_pca_cov" -> "PCA Gram: ONE fused gram_agg sweep (ObjectHashAggregate partial per partition, dim^2-bounded state) — no per-pair Generate rows; the explode below unpacks a single driver-sized array row")
+      "q_pca_cov" -> "PCA Gram: ONE fused gram_agg sweep (ObjectHashAggregate partial per partition, dim^2-bounded state) — no per-pair Generate rows; the explode below unpacks a single driver-sized array row",
+      "q_mmr_rerank" -> "MMR rerank: candidate stage bounded (broadcast queries + WindowGroupLimit top-20), then ONE exchange on the query key feeds the typed greedy (MapGroups) — per-group state = the candidate budget, corpus untouched",
+      "q_adaptive_filter" -> "adaptive quality trim: per-source hist sketch is an ObjectHashAggregate partial+final on the source key (nbins state), thresholds broadcast back over a second narrow scan — no corpus shuffle, no per-document sort")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
