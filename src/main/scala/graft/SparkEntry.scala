@@ -1054,6 +1054,19 @@ object SparkEntry {
             sum(round(col("mean_word_len") * 1e6).cast("long")).as("mwl_e6"),
             sum(round(col("quality_score") * 1e6).cast("long")).as("quality_e6"))
       }),
+      // within-doc repeated-line strip: per-row HOF only (no shuffle);
+      // per-doc md5-prefix checksums make the oracle sensitive to every
+      // kept/dropped/reordered byte
+      "q_doc_line_dedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val out = TextAnalysis.dropRepeatedLinesInDoc(s.table("documents"), "text")
+        out.agg(
+          count(lit(1)).cast("long").as("docs"),
+          sum(when(col("text_dedup") =!= col("text"), 1L).otherwise(0L)).cast("long").as("changed"),
+          sum(size(split(col("text"), "\n"))).cast("long").as("lines_before"),
+          sum(size(split(col("text_dedup"), "\n"))).cast("long").as("lines_after"),
+          sum(pmod(call_function("md5_prefix64", col("text_dedup")), lit(1000000007L))).cast("long").as("fp_sum"))
+      }),
       // per-source adaptive quality trim: drop each source's worst 25% by
       // its OWN histogram quantile; thresholds + filter + rollup all
       // replayed (integer bin counts -> interpolated quantile -> >= cut)
@@ -2219,6 +2232,30 @@ object SparkEntry {
                + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
                + 0.3 * least(sw_ratio * 4.0, 1.0))) * 1e6) AS BIGINT)) AS BIGINT) AS quality_e6
       FROM p""",
+    // within-doc line strip replay: explode lines with their index, keep
+    // the first row of each (doc, normalized-key) by line order, rebuild
+    // the document in order, checksum with the engine-portable md5 prefix
+    "q_doc_line_dedup" -> """
+      WITH l AS (
+        SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+      x AS (
+        SELECT doc_id, t.i, lines[t.i + 1] AS line,
+               regexp_replace(lower(trim(lines[t.i + 1])), '\s+', ' ', 'g') AS key
+        FROM l, LATERAL (SELECT unnest(range(len(lines))) AS i) t),
+      f AS (
+        SELECT doc_id, i, line,
+               row_number() OVER (PARTITION BY doc_id, key ORDER BY i) AS rn
+        FROM x),
+      d AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt,
+               COUNT(*) AS kept
+        FROM f WHERE rn = 1 GROUP BY doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(CASE WHEN d.txt <> l.text THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+             CAST(SUM(len(l.lines)) AS BIGINT) AS lines_before,
+             CAST(SUM(d.kept) AS BIGINT) AS lines_after,
+             CAST(SUM(CAST('0x' || substr(md5(d.txt), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS fp_sum
+      FROM d JOIN l ON l.doc_id = d.doc_id""",
     // adaptive per-source trim replay: per-doc quality score (the
     // q_quality_score formula), 65-bin width-1/64 histogram slots,
     // cumulative-count interpolated quantile with the EXACT

@@ -98,6 +98,32 @@ object TextAnalysis {
             + lit(0.3) * least(col("stopword_ratio_en") * 4.0, lit(1.0)))))
   }
 
+  /** WITHIN-document repeated-line removal: keep the FIRST occurrence of
+    * every distinct line inside each document, preserving order — the
+    * in-document boilerplate strip (nav bars, cookie banners, repeated
+    * headers) that complements the corpus-level
+    * [[Dedup.dropDuplicateLines]]. `normalizeKeys` compares lines on
+    * lowercased, whitespace-collapsed, trimmed keys (the emitted lines
+    * keep their original bytes).
+    *
+    * Pure per-row HOF projection (split → indexed filter on first-key
+    * occurrence → join): codegen on the scan, zero shuffles at any
+    * scale. Quadratic only in LINES PER DOCUMENT (array_position scans
+    * the key array), which is document-format-bounded, not corpus-bound.
+    */
+  def dropRepeatedLinesInDoc(df: DataFrame, textCol: String,
+      outCol: String = "text_dedup", normalizeKeys: Boolean = true): DataFrame = {
+    val keyOf =
+      if (normalizeKeys) "x -> regexp_replace(lower(trim(x)), '\\\\s+', ' ')"
+      else "x -> x"
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__keys", expr(s"transform(__lines, $keyOf)"))
+      .withColumn(outCol, expr(
+        "array_join(filter(__lines, (x, i) -> " +
+          "array_position(__keys, element_at(__keys, i + 1)) == i + 1), '\n')"))
+      .drop("__lines", "__keys")
+  }
+
   /** Per-source ADAPTIVE quality filtering: each source keeps only the
     * documents at or above its OWN `quantile`-th quality percentile — the
     * curation policy that drops the worst X% of every domain instead of

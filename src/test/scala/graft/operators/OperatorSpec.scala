@@ -710,6 +710,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qm.getAs[Double]("quality_score") > 0.0 && qm.getAs[Double]("quality_score") <= 1.0)
   }
 
+  test("within-doc line dedup: keeps first occurrence in order, normalized vs raw keys") {
+    val sps = spark; import sps.implicits._
+    val df = Seq(
+      (1L, "Cookie notice\nreal content A\ncookie   NOTICE\nreal content B\nCookie notice"),
+      (2L, "a\nb\na"),
+      (3L, "only line")).toDF("doc_id", "text")
+    val out = TextAnalysis.dropRepeatedLinesInDoc(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // normalized keys: case/whitespace variants collapse; first bytes kept
+    assert(out(1L) == "Cookie notice\nreal content A\nreal content B")
+    assert(out(2L) == "a\nb")
+    assert(out(3L) == "only line")
+    // raw mode keeps the case-variant line
+    val raw = TextAnalysis.dropRepeatedLinesInDoc(df, "text", normalizeKeys = false)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(raw(1L) == "Cookie notice\nreal content A\ncookie   NOTICE\nreal content B")
+  }
+
   test("adaptive quality filter: per-source quantile cut, no-information source keeps all") {
     val sps = spark; import sps.implicits._
     // source A: 8 low-quality docs with SPREAD scores (word-count
@@ -945,6 +963,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val withNull = df.withColumn("z", lit(null).cast("string"))
     assert(Profile.profile(withNull, Seq("z"), exact = true).collect().head.getLong(3) == 0L)
     assert(Profile.profile(withNull, Seq("z")).collect().head.getLong(3) == 0L)
+  }
+
+  test("prepare normalizes driver-parquet timestamps to TIMESTAMP (NTZ drift guard)") {
+    // the driver has shipped testdata with isAdjustedToUTC true, false
+    // (TIMESTAMP_NTZ) and raw int64 nanos across rounds; every events
+    // operator calls unix_micros, which rejects NTZ — prepare() must
+    // always hand the gates plain TIMESTAMP whatever the generator wrote
+    graft.SparkEntry.prepare(spark, "/root/testdata/sf0.001")
+    for ((t, c) <- Seq("events" -> "ts", "lineitem" -> "l_shipdate", "orders" -> "o_orderdate"))
+      assert(spark.table(t).schema(c).dataType ==
+        org.apache.spark.sql.types.TimestampType, s"$t.$c")
+    // and the microsecond arithmetic the events gates depend on resolves
+    assert(spark.sql("SELECT unix_micros(ts) FROM events LIMIT 1").head().getLong(0) > 0L)
   }
 
   test("typed Dataset API over real testdata") {
