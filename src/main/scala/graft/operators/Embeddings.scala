@@ -386,26 +386,40 @@ object Embeddings {
     * Pass a trained `centroids` frame (id, vec) for better cell balance
     * when recall matters more than replayability.
     */
+  /** Nearest-`topN`-centroid assignment against a `(cid, cvec)` relation
+    * (broadcast): cosine, ties to the smaller cid — the cell routing used
+    * by [[ivfTopK]] and the persisted [[graft.sources.AnnIndex]].
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.select(col("cid"), col("cvec"))
+    val simToCent = vecDot(col(vecCol), col("cvec")) / (vecNorm(col(vecCol)) * vecNorm(col("cvec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(simToCent.desc, col("cid"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("__cr", row_number().over(w))
+      .where(col("__cr") <= topN)
+      .drop("cvec", "__cr")
+  }
+
+  /** The seed centroid relation [[ivfTopK]] defaults to: the first `nlist`
+    * vectors by id (deterministic; train with [[kmeansLloyd]] for better
+    * cells and pass the result in).
+    */
+  def seedCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
+      nlist: Int): DataFrame =
+    embeddings.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+
   def ivfTopK(embeddings: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = centroids.getOrElse(
-        embeddings.orderBy(col(idCol)).limit(nlist)
-          .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+    val cents = centroids.getOrElse(seedCentroids(embeddings, vecCol, idCol, nlist))
       .select(col("cid"), col("cvec"))
-    // cell assignment: nearest centroid by cosine (ties -> smallest cid)
-    def assign(df: DataFrame, idc: String, vc: String, topN: Int): DataFrame = {
-      val simToCent = vecDot(col(vc), col("cvec")) / (vecNorm(col(vc)) * vecNorm(col("cvec")))
-      val w = Window.partitionBy(col(idc)).orderBy(simToCent.desc, col("cid"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("__cr", row_number().over(w))
-        .where(col("__cr") <= topN)
-        .drop("cvec", "__cr")
-    }
-    val cells = assign(embeddings, idCol, vecCol, 1)
-    val qCells = assign(queries, queryIdCol, queryVecCol, nprobe)
+    val cells = assignCells(embeddings, idCol, vecCol, cents, 1)
+    val qCells = assignCells(queries, queryIdCol, queryVecCol, cents, nprobe)
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     cells.join(broadcast(qCells), "cid")
       .where(col(idCol) =!= col(queryIdCol))

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Embeddings
+
+/** Persisted IVF ANN index — the build-once / probe-many layout for
+  * similarity search over a corpus that outlives any one job (the 100 TB
+  * pattern: one expensive indexing pass, then every retrieval job reads
+  * only the cells it probes).
+  *
+  * Layout under `dir`:
+  *  - `centroids/` — `(cid, cvec)` parquet, nlist rows (config-sized);
+  *  - `cells/` — `(id, vec)` parquet PARTITIONED BY `cid`, so a probe
+  *    with `cid IN (...)` prunes whole directories at planning time: a
+  *    query touching `nprobe` of `nlist` cells reads `nprobe/nlist` of
+  *    the corpus bytes, verified on the scan's PartitionFilters
+  *    (spec-asserted). No shuffle happens at query time — the cell join
+  *    broadcasts the routed queries.
+  *
+  * Determinism: assignment and ranking reuse [[Embeddings.assignCells]] /
+  * the [[Embeddings.ivfTopK]] ranking expressions, so for the same
+  * centroids a persisted-index query returns EXACTLY the in-memory
+  * `ivfTopK` result (spec-asserted row for row).
+  *
+  * Sizing: `nlist` scales with corpus size (cells of ~128-512 MB); train
+  * centroids with [[Embeddings.kmeansLloyd]] for balanced cells and pass
+  * them to [[build]], or let it default to the deterministic seed
+  * centroids.
+  */
+object AnnIndex {
+
+  /** One indexing pass: route every vector to its nearest centroid and
+    * persist centroids + cid-partitioned cells.
+    */
+  def build(embeddings: DataFrame, vecCol: String, idCol: String, dir: String,
+      nlist: Int, centroids: Option[DataFrame] = None): Unit = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val cents = centroids.getOrElse(
+      Embeddings.seedCentroids(embeddings, vecCol, idCol, nlist))
+      .select(col("cid"), col("cvec"))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // canonical (id, vec) column names on disk, whatever the input called
+    // them — query() never needs the build-time names
+    Embeddings.assignCells(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "id", "vec", cents, 1)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+  }
+
+  /** Probe the persisted index: route each query to its `nprobe` nearest
+    * cells, read ONLY those cell partitions (directory pruning via the
+    * collected ≤ nlist cid list — a config-bounded collect, like the
+    * k-means centroid collect), rank candidates by exact cosine.
+    * Output matches [[Embeddings.ivfTopK]]: (query_id, rank, neighbor_id,
+    * sim).
+    */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+      queryVecCol: String, queryIdCol: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val qCells = Embeddings.assignCells(queries, queryIdCol, queryVecCol, cents, nprobe)
+    val probed = qCells.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cells = spark.read.parquet(s"$dir/cells")
+      .where(col("cid").isin(probed: _*))
+      .withColumn("cid", col("cid").cast("long"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("sim").desc, col("id"))
+    cells.join(broadcast(qCells.withColumn("cid", col("cid").cast("long"))), "cid")
+      .where(col("id") =!= col(queryIdCol))
+      .withColumn("sim", Embeddings.cosine(col("vec"), col(queryVecCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol).as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), col("sim"))
+  }
+}
