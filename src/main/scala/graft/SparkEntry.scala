@@ -99,25 +99,14 @@ object SparkEntry {
     GraftFunctions.registerAll(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { t =>
-      val raw = spark.read.parquet(s"$dir/$t.parquet")
-      val fixed = nanoTimestampCols.getOrElse(t, Nil).foldLeft(raw) { (df, c) =>
-        if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-          // integer division: `/` on longs is DOUBLE division in Spark SQL,
-          // and ~1.7e18 ns exceeds double's 53-bit mantissa — the rounding
-          // shifted some timestamps by a microsecond
-          df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-        else df
-      }
-      // Generated parquet has flipped between isAdjustedToUTC=true and
-      // =false across rounds; the latter infers as TIMESTAMP_NTZ, which
-      // unix_micros/window functions reject. All sessions here run UTC,
-      // so the cast is value-preserving.
-      val normalized = fixed.schema.fields.collect {
-        case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
-      }.foldLeft(fixed) { (df, c) =>
-        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
-      }
-      normalized.createOrReplaceTempView(t)
+      // nanos-as-long rebuild + TIMESTAMP_NTZ cast (generated parquet has
+      // flipped between isAdjustedToUTC=true/false across rounds; all
+      // sessions here run UTC, so the cast is value-preserving) — shared
+      // with the streaming readers so batch and stream see identical time
+      graft.streaming.FileStreams.normalizeTimestamps(
+          spark.read.parquet(s"$dir/$t.parquet"),
+          nanoTimestampCols.getOrElse(t, Nil))
+        .createOrReplaceTempView(t)
     }
     spark
   }
@@ -1067,6 +1056,79 @@ object SparkEntry {
           sum(size(split(col("text_dedup"), "\n"))).cast("long").as("lines_after"),
           sum(pmod(call_function("md5_prefix64", col("text_dedup")), lit(1000000007L))).cast("long").as("fp_sum"))
       }),
+      // --- Structured Streaming gates: file-source streaming runs of the
+      // batch operators, drained by Trigger.AvailableNow into a parquet
+      // sink. Determinism contract (FileStreams scaladoc, pinned by
+      // FileStreamsSpec): draining one staged file (one data batch + the
+      // no-data flush batch), the emitted set of an append-mode
+      // watermarked aggregation is the batch result restricted to windows
+      // with end_us <= (floor(max_us/1000) - delay_ms) * 1000 — Spark
+      // tracks the watermark in floored milliseconds, eviction inclusive.
+      "q_stream_window" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.FileStreams.windowedEventCounts(
+              ev, "ts", "event_type", "1 day", "1 hour"))
+          .orderBy("w_us", "event_type")
+      }),
+      // streaming gap-sessionization (session_window + watermark): rollup
+      // over the sessions finalized by the final watermark; session end is
+      // last event + gap, events exactly gap apart merge (same break rule
+      // as the batch sessionizer)
+      "q_stream_sessions" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.StreamingSessions.streamingSessionStats(
+              ev, "user_id", "ts", gap = "30 minutes", watermark = "1 hour"))
+          .agg(count(lit(1)).cast("long").as("sessions"),
+            sum("n_events").cast("long").as("events"),
+            sum(unix_micros(col("session_end")) - unix_micros(col("session_start")))
+              .cast("long").as("dur_us"),
+            max("n_events").cast("long").as("max_events"))
+      }),
+      // streaming exact dedup: dropDuplicates state keeps the first
+      // sighting of each (source, md5) — the emitted KEY SET is
+      // deterministic, so the gate projects keys only and counts per source
+      "q_stream_dedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = graft.streaming.FileStreams.tableStream(s, dir, "documents")
+          .select(col("source"), md5(col("text")).as("fp"))
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.FileStreams.distinctKeys(docs, Seq("source", "fp")))
+          .groupBy("source").agg(count(lit(1)).cast("long").as("n_unique"))
+          .orderBy("source")
+      }),
+      // streaming sketch maintenance: per-day bloom filters over user-id
+      // hashes, finalized by the watermark; the gate then probes every
+      // distinct key of each emitted day against that day's blob — the
+      // no-false-negative contract makes misses exactly 0, so counts are
+      // fully oracle-replayable
+      "q_stream_filters" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+          .selectExpr("ts", "bitfilters_duckdb_hash('v1.5.1', user_id) AS h")
+        val filters = graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.StreamingFilters.windowedKeyFilters(
+              ev, "ts", "h", "1 day", "1 hour", numSectors = 1024))
+          .select(unix_micros(col("window.start")).as("w_us"),
+            col("filter"), col("events").cast("long").as("events"))
+        val keys = s.table("events")
+          .select(unix_micros(date_trunc("day", col("ts"))).as("w_us"), col("user_id"))
+          .distinct()
+        filters.join(keys, "w_us")
+          .groupBy(col("w_us"), col("events"))
+          .agg(count(lit(1)).cast("long").as("keys"),
+            // probe takes the RAW value (hashes internally); create took
+            // the pre-hashed column — the same asymmetry as the reference
+            sum(when(call_function("bitfilters_duckdb_bloom_filter_probe",
+                lit("v1.5.1"), col("filter"), col("user_id")), 0L).otherwise(1L))
+              .cast("long").as("misses"))
+          .select("w_us", "events", "keys", "misses")
+          .orderBy("w_us")
+      }),
+
       // per-source adaptive quality trim: drop each source's worst 25% by
       // its OWN histogram quantile; thresholds + filter + rollup all
       // replayed (integer bin counts -> interpolated quantile -> >= cut)
@@ -2256,6 +2318,65 @@ object SparkEntry {
              CAST(SUM(d.kept) AS BIGINT) AS lines_after,
              CAST(SUM(CAST('0x' || substr(md5(d.txt), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS fp_sum
       FROM d JOIN l ON l.doc_id = d.doc_id""",
+    // streaming windowed-count replay: the emitted set is the batch daily
+    // aggregate restricted to windows finalized by the final watermark —
+    // end_us <= (floor(max_us/1000) - 3_600_000) * 1000 (Spark tracks the
+    // watermark in floored ms; eviction fires on end <= wm)
+    "q_stream_window" -> """
+      WITH m AS (
+        SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS wm FROM events)
+      SELECT epoch_us(date_trunc('day', ts)) AS w_us, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, m
+      GROUP BY 1, 2, wm
+      HAVING w_us + 86400000000 <= wm
+      ORDER BY w_us, event_type""",
+    // streaming sessionization replay: gap sessions (break on diff > gap —
+    // events exactly gap apart merge, same as session_window), session end
+    // = last event + gap, kept iff end <= final ms-floored watermark
+    "q_stream_sessions" -> """
+      WITH m AS (
+        SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS wm FROM events),
+      x AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, us,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x),
+      g AS (
+        SELECT user_id, sid, COUNT(*) AS n, MIN(us) AS s_us,
+               MAX(us) + 1800000000 AS e_us
+        FROM sess GROUP BY user_id, sid),
+      f AS (SELECT * FROM g, m WHERE e_us <= wm)
+      SELECT CAST(COUNT(*) AS BIGINT) AS sessions,
+             CAST(SUM(n) AS BIGINT) AS events,
+             CAST(SUM(e_us - s_us) AS BIGINT) AS dur_us,
+             CAST(MAX(n) AS BIGINT) AS max_events
+      FROM f""",
+    // streaming exact dedup replay: the emitted key set of dropDuplicates
+    // after a full drain is exactly the distinct key set
+    "q_stream_dedup" -> """
+      SELECT source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+      FROM documents GROUP BY source ORDER BY source""",
+    // streaming per-day bloom maintenance replay: counts are exact
+    // (finalized windows only), misses is exactly 0 by the filters'
+    // no-false-negative contract over the probed member keys
+    "q_stream_filters" -> """
+      WITH m AS (
+        SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS wm FROM events),
+      g AS (
+        SELECT epoch_us(date_trunc('day', ts)) AS w_us,
+               CAST(COUNT(*) AS BIGINT) AS events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS keys
+        FROM events GROUP BY 1)
+      SELECT w_us, events, keys, CAST(0 AS BIGINT) AS misses
+      FROM g, m WHERE w_us + 86400000000 <= wm ORDER BY w_us""",
     // adaptive per-source trim replay: per-doc quality score (the
     // q_quality_score formula), 65-bin width-1/64 histogram slots,
     // cumulative-count interpolated quantile with the EXACT

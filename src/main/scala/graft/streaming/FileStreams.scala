@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** File-source Structured Streaming runs of the batch operators.
+  *
+  * The reference engine is batch-only (docs/README.md:463 advises against
+  * rebuilding filters per-batch); this module is the Spark-native extension
+  * that runs the SAME declarative pipelines incrementally: a parquet landing
+  * directory is the source (`readStream`), watermarks bound state, and
+  * `Trigger.AvailableNow` drains everything currently staged and stops —
+  * which doubles as a deterministic batch-replay harness for the oracle
+  * gates (CORRECTNESS `q_stream_*`).
+  *
+  * Determinism contract used by the gates: for an append-mode watermarked
+  * aggregation drained from a SINGLE staged file (one data batch plus the
+  * final no-data flush batch), the emitted set is exactly the batch result
+  * restricted to groups whose event-time window END is at or before the
+  * final watermark. Spark tracks the watermark in floored MILLISECONDS
+  * (`EventTimeStatsAccum`), so the cutoff is
+  * `end_us <= (floor(max_us / 1000) - delay_ms) * 1000`, and eviction is
+  * inclusive (`end == watermark` emits). The same holds for any multi-file
+  * split whose files arrive in event-time order (the production landing
+  * shape); files arriving OUT of event-time order make earlier-window
+  * events late, and the watermark drops them — correct streaming
+  * semantics, pinned by FileStreamsSpec's out-of-order test.
+  *
+  * Scale shape: the landing directory pattern is the production shape — a
+  * 1000-executor cluster streams new files incrementally, state in the
+  * state store is bounded by the watermark horizon (not stream length), and
+  * the parquet sink is just a distributed write per micro-batch. Nothing
+  * below collects to the driver.
+  */
+object FileStreams {
+
+  /** Normalize driver-generated parquet timestamp columns to session-zone
+    * TIMESTAMP: `nanosCols` that arrived as raw nanos-since-epoch longs
+    * (spark.sql.legacy.parquet.nanosAsLong=true) become microsecond
+    * timestamps; any TIMESTAMP_NTZ column is cast in place (all sessions
+    * here run UTC, so the cast is value-preserving). Shared by
+    * [[graft.SparkEntry]]'s batch `prepare` and the streaming readers so
+    * both sides see identical event time.
+    */
+  def normalizeTimestamps(df: DataFrame, nanosCols: Seq[String]): DataFrame = {
+    val fixed = nanosCols.foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
+        // integer division: `/` on longs is DOUBLE division in Spark SQL,
+        // and ~1.7e18 ns exceeds double's 53-bit mantissa
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
+    }
+    fixed.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(fixed)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
+
+  /** Stage files into a fresh landing directory (symlinks — no copy).
+    * `FileStreamSource` lists directories, not single files, and a landing
+    * directory is the production ingestion shape anyway.
+    */
+  def stageLanding(files: Seq[Path]): Path = {
+    val landing = Files.createTempDirectory("graft_landing_")
+    files.zipWithIndex.foreach { case (f, i) =>
+      Files.createSymbolicLink(landing.resolve(f"part_$i%05d.parquet"), f): Unit
+    }
+    landing.toFile.deleteOnExit()
+    landing
+  }
+
+  /** Stream one driver table (`$sfDir/$table.parquet`) as a parquet file
+    * stream with normalized event time. Schema comes from a batch footer
+    * read (file streams need an explicit schema).
+    */
+  def tableStream(spark: SparkSession, sfDir: String, table: String,
+      nanosCols: Seq[String] = Nil): DataFrame = {
+    val path = Paths.get(s"$sfDir/$table.parquet")
+    val schema = spark.read.parquet(path.toString).schema
+    val landing = stageLanding(Seq(path))
+    normalizeTimestamps(
+      spark.readStream.schema(schema).parquet(landing.toString), nanosCols)
+  }
+
+  /** Run a streaming frame to a fresh parquet sink under AvailableNow,
+    * block until drained, and hand back the sink contents as a batch frame.
+    * Every call gets its own sink + checkpoint (reruns replay from scratch).
+    */
+  def runAvailableNow(stream: DataFrame,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val spark = stream.sparkSession
+    val out = Files.createTempDirectory("graft_sink_")
+    val ck = Files.createTempDirectory("graft_ck_")
+    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    val q = stream.writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ck.toString)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString)
+  }
+
+  /** Daily event counts per type, finalized by the watermark — the
+    * streaming twin of the batch `window()` aggregation. Emits
+    * `(w_us, event_type, n)` with the window start as epoch micros.
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String, typeCol: String,
+      windowExpr: String = "1 day", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowExpr), col(typeCol))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(unix_micros(col("window.start")).as("w_us"), col(typeCol), col("n"))
+
+  /** Streaming exact dedup: first sighting of each (source, fingerprint)
+    * passes, later ones are dropped by the state store — `dropDuplicates`
+    * state is the exact-dedup twin of
+    * [[StreamingFilters.approximateDedupStream]]'s bounded-bloom state.
+    * The emitted SET is deterministic (which duplicate row wins a race is
+    * not, so callers that need determinism project the key columns only).
+    */
+  def distinctKeys(rows: DataFrame, keyCols: Seq[String]): DataFrame =
+    rows.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+}

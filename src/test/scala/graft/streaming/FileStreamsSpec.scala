@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Pins the determinism contract the `q_stream_*` CORRECTNESS gates rely
+  * on (FileStreams scaladoc): after an AvailableNow drain, the emitted set
+  * of an append-mode watermarked aggregation equals the batch result
+  * restricted to windows with `end_us <= (floor(max_us/1000) - delay_ms) *
+  * 1000`, for ANY micro-batch split; eviction fires at `end == watermark`
+  * (inclusive); `session_window` merges events exactly `gap` apart (the
+  * same `diff > gap` break rule as the batch sessionizer).
+  */
+class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-filestreams-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def batchEvents(): DataFrame =
+    FileStreams.normalizeTimestamps(
+      spark.read.parquet(s"$dir/events.parquet"), Seq("ts"))
+
+  /** The contract cutoff: final watermark in micros, ms-floored. */
+  private def watermarkUs(ev: DataFrame, delayMs: Long): Long =
+    (ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000 - delayMs) * 1000
+
+  test("windowed counts: emitted set == batch result under the ms-floored cutoff") {
+    val ev = FileStreams.tableStream(spark, dir, "events", Seq("ts"))
+    val out = FileStreams.runAvailableNow(
+      FileStreams.windowedEventCounts(ev, "ts", "event_type", "1 day", "1 hour"))
+    val batch = batchEvents()
+    val wm = watermarkUs(batch, 3600000L)
+    val expected = batch
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(unix_micros(col("window.start")).as("w_us"), col("event_type"), col("n"))
+      .filter(col("w_us") + 86400000000L <= wm)
+    assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+    assert(out.count() > 0)
+  }
+
+  test("emitted set is identical under an event-time-ordered one-file-per-trigger split") {
+    val batch = batchEvents()
+    // re-stage the table as 3 event-time-ranged files (the production
+    // landing shape: files arrive in rough event-time order) and drain one
+    // file per micro-batch: three data batches, three intermediate
+    // watermarks, same final emitted set
+    val staged = java.nio.file.Files.createTempDirectory("graft_split_")
+    batch.repartitionByRange(3, col("ts")).write.mode("overwrite").parquet(staged.toString)
+    // FileStreamSource orders by modification time — make arrival order
+    // explicit: part-00000 (earliest ts range) lands first
+    val parts = staged.toFile.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000000000L + i * 60000L): Unit }
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false").parquet(staged.toString)
+    val out = FileStreams.runAvailableNow(
+      FileStreams.windowedEventCounts(src, "ts", "event_type", "1 day", "1 hour"))
+    val single = FileStreams.runAvailableNow(
+      FileStreams.windowedEventCounts(
+        FileStreams.tableStream(spark, dir, "events", Seq("ts")),
+        "ts", "event_type", "1 day", "1 hour"))
+    assert(out.collect().map(_.toSeq).toSet == single.collect().map(_.toSeq).toSet)
+  }
+
+  test("out-of-order file arrival drops late windows (watermark semantics, not a bug)") {
+    val batch = batchEvents()
+    // randomly split files span the whole time range: after the first
+    // micro-batch the watermark jumps to near-max, so most events in later
+    // files are late and dropped — the emitted counts are a strict subset
+    val staged = java.nio.file.Files.createTempDirectory("graft_ooo_")
+    batch.repartition(3).write.mode("overwrite").parquet(staged.toString)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val out = FileStreams.runAvailableNow(
+      FileStreams.windowedEventCounts(src, "ts", "event_type", "1 day", "1 hour"))
+    val single = FileStreams.runAvailableNow(
+      FileStreams.windowedEventCounts(
+        FileStreams.tableStream(spark, dir, "events", Seq("ts")),
+        "ts", "event_type", "1 day", "1 hour"))
+    val outTotal = out.agg(sum("n")).collect()(0).getLong(0)
+    val singleTotal = single.agg(sum("n")).collect()(0).getLong(0)
+    assert(outTotal < singleTotal, s"$outTotal vs $singleTotal")
+  }
+
+  test("session rollup: emitted sessions == batch session_window under the cutoff") {
+    val ev = FileStreams.tableStream(spark, dir, "events", Seq("ts"))
+    val out = FileStreams.runAvailableNow(
+      StreamingSessions.streamingSessionStats(
+        ev, "user_id", "ts", gap = "30 minutes", watermark = "1 hour"))
+      .select(col("user_id"), unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"), col("n_events"))
+    val batch = batchEvents()
+    val wm = watermarkUs(batch, 3600000L)
+    val expected = batch
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us"), col("n_events"))
+      .filter(col("e_us") <= wm)
+    assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+    // and batch session_window agrees with the window-function sessionizer
+    // on session count (ends differ by +gap by construction)
+    val viaFn = graft.operators.Events.sessionStats(
+      graft.operators.Events.sessionize(batch, "user_id", "ts", gapSeconds = 1800),
+      "user_id")
+    assert(expected.count() <= viaFn.count())
+  }
+
+  test("eviction is inclusive: a window ending exactly at the watermark is emitted") {
+    val sps = spark; import sps.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[java.sql.Timestamp]
+    val agg = input.toDF().toDF("ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("w"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("tie_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(java.sql.Timestamp.valueOf("2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      // watermark is now exactly 11:00:00.000 == end of window [10:00, 11:00)
+      input.addData(java.sql.Timestamp.valueOf("2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      val emitted = spark.table("tie_stream").collect().map(_.getString(0)).toSet
+      assert(emitted.contains("2024-01-01 10:00:00"), emitted.toString)
+    } finally q.stop()
+  }
+
+  test("session_window merges events exactly gap apart (diff > gap breaks)") {
+    val sps = spark; import sps.implicits._
+    val twoAtGap = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"))).toDF("user_id", "ts")
+    assert(twoAtGap.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1))).count() == 1L)
+    val pastGap = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00.000001"))).toDF("user_id", "ts")
+    assert(pastGap.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1))).count() == 2L)
+  }
+
+  test("streaming distinct keys == batch distinct") {
+    val docs = FileStreams.tableStream(spark, dir, "documents")
+      .select(col("source"), md5(col("text")).as("fp"))
+    val out = FileStreams.runAvailableNow(
+      FileStreams.distinctKeys(docs, Seq("source", "fp")))
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), md5(col("text")).as("fp")).distinct()
+    assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+  }
+}
