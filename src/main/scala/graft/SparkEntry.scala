@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classify, Dedup, Embeddings, Events, Joins, Multimodal, Packing, Pca, Profile, Ranking, Sampling, TextAnalysis, Vocab}
+import graft.operators.{Classify, Dedup, EditDistance, Embeddings, Events, Joins, Multimodal, Packing, Pca, Profile, Ranking, Sampling, TextAnalysis, Vocab}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -293,6 +293,18 @@ object SparkEntry {
         Vocab.bpeMerges(s.table("documents"), "text", numMerges = 6)
           .orderBy("step")
       }),
+      // the inference side of the tokenizer: corpus token frequencies
+      // after applying the learned merge table (the vocab report shipped
+      // with a tokenizer); the oracle replays training AND the per-word
+      // merge walk, then reweights by corpus word counts
+      "q_bpe_encode" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val merges = Vocab.bpeMerges(s.table("documents"), "text", numMerges = 6)
+        Vocab.bpeTokenize(s.table("documents"), "text", merges)
+          .select(explode(col("bpe_tokens")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(20)
+      }),
 
       // bigram-LM surprisal: token TRANSITIONS scored under Jelinek-
       // Mercer interpolation, first tokens under the unigram marginal;
@@ -487,6 +499,17 @@ object SparkEntry {
       // rest join plain) so BOTH paths carry real rows. The result is
       // row-identical to the plain join by construction — the oracle
       // replays the plain join + aggregate.
+      // edit-distance similarity self-join (PassJoin segment pigeonhole +
+      // bounded-levenshtein verify): all part-name pairs within 1 edit;
+      // the oracle replays the brute-force quadratic join
+      "q_editdist_join" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        EditDistance.selfJoin(
+            s.table("part").select(col("p_partkey").as("id"), col("p_name").as("name")),
+            "id", "name", maxDist = 1)
+          .orderBy("id_a", "id_b")
+      }),
+
       "q_salted_join" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val li = s.table("lineitem").select(
@@ -1566,7 +1589,12 @@ object SparkEntry {
     * recursive CTE carrying (acc, pend) fold state per word, exactly the
     * aggregate() fold the Spark side runs.
     */
-  private def bpeOracleSql(numMerges: Int): String = {
+  /** The shared CTE chain replaying `numMerges` BPE training rounds:
+    * `w$k` is the (word, cnt, syms) vocab after merge k, `b$k` the round-k
+    * winning pair. Consumed by both the training oracle (merge table) and
+    * the encode oracle (post-merge token frequencies).
+    */
+  private def bpeChainSql(numMerges: Int): String = {
     val sb = new StringBuilder
     sb.append("""WITH RECURSIVE w0 AS (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -1600,13 +1628,25 @@ object SparkEntry {
         SELECT w, cnt,
                CASE WHEN pend IS NULL THEN acc ELSE list_append(acc, pend) END AS syms
         FROM r$k WHERE pos = len(syms) + 1)""")
-    sb.append("\n      SELECT * FROM (\n        " +
+    sb.toString
+  }
+
+  private def bpeOracleSql(numMerges: Int): String =
+    bpeChainSql(numMerges) +
+      "\n      SELECT * FROM (\n        " +
       (1 to numMerges).map(k =>
         s"SELECT CAST($k AS BIGINT) AS step, s1 AS p1, s2 AS p2, CAST(c AS BIGINT) AS pair_count FROM b$k")
         .mkString("\n        UNION ALL\n        ") +
-      "\n      ) ORDER BY step")
-    sb.toString
-  }
+      "\n      ) ORDER BY step"
+
+  /** Encode-side replay: corpus token frequencies after the learned
+    * merges — per-word symbol lists weighted by corpus word counts.
+    */
+  private def bpeEncodeOracleSql(numMerges: Int, topK: Int): String =
+    bpeChainSql(numMerges) + s"""
+      SELECT t.s AS tok, CAST(SUM(w.cnt) AS BIGINT) AS cnt
+      FROM w$numMerges w, LATERAL (SELECT unnest(w.syms) AS s) t
+      GROUP BY t.s ORDER BY cnt DESC, tok LIMIT $topK"""
 
   /** Generated DuckDB replay of the logistic-regression training run:
     * per-round gradients are micro-rounded integer sums over MATERIALIZED
@@ -1660,6 +1700,7 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query (same column names + ordering). */
   def oracleSql: Map[String, String] = Map(
     "q_bpe" -> bpeOracleSql(6),
+    "q_bpe_encode" -> bpeEncodeOracleSql(6, 20),
     "q_logistic" -> logisticOracleSql(10, 5.0),
     "q_expect" -> """
       WITH a AS (
@@ -2207,6 +2248,15 @@ object SparkEntry {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'""",
     // the salted join must be row-identical to the plain equi-join
+    // brute-force replay of the segment-filtered join: every unordered
+    // pair within levenshtein distance 1 (no length exclusions)
+    "q_editdist_join" -> """
+      WITH s AS (SELECT p_partkey AS id, p_name AS nm FROM part)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      FROM s a JOIN s b ON a.id < b.id
+      WHERE levenshtein(a.nm, b.nm) <= 1
+      ORDER BY id_a, id_b""",
     "q_salted_join" -> """
       SELECT o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS cnt,
