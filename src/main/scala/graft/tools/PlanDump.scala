@@ -60,7 +60,9 @@ object PlanDump {
       "q_pca_cov" -> "PCA Gram: ONE fused gram_agg sweep (ObjectHashAggregate partial per partition, dim^2-bounded state) — no per-pair Generate rows; the explode below unpacks a single driver-sized array row",
       "q_mmr_rerank" -> "MMR rerank: candidate stage bounded (broadcast queries + WindowGroupLimit top-20), then ONE exchange on the query key feeds the typed greedy (MapGroups) — per-group state = the candidate budget, corpus untouched",
       "q_adaptive_filter" -> "adaptive quality trim: per-source hist sketch is an ObjectHashAggregate partial+final on the source key (nbins state), thresholds broadcast back over a second narrow scan — no corpus shuffle, no per-document sort",
-      "q_doc_line_dedup" -> "within-doc line strip: the split/filter/join HOF chain rides the single documents scan in one codegen stage — zero exchanges before the final singleton aggregation")
+      "q_doc_line_dedup" -> "within-doc line strip: the split/filter/join HOF chain rides the single documents scan in one codegen stage — zero exchanges before the final singleton aggregation",
+      "q_editdist_join" -> "edit-distance join: segment/substring explodes ride the two scans, candidates are ONE equi-join on (len, segIdx, segText) carrying ids only, partial-agg distinct, then string join-back + codegen'd bounded levenshtein — no cross join except the empty short-string sliver",
+      "q_bpe_encode" -> "BPE encode: the learned merge table folds into per-row HOF constants (driver-held, vocab-sized); tokenize + explode + hash-agg count — one exchange on the token key, TakeOrdered(20) on top")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
