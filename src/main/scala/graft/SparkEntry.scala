@@ -161,6 +161,21 @@ object SparkEntry {
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_e2
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""") _,
 
+      // sliding event-time windows (1-day window, 6-hour slide): every
+      // event contributes to exactly 4 overlapping windows — the Spark
+      // window() multi-assignment semantics, replayed in the oracle by
+      // enumerating the 4 aligned starts per event
+      "q_events_sliding" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.table("events")
+          .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(round(col("value") * 100).cast("long")).cast("long").as("val_e2"))
+          .select(unix_micros(col("window.start")).as("w_us"), col("event_type"),
+            col("cnt"), col("val_e2"))
+          .orderBy("w_us", "event_type")
+      }),
+
       // 5-way star join: Catalyst broadcasts the three small dims and
       // plans the two big joins on their shuffle keys (TPC-H Q5 shape)
       "q5_regional_revenue" -> q("""
@@ -295,14 +310,14 @@ object SparkEntry {
       }),
       // the inference side of the tokenizer: corpus token frequencies
       // after applying the learned merge table (the vocab report shipped
-      // with a tokenizer); the oracle replays training AND the per-word
-      // merge walk, then reweights by corpus word counts
+      // with a tokenizer), computed on the distinct-word vocab relation
+      // and reweighted by corpus counts (identical to exploding
+      // bpeTokenize over every document, at vocab-sized cost); the oracle
+      // replays training AND the per-word merge walk
       "q_bpe_encode" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val merges = Vocab.bpeMerges(s.table("documents"), "text", numMerges = 6)
-        Vocab.bpeTokenize(s.table("documents"), "text", merges)
-          .select(explode(col("bpe_tokens")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).cast("long").as("cnt"))
+        Vocab.bpeTokenCounts(s.table("documents"), "text", merges)
           .orderBy(col("cnt").desc, col("tok")).limit(20)
       }),
 
@@ -500,14 +515,54 @@ object SparkEntry {
       // row-identical to the plain join by construction — the oracle
       // replays the plain join + aggregate.
       // edit-distance similarity self-join (PassJoin segment pigeonhole +
-      // bounded-levenshtein verify): all part-name pairs within 1 edit;
-      // the oracle replays the brute-force quadratic join
+      // bounded-levenshtein verify) over the part-name DICTIONARY — the
+      // right altitude for fuzzy matching: dedupe to distinct names first
+      // (the replicated fixture would otherwise make the pair OUTPUT
+      // quadratic in corpus size), match the dictionary, broadcast the
+      // resolution back. Oracle replays the brute-force quadratic join.
       "q_editdist_join" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        EditDistance.selfJoin(
-            s.table("part").select(col("p_partkey").as("id"), col("p_name").as("name")),
-            "id", "name", maxDist = 1)
+        val dict = s.table("part").groupBy(col("p_name").as("name"))
+          .agg(min("p_partkey").cast("long").as("id"))
+        EditDistance.selfJoin(dict, "id", "name", maxDist = 1)
           .orderBy("id_a", "id_b")
+      }),
+      // the shared-prefix worst case ("Customer#000000...") via SymSpell
+      // deletion neighborhoods: segment keys would put every name in one
+      // cell (quadratic fan-in); hashed <=1-deletion variants stay nearly
+      // unique, so candidates scale with true matches
+      "q_editdist_names" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        EditDistance.selfJoin(
+            s.table("customer").select(col("c_custkey").cast("long").as("id"),
+              col("c_name").as("name")),
+            "id", "name", maxDist = 1, method = "deletion")
+          .groupBy("dist")
+          .agg(count(lit(1)).cast("long").as("pairs"),
+            sum(col("id_a") + col("id_b")).cast("long").as("id_sum"),
+            (sum(col("id_a") * col("id_b") % lit(1000003L)) % lit(1000003L))
+              .cast("long").as("pair_checksum"))
+          .orderBy("dist")
+      }),
+
+      // per-file data-skipping index: build min/max + fuse16 filters per
+      // physical file of a range-clustered copy, then answer a key-set
+      // lookup by reading ONLY candidate files (no false negatives; the
+      // exact semi-join removes filter FPs). Row-identical to the
+      // full-scan semi-join, which is what the oracle replays.
+      "q_skipping_index" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val tmpData = java.nio.file.Files.createTempDirectory("graft_skip_data_").toString
+        val tmpIdx = java.nio.file.Files.createTempDirectory("graft_skip_idx_").toString
+        s.table("lineitem").repartitionByRange(8, col("l_orderkey"))
+          .write.mode("overwrite").parquet(tmpData)
+        graft.sources.SkippingIndex.build(s, tmpData, "l_orderkey", tmpIdx)
+        val keys = s.table("orders").where(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").cast("long"))
+        graft.sources.SkippingIndex.prunedRead(s, tmpData, tmpIdx, "l_orderkey", keys)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum("l_orderkey").cast("long").as("key_sum"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("price_e2"))
       }),
 
       "q_salted_join" -> ((s: SparkSession, dir: String) => {
@@ -2248,15 +2303,51 @@ object SparkEntry {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'""",
     // the salted join must be row-identical to the plain equi-join
-    // brute-force replay of the segment-filtered join: every unordered
-    // pair within levenshtein distance 1 (no length exclusions)
+    // brute-force replay of the segment-filtered join over the name
+    // dictionary: every unordered pair within levenshtein distance 1
     "q_editdist_join" -> """
-      WITH s AS (SELECT p_partkey AS id, p_name AS nm FROM part)
+      WITH s AS (
+        SELECT CAST(MIN(p_partkey) AS BIGINT) AS id, p_name AS nm
+        FROM part GROUP BY p_name)
       SELECT a.id AS id_a, b.id AS id_b,
              CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
       FROM s a JOIN s b ON a.id < b.id
       WHERE levenshtein(a.nm, b.nm) <= 1
       ORDER BY id_a, id_b""",
+    // deletion-neighborhood gate replay: per-distance rollup of the
+    // brute-force pair set over customer names
+    "q_editdist_names" -> """
+      WITH s AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS nm FROM customer),
+      p AS (
+        SELECT a.id AS ia, b.id AS ib, levenshtein(a.nm, b.nm) AS d
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE levenshtein(a.nm, b.nm) <= 1)
+      SELECT CAST(d AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS pairs,
+             CAST(SUM(ia + ib) AS BIGINT) AS id_sum,
+             CAST(SUM((ia * ib) % 1000003) % 1000003 AS BIGINT) AS pair_checksum
+      FROM p GROUP BY d ORDER BY dist""",
+    // sliding-window replay: the 4 windows containing ts start at
+    // 6h*floor(ts/6h) - o*6h for o in 0..3 (all satisfy ts < start+24h)
+    "q_events_sliding" -> """
+      WITH e AS (
+        SELECT epoch_us(ts) AS us, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events),
+      x AS (
+        SELECT (us // 21600000000) * 21600000000 - t.o * 21600000000 AS w_us,
+               event_type, v
+        FROM e, LATERAL (SELECT unnest(range(4)) AS o) t)
+      SELECT w_us, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(v) AS BIGINT) AS val_e2
+      FROM x GROUP BY 1, 2 ORDER BY w_us, event_type""",
+    // skipping-index replay: the pruned read is row-identical to the
+    // plain key-set semi-join over the full table
+    "q_skipping_index" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_e2
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)""",
     "q_salted_join" -> """
       SELECT o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS cnt,

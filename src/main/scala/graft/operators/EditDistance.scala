@@ -74,28 +74,81 @@ object EditDistance {
     idx.join(prb, Seq("__jl", "__ji", "__seg")).select("__ida", "__idb")
   }
 
+  /** Deletion-neighborhood candidate pairs (the SymSpell scheme, k <= 2):
+    * every string is keyed by the 64-bit hash of itself and of each
+    * string obtainable by deleting up to k characters. ed(s, t) <= k
+    * implies a common <= k-deletion variant (delete the edited positions
+    * from each side), so sharing a key is COMPLETE; hashing the variants
+    * only ADDS candidates (collisions), never loses any — the verify
+    * removes both collision and genuine false positives.
+    *
+    * This is the scheme of choice when the SEGMENT keys are degenerate —
+    * dictionaries with a long shared prefix ("Customer#000000...") put
+    * every row in one segment cell (quadratic fan-in), while their
+    * deletion variants stay nearly unique. Cost: 1 + L + L(L-1)/2 keys
+    * per row at k = 2 — explode volume quadratic in string LENGTH, so
+    * it is for key-sized strings, not documents.
+    */
+  private def deletionCandidatePairs(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val delKeys =
+      if (k == 1)
+        """array_distinct(concat(
+          |  array(__s),
+          |  if(__l < 1, array(), transform(sequence(1, __l), i ->
+          |    concat(substr(__s, 1, i - 1), substr(__s, i + 1))))))""".stripMargin
+      else
+        """array_distinct(concat(
+          |  array(__s),
+          |  if(__l < 1, array(), transform(sequence(1, __l), i ->
+          |    concat(substr(__s, 1, i - 1), substr(__s, i + 1)))),
+          |  if(__l < 2, array(), flatten(transform(sequence(1, __l - 1), i ->
+          |    transform(sequence(i + 1, __l), j ->
+          |      concat(substr(__s, 1, i - 1), substr(__s, i + 1, j - i - 1),
+          |             substr(__s, j + 1))))))))""".stripMargin
+    def keyed(df: DataFrame, idOut: String, lenOut: String): DataFrame =
+      df.select(col("__id").as(idOut), col("__l").as(lenOut),
+        explode(expr(delKeys)).as("__v"))
+        .select(col(idOut), col(lenOut), xxhash64(col("__v")).as("__vh"))
+    keyed(a, "__ida", "__la").join(keyed(b, "__idb", "__lb"), Seq("__vh"))
+      .where(abs(col("__la") - col("__lb")) <= k)
+      .select("__ida", "__idb")
+  }
+
   /** All (left.id, right.id, dist) pairs with ed <= maxDist between
     * `left.strCol` and `right.strCol`, as (`id_a`, `id_b`, `dist`).
+    *
+    * `method`: "segment" (PassJoin pigeonhole — any k, explode linear in
+    * string length, best for natural strings) or "deletion" (SymSpell
+    * neighborhoods — k <= 2, explode quadratic in length at k = 2, best
+    * for shared-prefix key dictionaries where segment cells degenerate).
     */
   def join(left: DataFrame, right: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1, method: String = "segment"): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(method == "segment" || method == "deletion",
+      s"method must be 'segment' or 'deletion', got '$method'")
+    require(method != "deletion" || maxDist <= 2,
+      s"deletion neighborhoods support maxDist <= 2, got $maxDist")
     val k = maxDist
     val a = left.select(col(idCol).as("__id"), col(strCol).as("__s"),
       length(col(strCol)).as("__l"))
     val b = right.select(col(idCol).as("__id"), col(strCol).as("__s"),
       length(col(strCol)).as("__l"))
 
-    // forward: left indexed, right probes (covers left length >= k+1);
-    // reverse: the left-short sliver probes right's index;
-    // short x short: both lengths <= k ==> ed <= k holds trivially
-    val forward = candidatePairs(a, b, k)
-    val reverse = candidatePairs(b, a.where(col("__l") <= k), k)
-      .select(col("__idb").as("__ida"), col("__ida").as("__idb"))
-    val shorts = a.where(col("__l") <= k).select(col("__id").as("__ida"))
-      .crossJoin(b.where(col("__l") <= k).select(col("__id").as("__idb")))
+    val candidates = if (method == "deletion") deletionCandidatePairs(a, b, k)
+    else {
+      // forward: left indexed, right probes (covers left length >= k+1);
+      // reverse: the left-short sliver probes right's index;
+      // short x short: both lengths <= k ==> ed <= k holds trivially
+      val forward = candidatePairs(a, b, k)
+      val reverse = candidatePairs(b, a.where(col("__l") <= k), k)
+        .select(col("__idb").as("__ida"), col("__ida").as("__idb"))
+      val shorts = a.where(col("__l") <= k).select(col("__id").as("__ida"))
+        .crossJoin(b.where(col("__l") <= k).select(col("__id").as("__idb")))
+      forward.union(reverse).union(shorts)
+    }
 
-    forward.union(reverse).union(shorts)
+    candidates
       .where(col("__ida").isNotNull && col("__idb").isNotNull)
       .distinct()
       .join(left.select(col(idCol).as("__ida"), col(strCol).as("__sa")), "__ida")
@@ -110,8 +163,8 @@ object EditDistance {
     * direction; the canonical ordering + distinct dedupes the other.
     */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1): DataFrame =
-    join(df, df, idCol, strCol, maxDist)
+      maxDist: Int = 1, method: String = "segment"): DataFrame =
+    join(df, df, idCol, strCol, maxDist, method)
       .where(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))

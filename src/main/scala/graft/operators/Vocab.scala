@@ -124,4 +124,22 @@ object Vocab {
     }
     docs.withColumn(outCol, flatten(mergedWords))
   }
+
+  /** Corpus token frequencies under a learned merge table — the vocab
+    * report shipped with a tokenizer. Computed on the DISTINCT-WORD vocab
+    * relation and reweighted by corpus word counts: identical to exploding
+    * [[bpeTokenize]] over every document, at vocab-sized cost (the merge
+    * fold runs once per distinct word, not once per occurrence).
+    */
+  def bpeTokenCounts(docs: DataFrame, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val table = merges.select("step", "p1", "p2").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    val merged = table.foldLeft(col("syms")) { case (c, (p1, p2)) =>
+      applyMerge(c, p1, p2)
+    }
+    wordVocab(docs, textCol)
+      .select(explode(merged).as("tok"), col("cnt"))
+      .groupBy("tok").agg(sum("cnt").cast("long").as("cnt"))
+  }
 }

@@ -70,6 +70,30 @@ class EditDistanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty)
   }
 
+  test("deletion method k=1 matches brute force exactly") {
+    val df = fixture()
+    val got = EditDistance.selfJoin(df, "id", "name", maxDist = 1, method = "deletion")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = brute(df, 1)
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("deletion method k=2 matches brute force exactly") {
+    val df = fixture()
+    val got = EditDistance.selfJoin(df, "id", "name", maxDist = 2, method = "deletion")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = brute(df, 2)
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("deletion method handles empty and 1-char strings") {
+    val sps = spark; import sps.implicits._
+    val df = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "b")).toDF("id", "name")
+    val got = EditDistance.selfJoin(df, "id", "name", maxDist = 1, method = "deletion")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute(df, 1), s"got=$got want=${brute(df, 1)}")
+  }
+
   test("two-table join finds cross-table pairs with correct distances") {
     val sps = spark; import sps.implicits._
     val left = Seq((1L, "gold ring"), (2L, "iron bolt"), (3L, "tiny gear"))
