@@ -62,7 +62,10 @@ object PlanDump {
       "q_adaptive_filter" -> "adaptive quality trim: per-source hist sketch is an ObjectHashAggregate partial+final on the source key (nbins state), thresholds broadcast back over a second narrow scan — no corpus shuffle, no per-document sort",
       "q_doc_line_dedup" -> "within-doc line strip: the split/filter/join HOF chain rides the single documents scan in one codegen stage — zero exchanges before the final singleton aggregation",
       "q_editdist_join" -> "edit-distance join: segment/substring explodes ride the two scans, candidates are ONE equi-join on (len, segIdx, segText) carrying ids only, partial-agg distinct, then string join-back + codegen'd bounded levenshtein — no cross join except the empty short-string sliver",
-      "q_bpe_encode" -> "BPE encode: the learned merge table folds into per-row HOF constants (driver-held, vocab-sized); tokenize + explode + hash-agg count — one exchange on the token key, TakeOrdered(20) on top")
+      "q_bpe_encode" -> "BPE encode: the learned merge table folds into per-row HOF constants (driver-held, vocab-sized); the merge fold runs on the distinct-word vocab relation, explode + hash-agg count — one exchange on the token key, TakeOrdered(20) on top",
+      "q_editdist_names" -> "deletion-neighborhood edit join: hashed <=1-deletion variants explode row-locally on both scans, ONE equi-join on the 64-bit variant hash (no degenerate shared-prefix cell), partial-agg distinct pairs, bounded levenshtein verify",
+      "q_skipping_index" -> "skipping-index lookup: the pruned scan lists ONLY candidate files (file pruning happened at planning time via the broadcast index probe); the exact semi-join removes filter false positives",
+      "q_events_sliding" -> "sliding windows: the 4x window multi-assignment is a row-local Expand on the scan; one exchange on (window, event_type) feeds partial+final agg")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
