@@ -530,12 +530,15 @@ object SparkEntry {
       // the shared-prefix worst case ("Customer#000000...") via SymSpell
       // deletion neighborhoods: segment keys would put every name in one
       // cell (quadratic fan-in); hashed <=1-deletion variants stay nearly
-      // unique, so candidates scale with true matches
+      // unique, so candidates scale with true matches. Dictionary
+      // altitude (distinct names, min key as the representative) — the
+      // replicated fixture would otherwise multiply every variant cell by
+      // the replica count and candidates by its square
       "q_editdist_names" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         EditDistance.selfJoin(
-            s.table("customer").select(col("c_custkey").cast("long").as("id"),
-              col("c_name").as("name")),
+            s.table("customer").groupBy(col("c_name").as("name"))
+              .agg(min("c_custkey").cast("long").as("id")),
             "id", "name", maxDist = 1, method = "deletion")
           .groupBy("dist")
           .agg(count(lit(1)).cast("long").as("pairs"),
@@ -2317,7 +2320,9 @@ object SparkEntry {
     // deletion-neighborhood gate replay: per-distance rollup of the
     // brute-force pair set over customer names
     "q_editdist_names" -> """
-      WITH s AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS nm FROM customer),
+      WITH s AS (
+        SELECT CAST(MIN(c_custkey) AS BIGINT) AS id, c_name AS nm
+        FROM customer GROUP BY c_name),
       p AS (
         SELECT a.id AS ia, b.id AS ib, levenshtein(a.nm, b.nm) AS d
         FROM s a JOIN s b ON a.id < b.id

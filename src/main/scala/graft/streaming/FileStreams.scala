@@ -60,12 +60,22 @@ object FileStreams {
   }
 
   /** Stage files into a fresh landing directory (symlinks — no copy).
-    * `FileStreamSource` lists directories, not single files, and a landing
-    * directory is the production ingestion shape anyway.
+    * `FileStreamSource` lists plain files in a directory — it neither
+    * accepts a bare file path nor recurses into a symlinked table
+    * DIRECTORY — so each entry is resolved to its part files first (the
+    * driver's tables arrive as single files at small SFs and as parquet
+    * directories from distributed writes). A landing directory is the
+    * production ingestion shape anyway.
     */
   def stageLanding(files: Seq[Path]): Path = {
     val landing = Files.createTempDirectory("graft_landing_")
-    files.zipWithIndex.foreach { case (f, i) =>
+    val parts = files.flatMap { f =>
+      if (Files.isDirectory(f))
+        f.toFile.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.getName).map(_.toPath)
+      else Seq(f)
+    }
+    parts.zipWithIndex.foreach { case (f, i) =>
       Files.createSymbolicLink(landing.resolve(f"part_$i%05d.parquet"), f): Unit
     }
     landing.toFile.deleteOnExit()
