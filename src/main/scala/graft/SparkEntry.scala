@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classify, Dedup, EditDistance, Embeddings, Events, Joins, Multimodal, Packing, Pca, Profile, Ranking, Sampling, TextAnalysis, Vocab}
+import graft.operators.{Changelog, Classify, Dedup, EditDistance, Embeddings, Events, Graphs, Joins, Multimodal, Packing, Pca, Profile, Ranking, Sampling, TextAnalysis, Vocab}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -1601,6 +1601,45 @@ object SparkEntry {
                  CAST(kmv_intersect_count(a.s, b.s) AS BIGINT) AS shared
           FROM sk a JOIN sk b ON a.prio < b.prio
           ORDER BY p1, p2""")
+      }),
+
+      // PageRank centrality over the customer↔supplier purchase graph
+      // (undirected bipartite; node ids disambiguated by parity). Five
+      // power iterations in pure ppb integer arithmetic — the oracle
+      // replays every iteration exactly via an unrolled CTE chain.
+      "q_pagerank" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val edges = s.sql("""
+          SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""")
+        Graphs.pageRank(edges, "src", "dst", iterations = 5, undirected = true)
+          .orderBy(col("rank_ppb").desc, col("node")).limit(25)
+      }),
+
+      // Changelog compaction (CDC upsert): latest event per user wins,
+      // 'error' as the tombstone type — a key whose newest change is a
+      // tombstone drops out; older tombstones are overridden. One
+      // partial-aggregated struct-argmax, replayed by the oracle's
+      // window row_number form.
+      "q_upsert" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Changelog.compactLatest(s.table("events"), Seq("user_id"),
+            Seq("ts", "event_id"), col("event_type") === "error")
+          .select(col("user_id"), col("event_type").as("last_type"),
+            round(col("value") * 100).cast("long").as("value_e2"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .orderBy("user_id")
+      }),
+
+      // TF-IDF keywords: top-3 terms per document (tokens >= 3 chars),
+      // micro-rounded scores; df/N computed on the FULL corpus, output
+      // restricted to doc_id < 40 to bound the compare.
+      "q_tfidf" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Ranking.tfidfTopTerms(s.table("documents"), "text", "doc_id",
+            topN = 3, minTokenLen = 3)
+          .where(col("doc_id") < 40)
+          .orderBy(col("doc_id"), col("rnk"))
       }),
     )
   }
@@ -3476,5 +3515,88 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // PageRank: 5 power iterations in ppb integer arithmetic, unrolled —
+    // truncating integer division (`//`, all values positive) matches
+    // Spark's `div` exactly, so ranks replay bit-for-bit
+    "q_pagerank" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      base AS (SELECT nodes.node, n.n FROM nodes CROSS JOIN n),
+      r0 AS (SELECT node, 1000000000 // n AS rank FROM base),
+      it1 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inc
+              FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      r1 AS (SELECT b.node, (150000 * (1000000000 // b.n)) // 1000000
+                          + (850000 * COALESCE(i.inc, 0)) // 1000000 AS rank
+             FROM base b LEFT JOIN it1 i ON b.node = i.node),
+      it2 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inc
+              FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      r2 AS (SELECT b.node, (150000 * (1000000000 // b.n)) // 1000000
+                          + (850000 * COALESCE(i.inc, 0)) // 1000000 AS rank
+             FROM base b LEFT JOIN it2 i ON b.node = i.node),
+      it3 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inc
+              FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      r3 AS (SELECT b.node, (150000 * (1000000000 // b.n)) // 1000000
+                          + (850000 * COALESCE(i.inc, 0)) // 1000000 AS rank
+             FROM base b LEFT JOIN it3 i ON b.node = i.node),
+      it4 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inc
+              FROM edges e JOIN r3 r ON e.src = r.node JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      r4 AS (SELECT b.node, (150000 * (1000000000 // b.n)) // 1000000
+                          + (850000 * COALESCE(i.inc, 0)) // 1000000 AS rank
+             FROM base b LEFT JOIN it4 i ON b.node = i.node),
+      it5 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inc
+              FROM edges e JOIN r4 r ON e.src = r.node JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      r5 AS (SELECT b.node, (150000 * (1000000000 // b.n)) // 1000000
+                          + (850000 * COALESCE(i.inc, 0)) // 1000000 AS rank
+             FROM base b LEFT JOIN it5 i ON b.node = i.node)
+      SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_ppb
+      FROM r5 ORDER BY rank_ppb DESC, node LIMIT 25""",
+    // changelog compaction: the window row_number replay of the
+    // struct-argmax form (ordering unique per key via event_id)
+    "q_upsert" -> """
+      WITH latest AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_type AS last_type,
+             CAST(round(value * 100) AS BIGINT) AS value_e2,
+             epoch_us(ts) AS ts_us, event_id
+      FROM latest WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id""",
+    // TF-IDF keywords: full-corpus df/N, micro-rounded ln scores
+    "q_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> len(x) >= 3)) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks GROUP BY 1, 2),
+      df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      s AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               CAST(round(CAST(tf.tf AS DOUBLE)
+                 * ln((n.n_docs + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))
+                 * 1e6) AS BIGINT) AS score_e6
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+      r AS (
+        SELECT doc_id, token, tf, df, score_e6,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score_e6 DESC, token) AS rnk
+        FROM s)
+      SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, tf, df, score_e6
+      FROM r WHERE rnk <= 3 AND doc_id < 40
+      ORDER BY doc_id, rnk""",
   )
 }

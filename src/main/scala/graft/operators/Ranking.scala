@@ -325,4 +325,47 @@ object Ranking {
         col("__rank_b").as("rank_bm25"), col("__rank_c").as("rank_cosine"),
         col("__rrf").as("rrf"))
   }
+
+  /** Per-document TF-IDF keyword extraction: the `topN` highest-scoring
+    * terms per document, the standard "what is this page about" signal a
+    * curation pipeline uses for topic bucketing and index previews.
+    *
+    * score = tf · ln((N + 1)/(df + 1)), micro-rounded to `score_e6`
+    * (BIGINT) so ordering and the oracle replay are exact; ties break on
+    * the token string ascending.
+    *
+    * Scale shape: explode → ONE (doc, token) hash aggregate for tf (the
+    * only corpus-sized shuffle, map-side combined); per-token df is a
+    * second aggregate on the tf relation (already token-keyed, so AQE
+    * coalesces a cheap exchange); N is a single-row broadcast. The
+    * per-document top-N window partitions by doc_id — partitions are
+    * document-sized (distinct tokens in ONE doc), never corpus-sized, so
+    * no task depends on |corpus|. Vocabulary-scale relations (tf, df) are
+    * joined token-keyed and co-partitioned — never broadcast, never
+    * collected.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      topN: Int, minTokenLen: Int = 1): DataFrame = {
+    require(topN >= 1 && topN <= 1000, "topN must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) >= minTokenLen)
+    val tf = docs.select(col(idCol), explode(toks).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e6").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_e6",
+        round(col("tf").cast("double") *
+          log((col("n_docs").cast("double") + lit(1.0)) /
+              (col("df").cast("double") + lit(1.0))) * lit(1e6)).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topN)
+      .select(col(idCol), col("rnk"), col("token"), col("tf"), col("df"),
+        col("score_e6"))
+  }
 }

@@ -65,7 +65,10 @@ object PlanDump {
       "q_bpe_encode" -> "BPE encode: the learned merge table folds into per-row HOF constants (driver-held, vocab-sized); the merge fold runs on the distinct-word vocab relation, explode + hash-agg count — one exchange on the token key, TakeOrdered(20) on top",
       "q_editdist_names" -> "deletion-neighborhood edit join: hashed <=1-deletion variants explode row-locally on both scans, ONE equi-join on the 64-bit variant hash (no degenerate shared-prefix cell), partial-agg distinct pairs, bounded levenshtein verify",
       "q_skipping_index" -> "skipping-index lookup: the pruned scan lists ONLY candidate files (file pruning happened at planning time via the broadcast index probe); the exact semi-join removes filter false positives",
-      "q_events_sliding" -> "sliding windows: the 4x window multi-assignment is a row-local Expand on the scan; one exchange on (window, event_type) feeds partial+final agg")
+      "q_events_sliding" -> "sliding windows: the 4x window multi-assignment is a row-local Expand on the scan; one exchange on (window, event_type) feeds partial+final agg",
+      "q_pagerank" -> "PageRank: Pregel-shaped power iteration — the persisted src-partitioned edge relation is joined each step by the 16 B/node rank table only (InMemoryTableScan reused), contributions partial-agg on dst; ppb integer arithmetic end to end",
+      "q_upsert" -> "changelog compaction: ONE key exchange; SortAggregate(max(struct)) in partial+final mode ships <= 1 candidate per (partition, key) — no Window, no history shuffle",
+      "q_tfidf" -> "TF-IDF keywords: token explode -> (doc, token) partial+final hash agg; df aggregates the already-token-keyed tf relation; N is a broadcast single-row; the top-N window partitions by doc_id (document-sized partitions) with WindowGroupLimit pushing the rank filter down")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")

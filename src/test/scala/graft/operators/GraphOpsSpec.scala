@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Graphs.pageRank, Changelog.compactLatest, Ranking.tfidfTopTerms. */
+class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-graphops-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int,
+      dampingPpm: Long = 850000L, undirected: Boolean = false): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst", iters,
+        dampingPpm, undirected)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pagerank: symmetric 2-cycle keeps ranks equal and mass conserved") {
+    val r = ranksOf(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L) == r(2L))
+    // mass loss only from integer truncation: a few ppb per division
+    assert(math.abs(r.values.sum - 1000000000L) < 100L)
+  }
+
+  test("pagerank: star center outranks leaves; leaves tie exactly") {
+    // undirected star 0-1, 0-2, 0-3, 0-4
+    val r = ranksOf((1L to 4L).map(i => (0L, i)), iters = 5, undirected = true)
+    assert(r(0L) > r(1L))
+    assert((1L to 4L).map(r).distinct.size == 1)
+  }
+
+  test("pagerank: damping 0 gives the uniform base rank whatever the graph") {
+    val r = ranksOf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)), iters = 3,
+      dampingPpm = 0L)
+    assert(r.values.toSet == Set(1000000000L / 3))
+  }
+
+  test("pagerank: dangling sink absorbs but never emits (mass drops, no nulls)") {
+    // 1 -> 2, 2 has no out-edges: 2's mass is dropped each round
+    val r = ranksOf(Seq((1L, 2L)), iters = 4)
+    assert(r.keySet == Set(1L, 2L))
+    assert(r.values.forall(_ > 0L))
+    assert(r.values.sum < 1000000000L) // dangling loss is real and expected
+    assert(r(2L) > r(1L)) // 2 receives 1's damped mass on top of base
+  }
+
+  test("pagerank: partition-count invariant (pure integer arithmetic)") {
+    val s = spark
+    import s.implicits._
+    val edges = (for (i <- 0L until 40L) yield (i, (i * 7 + 3) % 40)).toDF("src", "dst")
+    val a = Graphs.pageRank(edges.repartition(1), "src", "dst", 4, undirected = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graphs.pageRank(edges.repartition(7), "src", "dst", 4, undirected = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("pagerank: multi-edges collapse to the simple graph") {
+    val once = ranksOf(Seq((1L, 2L), (2L, 1L)), iters = 3)
+    val dup = ranksOf(Seq((1L, 2L), (1L, 2L), (2L, 1L)), iters = 3)
+    assert(once == dup)
+  }
+
+  private def changes = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      // key 1: insert, update — latest wins
+      (1L, 10L, "a", 100.0, false),
+      (1L, 20L, "b", 200.0, false),
+      // key 2: insert then tombstone — key disappears
+      (2L, 10L, "a", 300.0, false),
+      (2L, 30L, "x", 0.0, true),
+      // key 3: tombstone then LATER re-insert — key survives
+      (3L, 10L, "x", 0.0, true),
+      (3L, 40L, "c", 400.0, false),
+      // key 4: single insert
+      (4L, 5L, "d", 500.0, false)
+    ).toDF("k", "seq", "tag", "v", "del")
+  }
+
+  test("compactLatest: latest wins, tombstones drop keys, later upserts revive") {
+    val out = Changelog.compactLatest(changes, Seq("k"), Seq("seq"), col("del"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, 20L, "b", 200.0), (3L, 40L, "c", 400.0),
+      (4L, 5L, "d", 500.0)))
+  }
+
+  test("compactLatest equals the window row_number replay") {
+    val s = spark
+    import s.implicits._
+    // 5k-change stream over 97 keys with interleaved tombstones
+    val big = (0 until 5000).map { i =>
+      val k = (i * 31 + 7) % 97
+      (k.toLong, i.toLong, s"t$i", i * 0.5, (i * 13 + k) % 11 == 0)
+    }.toDF("k", "seq", "tag", "v", "del")
+    val got = Changelog.compactLatest(big, Seq("k"), Seq("seq"), col("del"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(col("seq").desc)
+    val want = big.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && !col("del")).drop("rn")
+    assert(got.select("k", "seq", "tag", "v").except(
+      want.select("k", "seq", "tag", "v")).isEmpty)
+    assert(want.select("k", "seq", "tag", "v").except(
+      got.select("k", "seq", "tag", "v")).isEmpty)
+    assert(got.count() == want.count())
+  }
+
+  test("compactLatest: partial-aggregates before the key exchange, no Window") {
+    val plan = Changelog.compactLatest(changes, Seq("k"), Seq("seq"), col("del"))
+      .queryExecution.executedPlan.toString
+    info(plan)
+    // struct-max is a declarative aggregate over a struct buffer →
+    // SortAggregate, but still in partial+final mode: the exchange ships
+    // ≤ one candidate row per (input partition, key), never the history
+    assert(plan.contains("partial_max") || plan.contains("partial max")
+      || plan.contains("Partial"))
+    assert(!plan.contains("Window"))
+  }
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "alpha beta beta common common"),
+      (1L, "gamma beta common common common"),
+      (2L, "common common delta delta delta")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tfidf: corpus-wide terms score zero, rare terms rank first") {
+    val out = Ranking.tfidfTopTerms(docs, "text", "doc_id", topN = 2,
+        minTokenLen = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byDoc = out.groupBy(_._1)
+    // 'common' is in all 3 docs: ln(4/4) = 0
+    assert(out.filter(_._3 == "common").forall(_._6 == 0L))
+    // doc 2's top term is delta (tf 3, df 1): 3 * ln(4/2) * 1e6
+    val (_, rnk, tok, tf, df, score) = byDoc(2L).minBy(_._2)
+    assert((rnk, tok, tf, df) == (1, "delta", 3L, 1L))
+    assert(score == math.round(3.0 * math.log(2.0) * 1e6))
+    // doc 0: alpha (df 1) outranks beta (df 2)
+    assert(byDoc(0L).sortBy(_._2).map(_._3).toSeq == Seq("alpha", "beta"))
+  }
+
+  test("tfidf: topN caps per-doc rows; ties break on token ascending") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "aa bb"), (1L, "zz")).toDF("doc_id", "text")
+    val out = Ranking.tfidfTopTerms(d, "text", "doc_id", topN = 5, minTokenLen = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 0: aa and bb have identical (tf, df) — order by token asc
+    assert(out.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq == Seq("aa", "bb"))
+    val capped = Ranking.tfidfTopTerms(docs, "text", "doc_id", topN = 1,
+      minTokenLen = 1)
+    assert(capped.groupBy("doc_id").count().collect().forall(_.getLong(1) == 1L))
+  }
+
+  test("tfidf: minTokenLen filters short tokens") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a bb ccc dddd")).toDF("doc_id", "text")
+    val toks = Ranking.tfidfTopTerms(d, "text", "doc_id", topN = 10,
+      minTokenLen = 3).collect().map(_.getString(2)).toSet
+    assert(toks == Set("ccc", "dddd"))
+  }
+}
