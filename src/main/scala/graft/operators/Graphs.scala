@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Iterative link-graph analytics (PageRank power iteration).
   *
@@ -58,29 +57,35 @@ object Graphs {
     val e0 = if (undirected) directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
              else directed
     // multi-edges collapse: PageRank is defined on the simple graph here
-    // (the oracle replays DISTINCT edges); partition by src once so every
-    // iteration's join reuses this exchange
-    val e = e0.distinct()
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // (the oracle replays DISTINCT edges). Out-degree rides a src-keyed
+    // window on the SAME exchange that co-locates the edges for the
+    // superstep joins — one pass, no self-join, no double edge build.
+    // localCheckpoint = persist + lineage CUT: every superstep below
+    // plans against a flat scan, not the whole upstream query (swap for
+    // reliable checkpoint() in fault-tolerant production runs).
+    import org.apache.spark.sql.expressions.Window
+    val eDeg = e0.distinct()
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint()
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
     // single-row node count, broadcast onto the rank table (no collect —
     // the count stays inside the plan)
     val nRow = nodes.agg(count(lit(1)).as("n"))
-    val base = nodes.crossJoin(broadcast(nRow))
+    val base = nodes.crossJoin(broadcast(nRow)).localCheckpoint()
 
+    // Pregel-style supersteps, each MATERIALIZED with its lineage cut.
+    // persist() alone is not enough: cached data short-circuits execution
+    // but the logical plan still nests one join+agg level per iteration,
+    // so analyzer/optimizer/AQE driver time GROWS with the iteration
+    // count (measured: step5 3x step1). GraphX checkpoints supersteps for
+    // the same reason. State per step: |nodes| × 16 B, distributed.
     var ranks = base.select(col("node"), expr("1000000000L div n").as("rank"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contrib = e
+      val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div deg")).as("inc"))
       ranks = base
@@ -88,6 +93,7 @@ object Graphs {
         .select(col("node"), (
           expr(s"((${1000000L - dampingPpm}L * (1000000000L div n)) div 1000000L)") +
           expr(s"(${dampingPpm}L * coalesce(inc, 0L)) div 1000000L")).as("rank"))
+        .localCheckpoint()
     }
     ranks.select(col("node"), col("rank").as("rank_ppb"))
   }
