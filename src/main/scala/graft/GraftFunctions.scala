@@ -181,6 +181,9 @@ object GraftFunctions {
     "cms_estimate" -> FnDoc(
       arg("sketch - BINARY cms blob", "hash - BIGINT pre-hashed probe key"),
       ex("SELECT cms_estimate(s, bitfilters_duckdb_hash('v1.5.1', 42)) FROM sketches;")),
+    "cms_inner_product" -> FnDoc(
+      arg("a - BINARY cms blob", "b - BINARY cms blob (same depth/log2_width)"),
+      ex("SELECT cms_inner_product(a.s, b.s) AS join_size_est FROM sa a, sb b;")),
     "kmv_sketch" -> FnDoc(
       arg("k - INTEGER constant in [1,1048576], retained minima",
         "hash_or_blob - BIGINT pre-hashed key, or BINARY kmv blob to bottom-k union merge"),
@@ -375,6 +378,9 @@ object GraftFunctions {
     ("cms_estimate",
       "cms_estimate(sketch, hash) - frequency upper bound for a pre-hashed key",
       args => { arity("cms_estimate", 2, args); CmsEstimate(args(0), args(1)) }),
+    ("cms_inner_product",
+      "cms_inner_product(a, b) - equi-join size upper bound: min over rows of the counter inner product",
+      args => { arity("cms_inner_product", 2, args); CmsInnerProduct(args(0), args(1)) }),
     ("kmv_sketch",
       "kmv_sketch(k, hash_or_blob) - aggregate hashes into a k-minimum-values distinct sketch BLOB, or bottom-k union merge kmv BLOBs",
       args => { arity("kmv_sketch", 2, args); KmvSketchAgg(args(0), args(1)) }),

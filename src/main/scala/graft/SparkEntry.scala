@@ -1603,6 +1603,33 @@ object SparkEntry {
           ORDER BY p1, p2""")
       }),
 
+      // CMS join-cardinality estimation: per-event-type user_id sketches,
+      // cms_inner_product bounds each cross-type self-join size WITHOUT
+      // running the join — the planner-side primitive. Exact pair counts
+      // computed from per-(user, type) counts (no pair blowup); estimates
+      // are integers, DuckDB rebuilds every counter cell exactly.
+      "q_join_card" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        s.sql("""
+          WITH sk AS (
+            SELECT event_type,
+                   cms_sketch(4, 14, bitfilters_duckdb_hash('v1.5.1', CAST(user_id AS BIGINT))) AS s
+            FROM events GROUP BY event_type),
+          cnt AS (
+            SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+          ex AS (
+            SELECT a.event_type AS t1, b.event_type AS t2,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs
+            FROM cnt a JOIN cnt b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+          SELECT ex.t1, ex.t2, ex.exact_pairs,
+                 cms_inner_product(sa.s, sb.s) AS est_pairs
+          FROM ex JOIN sk sa ON sa.event_type = ex.t1
+                  JOIN sk sb ON sb.event_type = ex.t2
+          ORDER BY t1, t2""")
+      }),
+
       // PageRank centrality over the customer↔supplier purchase graph
       // (undirected bipartite; node ids disambiguated by parity). Five
       // power iterations in pure ppb integer arithmetic — the oracle
@@ -3515,6 +3542,38 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // CMS inner product: DuckDB rebuilds every (row, cell) counter with the
+    // engine hash (same machinery as q_cms), then min-over-rows of the
+    // cell-product sums; exact side via per-(user, type) count products
+    "q_join_card" -> """
+      WITH seeds(i, seed) AS (
+        SELECT * FROM (VALUES
+          (0, CAST(0 AS UBIGINT)),
+          (1, CAST(2611923443488327891 AS UBIGINT)),
+          (2, CAST(1376283091369227076 AS UBIGINT)),
+          (3, CAST(11820040416388919760 AS UBIGINT))) s(i, seed)),
+      h AS (SELECT event_type, hash(CAST(user_id AS BIGINT)) AS hv FROM events),
+      cells AS (
+        SELECT event_type, s.i, hash(xor(h.hv, s.seed)) % 16384 AS idx,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM h, seeds s GROUP BY 1, 2, 3),
+      prod AS (
+        SELECT a.event_type AS t1, b.event_type AS t2, a.i,
+               SUM(a.c * b.c) AS rowsum
+        FROM cells a JOIN cells b
+          ON a.i = b.i AND a.idx = b.idx AND a.event_type < b.event_type
+        GROUP BY 1, 2, 3),
+      est AS (SELECT t1, t2, MIN(rowsum) AS est_pairs FROM prod GROUP BY 1, 2),
+      cnt AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+      ex AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs
+        FROM cnt a JOIN cnt b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT ex.t1, ex.t2, ex.exact_pairs, CAST(est.est_pairs AS BIGINT) AS est_pairs
+      FROM ex JOIN est ON est.t1 = ex.t1 AND est.t2 = ex.t2
+      ORDER BY ex.t1, ex.t2""",
     // PageRank: 5 power iterations in ppb integer arithmetic, unrolled —
     // truncating integer division (`//`, all values positive) matches
     // Spark's `div` exactly, so ranks replay bit-for-bit

@@ -213,6 +213,34 @@ final class CountMinSketch(val depth: Int, val log2w: Int, val counters: Array[L
     while (i < counters.length) { counters(i) += o.counters(i); i += 1 }
   }
 
+  /** Equi-join size upper bound (AMS/CM inner product): min over the depth
+    * rows of Σ_cell this·other — each row's sum ≥ Σ_key fA(k)·fB(k), the
+    * true join cardinality, with collisions only ADDING mass. Saturates at
+    * Long.MaxValue (a row sum can reach |A|·|B|; the min of the remaining
+    * rows usually recovers, but a genuinely astronomical join size
+    * saturates cleanly instead of wrapping).
+    */
+  def innerProduct(o: CountMinSketch): Long = {
+    require(o.depth == depth && o.log2w == log2w,
+      s"cannot inner-product cms sketches with (depth=$depth,log2w=$log2w) and (depth=${o.depth},log2w=${o.log2w})")
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var saturated = false
+      var i = r << log2w
+      val end = (r + 1) << log2w
+      while (i < end && !saturated) {
+        try s = Math.addExact(s, Math.multiplyExact(counters(i), o.counters(i)))
+        catch { case _: ArithmeticException => saturated = true }
+        i += 1
+      }
+      if (!saturated && s < best) best = s
+      r += 1
+    }
+    best
+  }
+
   def serialize(): Array[Byte] = {
     val out = new Array[Byte](2 + 8 * counters.length)
     out(0) = depth.toByte

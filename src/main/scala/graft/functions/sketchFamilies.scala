@@ -548,6 +548,29 @@ case class KmvIntersectCount(left: Expression, right: Expression) extends Binary
     copy(left = l, right = r)
 }
 
+/** SQL: `cms_inner_product(a, b)` → BIGINT — the AMS/Count-Min equi-join
+  * size estimate Σ_key fA(key)·fB(key) ≤ min over rows of Σ_cell a·b. The
+  * cardinality-estimation primitive a 100 TB planner wants BEFORE running
+  * a join: both sides sketch independently (one narrow pass each, KB-sized
+  * mergeable state), the product is O(depth·width) on the driver-sized
+  * blobs, and the bound never undercounts.
+  */
+case class CmsInnerProduct(left: Expression, right: Expression) extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "cms_inner_product"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_inner_product arguments must be BINARY cms blobs, got ${left.dataType.sql}, ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CountMinSketch.deserialize(a.asInstanceOf[Array[Byte]])
+      .innerProduct(CountMinSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsInnerProduct =
+    copy(left = l, right = r)
+}
+
 /** Dense-from-first-row histogram state: nbins longs is small by contract
   * (MaxBins 65536 = 512 KB worst case; typical use is a few hundred bins),
   * so no sparse staging is needed.

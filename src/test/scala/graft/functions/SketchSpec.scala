@@ -91,6 +91,35 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       sk.estimate(DuckDbHash.hashLong(1L)))
   }
 
+  test("cms: inner product bounds the join size, exact when sparse, symmetric") {
+    val a = CountMinSketch.create(4, 14)
+    val b = CountMinSketch.create(4, 14)
+    // fA = {1:3, 2:5, 9:2}, fB = {2:4, 9:7, 42:100} -> true join size
+    // 5*4 + 2*7 = 34; sparse 16384-cell rows make collisions unlikely
+    Map(1L -> 3, 2L -> 5, 9L -> 2).foreach { case (k, n) =>
+      (1 to n).foreach(_ => a.add(DuckDbHash.hashLong(k))) }
+    Map(2L -> 4, 9L -> 7, 42L -> 100).foreach { case (k, n) =>
+      (1 to n).foreach(_ => b.add(DuckDbHash.hashLong(k))) }
+    val est = a.innerProduct(b)
+    assert(est >= 34L)
+    assert(est <= 40L, s"sparse inner product far off: $est")
+    assert(est == b.innerProduct(a))
+    // disjoint key sets -> 0 (no shared cells at this sparsity)
+    val c = CountMinSketch.create(4, 14)
+    c.add(DuckDbHash.hashLong(777L))
+    assert(a.innerProduct(c) == 0L)
+    // dimension mismatch refuses
+    intercept[IllegalArgumentException] {
+      a.innerProduct(CountMinSketch.create(4, 12)): Unit
+    }
+    // saturating rows: both counters huge -> clean Long.MaxValue, no wrap
+    val big1 = CountMinSketch.create(2, 4)
+    val big2 = CountMinSketch.create(2, 4)
+    big1.add(DuckDbHash.hashLong(1L), Long.MaxValue / 2)
+    big2.add(DuckDbHash.hashLong(1L), Long.MaxValue / 2)
+    assert(big1.innerProduct(big2) == Long.MaxValue)
+  }
+
   test("cms: row hash matches the live-DuckDB xor+hash vector") {
     // SELECT hash(xor(42::UBIGINT, 9876543210123456789::UBIGINT)) in duckdb
     // v1.0.0 (== v1.5.1 integer hash) returned this value; the UBIGINT bit
