@@ -1153,6 +1153,19 @@ object SparkEntry {
               ev, "ts", "event_type", "1 day", "1 hour"))
           .orderBy("w_us", "event_type")
       }),
+      // stream-static enrichment: the events stream broadcast-joins the
+      // static customer dimension each micro-batch, then rolls up per
+      // (day, mktsegment) under the watermark — same emission contract as
+      // q_stream_window; per-row micro-rounded value sums replay exactly
+      "q_stream_enrich" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.FileStreams.enrichedWindowedStats(
+              ev, "ts", "value", "user_id",
+              s.table("customer"), "c_custkey", "c_mktsegment"))
+          .orderBy("w_us", "segment")
+      }),
       // streaming gap-sessionization (session_window + watermark): rollup
       // over the sessions finalized by the final watermark; session end is
       // last event + gap, events exactly gap apart merge (same break rule
@@ -2579,6 +2592,19 @@ object SparkEntry {
     // streaming per-day bloom maintenance replay: counts are exact
     // (finalized windows only), misses is exactly 0 by the filters'
     // no-false-negative contract over the probed member keys
+    // stream-static enrichment replay: broadcast-dim join + the same
+    // ms-floored watermark cutoff as q_stream_window
+    "q_stream_enrich" -> """
+      WITH m AS (
+        SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS wm FROM events)
+      SELECT epoch_us(date_trunc('day', ts)) AS w_us,
+             c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_e2
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey, m
+      GROUP BY 1, 2, wm
+      HAVING w_us + 86400000000 <= wm
+      ORDER BY w_us, segment""",
     "q_stream_filters" -> """
       WITH m AS (
         SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS wm FROM events),

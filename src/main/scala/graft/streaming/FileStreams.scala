@@ -127,6 +127,30 @@ object FileStreams {
       .agg(count(lit(1)).cast("long").as("n"))
       .select(unix_micros(col("window.start")).as("w_us"), col(typeCol), col("n"))
 
+  /** Stream-static enrichment + windowed rollup: each micro-batch joins
+    * the event stream against a STATIC dimension (broadcast — the classic
+    * "enrich the firehose with reference data" pattern; Spark re-reads the
+    * static side per batch, so slowly-updated dimension tables are picked
+    * up without restarting the query), then aggregates per (event-time
+    * window, dimension attribute) under the watermark. Value sums are
+    * micro-rounded per row BEFORE summing, so emitted integers replay
+    * exactly in any engine. Same emission contract as
+    * [[windowedEventCounts]] (append mode, ms-floored watermark,
+    * inclusive eviction).
+    */
+  def enrichedWindowedStats(events: DataFrame, tsCol: String, valueCol: String,
+      keyCol: String, dim: DataFrame, dimKeyCol: String, dimAttrCol: String,
+      windowExpr: String = "1 day", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .join(broadcast(dim.select(col(dimKeyCol).cast("long").as(keyCol),
+        col(dimAttrCol).as("segment"))), Seq(keyCol))
+      .groupBy(window(col(tsCol), windowExpr), col("segment"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(round(col(valueCol) * 100).cast("long")).cast("long").as("value_e2"))
+      .select(unix_micros(col("window.start")).as("w_us"), col("segment"),
+        col("n"), col("value_e2"))
+
   /** Streaming exact dedup: first sighting of each (source, fingerprint)
     * passes, later ones are dropped by the state store — `dropDuplicates`
     * state is the exact-dedup twin of

@@ -56,6 +56,27 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() > 0)
   }
 
+  test("stream-static enrichment: emitted set == batch join+rollup under the cutoff") {
+    val ev = FileStreams.tableStream(spark, dir, "events", Seq("ts"))
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+    val out = FileStreams.runAvailableNow(
+      FileStreams.enrichedWindowedStats(ev, "ts", "value", "user_id",
+        dim, "c_custkey", "c_mktsegment"))
+    val batch = batchEvents()
+    val wm = watermarkUs(batch, 3600000L)
+    val expected = batch
+      .join(dim.select(col("c_custkey").cast("long").as("user_id"),
+        col("c_mktsegment").as("segment")), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 day"), col("segment"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("value_e2"))
+      .select(unix_micros(col("window.start")).as("w_us"), col("segment"),
+        col("n"), col("value_e2"))
+      .filter(col("w_us") + 86400000000L <= wm)
+    assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+    assert(out.count() > 0)
+  }
+
   test("emitted set is identical under an event-time-ordered one-file-per-trigger split") {
     val batch = batchEvents()
     // re-stage the table as 3 event-time-ranged files (the production
