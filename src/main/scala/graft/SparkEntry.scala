@@ -1616,6 +1616,19 @@ object SparkEntry {
           ORDER BY p1, p2""")
       }),
 
+      // deterministic contrastive negative sampling: 4 hash-drawn corpus
+      // negatives per anchor over the dense vec_id space; the draw is a
+      // pure function of the data (engine-portable integer hash), so the
+      // oracle replays every pick
+      "q_neg_sample" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+        Sampling.contrastiveNegatives(
+            emb.where(col("vec_id") < 20), emb, "vec_id", k = 4)
+          .select(col("vec_id"), col("j"), col("neg_vec_id"), col("neg_label"))
+          .orderBy("vec_id", "j")
+      }),
+
       // CMS join-cardinality estimation: per-event-type user_id sketches,
       // cms_inner_product bounds each cross-type self-join size WITHOUT
       // running the join — the planner-side primitive. Exact pair counts
@@ -3568,6 +3581,24 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // contrastive negatives: the engine hash of id*1000003 + j,
+    // sign-cleared then mod n, anchor-collision bumped to (r+1) mod n
+    "q_neg_sample" -> """
+      WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      anchors AS (SELECT vec_id FROM embeddings WHERE vec_id < 20),
+      j AS (SELECT unnest(range(4)) AS j),
+      raw AS (
+        SELECT a.vec_id, j.j,
+               CAST((hash(a.vec_id * 1000003 + j.j) & 9223372036854775807) % n.n AS BIGINT) AS r,
+               n.n AS nn
+        FROM anchors a, j, n),
+      neg AS (
+        SELECT vec_id, CAST(j AS INT) AS j,
+               CASE WHEN r = vec_id THEN (r + 1) % nn ELSE r END AS neg_id
+        FROM raw)
+      SELECT neg.vec_id, neg.j, e.vec_id AS neg_vec_id, e.label AS neg_label
+      FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
+      ORDER BY neg.vec_id, neg.j""",
     // CMS inner product: DuckDB rebuilds every (row, cell) counter with the
     // engine hash (same machinery as q_cms), then min-over-rows of the
     // cell-product sums; exact side via per-(user, type) count products

@@ -165,4 +165,46 @@ object Sampling {
       .where(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Deterministic negative sampling for contrastive training: `k`
+    * pseudo-random corpus rows per anchor, drawn by hashing `(id, j)` into
+    * the DENSE id space `[0, n)` — a pure function of the data, so every
+    * rerun/backfill pairs each anchor with the same negatives and a SQL
+    * oracle replays the draw exactly.
+    *
+    * Contract: `corpus`'s `idCol` is dense `0..n-1` (embedding tables
+    * typically are; densify upstream otherwise). A draw that hits the
+    * anchor itself moves to `(id + 1) mod n` — deterministic, still
+    * uniform over the other rows to within one slot.
+    *
+    * The hash is the DuckDB-portable integer hash of `id·1000003 + j +
+    * seed·1000033`, sign-cleared then reduced mod n; both steps replay
+    * bit-exactly in DuckDB (`hash(x) & maxLong % n`).
+    *
+    * Scale shape: anchors explode to k rows each (row-local), the corpus
+    * row count is a broadcast single-row aggregate, and the payload fetch
+    * is ONE equi-join of k·|anchors| skinny rows against the corpus on
+    * its id — no window, no collect, nothing quadratic.
+    *
+    * @return one row per (anchor, j): anchor columns' `idCol`, `j`, and
+    *         the negative's columns prefixed `neg_`.
+    */
+  def contrastiveNegatives(anchors: DataFrame, corpus: DataFrame,
+      idCol: String, k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val nRow = corpus.agg(count(lit(1)).as("__n"))
+    val drawn = anchors.select(col(idCol))
+      .crossJoin(broadcast(nRow))
+      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("j"), col("__n"))
+      .withColumn("__h", expr(
+        s"bitfilters_duckdb_hash('v1.5.1', CAST($idCol AS BIGINT) * 1000003L + CAST(j AS BIGINT) + ${seed}L * 1000033L)"))
+      .withColumn("__r", pmod(col("__h").bitwiseAND(lit(Long.MaxValue)), col("__n")))
+      .withColumn("__neg", when(col("__r") === col(idCol),
+        pmod(col("__r") + 1, col("__n"))).otherwise(col("__r")))
+    val negSide = corpus.columns.foldLeft(corpus)((d, c) =>
+      d.withColumnRenamed(c, s"neg_$c"))
+    drawn
+      .join(negSide, drawn("__neg") === negSide(s"neg_$idCol"))
+      .drop("__h", "__r", "__neg", "__n")
+  }
 }

@@ -1068,6 +1068,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(heavy >= 35, s"expected >=35 of 40 slots for heavy rows, got $heavy")
   }
 
+  test("contrastive negatives: k per anchor, never the anchor, deterministic, uniform-ish") {
+    val corpus = spark.range(0, 100).select(col("id").as("vec_id"),
+      (col("id") % 7).cast("string").as("label"))
+    val anchors = corpus.where(col("vec_id") < 10)
+    val out = Sampling.contrastiveNegatives(anchors, corpus, "vec_id", k = 5)
+    val rows = out.select("vec_id", "j", "neg_vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 50)
+    // every (anchor, j in 0..4) present exactly once; negative != anchor
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      (for (a <- 0L until 10L; j <- 0 until 5) yield (a, j)).toSet)
+    assert(rows.forall { case (a, _, n) => n != a && n >= 0L && n < 100L })
+    // pure function of the data: repartitioned input draws the same set
+    val again = Sampling.contrastiveNegatives(
+        anchors.repartition(7), corpus.repartition(5), "vec_id", k = 5)
+      .select("vec_id", "j", "neg_vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+    // seed changes the draw
+    val seeded = Sampling.contrastiveNegatives(anchors, corpus, "vec_id", k = 5, seed = 1L)
+      .select("vec_id", "j", "neg_vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(seeded.sorted.toSeq != rows.sorted.toSeq)
+    // hash-uniform: across 500 draws no single negative dominates
+    val top = rows.groupBy(_._3).map(_._2.length).max
+    assert(top <= 6, s"one negative drawn $top/50 times")
+  }
+
   test("split assignment: total coverage, expected shares, append-stable, salt-decorrelated") {
     val df = spark.range(0, 1000).select(col("id").as("doc_id"),
       concat(lit("doc body number "), col("id")).as("text"))
