@@ -364,6 +364,18 @@ object SparkEntry {
           .orderBy("cid")
       }),
 
+      // per-cluster embedding outliers: the 5 members farthest from their
+      // Lloyd-fit centroid (micro-rounded cosine, id tiebreak) — the
+      // oracle extends the q_kmeans replay chain with the similarity rank
+      "q_outliers" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        Embeddings.centroidOutliers(emb, "vec", "vec_id", k = 8,
+            iterations = 1, m = 5)
+          .orderBy("cid", "rnk")
+      }),
+
       // feature-hashed text vectors (hashing trick): md5-bucket tf counts,
       // L2-normalized — the in-engine text vectorizer. nnz + micro-rounded
       // element sums checksum every vector for the first 20 docs.
@@ -2087,6 +2099,35 @@ object SparkEntry {
       SELECT cid, CAST(COUNT(*) AS BIGINT) AS members,
              CAST(SUM(vec_id) AS BIGINT) AS id_sum
       FROM a1 GROUP BY cid ORDER BY cid""",
+    // centroid outliers: the q_kmeans chain through c1, re-scoring every
+    // member against its ASSIGNED centroid and ranking ascending
+    "q_outliers" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      a0 AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c0.cv) * 1e6) DESC, c0.cid) AS rn
+        FROM e, c0) WHERE rn = 1),
+      dims AS (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a0),
+      sums AS (SELECT cid, i, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s_e6,
+                      COUNT(*) AS m
+               FROM dims GROUP BY cid, i),
+      c1 AS (SELECT cid, list(CAST(s_e6 AS DOUBLE) / (CAST(m AS DOUBLE) * 1e6)
+                              ORDER BY i) AS cv
+             FROM sums GROUP BY cid),
+      a1 AS (SELECT vec_id, cid, sim_e6 FROM (
+        SELECT e.vec_id, c1.cid,
+               CAST(round(list_cosine_similarity(e.v, c1.cv) * 1e6) AS BIGINT) AS sim_e6,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c1.cv) * 1e6) DESC, c1.cid) AS rn
+        FROM e, c1) WHERE rn = 1),
+      r AS (SELECT cid, vec_id, sim_e6,
+                   row_number() OVER (PARTITION BY cid
+                     ORDER BY sim_e6 ASC, vec_id) AS rnk
+            FROM a1)
+      SELECT cid, CAST(rnk AS INTEGER) AS rnk, vec_id, sim_e6
+      FROM r WHERE rnk <= 5 ORDER BY cid, rnk""",
     // feature-hash vectors replayed: same md5-prefix bucket, same integer
     // counts, same IEEE normalize; docs with no tokens keep a zero row
     "q_text_vectors" -> """

@@ -758,6 +758,43 @@ object Embeddings {
     base.join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cid"), col("__drop").isNull.as("keep"))
 
+  /** Per-cluster embedding outliers: the `m` members FARTHEST from their
+    * assigned centroid (lowest micro-rounded cosine), after the same
+    * deterministic Lloyd fit as [[kmeansLloyd]] — the data-cleaning signal
+    * for mislabeled/noise/off-distribution points, cluster-localized so a
+    * dense cluster's tail is not drowned out by a diffuse one.
+    *
+    * Determinism: similarity is recomputed against the assigned centroid
+    * and micro-rounded (same 1e-6 contract as assignment), ranks break
+    * ties on id — the whole report is a pure function of the data and
+    * replays in SQL on top of the kmeans oracle chain.
+    *
+    * Scale shape: assignment is the zero-shuffle kmeans kernel; the
+    * centroid re-join is a k-row broadcast; the per-cluster bottom-m
+    * window partitions by cid (cluster-sized, k scales with the corpus
+    * under the SemDeDup sizing rule, so partitions stay bounded).
+    *
+    * @return (cid, rnk 1..m, idCol, sim_e6) — rnk 1 = farthest.
+    */
+  def centroidOutliers(embeddings: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int = 1, m: Int = 5): DataFrame = {
+    require(m >= 1 && m <= 10000, "m must be in [1, 10000]")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = kmeansFit(embeddings, vecCol, idCol, k, iterations)
+    val cdf = cents.map { case (cid, v) => (cid, v) }.toDF("cid", "__cvec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("sim_e6").asc, col(idCol))
+    kmeansAssign(embeddings, vecCol, cents)
+      .join(broadcast(cdf), Seq("cid"))
+      .withColumn("sim_e6",
+        round(vecDot(col(vecCol), col("__cvec"))
+          / (vecNorm(col(vecCol)) * vecNorm(col("__cvec"))) * lit(1e6)).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= m)
+      .select(col("cid"), col("rnk"), col(idCol), col("sim_e6"))
+  }
+
   private def kmeansFit(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, iterations: Int): Seq[(Long, Seq[Double])] = {
     require(k >= 1, "k must be >= 1")

@@ -440,6 +440,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.count() == 2L)
   }
 
+  test("centroid outliers: farthest members rank first, per cluster, capped at m") {
+    // cluster 1 bundle along e0 with one off-axis straggler (id 7); cluster
+    // 2 tight along e1
+    val vecs = spark.createDataFrame(Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (3L, Seq(0.98, 0.02, 0.0)),
+      (5L, Seq(0.99, 0.01, 0.0)), (7L, Seq(0.6, 0.0, 0.8)),
+      (2L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.0, 0.99, 0.01))
+    )).toDF("vec_id", "vec")
+    val out = Embeddings.centroidOutliers(vecs, "vec", "vec_id", k = 2,
+        iterations = 1, m = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // exactly m rows per cluster, ranks 1..m
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == Seq(1, 2) })
+    // the off-axis straggler is its cluster's #1 outlier
+    val c1 = out.filter(_._1 == 1L).minBy(_._2)
+    assert(c1._3 == 7L, out.mkString(", "))
+    // ranks follow ascending similarity within each cluster
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+    }
+    // m larger than the cluster just returns every member
+    val all = Embeddings.centroidOutliers(vecs, "vec", "vec_id", k = 2,
+      iterations = 1, m = 100)
+    assert(all.count() == 6L)
+  }
+
   test("semdedup: drops same-cluster near-duplicates, keeps first copy") {
     // cluster A: ids 1/3/5 nearly parallel (sim ~1); cluster B: 2/4 parallel,
     // 6 orthogonal-ish to both B members but assigned to B's centroid side
