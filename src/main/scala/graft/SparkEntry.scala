@@ -1628,6 +1628,18 @@ object SparkEntry {
           ORDER BY p1, p2""")
       }),
 
+      // event-stream resampling: 6-hour grid per user, forward-filled
+      // (LOCF) — the oracle replays the fill with DuckDB's native ASOF
+      // LEFT JOIN ((user, ts) unique per key, so the carry is total-ordered)
+      "q_resample" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Events.resample(s.table("events").where(col("user_id") < 5),
+            "user_id", "ts", "value", stepUs = 21600000000L)
+          .select(col("user_id"), unix_micros(col("grid_ts")).as("ts_us"),
+            round(col("value") * 100).cast("long").as("value_e2"))
+          .orderBy("user_id", "ts_us")
+      }),
+
       // deterministic contrastive negative sampling: 4 hash-drawn corpus
       // negatives per anchor over the dense vec_id space; the draw is a
       // pure function of the data (engine-portable integer hash), so the
@@ -1678,6 +1690,22 @@ object SparkEntry {
           SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""")
         Graphs.pageRank(edges, "src", "dst", iterations = 5, undirected = true)
+          .orderBy(col("rank_ppb").desc, col("node")).limit(25)
+      }),
+
+      // personalized PageRank: teleport mass restricted to nation-0
+      // suppliers — random-walk proximity ranks the "more like these"
+      // neighborhood; 3 unrolled iterations, same ppb integer contract
+      "q_ppr" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val edges = s.sql("""
+          SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""")
+        val seeds = s.sql(
+          "SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0")
+        Graphs.personalizedPageRank(edges, "src", "dst", seeds, "node",
+            iterations = 3, undirected = true)
+          .where(col("rank_ppb") > 0)
           .orderBy(col("rank_ppb").desc, col("node")).limit(25)
       }),
 
@@ -3622,6 +3650,23 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // resample: per-user aligned grid + native ASOF LEFT JOIN forward fill
+    "q_resample" -> """
+      WITH obs AS (
+        SELECT user_id, epoch_us(ts) AS us, value
+        FROM events WHERE user_id < 5),
+      sp AS (
+        SELECT user_id, (MIN(us) // 21600000000) * 21600000000 AS lo,
+               MAX(us) AS hi
+        FROM obs GROUP BY user_id),
+      grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, 21600000000)) AS ts_us
+        FROM sp)
+      SELECT g.user_id, g.ts_us,
+             CAST(round(o.value * 100) AS BIGINT) AS value_e2
+      FROM grid g ASOF LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.ts_us >= o.us
+      ORDER BY g.user_id, g.ts_us""",
     // contrastive negatives: the engine hash of id*1000003 + j,
     // sign-cleared then mod n, anchor-collision bumped to (r+1) mod n
     "q_neg_sample" -> """
@@ -3717,6 +3762,45 @@ object SparkEntry {
              FROM base b LEFT JOIN it5 i ON b.node = i.node)
       SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_ppb
       FROM r5 ORDER BY rank_ppb DESC, node LIMIT 25""",
+    // personalized PageRank: same unrolled integer chain with the
+    // teleport restricted to the (graph-present) seed set
+    "q_ppr" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      seeds AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+                WHERE s_nationkey = 0),
+      gs AS (SELECT n.node FROM nodes n JOIN seeds s ON n.node = s.node),
+      ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM gs),
+      base AS (
+        SELECT n.node,
+               CASE WHEN g.node IS NOT NULL THEN 1000000000 // ns.ns
+                    ELSE 0 END AS tele
+        FROM nodes n LEFT JOIN gs g ON n.node = g.node CROSS JOIN ns),
+      r0 AS (SELECT node, tele AS rank FROM base),
+      it1 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inc
+              FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      r1 AS (SELECT b.node, (150000 * b.tele) // 1000000
+                          + (850000 * COALESCE(i.inc, 0)) // 1000000 AS rank
+             FROM base b LEFT JOIN it1 i ON b.node = i.node),
+      it2 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inc
+              FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      r2 AS (SELECT b.node, (150000 * b.tele) // 1000000
+                          + (850000 * COALESCE(i.inc, 0)) // 1000000 AS rank
+             FROM base b LEFT JOIN it2 i ON b.node = i.node),
+      it3 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inc
+              FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      r3 AS (SELECT b.node, (150000 * b.tele) // 1000000
+                          + (850000 * COALESCE(i.inc, 0)) // 1000000 AS rank
+             FROM base b LEFT JOIN it3 i ON b.node = i.node)
+      SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_ppb
+      FROM r3 WHERE rank > 0 ORDER BY rank_ppb DESC, node LIMIT 25""",
     // changelog compaction: the window row_number replay of the
     // struct-argmax form (ordering unique per key via event_id)
     "q_upsert" -> """

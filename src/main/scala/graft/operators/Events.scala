@@ -234,4 +234,40 @@ object Events {
         col("__bin") === expr(s"greatest(__lsus, __rsus) div ${binWidthUs}L"))
       .drop(reserved: _*)
   }
+
+  /** Resample an irregular event stream onto a fixed time grid with
+    * forward fill (last observation carried forward) — the feature-
+    * engineering step that turns raw logs into aligned model inputs.
+    *
+    * Per key: grid points every `stepUs` micros from
+    * `floor(min_ts / step) * step` (grid-aligned) through `max_ts`; each
+    * point carries the latest observation at-or-before it (inclusive),
+    * NULL before the first observation or when `toleranceUs` lapses
+    * (staleness cutoff). Observation timestamps must be unique per key or
+    * a deterministic `orderCols` tie-break supplied — same contract as
+    * [[asofJoin]], which implements the fill (tagged union + ONE key
+    * exchange + running `last(ignoreNulls)`; no per-grid-point probe, no
+    * range join).
+    *
+    * Scale shape: the grid explode is row-local off a per-key min/max
+    * aggregate (grid size = span/step per key, independent of event
+    * count); the fill is asofJoin's single key-partitioned window.
+    *
+    * @return (keyCol, grid_ts TIMESTAMP, valueCol carried)
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      stepUs: Long, toleranceUs: Option[Long] = None,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val spans = df.groupBy(col(keyCol))
+      .agg(min(unix_micros(col(tsCol))).as("__lo"),
+        max(unix_micros(col(tsCol))).as("__hi"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(expr(s"(__lo div ${stepUs}L) * ${stepUs}L"),
+        col("__hi"), lit(stepUs))).as("__grid_us"))
+      .select(col(keyCol), timestamp_micros(col("__grid_us")).as("grid_ts"))
+    asofJoin(grid, df.select(col(keyCol) +: col(tsCol) +: col(valueCol) +:
+        orderCols.map(col): _*),
+      Seq(keyCol), "grid_ts", tsCol, Seq(valueCol), toleranceUs, orderCols)
+  }
 }

@@ -3,11 +3,14 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Iterative link-graph analytics (PageRank power iteration).
+/** Iterative link-graph analytics (PageRank power iteration, uniform and
+  * personalized/seeded teleport).
   *
   * Web-corpus curation ranks hosts/documents by link centrality before
   * sampling (Common-Crawl-style pipelines weight pages by harmonic or
-  * PageRank centrality). The reference engine has no graph surface —
+  * PageRank centrality); personalized PageRank ranks nodes by proximity
+  * to a SEED set (topic-focused crawling, "more like these" expansion of
+  * a curated allowlist). The reference engine has no graph surface —
   * this is a brief-mandated pipeline operator expressed Spark-first:
   * each power-iteration step is one equi-join (edge src → current rank)
   * plus one destination-keyed partial aggregate, i.e. the same shuffle
@@ -19,38 +22,59 @@ import org.apache.spark.sql.functions._
   * the DuckDB oracle replays every iteration exactly, and re-running on
   * different partitionings is bit-identical (sums of longs commute).
   *
-  * Scale shape (100 TB): the edge table is the big relation; it is
-  * hash-partitioned on `src` ONCE (persisted together with the
-  * src-out-degree relation, which shares that partitioning), so each of
-  * the `iterations` joins reuses the exchange and only the rank table —
-  * |nodes| rows of 16 B — reshuffles per step. Dangling mass (nodes with
-  * no out-edges) is dropped, the classic simplification; feed an
-  * undirected graph (`undirected = true` emits each edge both ways) when
-  * mass conservation matters.
+  * Scale shape (100 TB): the edge table is the big relation; its
+  * distinct+degree pass is materialized ONCE (localCheckpoint — swap for
+  * reliable checkpoint() in fault-tolerant production runs) and each of
+  * the `iterations` supersteps joins it against the 16 B/node rank
+  * table, which is the only thing that reshuffles per step. Supersteps
+  * are materialized with their lineage cut: persist() alone leaves the
+  * logical plan growing one join+agg level per iteration, so
+  * analyzer/optimizer/AQE driver time grows with the iteration count
+  * (measured: step 5 was 3× step 1) — GraphX checkpoints supersteps for
+  * the same reason. Dangling mass (nodes with no out-edges) is dropped,
+  * the classic simplification; feed an undirected graph
+  * (`undirected = true` emits each edge both ways) when mass
+  * conservation matters.
   */
 object Graphs {
 
   /** PageRank over `edges(srcCol, dstCol)` (node ids BIGINT).
     *
-    * rank_0(v)   = 10^9 div n
-    * rank_i+1(v) = ((10^6 - dampingPpm) * (10^9 div n)) div 10^6
+    * rank_0(v)   = tele(v)
+    * rank_i+1(v) = ((10^6 - dampingPpm) * tele(v)) div 10^6
     *             + (dampingPpm * Σ_{(u,v)∈E} (rank_i(u) div outdeg(u))) div 10^6
     *
-    * where `div` is truncating integer division and n = |nodes|. Every
-    * intermediate fits comfortably in a long (ranks ≤ 10^9, damped sums
-    * ≤ 10^6 · n · 10^9 only if a node had 10^6 in-edges each carrying the
-    * full mass — contributions are divided by out-degree first, so the
-    * damped sum is bounded by 10^6 · 10^9 · avg-indeg/outdeg ≪ 2^63).
+    * with uniform teleport tele(v) = 10^9 div n, truncating integer
+    * division throughout, n = |nodes|. Every intermediate fits
+    * comfortably in a long (ranks ≤ 10^9; contributions are divided by
+    * out-degree before the damped sum, which stays ≪ 2^63).
     *
     * @param undirected emit each input edge in both directions (dedup'd)
     * @return DataFrame(node BIGINT, rank_ppb BIGINT)
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPpm: Long = 850000L,
-               undirected: Boolean = false): DataFrame = {
+               undirected: Boolean = false): DataFrame =
+    runPageRank(edges, srcCol, dstCol, iterations, dampingPpm, undirected, None)
+
+  /** Personalized (seeded) PageRank: the teleport mass lands ONLY on the
+    * seed nodes — `tele(v) = 10^9 div |seeds|` for seeds, 0 otherwise —
+    * so ranks measure random-walk proximity to the seed set ("more like
+    * these" corpus expansion, topic-focused host weighting). Seeds not
+    * present in the edge set are ignored (they have no walk to
+    * personalize). Same integer contract as [[pageRank]].
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int,
+      dampingPpm: Long = 850000L, undirected: Boolean = false): DataFrame =
+    runPageRank(edges, srcCol, dstCol, iterations, dampingPpm, undirected,
+      Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()))
+
+  private def runPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingPpm: Long, undirected: Boolean,
+      seedsOpt: Option[DataFrame]): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations must be in [1, 100]")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm must be in [0, 10^6]")
-    val spark = edges.sparkSession
 
     val directed = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -60,9 +84,6 @@ object Graphs {
     // (the oracle replays DISTINCT edges). Out-degree rides a src-keyed
     // window on the SAME exchange that co-locates the edges for the
     // superstep joins — one pass, no self-join, no double edge build.
-    // localCheckpoint = persist + lineage CUT: every superstep below
-    // plans against a flat scan, not the whole upstream query (swap for
-    // reliable checkpoint() in fault-tolerant production runs).
     import org.apache.spark.sql.expressions.Window
     val eDeg = e0.distinct()
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
@@ -70,19 +91,26 @@ object Graphs {
     val nodes = eDeg.select(col("src").as("node"))
       .union(eDeg.select(col("dst").as("node")))
       .distinct()
-    // single-row node count, broadcast onto the rank table (no collect —
-    // the count stays inside the plan)
-    val nRow = nodes.agg(count(lit(1)).as("n"))
-    val base = nodes.crossJoin(broadcast(nRow)).localCheckpoint()
 
-    // Pregel-style supersteps, each MATERIALIZED with its lineage cut.
-    // persist() alone is not enough: cached data short-circuits execution
-    // but the logical plan still nests one join+agg level per iteration,
-    // so analyzer/optimizer/AQE driver time GROWS with the iteration
-    // count (measured: step5 3x step1). GraphX checkpoints supersteps for
-    // the same reason. State per step: |nodes| × 16 B, distributed.
-    var ranks = base.select(col("node"), expr("1000000000L div n").as("rank"))
-      .localCheckpoint()
+    // per-node teleport share in ppb; the denominator is a single-row
+    // broadcast (no collect — the count stays inside the plan)
+    val base = (seedsOpt match {
+      case None =>
+        val nRow = nodes.agg(count(lit(1)).as("n"))
+        nodes.crossJoin(broadcast(nRow))
+          .select(col("node"), expr("1000000000L div n").as("tele"))
+      case Some(seeds) =>
+        val graphSeeds = seeds.join(nodes, Seq("node"), "left_semi")
+        val sRow = graphSeeds.agg(count(lit(1)).as("ns"))
+        nodes
+          .join(graphSeeds.withColumn("__isSeed", lit(1)), Seq("node"), "left")
+          .crossJoin(broadcast(sRow))
+          .select(col("node"),
+            when(col("__isSeed").isNotNull, expr("1000000000L div ns"))
+              .otherwise(lit(0L)).as("tele"))
+    }).localCheckpoint()
+
+    var ranks = base.select(col("node"), col("tele").as("rank")).localCheckpoint()
     for (_ <- 1 to iterations) {
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -91,7 +119,7 @@ object Graphs {
       ranks = base
         .join(contrib, Seq("node"), "left")
         .select(col("node"), (
-          expr(s"((${1000000L - dampingPpm}L * (1000000000L div n)) div 1000000L)") +
+          expr(s"((${1000000L - dampingPpm}L * tele) div 1000000L)") +
           expr(s"(${dampingPpm}L * coalesce(inc, 0L)) div 1000000L")).as("rank"))
         .localCheckpoint()
     }

@@ -70,7 +70,9 @@ object PlanDump {
       "q_upsert" -> "changelog compaction: ONE key exchange; SortAggregate(max(struct)) in partial+final mode ships <= 1 candidate per (partition, key) — no Window, no history shuffle",
       "q_tfidf" -> "TF-IDF keywords: token explode -> (doc, token) partial+final hash agg; df aggregates the already-token-keyed tf relation; N is a broadcast single-row; the top-N window partitions by doc_id (document-sized partitions) with WindowGroupLimit pushing the rank filter down",
       "q_join_card" -> "join-size estimation: both sketch sides are ObjectHashAggregate partial+final over one events scan each; the exact side aggregates per-(user, type) counts (no pair blowup); cms_inner_product runs on 5x5 blob pairs — the joins under estimation are never executed",
-      "q_neg_sample" -> "contrastive negatives: anchors explode k row-locally, corpus count broadcasts as a single row, the draw is pure projection (codegen'd hash), and the payload fetch is ONE id-keyed join — no window, no collect")
+      "q_neg_sample" -> "contrastive negatives: anchors explode k row-locally, corpus count broadcasts as a single row, the draw is pure projection (codegen'd hash), and the payload fetch is ONE id-keyed join — no window, no collect",
+      "q_resample" -> "grid resample: the LOCF fill is asofJoin's tagged union + ONE user-key exchange + running last(ignoreNulls) — no per-grid-point probe, no range join; grid explode rides the per-key span aggregate",
+      "q_outliers" -> "centroid outliers: constant-folded centroid argmax on the scan (zero-shuffle assignment), k-row broadcast re-join, per-cluster bottom-m window with WindowGroupLimit")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")

@@ -78,6 +78,60 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once == dup)
   }
 
+  test("personalized pagerank: teleport mass stays in the seed neighborhood") {
+    val s = spark
+    import s.implicits._
+    // two disconnected 2-cycles; seeds in the first component only
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graphs.personalizedPageRank(edges, "src", "dst", seeds, "node",
+        iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // unreached component has exactly zero rank; seed component holds ~all
+    assert(r(10L) == 0L && r(11L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+    assert(math.abs(r(1L) + r(2L) - 1000000000L) < 100L)
+    // seeds outside the graph are ignored
+    val r2 = Graphs.personalizedPageRank(edges, "src", "dst",
+        Seq(1L, 999L).toDF("node"), "node", iterations = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2(1L) > 0L && r2(10L) == 0L)
+  }
+
+  test("resample: aligned grid, forward fill, nulls before first obs and past tolerance") {
+    val s = spark
+    import s.implicits._
+    val obs = Seq(
+      (1L, 1500L, 10.0), (1L, 3200L, 20.0), (1L, 9100L, 30.0),
+      (2L, 2000L, 5.0)
+    ).map { case (k, us, v) => (k, us, v) }
+      .toDF("k", "us", "v")
+      .select(col("k"), expr("timestamp_micros(us)").as("ts"), col("v"))
+    val out = Events.resample(obs, "k", "ts", "v", stepUs = 1000L)
+      .select(col("k"), expr("unix_micros(grid_ts)").as("us"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    val k1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // grid starts at floor(1500/1000)*1000 = 1000 and runs through 9100
+    assert(k1.map(_._2).toSeq == (1000L to 9000L by 1000L).toSeq)
+    assert(k1.head._3 == null) // before first observation
+    assert(k1.find(_._2 == 2000L).get._3 == 10.0)
+    assert(k1.find(_._2 == 4000L).get._3 == 20.0)
+    assert(k1.find(_._2 == 9000L).get._3 == 20.0) // 9100 obs not yet visible
+    // an observation exactly AT a grid point is visible (inclusive)
+    val k2 = out.filter(_._1 == 2L).sortBy(_._2)
+    assert(k2.map(_._2).toSeq == Seq(2000L))
+    assert(k2.head._3 == 5.0)
+    // tolerance cuts stale carries back to null
+    val tol = Events.resample(obs, "k", "ts", "v", stepUs = 1000L,
+        toleranceUs = Some(1500L))
+      .select(col("k"), expr("unix_micros(grid_ts)").as("us"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(tol.find(t => t._1 == 1L && t._2 == 6000L).get._3 == null)
+    assert(tol.find(t => t._1 == 1L && t._2 == 4000L).get._3 == 20.0)
+  }
+
   private def changes = {
     val s = spark
     import s.implicits._
