@@ -1628,6 +1628,16 @@ object SparkEntry {
           ORDER BY p1, p2""")
       }),
 
+      // vocab coverage: OOV occurrence rate per source against the
+      // corpus's own top-500 token vocab — exact integer ppm
+      "q_vocab_coverage" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        Vocab.coverageReport(docs, "text", "source",
+            TextAnalysis.topTokens(docs, "text", 500), "token")
+          .orderBy("source")
+      }),
+
       // event-stream resampling: 6-hour grid per user, forward-filled
       // (LOCF) — the oracle replays the fill with DuckDB's native ASOF
       // LEFT JOIN ((user, ts) unique per key, so the carry is total-ordered)
@@ -3650,6 +3660,25 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // vocab coverage: top-500 tokens (count desc, token asc) as the vocab,
+    // OOV occurrences counted per source, truncating-div ppm
+    "q_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+          ORDER BY c DESC, tok LIMIT 500)),
+      j AS (
+        SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+             CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+             CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
+      FROM j GROUP BY source ORDER BY source""",
     // resample: per-user aligned grid + native ASOF LEFT JOIN forward fill
     "q_resample" -> """
       WITH obs AS (

@@ -142,4 +142,29 @@ object Vocab {
       .select(explode(merged).as("tok"), col("cnt"))
       .groupBy("tok").agg(sum("cnt").cast("long").as("cnt"))
   }
+
+  /** Vocabulary coverage report: per `groupCol`, the fraction of token
+    * OCCURRENCES not covered by `vocab` — the go/no-go check before
+    * committing a corpus to a tokenizer/vocab (high OOV in one source =
+    * that source will fragment into bytes/unks and dominate the token
+    * budget). Exact integer output (`oov_ppm` via truncating div), so the
+    * report replays in any engine.
+    *
+    * Scale shape: token explode over the corpus scan; the vocab side is
+    * vocab-sized and broadcasts into a left join probed on the stream; one
+    * group-keyed partial aggregate. The corpus never shuffles on tokens.
+    */
+  def coverageReport(docs: DataFrame, textCol: String, groupCol: String,
+      vocab: DataFrame, vocabTokCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => t =!= lit(""))).as("__tok"))
+    val v = vocab.select(col(vocabTokCol).as("__tok")).distinct()
+      .withColumn("__inv", lit(1))
+    toks.join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("total_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).cast("long").as("oov_tokens"))
+      .withColumn("oov_ppm", expr("(oov_tokens * 1000000L) div total_tokens"))
+  }
 }

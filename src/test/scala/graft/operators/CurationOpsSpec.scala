@@ -396,6 +396,26 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toks == Seq("low", "e", "s", "t", "low"), toks.toString)
   }
 
+  test("vocab coverage: exact OOV occurrence counts and ppm per group") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a", "the cat the dog"),      // 4 tokens, OOV: dog (1)
+      ("a", "the the"),              // 2 tokens, 0 OOV
+      ("b", "zebra yak")             // 2 tokens, both OOV
+    ).toDF("source", "text")
+    val vocab = Seq("the", "cat").toDF("token")
+    val out = Vocab.coverageReport(docs, "text", "source", vocab, "token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(("a", 6L, 1L, 166666L), ("b", 2L, 2L, 1000000L)), out.toString)
+    // duplicate vocab rows collapse; coverage counts occurrences not types
+    val dupVocab = Seq("the", "the", "cat").toDF("token")
+    val again = Vocab.coverageReport(docs, "text", "source", dupVocab, "token")
+      .collect().map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(again == Seq(("a", 1L), ("b", 2L)))
+  }
+
   // --- incrementalNearDuplicates ---
 
   test("incremental near-dup equals the full pipeline's cross-slice pairs") {
