@@ -1527,6 +1527,27 @@ object SparkEntry {
             sum(col("target_width").cast("long")).as("sum_tw"))
       }),
 
+      // image dedup by perceptual hash: payloads synthesized once per
+      // distinct pattern (doc_id mod 500 — planted duplicate structure),
+      // dHash'd through the REAL PNG decode, fanned back to documents by
+      // a broadcast join, grouped by hash. DuckDB recomputes every hash
+      // analytically from the pixel formula (nearest-sample grid + integer
+      // luma + sign-bit two's complement).
+      "q_image_dedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        val pats = docs.select((col("doc_id") % 500).as("pat")).distinct()
+        val hashed = Multimodal.dHash64(
+          Multimodal.synthesizePngPayloads(pats, "pat"), "media_id", "payload")
+        docs.select(col("doc_id"), (col("doc_id") % 500).as("media_id"))
+          .join(broadcast(hashed), Seq("media_id"))
+          .groupBy("dhash")
+          .agg(count(lit(1)).cast("long").as("members"),
+            min("doc_id").cast("long").as("min_doc"))
+          .orderBy(col("members").desc, col("dhash"))
+          .limit(20)
+      }),
+
       // real-WAV round-trip: pixels' audio sibling. Samples route through
       // actual RIFF/WAVE PCM-16 encode -> bytes -> decode -> feature
       // extraction; PCM is lossless, so DuckDB recomputes sample sums,
@@ -3032,6 +3053,39 @@ object SparkEntry {
     // so the decoded raster equals the source pattern bit-for-bit). The
     // resize column replays Spark's double arithmetic op-for-op (IEEE
     // determinism: same ops, same order, same doubles).
+    // image dHash replay: nearest-sample 9x8 grid from the pixel formula,
+    // integer luma, bit gr*8+gc set iff s(gc) > s(gc+1); bit 63 is the
+    // sign bit, contributed as -(2^63) in two's complement
+    "q_image_dedup" -> """
+      WITH pats AS (SELECT DISTINCT doc_id % 500 AS p FROM documents),
+      dim AS (SELECT p, 8 + p % 9 AS w, 8 + (p // 9) % 9 AS h FROM pats),
+      grid AS (
+        SELECT d.p, d.w, d.h, gr.gr, gc.gc,
+               (gc.gc * d.w) // 9 AS x, (gr.gr * d.h) // 8 AS y
+        FROM dim d,
+             (SELECT unnest(range(8)) AS gr) gr,
+             (SELECT unnest(range(9)) AS gc) gc),
+      lum AS (
+        SELECT p, gr, gc,
+               (((p*31 + x*7 + y*13) % 256) * 299 +
+                ((p*31 + x*7 + y*13 + 101) % 256) * 587 +
+                ((p*31 + x*7 + y*13 + 202) % 256) * 114) // 1000 AS s
+        FROM grid),
+      bits AS (
+        SELECT a.p, a.gr, a.gc, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        FROM lum a JOIN lum b ON a.p = b.p AND a.gr = b.gr AND b.gc = a.gc + 1
+        WHERE a.gc < 8),
+      hash AS (
+        SELECT p, CAST(SUM(CASE WHEN bit = 1 THEN
+                 CASE WHEN gr * 8 + gc = 63 THEN (-9223372036854775807 - 1)
+                      ELSE (1::BIGINT << CAST(gr * 8 + gc AS INTEGER)) END
+               ELSE 0 END) AS BIGINT) AS dhash
+        FROM bits GROUP BY p),
+      docs AS (SELECT doc_id, doc_id % 500 AS p FROM documents)
+      SELECT h.dhash, CAST(COUNT(*) AS BIGINT) AS members,
+             CAST(MIN(d.doc_id) AS BIGINT) AS min_doc
+      FROM docs d JOIN hash h ON d.p = h.p
+      GROUP BY h.dhash ORDER BY members DESC, dhash LIMIT 20""",
     "q_multimodal_decode" -> """
       WITH d AS (
         SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h FROM documents),

@@ -603,6 +603,72 @@ object Multimodal {
     * than failing the task. Other kinds go through the documented
     * [[StubCodec]].
     */
+  /** 64-bit perceptual difference hash (dHash) of image payloads — the
+    * image twin of the text fingerprints: near-identical images (resized,
+    * re-encoded, slightly recolored) collide, so exact-groupBy on the
+    * hash deduplicates an image corpus and `word_hamming` on the packed
+    * value gives a near-dup distance.
+    *
+    * Exact integer spec (engine-replayable without a codec when pixel
+    * values are analytic): nearest-sample the decoded image onto a 9×8
+    * grid — sample (gc, gr) reads pixel `(gc·w div 9, gr·h div 8)` —
+    * take integer luma `(299·R + 587·G + 114·B) div 1000`, and set bit
+    * `gr·8 + gc` iff `s(gc, gr) > s(gc+1, gr)`. Bit 63 lands in the sign
+    * bit (two's complement, both engines agree). Undecodable payloads
+    * yield a NULL hash with (-1, -1) dimensions.
+    *
+    * Scale shape: embarrassingly parallel batched mapPartitions on the
+    * payload scan (same as [[decodeAndFeaturize]]); the output is 20 B a
+    * row no matter how large the images are.
+    */
+  def dHash64(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val img = ImageCodec.decode(bytes)
+          if (img == null) Row(id, -1, -1, null)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val s = Array.ofDim[Int](8, 9)
+            var gr = 0
+            while (gr < 8) {
+              var gc = 0
+              while (gc < 9) {
+                val rgb = img.getRGB(gc * w / 9, gr * h / 8)
+                s(gr)(gc) = (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 +
+                  (rgb & 255) * 114) / 1000
+                gc += 1
+              }
+              gr += 1
+            }
+            var hash = 0L
+            gr = 0
+            while (gr < 8) {
+              var gc = 0
+              while (gc < 8) {
+                if (s(gr)(gc) > s(gr)(gc + 1)) hash |= (1L << (gr * 8 + gc))
+                gc += 1
+              }
+              gr += 1
+            }
+            Row(id, w, h, hash)
+          }
+        }
+      }
+    }
+  }
+
   def decodeAndFeaturize(df: DataFrame, idCol: String, binCol: String,
       kind: String = "image", featureDim: Int = 64, batchSize: Int = 256): DataFrame = {
     val outSchema = StructType(Seq(

@@ -828,6 +828,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.count() > 5) // multiple frames per decoded clip
   }
 
+  test("multimodal: dHash64 matches the analytic spec, re-encode-stable, junk-null") {
+    val sps = spark; import sps.implicits._
+    val ids = (1L to 50L).toDF("doc_id")
+    val png = Multimodal.synthesizePngPayloads(ids, "doc_id")
+    val hashed = Multimodal.dHash64(png, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    // replay the documented spec in Scala from the pixel formula
+    hashed.foreach { case (id, w, h, got) =>
+      assert(w == (8 + id % 9).toInt && h == (8 + (id / 9) % 9).toInt)
+      def lum(x: Int, y: Int): Int =
+        (((id * 31 + x * 7 + y * 13) % 256) * 299 +
+         ((id * 31 + x * 7 + y * 13 + 101) % 256) * 587 +
+         ((id * 31 + x * 7 + y * 13 + 202) % 256) * 114).toInt / 1000
+      var want = 0L
+      for (gr <- 0 until 8; gc <- 0 until 8)
+        if (lum(gc * w / 9, gr * h / 8) > lum((gc + 1) * w / 9, gr * h / 8))
+          want |= (1L << (gr * 8 + gc))
+      assert(got == want, s"dhash mismatch for id=$id")
+    }
+    // identical pixels after an independent re-encode hash identically
+    val reenc = Multimodal.synthesizePngPayloads(ids, "doc_id")
+    assert(Multimodal.dHash64(reenc.repartition(5), "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq ==
+      hashed.map(t => (t._1, t._4)).toSeq)
+    // junk payloads yield NULL hash with (-1, -1) dims
+    val junk = Seq((7L, "nope".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val j = Multimodal.dHash64(junk, "media_id", "payload").head()
+    assert(j.getInt(1) == -1 && j.isNullAt(3))
+  }
+
   test("multimodal: real WAV round-trip is exact and junk-tolerant") {
     val sps = spark; import sps.implicits._
     val ids = (1L to 50L).toDF("doc_id")
