@@ -1548,6 +1548,24 @@ object SparkEntry {
           .limit(20)
       }),
 
+      // audio dedup by waveform fingerprint: the image gate's audio twin —
+      // patterns doc_id mod 300, REAL WAV decode, 65-probe sign signature,
+      // analytic DuckDB replay of every fingerprint
+      "q_audio_dedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        val pats = docs.select((col("doc_id") % 300).as("pat")).distinct()
+        val fps = Multimodal.audioFingerprint64(
+          Multimodal.synthesizeWavPayloads(pats, "pat"), "media_id", "payload")
+        docs.select(col("doc_id"), (col("doc_id") % 300).as("media_id"))
+          .join(broadcast(fps), Seq("media_id"))
+          .groupBy("afp")
+          .agg(count(lit(1)).cast("long").as("members"),
+            min("doc_id").cast("long").as("min_doc"))
+          .orderBy(col("members").desc, col("afp"))
+          .limit(20)
+      }),
+
       // real-WAV round-trip: pixels' audio sibling. Samples route through
       // actual RIFF/WAVE PCM-16 encode -> bytes -> decode -> feature
       // extraction; PCM is lossless, so DuckDB recomputes sample sums,
@@ -3053,6 +3071,27 @@ object SparkEntry {
     // so the decoded raster equals the source pattern bit-for-bit). The
     // resize column replays Spark's double arithmetic op-for-op (IEEE
     // determinism: same ops, same order, same doubles).
+    // audio fingerprint replay: sample formula ((p*31 + i*17) % 4001) -
+    // 2000 probed at the 65 positions k*N//65; bit 63 = sign bit
+    "q_audio_dedup" -> """
+      WITH pats AS (SELECT DISTINCT doc_id % 300 AS p FROM documents),
+      dim AS (SELECT p, (400 + (p % 7) * 100) * (1 + p % 2) AS n FROM pats),
+      probes AS (
+        SELECT d.p, k.k,
+               ((d.p*31 + ((k.k * d.n) // 65) * 17) % 4001) - 2000 AS s0,
+               ((d.p*31 + (((k.k + 1) * d.n) // 65) * 17) % 4001) - 2000 AS s1
+        FROM dim d, (SELECT unnest(range(64)) AS k) k),
+      fp AS (
+        SELECT p, CAST(SUM(CASE WHEN s0 > s1 THEN
+                 CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+                      ELSE (1::BIGINT << CAST(k AS INTEGER)) END
+               ELSE 0 END) AS BIGINT) AS afp
+        FROM probes GROUP BY p),
+      docs AS (SELECT doc_id, doc_id % 300 AS p FROM documents)
+      SELECT f.afp, CAST(COUNT(*) AS BIGINT) AS members,
+             CAST(MIN(d.doc_id) AS BIGINT) AS min_doc
+      FROM docs d JOIN fp f ON d.p = f.p
+      GROUP BY f.afp ORDER BY members DESC, afp LIMIT 20""",
     // image dHash replay: nearest-sample 9x8 grid from the pixel formula,
     // integer luma, bit gr*8+gc set iff s(gc) > s(gc+1); bit 63 is the
     // sign bit, contributed as -(2^63) in two's complement

@@ -669,6 +669,51 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio fingerprint over decoded PCM samples — [[dHash64]]'s
+    * audio sibling: re-encoded or container-shuffled copies of the same
+    * PCM stream collide, so exact-groupBy dedups an audio corpus.
+    *
+    * Exact integer spec: with N = total interleaved samples, probe the 65
+    * positions `p_k = k·N div 65` (k = 0..64) and set bit k iff
+    * `s(p_k) > s(p_{k+1})` — the coarse waveform-shape signature, no FFT,
+    * replayable in any engine when samples are analytic. Bit 63 lands in
+    * the sign bit. Undecodable payloads yield a NULL fingerprint.
+    *
+    * Scale shape: batched mapPartitions on the payload scan, 20 B out/row.
+    */
+  def audioFingerprint64(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frames", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("afp", LongType, nullable = true)))
+    val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val wav = AudioCodec.decodeWav(bytes)
+          if (wav == null || wav.samples.length < 2) Row(id, -1, -1, null)
+          else {
+            val s = wav.samples
+            val n = s.length
+            var hash = 0L
+            var k = 0
+            while (k < 64) {
+              if (s((k.toLong * n / 65).toInt) > s(((k + 1).toLong * n / 65).toInt))
+                hash |= (1L << k)
+              k += 1
+            }
+            Row(id, wav.frames, wav.channels, hash)
+          }
+        }
+      }
+    }
+  }
+
   def decodeAndFeaturize(df: DataFrame, idCol: String, binCol: String,
       kind: String = "image", featureDim: Int = 64, batchSize: Int = 256): DataFrame = {
     val outSchema = StructType(Seq(

@@ -858,6 +858,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.getInt(1) == -1 && j.isNullAt(3))
   }
 
+  test("multimodal: audioFingerprint64 matches the analytic spec, junk-null") {
+    val sps = spark; import sps.implicits._
+    val ids = (1L to 40L).toDF("doc_id")
+    val wav = Multimodal.synthesizeWavPayloads(ids, "doc_id")
+    val fps = Multimodal.audioFingerprint64(wav, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    fps.foreach { case (id, frames, channels, got) =>
+      assert(frames == (400 + (id % 7) * 100).toInt && channels == (1 + id % 2).toInt)
+      val n = frames * channels
+      def s(i: Long): Long = ((id * 31 + i * 17) % 4001) - 2000
+      var want = 0L
+      for (k <- 0 until 64)
+        if (s(k.toLong * n / 65) > s((k + 1).toLong * n / 65)) want |= (1L << k)
+      assert(got == want, s"afp mismatch for id=$id")
+    }
+    val junk = Seq((3L, "nope".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val j = Multimodal.audioFingerprint64(junk, "media_id", "payload").head()
+    assert(j.getInt(1) == -1 && j.isNullAt(3))
+  }
+
   test("multimodal: real WAV round-trip is exact and junk-tolerant") {
     val sps = spark; import sps.implicits._
     val ids = (1L to 50L).toDF("doc_id")
