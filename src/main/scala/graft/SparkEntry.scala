@@ -1548,6 +1548,24 @@ object SparkEntry {
           .limit(20)
       }),
 
+      // video frame-hash dedup: per-frame dHash through the REAL animated-
+      // GIF decode (patterns doc_id mod 200), shot-matching groups on the
+      // frame hash; analytic replay of every frame hash
+      "q_video_dedup" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        val pats = docs.select((col("doc_id") % 200).as("pat")).distinct()
+        val fh = Multimodal.frameDHashes(
+          Multimodal.synthesizeGifPayloads(pats, "pat"), "media_id", "payload")
+        docs.select(col("doc_id"), (col("doc_id") % 200).as("media_id"))
+          .join(broadcast(fh), Seq("media_id"))
+          .groupBy("fhash")
+          .agg(count(lit(1)).cast("long").as("members"),
+            min(col("doc_id") * 1000 + col("frame_idx")).cast("long").as("min_slot"))
+          .orderBy(col("members").desc, col("fhash"))
+          .limit(20)
+      }),
+
       // audio dedup by waveform fingerprint: the image gate's audio twin —
       // patterns doc_id mod 300, REAL WAV decode, 65-probe sign signature,
       // analytic DuckDB replay of every fingerprint
@@ -3071,6 +3089,37 @@ object SparkEntry {
     // so the decoded raster equals the source pattern bit-for-bit). The
     // resize column replays Spark's double arithmetic op-for-op (IEEE
     // determinism: same ops, same order, same doubles).
+    // video frame-hash replay: gray frames make luma == the gray level;
+    // same 9x8 nearest-sample dHash per (pattern, frame)
+    "q_video_dedup" -> """
+      WITH pats AS (SELECT DISTINCT doc_id % 200 AS p FROM documents),
+      dim AS (SELECT p, 6 + p % 5 AS w, 6 + (p // 5) % 5 AS h,
+                     2 + p % 4 AS n FROM pats),
+      frames AS (SELECT d.p, d.w, d.h, f.f
+                 FROM dim d, (SELECT unnest(range(5)) AS f) f WHERE f.f < d.n),
+      cells AS (
+        SELECT fr.p, fr.f, gr.gr, gc.gc,
+               (fr.p*31 + fr.f*29 + ((gc.gc * fr.w) // 9)*7
+                + ((gr.gr * fr.h) // 8)*13) % 256 AS s
+        FROM frames fr,
+             (SELECT unnest(range(8)) AS gr) gr,
+             (SELECT unnest(range(9)) AS gc) gc),
+      bits AS (
+        SELECT a.p, a.f, a.gr, a.gc, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON a.p = b.p AND a.f = b.f AND a.gr = b.gr AND b.gc = a.gc + 1
+        WHERE a.gc < 8),
+      fh AS (
+        SELECT p, f, CAST(SUM(CASE WHEN bit = 1 THEN
+                 CASE WHEN gr * 8 + gc = 63 THEN (-9223372036854775807 - 1)
+                      ELSE (1::BIGINT << CAST(gr * 8 + gc AS INTEGER)) END
+               ELSE 0 END) AS BIGINT) AS fhash
+        FROM bits GROUP BY p, f),
+      docs AS (SELECT doc_id, doc_id % 200 AS p FROM documents)
+      SELECT fh.fhash, CAST(COUNT(*) AS BIGINT) AS members,
+             CAST(MIN(d.doc_id * 1000 + fh.f) AS BIGINT) AS min_slot
+      FROM docs d JOIN fh ON d.p = fh.p
+      GROUP BY fh.fhash ORDER BY members DESC, fhash LIMIT 20""",
     // audio fingerprint replay: sample formula ((p*31 + i*17) % 4001) -
     // 2000 probed at the 65 positions k*N//65; bit 63 = sign bit
     "q_audio_dedup" -> """

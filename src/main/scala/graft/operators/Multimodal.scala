@@ -551,6 +551,63 @@ object Multimodal {
     }
   }
 
+  /** Per-frame perceptual hashes of a video payload — [[dHash64]] applied
+    * to every decoded frame: the shot-matching primitive for video
+    * near-dup (clips sharing frame hashes contain the same footage).
+    * Same exact integer spec as dHash64 (gray frames: luma == the gray
+    * level, since (299+587+114) div 1000 = 1). Undecodable payloads emit
+    * a single (-1, NULL) row so the id is never silently dropped.
+    *
+    * Scale shape: batched mapPartitions on the payload scan; output rows
+    * = frames, 24 B each; the dedup group-by downstream is hash-keyed.
+    */
+  def frameDHashes(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("fhash", LongType, nullable = true)))
+    val input = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val clip = VideoCodec.decodeGif(bytes)
+          if (clip == null) Iterator.single(Row(id, -1, null))
+          else clip.frames.iterator.zipWithIndex.map { case (img, f) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val s = Array.ofDim[Int](8, 9)
+            var gr = 0
+            while (gr < 8) {
+              var gc = 0
+              while (gc < 9) {
+                val rgb = img.getRGB(gc * w / 9, gr * h / 8)
+                s(gr)(gc) = (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 +
+                  (rgb & 255) * 114) / 1000
+                gc += 1
+              }
+              gr += 1
+            }
+            var hash = 0L
+            gr = 0
+            while (gr < 8) {
+              var gc = 0
+              while (gc < 8) {
+                if (s(gr)(gc) > s(gr)(gc + 1)) hash |= (1L << (gr * 8 + gc))
+                gc += 1
+              }
+              gr += 1
+            }
+            Row(id, f, hash)
+          }
+        }
+      }
+    }
+  }
+
   /** REAL byte-level image resize: decode each payload, nearest-neighbor
     * resample so the longest side is at most `maxSide` (aspect preserved,
     * `ceil(dim * scale)` targets — the same arithmetic as

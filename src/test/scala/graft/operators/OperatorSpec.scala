@@ -878,6 +878,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.getInt(1) == -1 && j.isNullAt(3))
   }
 
+  test("multimodal: frameDHashes — one hash per decoded frame, analytic match, junk row") {
+    val sps = spark; import sps.implicits._
+    val ids = (1L to 20L).toDF("doc_id")
+    val gifs = Multimodal.synthesizeGifPayloads(ids, "doc_id")
+    val fh = Multimodal.frameDHashes(gifs, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    fh.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.length == (2 + id % 4).toInt, s"frame count for id=$id")
+      val w = (6 + id % 5).toInt
+      val h = (6 + (id / 5) % 5).toInt
+      rows.foreach { case (_, f, got) =>
+        def lum(x: Int, y: Int): Long = (id * 31 + f * 29 + x * 7 + y * 13) % 256
+        var want = 0L
+        for (gr <- 0 until 8; gc <- 0 until 8)
+          if (lum(gc * w / 9, gr * h / 8) > lum((gc + 1) * w / 9, gr * h / 8))
+            want |= (1L << (gr * 8 + gc))
+        assert(got == want, s"fhash mismatch for id=$id frame=$f")
+      }
+    }
+    val junk = Seq((9L, "nope".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val j = Multimodal.frameDHashes(junk, "media_id", "payload").collect()
+    assert(j.length == 1 && j(0).getInt(1) == -1 && j(0).isNullAt(2))
+  }
+
   test("multimodal: real WAV round-trip is exact and junk-tolerant") {
     val sps = spark; import sps.implicits._
     val ids = (1L to 50L).toDF("doc_id")
