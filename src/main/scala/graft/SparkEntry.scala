@@ -1685,6 +1685,20 @@ object SparkEntry {
           ORDER BY p1, p2""")
       }),
 
+      // any-alignment repeated-span detection: sliding 6-token windows at
+      // every offset, cross-corpus hot windows merged to maximal ranges;
+      // full md5 replay with the same range-merge walk
+      "q_span_ranges" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val r = Dedup.repeatedSpanRanges(s.table("documents"), "text", "doc_id",
+          spanTokens = 6, minCount = 2)
+        r.agg(count(lit(1)).cast("long").as("ranges"),
+            countDistinct(col("doc_id")).cast("long").as("docs"),
+            sum(col("end_token") - col("start_token")).cast("long").as("masked_tokens"),
+            sum("windows").cast("long").as("windows"),
+            max(col("end_token") - col("start_token")).cast("long").as("max_range"))
+      }),
+
       // vocab coverage: OOV occurrence rate per source against the
       // corpus's own top-500 token vocab — exact integer ppm
       "q_vocab_coverage" -> ((s: SparkSession, dir: String) => {
@@ -3802,6 +3816,38 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // any-alignment repeated spans: same md5 windows, same merge walk
+    "q_span_ranges" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      wins AS (
+        SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+               md5(array_to_string(toks[u.i:u.i+5], ' ')) AS h
+        FROM t, LATERAL unnest(range(1, len(toks) - 4)) AS u(i)
+        WHERE len(toks) >= 6),
+      hot AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+      f AS (SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (h)),
+      m AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos > lag(pos) OVER w + 6 THEN 1 ELSE 0 END AS brk
+        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      r AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS rid
+        FROM m),
+      g AS (SELECT doc_id, rid, MIN(pos) AS s, MAX(pos) + 6 AS e,
+                   COUNT(*) AS wn
+            FROM r GROUP BY 1, 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS ranges,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs,
+             CAST(SUM(e - s) AS BIGINT) AS masked_tokens,
+             CAST(SUM(wn) AS BIGINT) AS windows,
+             CAST(MAX(e - s) AS BIGINT) AS max_range
+      FROM g""",
     // vocab coverage: top-500 tokens (count desc, token asc) as the vocab,
     // OOV occurrences counted per source, truncating-div ppm
     "q_vocab_coverage" -> """

@@ -844,6 +844,59 @@ object Dedup {
         coalesce(col("removed"), lit(0L)).as("removed"))
   }
 
+  /** ANY-alignment repeated-span detection — the sliding-window form of
+    * cross-document substring dedup (Lee et al. 2022 find ≥50-token
+    * repeats with a suffix array; the distributed equivalent is a
+    * rolling window at EVERY token offset). [[dropDuplicateSpans]]'s
+    * aligned grid misses repeats that straddle its window boundaries;
+    * here a window starts at every token, so every repeated run of ≥
+    * `spanTokens` tokens is flagged exactly, at any alignment. Flagged
+    * windows are merged into maximal per-document token ranges — the
+    * mask a removal pass applies.
+    *
+    * Scale shape: one window per token (the same explode cost as every
+    * shingle pipeline here), ONE md5-keyed count, the flag join
+    * co-partitioned on the same key, and a per-document range merge
+    * (document-sized window partitions). Nothing is quadratic; the
+    * hot-window relation is bounded by true repeats.
+    *
+    * @return (idCol, start_token, end_token, windows) — 0-based token
+    *         offsets, `[start_token, end_token)`, one row per maximal
+    *         flagged range.
+    */
+  def repeatedSpanRanges(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int, minCount: Int = 2): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    require(minCount >= 2, "minCount must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = spanTokens
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val wins = df
+      .select(col(idCol).cast("long").as("__id"), toks.as("__toks"))
+      .where(size(col("__toks")) >= w)
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(1, size(__toks) - ${w - 1}), " +
+        s"i -> md5(concat_ws(' ', slice(__toks, i, $w))))")))
+      .select(col("__id"), col("pos").cast("long").as("__pos"), col("col").as("__h"))
+    val hot = wins.groupBy("__h")
+      .agg(count(lit(1)).cast("long").as("__cnt"))
+      .where(col("__cnt") >= minCount)
+    val ord = Window.partitionBy("__id").orderBy("__pos")
+    wins.join(hot, "__h")
+      .withColumn("__brk",
+        when(lag(col("__pos"), 1).over(ord).isNull, 1)
+          .when(col("__pos") > lag(col("__pos"), 1).over(ord) + w, 1)
+          .otherwise(0))
+      .withColumn("__rid", sum(col("__brk"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__rid"))
+      .agg(min("__pos").as("start_token"),
+        (max("__pos") + lit(w.toLong)).as("end_token"),
+        count(lit(1)).cast("long").as("windows"))
+      .select(col("__id").as(idCol), col("start_token"), col("end_token"),
+        col("windows"))
+  }
+
   /** Corpus-level repeated-LINE removal (the RefinedWeb / CCNet
     * boilerplate pass): documents are split into lines, lines whose
     * content occurs >= `minCount` times across the WHOLE corpus are

@@ -389,6 +389,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ext(9L) == floor + math.round(math.log(3.0 / 4.0) * 1e6), ext.toString)
   }
 
+  test("repeatedSpanRanges: any-alignment detection, range merge, minCount") {
+    val sps = spark; import sps.implicits._
+    // the 4-token phrase repeats at DIFFERENT offsets (1 vs 3) — the
+    // aligned-grid span dedup misses this; sliding windows must not
+    val docs = Seq(
+      (1L, "x p q r s tail1 tail2"),
+      (2L, "a b p q r s end")
+    ).toDF("doc_id", "text")
+    val r = Dedup.repeatedSpanRanges(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(r == Seq((1L, 1L, 5L, 1L), (2L, 2L, 6L, 1L)), r.toString)
+    // overlapping hot windows merge into ONE maximal range
+    val rep = Seq(
+      (1L, "c1 u v w x y z c2"),
+      (2L, "u v w x y z other words here")
+    ).toDF("doc_id", "text")
+    val m = Dedup.repeatedSpanRanges(rep, "text", "doc_id", spanTokens = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(_._1).toSeq
+    // 6-token run "u v w x y z" = 3 hot 4-windows each doc, merged
+    assert(m == Seq((1L, 1L, 7L, 3L), (2L, 0L, 6L, 3L)), m.toString)
+    // below minCount nothing is flagged
+    assert(Dedup.repeatedSpanRanges(docs, "text", "doc_id", 4, minCount = 3).count() == 0L)
+    // a within-doc self-repeat counts toward minCount
+    val self = Seq((1L, "m n o p junk m n o p")).toDF("doc_id", "text")
+    val sr = Dedup.repeatedSpanRanges(self, "text", "doc_id", spanTokens = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sorted
+    assert(sr == Seq((1L, 0L, 4L), (1L, 5L, 9L)), sr.toString)
+  }
+
   test("span dedup: corpus-wide removal, keep-first winner, empty-doc survival") {
     // span width 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [a b]
     val docs = spark.createDataFrame(Seq(
