@@ -1691,7 +1691,7 @@ object SparkEntry {
       "q_span_ranges" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val r = Dedup.repeatedSpanRanges(s.table("documents"), "text", "doc_id",
-          spanTokens = 6, minCount = 2)
+          spanTokens = 6, minCount = 2, portable = true)
         r.agg(count(lit(1)).cast("long").as("ranges"),
             countDistinct(col("doc_id")).cast("long").as("docs"),
             sum(col("end_token") - col("start_token")).cast("long").as("masked_tokens"),

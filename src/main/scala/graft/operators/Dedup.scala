@@ -865,18 +865,23 @@ object Dedup {
     *         flagged range.
     */
   def repeatedSpanRanges(df: DataFrame, textCol: String, idCol: String,
-      spanTokens: Int, minCount: Int = 2): DataFrame = {
+      spanTokens: Int, minCount: Int = 2, portable: Boolean = false): DataFrame = {
     require(spanTokens >= 1, "spanTokens must be >= 1")
     require(minCount >= 2, "minCount must be >= 2")
     import org.apache.spark.sql.expressions.Window
     val w = spanTokens
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+    // same key convention as shingleHashes: the portable key (md5 of the
+    // space-joined window — a SQL oracle recomputes it) vs the fast path
+    // (xxhash64 folds the token slice, no per-window string assembly)
+    val winKey =
+      if (portable) s"i -> md5(concat_ws(' ', slice(__toks, i, $w)))"
+      else s"i -> xxhash64(slice(__toks, i, $w))"
     val wins = df
       .select(col(idCol).cast("long").as("__id"), toks.as("__toks"))
       .where(size(col("__toks")) >= w)
       .select(col("__id"), posexplode(expr(
-        s"transform(sequence(1, size(__toks) - ${w - 1}), " +
-        s"i -> md5(concat_ws(' ', slice(__toks, i, $w))))")))
+        s"transform(sequence(1, size(__toks) - ${w - 1}), $winKey)")))
       .select(col("__id"), col("pos").cast("long").as("__pos"), col("col").as("__h"))
     val hot = wins.groupBy("__h")
       .agg(count(lit(1)).cast("long").as("__cnt"))

@@ -418,6 +418,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sr = Dedup.repeatedSpanRanges(self, "text", "doc_id", spanTokens = 4)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sorted
     assert(sr == Seq((1L, 0L, 4L), (1L, 5L, 9L)), sr.toString)
+    // fast (xxhash64) and portable (md5) keys flag identical ranges
+    val fast = Dedup.repeatedSpanRanges(rep, "text", "doc_id", 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).sorted.toSeq
+    val port = Dedup.repeatedSpanRanges(rep, "text", "doc_id", 4, portable = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).sorted.toSeq
+    assert(fast == port)
   }
 
   test("span dedup: corpus-wide removal, keep-first winner, empty-doc survival") {
