@@ -151,4 +151,35 @@ object Profile {
       .select(col("slot"), col("old_cnt"), col("new_cnt"),
         col("old_frac_e6"), col("new_frac_e6"), col("l1_e6"))
   }
+
+  /** Winsorize a numeric column at histogram-sketch quantiles — the
+    * heavy-tail taming step before a column feeds model features or
+    * sampling weights (a handful of extreme values otherwise dominate
+    * normalization and weighted draws).
+    *
+    * Thresholds come from `hist_quantile` over ONE `hist_sketch` pass
+    * (`[lo, hi)` fixed-range bins — the caller supplies the domain, same
+    * contract as the sketch), so the whole operator is two narrow passes
+    * with a single-row broadcast between them: nothing sorts, nothing
+    * shuffles on data keys, and the interpolated thresholds replay
+    * exactly in SQL (the `q_adaptive_filter` arithmetic).
+    *
+    * Appends `outCol` (clipped value), `t_lo`/`t_hi` (the thresholds),
+    * and `clipped_low`/`clipped_high` flags.
+    */
+  def winsorize(df: DataFrame, valueCol: String, nbins: Int,
+      lo: Double, hi: Double, pLo: Double, pHi: Double,
+      outCol: String = "winsorized"): DataFrame = {
+    require(nbins >= 1, "nbins must be >= 1")
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val thr = df
+      .agg(expr(s"hist_sketch($nbins, $lo, $hi, $valueCol)").as("__sk"))
+      .select(expr(s"hist_quantile(__sk, $pLo)").as("t_lo"),
+        expr(s"hist_quantile(__sk, $pHi)").as("t_hi"))
+    df.crossJoin(broadcast(thr))
+      .withColumn("clipped_low", col(valueCol) < col("t_lo"))
+      .withColumn("clipped_high", col(valueCol) > col("t_hi"))
+      .withColumn(outCol,
+        least(greatest(col(valueCol), col("t_lo")), col("t_hi")))
+  }
 }

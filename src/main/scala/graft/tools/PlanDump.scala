@@ -72,7 +72,10 @@ object PlanDump {
       "q_join_card" -> "join-size estimation: both sketch sides are ObjectHashAggregate partial+final over one events scan each; the exact side aggregates per-(user, type) counts (no pair blowup); cms_inner_product runs on 5x5 blob pairs — the joins under estimation are never executed",
       "q_neg_sample" -> "contrastive negatives: anchors explode k row-locally, corpus count broadcasts as a single row, the draw is pure projection (codegen'd hash), and the payload fetch is ONE id-keyed join — no window, no collect",
       "q_resample" -> "grid resample: the LOCF fill is asofJoin's tagged union + ONE user-key exchange + running last(ignoreNulls) — no per-grid-point probe, no range join; grid explode rides the per-key span aggregate",
-      "q_outliers" -> "centroid outliers: constant-folded centroid argmax on the scan (zero-shuffle assignment), k-row broadcast re-join, per-cluster bottom-m window with WindowGroupLimit")
+      "q_outliers" -> "centroid outliers: constant-folded centroid argmax on the scan (zero-shuffle assignment), k-row broadcast re-join, per-cluster bottom-m window with WindowGroupLimit",
+      "q_span_ranges" -> "any-alignment repeated spans: one window per token rides the scan (transform + posexplode, no shuffle), ONE md5-keyed count, flag join co-partitioned on the window key, document-partitioned range-merge window",
+      "q_vocab_coverage" -> "vocab coverage: token explode on the scan, the 500-row vocab BroadcastHashJoins into the stream, one source-keyed partial+final agg — the corpus never exchanges on tokens",
+      "q_image_dedup" -> "image dHash dedup: payloads synthesized/hashed once per distinct pattern (mapPartitions, no shuffle), hashes broadcast back over the documents scan, hash-keyed partial+final agg + TakeOrdered")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
