@@ -1685,6 +1685,21 @@ object SparkEntry {
           ORDER BY p1, p2""")
       }),
 
+      // winsorization at hist-sketch quantiles: p05/p95 thresholds from
+      // one sketch pass, heavy tail clipped; interpolated thresholds and
+      // per-row micro-rounded sums replay exactly
+      "q_winsorize" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Profile.winsorize(s.table("events"), "value", nbins = 1000,
+            lo = 0.0, hi = 500.0, pLo = 0.05, pHi = 0.95)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(round(col("winsorized") * 100).cast("long")).cast("long").as("w_e2"),
+            sum(when(col("clipped_low"), 1L).otherwise(0L)).cast("long").as("clipped_low"),
+            sum(when(col("clipped_high"), 1L).otherwise(0L)).cast("long").as("clipped_high"),
+            round(max(col("t_lo")) * 1e6).cast("long").as("t_lo_e6"),
+            round(max(col("t_hi")) * 1e6).cast("long").as("t_hi_e6"))
+      }),
+
       // any-alignment repeated-span detection: sliding 6-token windows at
       // every offset, cross-corpus hot windows merged to maximal ranges;
       // full md5 replay with the same range-merge walk
@@ -3816,6 +3831,36 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // winsorize: HistogramSketch slot/quantile arithmetic replayed —
+    // slot = min(nbins-1, floor((x-lo)/width)), rank q*n walked to the
+    // first bin with cum >= rank, uniform within the bin
+    "q_winsorize" -> """
+      WITH v AS (SELECT value AS x FROM events WHERE NOT isnan(value)),
+      inr AS (
+        SELECT LEAST(999, CAST(FLOOR((x - 0.0) / 0.5) AS INT)) AS slot
+        FROM v WHERE x >= 0.0 AND x < 500.0),
+      c AS (SELECT slot, COUNT(*) AS cnt FROM inr GROUP BY slot),
+      n AS (SELECT SUM(cnt) AS n FROM c),
+      w AS (SELECT slot, cnt, SUM(cnt) OVER (ORDER BY slot) AS cum FROM c),
+      tlo AS (
+        SELECT 0.0 + 0.5 * (w.slot + GREATEST(0.0,
+                 ((0.05 * n.n) - (w.cum - w.cnt)) / w.cnt)) AS t
+        FROM w, n WHERE w.cum >= 0.05 * n.n ORDER BY w.slot LIMIT 1),
+      thi AS (
+        SELECT 0.0 + 0.5 * (w.slot + GREATEST(0.0,
+                 ((0.95 * n.n) - (w.cum - w.cnt)) / w.cnt)) AS t
+        FROM w, n WHERE w.cum >= 0.95 * n.n ORDER BY w.slot LIMIT 1),
+      clip AS (
+        SELECT v.x, tlo.t AS tl, thi.t AS th,
+               LEAST(GREATEST(v.x, tlo.t), thi.t) AS wv
+        FROM v, tlo, thi)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(round(wv * 100) AS BIGINT)) AS BIGINT) AS w_e2,
+             CAST(SUM(CASE WHEN x < tl THEN 1 ELSE 0 END) AS BIGINT) AS clipped_low,
+             CAST(SUM(CASE WHEN x > th THEN 1 ELSE 0 END) AS BIGINT) AS clipped_high,
+             CAST(round(MAX(tl) * 1e6) AS BIGINT) AS t_lo_e6,
+             CAST(round(MAX(th) * 1e6) AS BIGINT) AS t_hi_e6
+      FROM clip""",
     // any-alignment repeated spans: same md5 windows, same merge walk
     "q_span_ranges" -> """
       WITH t AS (

@@ -1104,6 +1104,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Profile.profile(withNull, Seq("z")).collect().head.getLong(3) == 0L)
   }
 
+  test("winsorize: clips at the sketch quantiles, flags exactly, ids inside band untouched") {
+    val sps = spark; import sps.implicits._
+    graft.GraftFunctions.registerAll(spark)
+    // 100 uniform values 0.5..99.5 (bin centers for width 1), nbins = 100
+    val df = (0 until 100).map(i => (i.toLong, i + 0.5)).toDF("id", "v")
+    val out = Profile.winsorize(df, "v", nbins = 100, lo = 0.0, hi = 100.0,
+        pLo = 0.1, pHi = 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4), r.getBoolean(5), r.getDouble(6)))
+    // quantile(0.1): rank 10 lands at bin 9 (cum 10), within 1 -> t = 10.0
+    val tLo = out.head._3
+    val tHi = out.head._4
+    assert(tLo == 10.0 && tHi == 90.0, s"($tLo, $tHi)")
+    out.foreach { case (_, v, _, _, cl, ch, w) =>
+      assert(cl == (v < 10.0) && ch == (v > 90.0))
+      assert(w == math.min(math.max(v, 10.0), 90.0))
+    }
+    assert(out.count(_._5) == 10 && out.count(_._6) == 10)
+  }
+
   test("prepare normalizes driver-parquet timestamps to TIMESTAMP (NTZ drift guard)") {
     // the driver has shipped testdata with isAdjustedToUTC true, false
     // (TIMESTAMP_NTZ) and raw int64 nanos across rounds; every events
