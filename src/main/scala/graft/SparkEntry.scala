@@ -1685,6 +1685,15 @@ object SparkEntry {
           ORDER BY p1, p2""")
       }),
 
+      // token-distribution drift per source: KL(source || corpus) over the
+      // corpus top-200 tokens, add-one smoothed, nano-rounded per-token
+      // contributions summed as integers
+      "q_token_drift" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.tokenDrift(s.table("documents"), "text", "source", topK = 200)
+          .orderBy("source")
+      }),
+
       // winsorization at hist-sketch quantiles: p05/p95 thresholds from
       // one sketch pass, heavy tail clipped; interpolated thresholds and
       // per-row micro-rounded sums replay exactly
@@ -3831,6 +3840,38 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // token drift: top-200 vocab (count desc, token asc), add-one
+    // smoothing over the restricted vocab, nano-rounded contributions
+    "q_token_drift" -> """
+      WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+      top AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cc FROM toks
+        GROUP BY tok ORDER BY cc DESC, tok LIMIT 200),
+      sc AS (
+        SELECT t.source, t.tok, CAST(COUNT(*) AS BIGINT) AS sc
+        FROM toks t JOIN top ON top.tok = t.tok
+        GROUP BY t.source, t.tok),
+      st AS (SELECT source, CAST(SUM(sc) AS BIGINT) AS st FROM sc GROUP BY source),
+      ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS ct,
+                    CAST(COUNT(*) AS BIGINT) AS kk FROM top),
+      terms AS (
+        SELECT st.source,
+               CAST(round(
+                 (CAST(COALESCE(sc.sc, 0) + 1 AS DOUBLE) / CAST(st.st + ct.kk AS DOUBLE))
+                 * ln((CAST(COALESCE(sc.sc, 0) + 1 AS DOUBLE) / CAST(st.st + ct.kk AS DOUBLE))
+                      / (CAST(top.cc + 1 AS DOUBLE) / CAST(ct.ct + ct.kk AS DOUBLE)))
+                 * 1e9) AS BIGINT) AS term_e9,
+               ct.kk AS kk, st.st AS st
+        FROM st CROSS JOIN top CROSS JOIN ct
+        LEFT JOIN sc ON sc.source = st.source AND sc.tok = top.tok)
+      SELECT source, CAST(MAX(kk) AS BIGINT) AS tokens,
+             CAST(MAX(st) AS BIGINT) AS n,
+             CAST(SUM(term_e9) AS BIGINT) AS kl_e9
+      FROM terms GROUP BY source ORDER BY source""",
     // winsorize: HistogramSketch slot/quantile arithmetic replayed —
     // slot = min(nbins-1, floor((x-lo)/width)), rank q*n walked to the
     // first bin with cum >= rank, uniform within the bin

@@ -312,4 +312,51 @@ object TextAnalysis {
           greatest(length(col("__text")), lit(1)))
       .drop("__text", "__lines", "__toks", "__dlines", "__dwords", "__line_chars", "__dup_line_chars")
   }
+
+  /** Per-group token-distribution drift: KL(group ‖ corpus) over the
+    * corpus's top-`topK` tokens with add-one smoothing — the
+    * domain-shift dashboard (a source whose token mix diverges from the
+    * corpus is a candidate for reweighting or review; the text-side twin
+    * of `Profile.histDrift`).
+    *
+    * Determinism: distributions restrict to the top-K vocabulary (ties
+    * at the cutoff break token-ascending), each token's contribution
+    * `p·ln(p/q)` is nano-rounded FIRST and the group score is an integer
+    * sum — order-independent, engine-replayable.
+    *
+    * Scale shape: one token explode; the top-K vocabulary is a
+    * TakeOrdered over the token counts and broadcasts everywhere; group
+    * counts are ONE (group, token) partial agg; the contribution table is
+    * groups × K rows. The corpus never shuffles on (group, token) beyond
+    * that single aggregate.
+    *
+    * @return (groupCol, tokens = |restricted vocab|, n = group
+    *         occurrences inside the vocab, kl_e9)
+    */
+  def tokenDrift(df: DataFrame, textCol: String, groupCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val toks = df.select(col(groupCol).as("__g"),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => t =!= lit(""))).as("__tok"))
+    val top = toks.groupBy("__tok")
+      .agg(count(lit(1)).cast("long").as("__cc"))
+      .orderBy(col("__cc").desc, col("__tok")).limit(topK)
+    val sCnt = toks.join(broadcast(top.select("__tok")), Seq("__tok"))
+      .groupBy("__g", "__tok").agg(count(lit(1)).cast("long").as("__sc"))
+    val sTot = sCnt.groupBy("__g").agg(sum("__sc").cast("long").as("__st"))
+    val cTot = top.agg(sum("__cc").cast("long").as("__ct"),
+      count(lit(1)).cast("long").as("__kk"))
+    val p = (coalesce(col("__sc"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__st") + col("__kk")).cast("double")
+    val q = (col("__cc") + lit(1L)).cast("double") /
+      (col("__ct") + col("__kk")).cast("double")
+    sTot.crossJoin(broadcast(top))
+      .join(sCnt, Seq("__g", "__tok"), "left")
+      .crossJoin(broadcast(cTot))
+      .withColumn("__term_e9", round(p * log(p / q) * lit(1e9)).cast("long"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__kk")).as("tokens"), max(col("__st")).as("n"),
+        sum(col("__term_e9")).cast("long").as("kl_e9"))
+  }
 }

@@ -416,6 +416,39 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == Seq(("a", 1L), ("b", 2L)))
   }
 
+  test("token drift: KL vs corpus — identical mix ~0, skewed source > uniform source") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // source a mirrors the corpus mix; source b is all-'x' skewed
+      ("a", "x x y z"), ("a", "x y z x"),
+      ("b", "x x x x x x x x")
+    ).toDF("source", "text")
+    val out = TextAnalysis.tokenDrift(docs, "text", "source", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // vocab smaller than topK: tokens = 3 (x, y, z)
+    assert(out.map(_._2).toSet == Set(3L))
+    val byG = out.map(t => t._1 -> t._4).toMap
+    // KL >= 0 (both smoothed distributions live on the same simplex);
+    // note b DOMINATES the corpus counts, so the corpus sits closer to b
+    // than to a — a's drift is larger, not b's
+    assert(byG.values.forall(_ > 0L), out.toString)
+    // hand replay, corpus counts x=12 y=2 z=2 (ct=16, kk=3):
+    // b: sc(x)=8, st=8 -> p_x=9/11, p_y=p_z=1/11; q_x=13/19, q_y=q_z=3/19
+    // a: sc=(4,2,2), st=8 -> p=(5/11, 3/11, 3/11)
+    def term(p: Double, q: Double) = math.round(p * math.log(p / q) * 1e9)
+    val wantB = term(9.0 / 11, 13.0 / 19) + 2 * term(1.0 / 11, 3.0 / 19)
+    val wantA = term(5.0 / 11, 13.0 / 19) + 2 * term(3.0 / 11, 3.0 / 19)
+    assert(byG("b") == wantB, s"got ${byG("b")}, want $wantB")
+    assert(byG("a") == wantA, s"got ${byG("a")}, want $wantA")
+    assert(byG("a") > byG("b"), "corpus is b-dominated; a drifts more")
+    // partitioning-invariant integer sums
+    val again = TextAnalysis.tokenDrift(docs.repartition(7), "text", "source", 10)
+      .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1).toSeq
+    assert(again == out.map(t => (t._1, t._4)))
+  }
+
   // --- incrementalNearDuplicates ---
 
   test("incremental near-dup equals the full pipeline's cross-slice pairs") {
