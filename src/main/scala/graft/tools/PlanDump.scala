@@ -75,7 +75,9 @@ object PlanDump {
       "q_outliers" -> "centroid outliers: constant-folded centroid argmax on the scan (zero-shuffle assignment), k-row broadcast re-join, per-cluster bottom-m window with WindowGroupLimit",
       "q_span_ranges" -> "any-alignment repeated spans: one window per token rides the scan (transform + posexplode, no shuffle), ONE md5-keyed count, flag join co-partitioned on the window key, document-partitioned range-merge window",
       "q_vocab_coverage" -> "vocab coverage: token explode on the scan, the 500-row vocab BroadcastHashJoins into the stream, one source-keyed partial+final agg — the corpus never exchanges on tokens",
-      "q_image_dedup" -> "image dHash dedup: payloads synthesized/hashed once per distinct pattern (mapPartitions, no shuffle), hashes broadcast back over the documents scan, hash-keyed partial+final agg + TakeOrdered")
+      "q_image_dedup" -> "image dHash dedup: payloads synthesized/hashed once per distinct pattern (mapPartitions, no shuffle), hashes broadcast back over the documents scan, hash-keyed partial+final agg + TakeOrdered",
+      "q_winsorize" -> "winsorize: ONE hist_sketch aggregate pass -> single-row broadcast thresholds -> row-local clip; no sort, no data-keyed exchange",
+      "q_token_drift" -> "token drift: top-K vocab via TakeOrderedAndProject broadcasts into the count join; ONE (group, token) partial agg; the KL contribution table is groups x K rows")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
