@@ -1203,6 +1203,21 @@ object SparkEntry {
               s.table("customer"), "c_custkey", "c_mktsegment"))
           .orderBy("w_us", "segment")
       }),
+      // stream-stream interval self-join: view->click attribution pairs
+      // within 30 min per user as a REAL watermarked join; under one
+      // AvailableNow drain the emitted set is exactly the batch interval
+      // join (inner-join rows have no output watermark cutoff)
+      "q_stream_join" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.FileStreams.streamIntervalJoin(
+              ev, "ts", "event_type", "user_id", "view", "click", 1800000000L))
+          .agg(count(lit(1)).cast("long").as("pairs"),
+            countDistinct(col("user_id")).cast("long").as("users"),
+            sum("dt_us").cast("long").as("dt_sum"))
+      }),
+
       // streaming gap-sessionization (session_window + watermark): rollup
       // over the sessions finalized by the final watermark; session end is
       // last event + gap, events exactly gap apart merge (same break rule
@@ -2800,6 +2815,17 @@ object SparkEntry {
     // streaming per-day bloom maintenance replay: counts are exact
     // (finalized windows only), misses is exactly 0 by the filters'
     // no-false-negative contract over the probed member keys
+    // stream-stream interval join replay: the plain batch interval join
+    // (inner-join emission has no watermark cutoff under one drain)
+    "q_stream_join" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users,
+             CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS dt_sum
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'view' AND b.event_type = 'click'
+       AND b.ts >= a.ts
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""",
     // stream-static enrichment replay: broadcast-dim join + the same
     // ms-floored watermark cutoff as q_stream_window
     "q_stream_enrich" -> """

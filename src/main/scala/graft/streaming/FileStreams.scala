@@ -151,6 +151,38 @@ object FileStreams {
       .select(unix_micros(col("window.start")).as("w_us"), col("segment"),
         col("n"), col("value_e2"))
 
+  /** Stream-stream interval self-join: pair each left-type event with the
+    * same user's right-type events inside `[t, t + windowUs]` — the
+    * attribution/conversion-pairing pattern as a REAL watermarked
+    * stream-stream inner join (both sides carry watermarks so Spark can
+    * bound the join state; the range condition gives the state its
+    * eviction horizon). Under a single AvailableNow drain the emitted set
+    * is exactly the batch interval join — inner-join rows emit as soon as
+    * both sides are present, with no watermark cutoff on OUTPUT (unlike
+    * the aggregation gates) — which is the emission contract the gate's
+    * oracle replays.
+    *
+    * @return (user key, left ts, right ts, dt_us) per matched pair
+    */
+  def streamIntervalJoin(events: DataFrame, tsCol: String, typeCol: String,
+      keyCol: String, leftType: String, rightType: String, windowUs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = events.where(col(typeCol) === leftType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__lts"))
+      .withWatermark("__lts", watermark)
+    val r = events.where(col(typeCol) === rightType)
+      .select(col(keyCol).as("__rk"), col(tsCol).as("__rts"))
+      .withWatermark("__rts", watermark)
+    // the range must be expressed as event-time bounds on the timestamp
+    // columns themselves so Spark derives the join-state eviction horizon
+    l.join(r, col("__k") === col("__rk") &&
+        expr(s"__rts >= __lts AND __rts <= __lts + INTERVAL $windowUs MICROSECOND"))
+      .select(col("__k").as(keyCol),
+        unix_micros(col("__lts")).as("l_us"),
+        unix_micros(col("__rts")).as("r_us"),
+        (unix_micros(col("__rts")) - unix_micros(col("__lts"))).as("dt_us"))
+  }
+
   /** Streaming exact dedup: first sighting of each (source, fingerprint)
     * passes, later ones are dropped by the state store — `dropDuplicates`
     * state is the exact-dedup twin of

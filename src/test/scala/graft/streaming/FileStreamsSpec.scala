@@ -77,6 +77,26 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() > 0)
   }
 
+  test("stream-stream interval join: emitted pairs == batch interval join") {
+    val ev = FileStreams.tableStream(spark, dir, "events", Seq("ts"))
+    val out = FileStreams.runAvailableNow(
+      FileStreams.streamIntervalJoin(ev, "ts", "event_type", "user_id",
+        "view", "purchase", 3600000000L))
+    val batch = batchEvents()
+    val a = batch.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("lts"))
+    val b = batch.where(col("event_type") === "purchase")
+      .select(col("user_id").as("rk"), col("ts").as("rts"))
+    val expected = a.join(b, col("user_id") === col("rk") &&
+        col("rts") >= col("lts") &&
+        unix_micros(col("rts")) <= unix_micros(col("lts")) + 3600000000L)
+      .select(col("user_id"), unix_micros(col("lts")).as("l_us"),
+        unix_micros(col("rts")).as("r_us"),
+        (unix_micros(col("rts")) - unix_micros(col("lts"))).as("dt_us"))
+    assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+    assert(out.count() > 0)
+  }
+
   test("emitted set is identical under an event-time-ordered one-file-per-trigger split") {
     val batch = batchEvents()
     // re-stage the table as 3 event-time-ranged files (the production
