@@ -1734,6 +1734,20 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+      // equal-frequency quartile binning: thresholds from one sketch pass,
+      // per-bucket rollup — near-equal counts, exact integer sums
+      "q_qbin" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Profile.quantileBins(s.table("events"), "value", nbins = 1000,
+            lo = 0.0, hi = 500.0, k = 4)
+          .groupBy("bucket")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(round(col("value") * 100).cast("long")).cast("long").as("v_e2"),
+            min(round(col("value") * 100).cast("long")).cast("long").as("min_e2"),
+            max(round(col("value") * 100).cast("long")).cast("long").as("max_e2"))
+          .orderBy("bucket")
+      }),
+
       // winsorization at hist-sketch quantiles: p05/p95 thresholds from
       // one sketch pass, heavy tail clipped; interpolated thresholds and
       // per-row micro-rounded sums replay exactly
@@ -1834,6 +1848,15 @@ object SparkEntry {
         val edges = sharedPurchaseEdges(s, dir)
         Graphs.pageRank(edges, "src", "dst", iterations = 5, undirected = true)
           .orderBy(col("rank_ppb").desc, col("node")).limit(25)
+      }),
+
+      // out-degree distribution of the purchase graph: two chained
+      // partial aggregates; top-25 degrees by node count
+      "q_graph_stats" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Graphs.degreeDistribution(sharedPurchaseEdges(s, dir), "src", "dst",
+            undirected = true)
+          .orderBy(col("nodes").desc, col("degree")).limit(25)
       }),
 
       // personalized PageRank: teleport mass restricted to nation-0
@@ -3919,6 +3942,37 @@ object SparkEntry {
              CAST(MAX(st) AS BIGINT) AS n,
              CAST(SUM(term_e9) AS BIGINT) AS kl_e9
       FROM terms GROUP BY source ORDER BY source""",
+    // quartile binning: three interpolated thresholds replayed with the
+    // winsorize arithmetic, CASE bucket (v < t -> lower bucket)
+    "q_qbin" -> """
+      WITH v AS (SELECT value AS x FROM events WHERE NOT isnan(value)),
+      inr AS (
+        SELECT LEAST(999, CAST(FLOOR((x - 0.0) / 0.5) AS INT)) AS slot
+        FROM v WHERE x >= 0.0 AND x < 500.0),
+      c AS (SELECT slot, COUNT(*) AS cnt FROM inr GROUP BY slot),
+      n AS (SELECT SUM(cnt) AS n FROM c),
+      w AS (SELECT slot, cnt, SUM(cnt) OVER (ORDER BY slot) AS cum FROM c),
+      t1 AS (SELECT 0.0 + 0.5 * (w.slot + GREATEST(0.0,
+               ((0.25 * n.n) - (w.cum - w.cnt)) / w.cnt)) AS t
+             FROM w, n WHERE w.cum >= 0.25 * n.n ORDER BY w.slot LIMIT 1),
+      t2 AS (SELECT 0.0 + 0.5 * (w.slot + GREATEST(0.0,
+               ((0.5 * n.n) - (w.cum - w.cnt)) / w.cnt)) AS t
+             FROM w, n WHERE w.cum >= 0.5 * n.n ORDER BY w.slot LIMIT 1),
+      t3 AS (SELECT 0.0 + 0.5 * (w.slot + GREATEST(0.0,
+               ((0.75 * n.n) - (w.cum - w.cnt)) / w.cnt)) AS t
+             FROM w, n WHERE w.cum >= 0.75 * n.n ORDER BY w.slot LIMIT 1),
+      b AS (
+        SELECT CASE WHEN v.x < t1.t THEN 0
+                    WHEN v.x < t2.t THEN 1
+                    WHEN v.x < t3.t THEN 2
+                    ELSE 3 END AS bucket,
+               v.x
+        FROM v, t1, t2, t3)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(x * 100) AS BIGINT)) AS BIGINT) AS v_e2,
+             CAST(MIN(CAST(round(x * 100) AS BIGINT)) AS BIGINT) AS min_e2,
+             CAST(MAX(CAST(round(x * 100) AS BIGINT)) AS BIGINT) AS max_e2
+      FROM b GROUP BY bucket ORDER BY bucket""",
     // winsorize: HistogramSketch slot/quantile arithmetic replayed —
     // slot = min(nbins-1, floor((x-lo)/width)), rank q*n walked to the
     // first bin with cum >= rank, uniform within the bin
@@ -4112,6 +4166,15 @@ object SparkEntry {
              FROM base b LEFT JOIN it5 i ON b.node = i.node)
       SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_ppb
       FROM r5 ORDER BY rank_ppb DESC, node LIMIT 25""",
+    // degree distribution: undirected simple graph, degree histogram
+    "q_graph_stats" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src)
+      SELECT degree, CAST(COUNT(*) AS BIGINT) AS nodes
+      FROM deg GROUP BY degree ORDER BY nodes DESC, degree LIMIT 25""",
     // personalized PageRank: same unrolled integer chain with the
     // teleport restricted to the (graph-present) seed set
     "q_ppr" -> """

@@ -70,6 +70,27 @@ object Graphs {
     runPageRank(edges, srcCol, dstCol, iterations, dampingPpm, undirected,
       Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()))
 
+  /** Degree distribution of the (simple) graph: one row per distinct
+    * degree with the number of nodes holding it — the first thing to look
+    * at before running anything iterative (hubs, skew, disconnected
+    * dust). Two chained partial aggregates (node degree, then degree
+    * histogram); with `undirected` each input edge counts both endpoints.
+    *
+    * @return DataFrame(degree BIGINT, nodes BIGINT)
+    */
+  def degreeDistribution(edges: DataFrame, srcCol: String, dstCol: String,
+      undirected: Boolean = false): DataFrame = {
+    val directed = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e0 = if (undirected) directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+             else directed
+    e0.distinct()
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).cast("long").as("nodes"))
+  }
+
   private def runPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPpm: Long, undirected: Boolean,
       seedsOpt: Option[DataFrame]): DataFrame = {

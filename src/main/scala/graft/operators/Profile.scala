@@ -167,6 +167,31 @@ object Profile {
     * Appends `outCol` (clipped value), `t_lo`/`t_hi` (the thresholds),
     * and `clipped_low`/`clipped_high` flags.
     */
+  /** Equal-frequency discretization: assign each row to one of `k`
+    * quantile buckets (thresholds at 1/k .. (k-1)/k from ONE
+    * `hist_sketch` pass) — the feature-binning / stratification step
+    * (quantile features for tree models, balanced strata for sampling).
+    * Bucket i = first threshold the value is below; ties at a threshold
+    * go to the higher bucket (`v < t_i`, matching the oracle's CASE).
+    * Same two-narrow-passes shape as [[winsorize]].
+    */
+  def quantileBins(df: DataFrame, valueCol: String, nbins: Int,
+      lo: Double, hi: Double, k: Int, outCol: String = "bucket"): DataFrame = {
+    require(nbins >= 1, "nbins must be >= 1")
+    require(k >= 2 && k <= 1000, "k must be in [2, 1000]")
+    val qs = (1 until k).map(i => i.toDouble / k)
+    val thr = df
+      .agg(expr(s"hist_sketch($nbins, $lo, $hi, $valueCol)").as("__sk"))
+      .select(qs.zipWithIndex.map { case (q, i) =>
+        expr(s"hist_quantile(__sk, $q)").as(s"__t$i") }: _*)
+    var bucket = when(col(valueCol) < col("__t0"), lit(0))
+    for (i <- 1 until k - 1)
+      bucket = bucket.when(col(valueCol) < col(s"__t$i"), lit(i))
+    df.crossJoin(broadcast(thr))
+      .withColumn(outCol, bucket.otherwise(lit(k - 1)))
+      .drop(qs.indices.map(i => s"__t$i"): _*)
+  }
+
   def winsorize(df: DataFrame, valueCol: String, nbins: Int,
       lo: Double, hi: Double, pLo: Double, pHi: Double,
       outCol: String = "winsorized"): DataFrame = {

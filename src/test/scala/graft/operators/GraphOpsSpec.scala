@@ -132,6 +132,36 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tol.find(t => t._1 == 1L && t._2 == 4000L).get._3 == 20.0)
   }
 
+  test("degree distribution: histogram exact, undirected doubles endpoints, multi-edges collapse") {
+    val s = spark
+    import s.implicits._
+    // star 0-{1,2,3}: undirected degrees 3,1,1,1; directed out-degrees 3
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 3L)).toDF("src", "dst")
+    val und = Graphs.degreeDistribution(edges, "src", "dst", undirected = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(und == Map(3L -> 1L, 1L -> 3L), und.toString)
+    val dir = Graphs.degreeDistribution(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dir == Map(3L -> 1L), dir.toString) // only node 0 has out-edges
+  }
+
+  test("quantileBins: near-equal buckets, monotone thresholds, boundary to upper bucket") {
+    val s = spark
+    import s.implicits._
+    graft.GraftFunctions.registerAll(spark)
+    val df = (0 until 100).map(i => (i.toLong, i + 0.5)).toDF("id", "v")
+    val out = Profile.quantileBins(df, "v", nbins = 100, lo = 0.0, hi = 100.0, k = 4)
+      .collect().map(r => (r.getDouble(1), r.getInt(2)))
+    val byBucket = out.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    assert(byBucket.keySet == Set(0, 1, 2, 3))
+    assert(byBucket.values.forall(_.size == 25), byBucket.view.mapValues(_.size).toMap.toString)
+    // buckets are contiguous value ranges in order
+    assert(byBucket(0).max < byBucket(1).min && byBucket(1).max < byBucket(2).min
+      && byBucket(2).max < byBucket(3).min)
+    // thresholds land at 25/50/75 (uniform unit bins): 25.5 goes UP
+    assert(byBucket(1).min == 25.5)
+  }
+
   private def changes = {
     val s = spark
     import s.implicits._
