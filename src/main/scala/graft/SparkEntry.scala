@@ -1606,6 +1606,31 @@ object SparkEntry {
           .limit(20)
       }),
 
+      // video scene-cut detection: consecutive-frame dHash Hamming
+      // distance over the real GIF decode; a cut = distance above
+      // threshold. Composed from frameDHashes + a frame-ordered window
+      // per clip + bit_count(xor) — every hash and distance replays
+      // analytically.
+      "q_scene_cuts" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents")
+        val pats = docs.select((col("doc_id") % 200).as("pat")).distinct()
+        val fh = Multimodal.frameDHashes(
+          Multimodal.synthesizeGifPayloads(pats, "pat"), "media_id", "payload")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("frame_idx")
+        fh.withColumn("prev", lag(col("fhash"), 1).over(w))
+          .withColumn("dist",
+            when(col("prev").isNotNull,
+              bit_count(col("fhash").bitwiseXOR(col("prev"))).cast("long")))
+          .groupBy(col("media_id").as("pat"))
+          .agg(count(lit(1)).cast("long").as("frames"),
+            sum(when(col("dist") >= 12, 1L).otherwise(0L)).cast("long").as("cuts"),
+            sum(coalesce(col("dist"), lit(0L))).cast("long").as("dist_sum"))
+          .orderBy("pat")
+          .limit(40)
+      }),
+
       // audio dedup by waveform fingerprint: the image gate's audio twin —
       // patterns doc_id mod 300, REAL WAV decode, 65-probe sign signature,
       // analytic DuckDB replay of every fingerprint
@@ -1723,6 +1748,15 @@ object SparkEntry {
                  CAST(kmv_intersect_count(a.s, b.s) AS BIGINT) AS shared
           FROM sk a JOIN sk b ON a.prio < b.prio
           ORDER BY p1, p2""")
+      }),
+
+      // per-doc lexical diversity: type-token ratio + integer entropy
+      // numerator (c·ln c micro-rounded per type, summed)
+      "q_lexdiv" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.lexicalDiversity(s.table("documents"), "text", "doc_id")
+          .where(col("doc_id") < 50)
+          .orderBy("doc_id")
       }),
 
       // token-distribution drift per source: KL(source || corpus) over the
@@ -3228,6 +3262,43 @@ object SparkEntry {
              CAST(MIN(d.doc_id * 1000 + fh.f) AS BIGINT) AS min_slot
       FROM docs d JOIN fh ON d.p = fh.p
       GROUP BY fh.fhash ORDER BY members DESC, fhash LIMIT 20""",
+    // scene cuts: the q_video_dedup frame-hash chain + lag/xor/bit_count
+    "q_scene_cuts" -> """
+      WITH pats AS (SELECT DISTINCT doc_id % 200 AS p FROM documents),
+      dim AS (SELECT p, 6 + p % 5 AS w, 6 + (p // 5) % 5 AS h,
+                     2 + p % 4 AS n FROM pats),
+      frames AS (SELECT d.p, d.w, d.h, f.f
+                 FROM dim d, (SELECT unnest(range(5)) AS f) f WHERE f.f < d.n),
+      cells AS (
+        SELECT fr.p, fr.f, gr.gr, gc.gc,
+               (fr.p*31 + fr.f*29 + ((gc.gc * fr.w) // 9)*7
+                + ((gr.gr * fr.h) // 8)*13) % 256 AS s
+        FROM frames fr,
+             (SELECT unnest(range(8)) AS gr) gr,
+             (SELECT unnest(range(9)) AS gc) gc),
+      bits AS (
+        SELECT a.p, a.f, a.gr, a.gc, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON a.p = b.p AND a.f = b.f AND a.gr = b.gr AND b.gc = a.gc + 1
+        WHERE a.gc < 8),
+      fh AS (
+        SELECT p, f, CAST(SUM(CASE WHEN bit = 1 THEN
+                 CASE WHEN gr * 8 + gc = 63 THEN (-9223372036854775807 - 1)
+                      ELSE (1::BIGINT << CAST(gr * 8 + gc AS INTEGER)) END
+               ELSE 0 END) AS BIGINT) AS fhash
+        FROM bits GROUP BY p, f),
+      d AS (
+        SELECT p, f, fhash,
+               lag(fhash) OVER (PARTITION BY p ORDER BY f) AS prev
+        FROM fh),
+      dist AS (
+        SELECT p, CASE WHEN prev IS NOT NULL
+                       THEN CAST(bit_count(xor(fhash, prev)) AS BIGINT) END AS dist
+        FROM d)
+      SELECT p AS pat, CAST(COUNT(*) AS BIGINT) AS frames,
+             CAST(SUM(CASE WHEN dist >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS cuts,
+             CAST(SUM(COALESCE(dist, 0)) AS BIGINT) AS dist_sum
+      FROM dist GROUP BY p ORDER BY pat LIMIT 40""",
     // audio fingerprint replay: sample formula ((p*31 + i*17) % 4001) -
     // 2000 probed at the 65 positions k*N//65; bit 63 = sign bit
     "q_audio_dedup" -> """
@@ -3910,6 +3981,20 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // lexical diversity: per-(doc, token) counts, c·ln(c) micro-rounded
+    "q_lexdiv" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents WHERE doc_id < 50),
+      c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY doc_id, tok)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tokens,
+             CAST(COUNT(*) AS BIGINT) AS types,
+             CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS clnc_e6,
+             CAST((COUNT(*) * 1000000) // SUM(c) AS BIGINT) AS ttr_ppm
+      FROM c GROUP BY doc_id ORDER BY doc_id""",
     // token drift: top-200 vocab (count desc, token asc), add-one
     // smoothing over the restricted vocab, nano-rounded contributions
     "q_token_drift" -> """

@@ -313,6 +313,30 @@ object TextAnalysis {
       .drop("__text", "__lines", "__toks", "__dlines", "__dwords", "__line_chars", "__dup_line_chars")
   }
 
+  /** Per-document lexical diversity: token count, distinct types,
+    * type-token ratio (ppm, truncating div) and the entropy numerator
+    * `Σ_types round(c·ln(c)·1e6)` — Shannon entropy of the doc's token
+    * distribution is `ln(n) − clnc/(n·1e6)`, and keeping the numerator
+    * integer makes the whole report order-free and engine-replayable.
+    * Low diversity (high repetition) flags template/boilerplate pages;
+    * the per-document companion of [[tokenDrift]].
+    *
+    * Scale shape: ONE (doc, token) partial aggregate (the tfidf shuffle)
+    * and one doc-keyed rollup — co-partitioned, no window.
+    */
+  def lexicalDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => t =!= lit(""))).as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").cast("long").as("tokens"),
+        count(lit(1)).cast("long").as("types"),
+        sum(round(col("__c").cast("double") * log(col("__c").cast("double"))
+          * lit(1e6)).cast("long")).cast("long").as("clnc_e6"))
+      .withColumn("ttr_ppm", expr("(types * 1000000L) div tokens"))
+
   /** Per-group token-distribution drift: KL(group ‖ corpus) over the
     * corpus's top-`topK` tokens with add-one smoothing — the
     * domain-shift dashboard (a source whose token mix diverges from the

@@ -939,6 +939,50 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.length == 1 && j(0).getInt(1) == -1 && j(0).isNullAt(2))
   }
 
+  test("scene cuts: consecutive-frame hamming over decoded GIFs matches the analytic walk") {
+    val sps = spark; import sps.implicits._
+    val ids = (1L to 15L).toDF("doc_id")
+    val fh = Multimodal.frameDHashes(
+      Multimodal.synthesizeGifPayloads(ids, "doc_id"), "media_id", "payload")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val got = fh.withColumn("prev", lag(col("fhash"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("media_id"), col("frame_idx"),
+        bit_count(col("fhash").bitwiseXOR(col("prev"))).cast("long").as("dist"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // recompute distances from the analytic per-frame hash formula
+    for (id <- 1L to 15L) {
+      val w0 = (6 + id % 5).toInt
+      val h0 = (6 + (id / 5) % 5).toInt
+      def hash(f: Int): Long = {
+        def lum(x: Int, y: Int): Long = (id * 31 + f * 29 + x * 7 + y * 13) % 256
+        var hh = 0L
+        for (gr <- 0 until 8; gc <- 0 until 8)
+          if (lum(gc * w0 / 9, gr * h0 / 8) > lum((gc + 1) * w0 / 9, gr * h0 / 8))
+            hh |= (1L << (gr * 8 + gc))
+        hh
+      }
+      val n = (2 + id % 4).toInt
+      for (f <- 1 until n)
+        assert(got((id, f)) == java.lang.Long.bitCount(hash(f) ^ hash(f - 1)),
+          s"dist mismatch id=$id f=$f")
+    }
+  }
+
+  test("lexical diversity: hand counts, repeated text scores low ttr") {
+    val sps = spark; import sps.implicits._
+    val docs = Seq(
+      (1L, "a b b c"),             // n=4, types=3, clnc = 2ln2
+      (2L, "x x x x x x")          // n=6, types=1, clnc = 6ln6
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(out(0) == (1L, 4L, 3L, math.round(2.0 * math.log(2.0) * 1e6), 750000L))
+    assert(out(1) == (2L, 6L, 1L, math.round(6.0 * math.log(6.0) * 1e6), 166666L))
+  }
+
   test("multimodal: real WAV round-trip is exact and junk-tolerant") {
     val sps = spark; import sps.implicits._
     val ids = (1L to 50L).toDF("doc_id")
