@@ -389,6 +389,21 @@ object SparkEntry {
           .orderBy("cid")
       }),
 
+      // kNN label consistency: do the 5 nearest neighbors of each of the
+      // first 200 vectors share its label? Per-label exact-integer rollup
+      "q_knn_eval" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 200)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+            col("label").as("qlabel"))
+        Embeddings.knnLabelConsistency(emb, "vec", "vec_id", "label",
+            queries, "qvec", "qid", "qlabel", k = 5)
+          .orderBy("label")
+      }),
+
       // per-cluster embedding outliers: the 5 members farthest from their
       // Lloyd-fit centroid (micro-rounded cosine, id tiebreak) — the
       // oracle extends the q_kmeans replay chain with the similarity rank
@@ -1750,6 +1765,14 @@ object SparkEntry {
           ORDER BY p1, p2""")
       }),
 
+      // PMI collocations: top-20 adjacent pairs by count with micro-
+      // rounded pointwise mutual information
+      "q_collocations" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.collocations(s.table("documents"), "text",
+          minCount = 10L, topK = 20)
+      }),
+
       // per-doc lexical diversity: type-token ratio + integer entropy
       // numerator (c·ln c micro-rounded per type, summed)
       "q_lexdiv" -> ((s: SparkSession, dir: String) => {
@@ -2325,6 +2348,24 @@ object SparkEntry {
       SELECT cid, CAST(COUNT(*) AS BIGINT) AS members,
              CAST(SUM(vec_id) AS BIGINT) AS id_sum
       FROM a1 GROUP BY cid ORDER BY cid""",
+    // kNN label consistency: the ann_topk ordering contract + label joins
+    "q_knn_eval" -> """
+      WITH nn AS (
+        SELECT query_id, neighbor_id, qlabel FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 q.label AS qlabel,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                            e.vec_id) AS rank
+          FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 200) q
+          WHERE e.vec_id != q.vec_id) ranked
+        WHERE rank <= 5)
+      SELECT nn.qlabel AS label,
+             CAST(COUNT(DISTINCT nn.query_id) AS BIGINT) AS queries,
+             CAST(COUNT(*) AS BIGINT) AS votes,
+             CAST(SUM(CASE WHEN e.label = nn.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+      GROUP BY nn.qlabel ORDER BY label""",
     // centroid outliers: the q_kmeans chain through c1, re-scoring every
     // member against its ASSIGNED centroid and ranking ascending
     "q_outliers" -> """
@@ -3981,6 +4022,31 @@ object SparkEntry {
       JOIN est e1 ON e1.prio = p.p1 JOIN est e2 ON e2.prio = p.p2
       LEFT JOIN shr ON shr.p1 = p.p1 AND shr.p2 = p.p2
       ORDER BY p.p1, p.p2""",
+    // collocations: row-local adjacent pairs, unigram/bigram totals,
+    // micro-rounded PMI with the exact same division order
+    "q_collocations" -> """
+      WITH t AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      uni AS (
+        SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t, LATERAL unnest(t.toks) AS u(tok) GROUP BY u.tok),
+      tu AS (SELECT CAST(SUM(c) AS BIGINT) AS tu FROM uni),
+      bi AS (
+        SELECT toks[u.i] AS x, toks[u.i + 1] AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+        FROM t, LATERAL unnest(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2
+        GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+      tb AS (SELECT CAST(SUM(cxy) AS BIGINT) AS tb FROM bi)
+      SELECT bi.x, bi.y, bi.cxy AS pair_count,
+             ux.c AS x_count, uy.c AS y_count,
+             CAST(round(ln((CAST(bi.cxy AS DOUBLE) / CAST(tb.tb AS DOUBLE)) /
+               ((CAST(ux.c AS DOUBLE) / CAST(tu.tu AS DOUBLE)) *
+                (CAST(uy.c AS DOUBLE) / CAST(tu.tu AS DOUBLE)))) * 1e6) AS BIGINT) AS pmi_e6
+      FROM bi JOIN uni ux ON ux.tok = bi.x
+              JOIN uni uy ON uy.tok = bi.y
+              CROSS JOIN tb CROSS JOIN tu
+      ORDER BY pair_count DESC, bi.x, bi.y LIMIT 20""",
     // lexical diversity: per-(doc, token) counts, c·ln(c) micro-rounded
     "q_lexdiv" -> """
       WITH toks AS (

@@ -252,6 +252,36 @@ object Embeddings {
       .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
   }
 
+  /** kNN label-consistency report — the embedding-quality eval: for each
+    * query, do its k nearest corpus neighbors (cosine, self excluded)
+    * carry the query's label? High agreement = the embedding space
+    * respects the labels (and, run label-free on cluster ids, measures
+    * cluster cohesion). Per-label rollup of queries / neighbor votes /
+    * agreeing votes — all exact integers.
+    *
+    * Scale shape: inherits [[bruteForceTopK]] (broadcast queries, one
+    * corpus scan, per-query windows) — the exact baseline; swap the
+    * neighbor stage for `lshTopK`/`ivfTopK`/`hammingTopK` at corpus
+    * scale. Label joins are id-keyed; the query side broadcasts.
+    */
+  def knnLabelConsistency(embeddings: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, queries: DataFrame, queryVecCol: String,
+      queryIdCol: String, queryLabelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(embeddings.select(col(idCol), col(vecCol)),
+      vecCol, idCol,
+      queries.select(col(queryIdCol), col(queryVecCol)), queryVecCol,
+      queryIdCol, k)
+    nn.join(embeddings.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryLabelCol).as("__ql"))), Seq("query_id"))
+      .groupBy(col("__ql").as(labelCol))
+      .agg(countDistinct(col("query_id")).cast("long").as("queries"),
+        count(lit(1)).cast("long").as("votes"),
+        sum(when(col("__nl") === col("__ql"), 1L).otherwise(0L))
+          .cast("long").as("agree"))
+  }
+
   /** Maximal-marginal-relevance diversity rerank over a (query, candidate)
     * relation: greedily selects `k` candidates per query maximizing
     * `λ·rel(q, c) − (1−λ)·max_{s∈selected} cos(c, s)` — the standard

@@ -313,6 +313,52 @@ object TextAnalysis {
       .drop("__text", "__lines", "__toks", "__dlines", "__dwords", "__line_chars", "__dup_line_chars")
   }
 
+  /** Corpus collocations by pointwise mutual information over ADJACENT
+    * token pairs: `pmi = ln((c_xy/T_b) / ((c_x/T_u)·(c_y/T_u)))` with
+    * bigram/unigram totals T_b/T_u —
+    * the multi-word-expression detector (named entities, idioms,
+    * templated phrases) that feeds tokenizer vocab decisions and
+    * boilerplate review. `minCount` guards the classic PMI
+    * rare-pair blowup; micro-rounded PMI + exact counts replay in SQL.
+    *
+    * Scale shape: bigrams assemble row-locally (zip of the token array
+    * with its tail — no self-join); ONE pair-keyed partial agg and one
+    * token-keyed agg joined back on the pair's two tokens (co-partitioned
+    * token keys); totals broadcast as single rows. Output bounded by
+    * `topK` via TakeOrdered on (count desc, pair asc).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val toks = df.select(filter(split(lower(col(textCol)), "\\s+"),
+      t => t =!= lit("")).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).cast("long").as("__c"))
+    val uniTotal = uni.agg(sum("__c").cast("long").as("__tu"))
+    val bi = toks.where(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__toks) - 1), i -> struct(__toks[i-1] AS x, __toks[i] AS y))")).as("__p"))
+      .select(col("__p.x").as("__x"), col("__p.y").as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).cast("long").as("__cxy"))
+      .where(col("__cxy") >= minCount)
+    val biTotal = bi.agg(sum("__cxy").cast("long").as("__tb"))
+    bi
+      .join(uni.select(col("__tok").as("__x"), col("__c").as("__cx")), Seq("__x"))
+      .join(uni.select(col("__tok").as("__y"), col("__c").as("__cy")), Seq("__y"))
+      .crossJoin(broadcast(biTotal))
+      .crossJoin(broadcast(uniTotal))
+      .withColumn("pmi_e6", round(
+        log((col("__cxy").cast("double") / col("__tb").cast("double")) /
+          ((col("__cx").cast("double") / col("__tu").cast("double")) *
+           (col("__cy").cast("double") / col("__tu").cast("double")))) * lit(1e6))
+        .cast("long"))
+      .orderBy(col("__cxy").desc, col("__x"), col("__y"))
+      .limit(topK)
+      .select(col("__x").as("x"), col("__y").as("y"), col("__cxy").as("pair_count"),
+        col("__cx").as("x_count"), col("__cy").as("y_count"), col("pmi_e6"))
+  }
+
   /** Per-document lexical diversity: token count, distinct types,
     * type-token ratio (ppm, truncating div) and the entropy numerator
     * `Σ_types round(c·ln(c)·1e6)` — Shannon entropy of the doc's token

@@ -449,6 +449,29 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out.map(t => (t._1, t._4)))
   }
 
+  test("collocations: pmi math hand-checked, minCount prunes, order deterministic") {
+    val s = spark
+    import s.implicits._
+    // 'new york' always adjacent (3x); 'the the' frequent but independent
+    val docs = Seq("the the new york", "the the new york", "new york the cat")
+      .toDF("text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val ny = out.find(p => p._1 == "new" && p._2 == "york").get
+    // unigrams: new 3, york 3, the 5, cat 1 (tu 12); surviving bigrams
+    // (minCount 2): ny 3 + 'the the' 2 + 'the new' 2 = tb 7
+    assert((ny._3, ny._4, ny._5) == (3L, 3L, 3L))
+    val tb = out.map(_._3).sum
+    val want = math.round(math.log((3.0 / tb) / ((3.0 / 12) * (3.0 / 12))) * 1e6)
+    assert(ny._6 == want, s"pmi ${ny._6} want $want (tb=$tb)")
+    // a high-count independent pair scores LOWER pmi than the collocation
+    val thethe = out.find(p => p._1 == "the" && p._2 == "the").get
+    assert(thethe._6 < ny._6)
+    // minCount prunes singletons
+    assert(!out.exists(p => p._1 == "the" && p._2 == "cat"))
+  }
+
   // --- incrementalNearDuplicates ---
 
   test("incremental near-dup equals the full pipeline's cross-slice pairs") {

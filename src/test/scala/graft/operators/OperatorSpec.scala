@@ -505,6 +505,27 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 6L)
   }
 
+  test("knn label consistency: clustered labels agree, shuffled labels near chance") {
+    val s = spark
+    import s.implicits._
+    // two tight direction bundles with matching labels: 1-NN agreement
+    // should be perfect within bundles
+    val rows = (0 until 20).map { i =>
+      val bundle = i % 2
+      val base = if (bundle == 0) Seq(1.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0)
+      (i.toLong, bundle.toString, base.map(_ + (i / 2) * 1e-4))
+    }
+    val emb = rows.toDF("vec_id", "label", "vec")
+    val q = emb.select(col("vec_id").as("qid"), col("vec").as("qvec"),
+      col("label").as("qlabel"))
+    val out = Embeddings.knnLabelConsistency(emb, "vec", "vec_id", "label",
+        q, "qvec", "qid", "qlabel", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq(("0", 10L, 30L), ("1", 10L, 30L)))
+    assert(out.forall(t => t._4 == t._3), s"within-bundle neighbors must agree: $out")
+  }
+
   test("semdedup: drops same-cluster near-duplicates, keeps first copy") {
     // cluster A: ids 1/3/5 nearly parallel (sim ~1); cluster B: 2/4 parallel,
     // 6 orthogonal-ish to both B members but assigned to B's centroid side
