@@ -1945,6 +1945,23 @@ object SparkEntry {
           .orderBy("user_id")
       }),
 
+      // incremental MERGE: compact the first half-month into a snapshot,
+      // apply the second half as a change slice — equals (and is oracle-
+      // checked against) the full-history compaction
+      "q_upsert_incr" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = s.table("events")
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val snap = Changelog.compactLatest(ev.where(col("ts") < cut),
+          Seq("user_id"), Seq("ts", "event_id"), col("event_type") === "error")
+        Changelog.applyChanges(snap, ev.where(col("ts") >= cut),
+            Seq("user_id"), Seq("ts", "event_id"), col("event_type") === "error")
+          .select(col("user_id"), col("event_type").as("last_type"),
+            round(col("value") * 100).cast("long").as("value_e2"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .orderBy("user_id")
+      }),
+
       // TF-IDF keywords: top-3 terms per document (tokens >= 3 chars),
       // micro-rounded scores; df/N computed on the FULL corpus, output
       // restricted to doc_id < 40 to bound the compare.
@@ -4365,6 +4382,19 @@ object SparkEntry {
              FROM base b LEFT JOIN it3 i ON b.node = i.node)
       SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_ppb
       FROM r3 WHERE rank > 0 ORDER BY rank_ppb DESC, node LIMIT 25""",
+    // incremental merge: the oracle is the FULL-history compaction —
+    // snapshot+slice must reproduce it exactly
+    "q_upsert_incr" -> """
+      WITH latest AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_type AS last_type,
+             CAST(round(value * 100) AS BIGINT) AS value_e2,
+             epoch_us(ts) AS ts_us, event_id
+      FROM latest WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id""",
     // changelog compaction: the window row_number replay of the
     // struct-argmax form (ordering unique per key via event_id)
     "q_upsert" -> """

@@ -47,4 +47,22 @@ object Changelog {
       .where(!col("__latest.__del"))
       .select(keyCols.map(col) ++ payload.map(c => col(s"__latest.$c").as(c)): _*)
   }
+
+  /** Incremental MERGE: apply a change slice onto an existing compacted
+    * snapshot — `applyChanges(compact(h1), h2) == compact(h1 ∪ h2)`
+    * whenever every change in the slice sequences AFTER the snapshot
+    * (the normal incremental-refresh invariant; a base row only survives
+    * its key appearing in the slice if it would win the seq order, which
+    * under the invariant it never does). Implemented as one
+    * [[compactLatest]] over the union — base rows enter as live upserts
+    * with their stored sequence — so the cost is ONE key-partitioned
+    * aggregate over |snapshot| + |slice| rows, not a re-fold of history.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                   seqCols: Seq[String], isDelete: Column): DataFrame = {
+    require(base.columns.sorted.sameElements(changes.columns.sorted),
+      s"base/changes schemas differ: ${base.columns.mkString(",")} vs ${changes.columns.mkString(",")}")
+    compactLatest(base.select(changes.columns.map(col): _*).union(changes),
+      keyCols, seqCols, isDelete)
+  }
 }

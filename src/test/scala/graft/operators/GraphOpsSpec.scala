@@ -208,6 +208,26 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == want.count())
   }
 
+  test("applyChanges: snapshot + slice == full-history compaction") {
+    val s = spark
+    import s.implicits._
+    val all = (0 until 3000).map { i =>
+      val k = (i * 17 + 5) % 61
+      (k.toLong, i.toLong, s"t$i", i * 0.25, (i * 7 + k) % 9 == 0)
+    }.toDF("k", "seq", "tag", "v", "del")
+    val h1 = all.where(col("seq") < 1500)
+    val h2 = all.where(col("seq") >= 1500)
+    val snap = Changelog.compactLatest(h1, Seq("k"), Seq("seq"), col("del"))
+    val inc = Changelog.applyChanges(snap, h2, Seq("k"), Seq("seq"), col("del"))
+    val full = Changelog.compactLatest(all, Seq("k"), Seq("seq"), col("del"))
+    assert(inc.count() == full.count())
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty)
+    // schema mismatch refuses
+    intercept[IllegalArgumentException] {
+      Changelog.applyChanges(snap.drop("tag"), h2, Seq("k"), Seq("seq"), col("del")): Unit
+    }
+  }
+
   test("compactLatest: partial-aggregates before the key exchange, no Window") {
     val plan = Changelog.compactLatest(changes, Seq("k"), Seq("seq"), col("del"))
       .queryExecution.executedPlan.toString
