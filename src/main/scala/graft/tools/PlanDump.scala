@@ -77,7 +77,12 @@ object PlanDump {
       "q_vocab_coverage" -> "vocab coverage: token explode on the scan, the 500-row vocab BroadcastHashJoins into the stream, one source-keyed partial+final agg — the corpus never exchanges on tokens",
       "q_image_dedup" -> "image dHash dedup: payloads synthesized/hashed once per distinct pattern (mapPartitions, no shuffle), hashes broadcast back over the documents scan, hash-keyed partial+final agg + TakeOrdered",
       "q_winsorize" -> "winsorize: ONE hist_sketch aggregate pass -> single-row broadcast thresholds -> row-local clip; no sort, no data-keyed exchange",
-      "q_token_drift" -> "token drift: top-K vocab via TakeOrderedAndProject broadcasts into the count join; ONE (group, token) partial agg; the KL contribution table is groups x K rows")
+      "q_token_drift" -> "token drift: top-K vocab via TakeOrderedAndProject broadcasts into the count join; ONE (group, token) partial agg; the KL contribution table is groups x K rows",
+      "q_collocations" -> "collocations: adjacent pairs assemble row-locally (transform over the token array — no self-join); pair-keyed partial agg, token-keyed unigram joins, single-row totals broadcast, TakeOrdered(topK)",
+      "q_knn_eval" -> "kNN label eval: broadcast query side rides one corpus scan (the exact ANN baseline), per-query windows bounded by WindowGroupLimit, id-keyed label joins, per-label partial+final agg",
+      "q_upsert_incr" -> "incremental merge: union of snapshot + slice feeds the SAME partial+final struct-argmax as q_upsert — one key exchange, no history re-fold",
+      "q_qbin" -> "quantile binning: ONE hist_sketch aggregate, broadcast thresholds, CASE bucket in the scan projection, bucket-keyed rollup",
+      "q_graph_stats" -> "degree distribution: two chained partial+final aggregates (node degree then histogram) over the checkpointed edge relation")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
