@@ -38,6 +38,26 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** One power-iteration run's convergence telemetry (see
+    * [[pageRank]]'s `trackConvergence`): `finalDeltaPpb` is the L1
+    * distance Σ|rank_n − rank_{n−1}| in ppb — the raise-`iterations`
+    * signal (a converged run changes a few ppb per node; a run stopped
+    * early still moves percent-level mass).
+    */
+  final case class PageRankStats(iterations: Int, nodes: Long,
+      finalDeltaPpb: Long)
+
+  private val statsRegistry =
+    new java.util.concurrent.ConcurrentLinkedDeque[PageRankStats]()
+  private val StatsRegistryCap = 128
+
+  /** Recent convergence-tracked run stats, newest last (bounded buffer). */
+  def pageRankStatsSnapshot(): Seq[PageRankStats] = {
+    val b = Seq.newBuilder[PageRankStats]
+    statsRegistry.forEach(s => b += s)
+    b.result()
+  }
+
   /** PageRank over `edges(srcCol, dstCol)` (node ids BIGINT).
     *
     * rank_0(v)   = tele(v)
@@ -54,8 +74,10 @@ object Graphs {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPpm: Long = 850000L,
-               undirected: Boolean = false): DataFrame =
-    runPageRank(edges, srcCol, dstCol, iterations, dampingPpm, undirected, None)
+               undirected: Boolean = false,
+               trackConvergence: Boolean = false): DataFrame =
+    runPageRank(edges, srcCol, dstCol, iterations, dampingPpm, undirected,
+      None, trackConvergence)
 
   /** Personalized (seeded) PageRank: the teleport mass lands ONLY on the
     * seed nodes — `tele(v) = 10^9 div |seeds|` for seeds, 0 otherwise —
@@ -66,9 +88,11 @@ object Graphs {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iterations: Int,
-      dampingPpm: Long = 850000L, undirected: Boolean = false): DataFrame =
+      dampingPpm: Long = 850000L, undirected: Boolean = false,
+      trackConvergence: Boolean = false): DataFrame =
     runPageRank(edges, srcCol, dstCol, iterations, dampingPpm, undirected,
-      Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()))
+      Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
+      trackConvergence)
 
   /** Degree distribution of the (simple) graph: one row per distinct
     * degree with the number of nodes holding it — the first thing to look
@@ -93,7 +117,7 @@ object Graphs {
 
   private def runPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPpm: Long, undirected: Boolean,
-      seedsOpt: Option[DataFrame]): DataFrame = {
+      seedsOpt: Option[DataFrame], trackConvergence: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations must be in [1, 100]")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm must be in [0, 10^6]")
 
@@ -132,7 +156,9 @@ object Graphs {
     }).localCheckpoint()
 
     var ranks = base.select(col("node"), col("tele").as("rank")).localCheckpoint()
+    var prev: DataFrame = null
     for (_ <- 1 to iterations) {
+      prev = ranks
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -143,6 +169,16 @@ object Graphs {
           expr(s"((${1000000L - dampingPpm}L * tele) div 1000000L)") +
           expr(s"(${dampingPpm}L * coalesce(inc, 0L)) div 1000000L")).as("rank"))
         .localCheckpoint()
+    }
+    if (trackConvergence && prev != null) {
+      // one cheap node-keyed join over two materialized 16 B/node tables;
+      // opt-in so default runs pay nothing
+      val delta = ranks.join(prev.withColumnRenamed("rank", "__prev"), Seq("node"))
+        .agg(sum(abs(col("rank") - col("__prev"))).as("d"), count(lit(1)).as("n"))
+        .head()
+      statsRegistry.addLast(PageRankStats(iterations, delta.getLong(1),
+        delta.getLong(0)))
+      while (statsRegistry.size() > StatsRegistryCap) statsRegistry.pollFirst()
     }
     ranks.select(col("node"), col("rank").as("rank_ppb"))
   }

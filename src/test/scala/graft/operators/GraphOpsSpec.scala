@@ -72,6 +72,25 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("pagerank: convergence telemetry — delta shrinks with iterations, opt-in only") {
+    val s = spark
+    import s.implicits._
+    val edges = (for (i <- 0L until 30L) yield (i, (i * 11 + 3) % 30)).toDF("src", "dst")
+    val before = Graphs.pageRankStatsSnapshot().size
+    Graphs.pageRank(edges, "src", "dst", 2, undirected = true).collect(): Unit
+    assert(Graphs.pageRankStatsSnapshot().size == before) // default: no tracking
+    Graphs.pageRank(edges, "src", "dst", 2, undirected = true,
+      trackConvergence = true).collect(): Unit
+    Graphs.pageRank(edges, "src", "dst", 12, undirected = true,
+      trackConvergence = true).collect(): Unit
+    val stats = Graphs.pageRankStatsSnapshot().takeRight(2)
+    assert(stats.map(_.iterations) == Seq(2, 12))
+    assert(stats.forall(_.nodes == 30L))
+    // more iterations -> smaller final step (power iteration converges)
+    assert(stats(1).finalDeltaPpb < stats(0).finalDeltaPpb,
+      stats.toString)
+  }
+
   test("pagerank: multi-edges collapse to the simple graph") {
     val once = ranksOf(Seq((1L, 2L), (2L, 1L)), iters = 3)
     val dup = ranksOf(Seq((1L, 2L), (1L, 2L), (2L, 1L)), iters = 3)
