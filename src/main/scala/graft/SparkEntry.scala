@@ -1907,6 +1907,17 @@ object SparkEntry {
           .orderBy(col("rank_ppb").desc, col("node")).limit(25)
       }),
 
+      // co-purchase graph construction: suppliers sharing an order become
+      // weighted edges (pairs emitted row-locally per order); top 20
+      "q_copurchase" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Graphs.coOccurrenceEdges(
+            s.table("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            "l_orderkey", "l_suppkey", minWeight = 2L)
+          .orderBy(col("weight").desc, col("src"), col("dst"))
+          .limit(20)
+      }),
+
       // out-degree distribution of the purchase graph: two chained
       // partial aggregates; top-25 degrees by node count
       "q_graph_stats" -> ((s: SparkSession, dir: String) => {
@@ -4334,6 +4345,14 @@ object SparkEntry {
              FROM base b LEFT JOIN it5 i ON b.node = i.node)
       SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_ppb
       FROM r5 ORDER BY rank_ppb DESC, node LIMIT 25""",
+    // co-purchase edges: distinct (order, supplier) self-joined per order
+    "q_copurchase" -> """
+      WITH os AS (SELECT DISTINCT l_orderkey AS g, CAST(l_suppkey AS BIGINT) AS i
+                  FROM lineitem)
+      SELECT a.i AS src, b.i AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM os a JOIN os b ON a.g = b.g AND a.i < b.i
+      GROUP BY a.i, b.i HAVING COUNT(*) >= 2
+      ORDER BY weight DESC, src, dst LIMIT 20""",
     // degree distribution: undirected simple graph, degree histogram
     "q_graph_stats" -> """
       WITH e0 AS (

@@ -115,6 +115,40 @@ object Graphs {
       .agg(count(lit(1)).cast("long").as("nodes"))
   }
 
+  /** Co-occurrence edge construction: items sharing a group become an
+    * edge weighted by how many groups contain both — the standard way a
+    * pipeline DERIVES a graph (co-purchase, co-citation, token
+    * co-occurrence) before running [[pageRank]]/[[degreeDistribution]]
+    * on it. Emits each unordered pair once (`src < dst`).
+    *
+    * Scale shape: ONE group-keyed distinct + collect_set, per-group pair
+    * emission row-locally (quadratic ONLY within a group —
+    * `maxGroupSize` fail-softs the hub groups that would otherwise
+    * produce size² pairs, the same cap discipline as the LSH buckets),
+    * then a pair-keyed partial-agg count. Exchanges carry (group, item)
+    * and (pair, count) rows only.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 10000, minWeight: Long = 1L): DataFrame = {
+    require(maxGroupSize >= 2, "maxGroupSize must be >= 2")
+    require(minWeight >= 1, "minWeight must be >= 1")
+    val grouped = df
+      .select(col(groupCol).as("__g"), col(itemCol).cast("long").as("__i"))
+      .distinct()
+      .groupBy("__g")
+      .agg(collect_set(col("__i")).as("__items"))
+      .where(size(col("__items")).between(2, maxGroupSize))
+      .select(array_sort(col("__items")).as("__items"))
+    grouped
+      .select(explode(expr(
+        """flatten(transform(__items, (x, i) ->
+             transform(slice(__items, i + 2, size(__items)), y ->
+               struct(x AS src, y AS dst))))""")).as("__p"))
+      .groupBy(col("__p.src").as("src"), col("__p.dst").as("dst"))
+      .agg(count(lit(1)).cast("long").as("weight"))
+      .where(col("weight") >= minWeight)
+  }
+
   private def runPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPpm: Long, undirected: Boolean,
       seedsOpt: Option[DataFrame], trackConvergence: Boolean = false): DataFrame = {

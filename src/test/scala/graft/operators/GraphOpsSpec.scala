@@ -227,6 +227,30 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == want.count())
   }
 
+  test("coOccurrenceEdges: weights exact, pairs once, caps fail-soft, minWeight prunes") {
+    val s = spark
+    import s.implicits._
+    // groups: {1,2,3}, {1,2}, {2,3}, {9} (singleton: no pairs)
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 3L), // dup item row
+      (20L, 1L), (20L, 2L), (30L, 2L), (30L, 3L), (40L, 9L))
+      .toDF("g", "i")
+    val out = Graphs.coOccurrenceEdges(df, "g", "i")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 2L), out.toString)
+    // minWeight prunes the singleton pair
+    val pruned = Graphs.coOccurrenceEdges(df, "g", "i", minWeight = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((1L, 2L), (2L, 3L)))
+    // a group above the cap contributes nothing (fail-soft, not quadratic)
+    val capped = Graphs.coOccurrenceEdges(df, "g", "i", maxGroupSize = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(capped == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L), capped.toString)
+    // feeds pageRank directly
+    val pr = Graphs.pageRank(Graphs.coOccurrenceEdges(df, "g", "i"),
+      "src", "dst", 2, undirected = true)
+    assert(pr.count() == 3L)
+  }
+
   test("applyChanges: snapshot + slice == full-history compaction") {
     val s = spark
     import s.implicits._
