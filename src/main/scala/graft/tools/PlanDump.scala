@@ -82,7 +82,8 @@ object PlanDump {
       "q_knn_eval" -> "kNN label eval: broadcast query side rides one corpus scan (the exact ANN baseline), per-query windows bounded by WindowGroupLimit, id-keyed label joins, per-label partial+final agg",
       "q_upsert_incr" -> "incremental merge: union of snapshot + slice feeds the SAME partial+final struct-argmax as q_upsert — one key exchange, no history re-fold",
       "q_qbin" -> "quantile binning: ONE hist_sketch aggregate, broadcast thresholds, CASE bucket in the scan projection, bucket-keyed rollup",
-      "q_graph_stats" -> "degree distribution: two chained partial+final aggregates (node degree then histogram) over the checkpointed edge relation")
+      "q_graph_stats" -> "degree distribution: two chained partial+final aggregates (node degree then histogram) over the checkpointed edge relation",
+      "q_copurchase" -> "co-occurrence graph build: group-keyed collect_set (partial ObjectHashAggregate), row-local pair explode (quadratic only within capped groups), pair-keyed partial+final count, TakeOrdered")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
