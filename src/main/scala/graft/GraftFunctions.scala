@@ -202,6 +202,12 @@ object GraftFunctions {
         "ord - BIGINT ordering value (largest k kept)",
         "payload - BIGINT carried id; ties on ord keep the smallest payloads; duplicate (ord, payload) pairs collapse"),
       ex("SELECT g, topk_agg(5, score, item_id) FROM scores GROUP BY g;")),
+    "sortable_bits" -> FnDoc(
+      arg("d - DOUBLE; NaN encodes above +Infinity, -0.0 strictly below 0.0"),
+      ex("SELECT g, topk_agg(5, sortable_bits(sim), id) FROM scored GROUP BY g;")),
+    "sortable_bits_double" -> FnDoc(
+      arg("l - BIGINT produced by sortable_bits"),
+      ex("SELECT sortable_bits_double(e.ord) AS sim FROM tk LATERAL VIEW explode(tk.arr) t AS e;")),
     "binary_quantize" -> FnDoc(
       arg("vec - ARRAY<FLOAT>/ARRAY<DOUBLE> embedding; bit i%64 of word i/64 set iff vec[i] > 0"),
       ex("SELECT binary_quantize(embedding) FROM embeddings;")),
@@ -405,6 +411,12 @@ object GraftFunctions {
     ("topk_agg",
       "topk_agg(k, ord, payload) - bounded-heap top-k per group: the k largest BIGINT ord values (ties to smaller payload) as ARRAY<STRUCT<ord, payload>>",
       args => { arity("topk_agg", 3, args); TopKAgg(args(0), args(1), args(2)) }),
+    ("sortable_bits",
+      "sortable_bits(d) - order-preserving BIGINT encoding of a DOUBLE (signed long order == IEEE total order); rides doubles through topk_agg's ord slot",
+      args => { arity("sortable_bits", 1, args); SortableDoubleBits(args(0)) }),
+    ("sortable_bits_double",
+      "sortable_bits_double(l) - decode a sortable_bits BIGINT back to its DOUBLE (the transform is an involution)",
+      args => { arity("sortable_bits_double", 1, args); SortableBitsDouble(args(0)) }),
     ("binary_quantize",
       "binary_quantize(vec) - 1-bit sign quantization of an embedding into ARRAY<BIGINT> packed words (32x smaller than FLOAT)",
       args => { arity("binary_quantize", 1, args); graft.operators.BinaryQuantize(args(0)) }),

@@ -144,3 +144,69 @@ case class TopKAgg(
 object TopKAgg {
   val MaxK = 1 << 20
 }
+
+/** Order-preserving DOUBLE <-> BIGINT involution used to ride doubles
+  * through [[TopKAgg]]'s BIGINT `ord` slot: `b = doubleToLongBits(d);
+  * b ^ ((b >> 63) & Long.MaxValue)` maps every double to a long whose
+  * SIGNED order equals the IEEE total order (negatives reverse-magnitude
+  * flipped, positives untouched), and the same bit transform decodes. The
+  * map is strictly monotone, so `topk_agg(k, sortable_bits(sim), id)`
+  * ranks EXACTLY like `row_number() OVER (ORDER BY sim DESC, id)` —
+  * equal sims, and only equal sims, fall to the payload tie-break.
+  * Edge semantics: NaN encodes above +Infinity (Spark's sort order);
+  * -0.0 encodes strictly below 0.0 (a distinction Spark's comparator
+  * collapses — callers' sims are dot/norm quotients, never -0.0 with a
+  * 0.0 twin in the same group).
+  */
+object SortableBits {
+  def encode(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+  def decode(l: Long): Double =
+    java.lang.Double.longBitsToDouble(l ^ ((l >> 63) & Long.MaxValue))
+}
+
+/** SQL: `sortable_bits(d DOUBLE) -> BIGINT` — see [[SortableBits]]. */
+case class SortableDoubleBits(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sortable_bits requires DOUBLE, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SortableBits.encode(input.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.SortableBits.encode($v)")
+  override def prettyName: String = "sortable_bits"
+  override protected def withNewChildInternal(newChild: Expression): SortableDoubleBits =
+    copy(child = newChild)
+}
+
+/** SQL: `sortable_bits_double(l BIGINT) -> DOUBLE` — inverse of
+  * [[SortableDoubleBits]] (the transform is an involution on the bits).
+  */
+case class SortableBitsDouble(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sortable_bits_double requires BIGINT, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SortableBits.decode(input.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.SortableBits.decode($v)")
+  override def prettyName: String = "sortable_bits_double"
+  override protected def withNewChildInternal(newChild: Expression): SortableBitsDouble =
+    copy(child = newChild)
+}

@@ -237,19 +237,52 @@ object Embeddings {
         col(idCol).as("neighbor_id"), col("sim"), col("hamming"))
   }
 
+  /** Shared per-query ranking stage for the ANN paths: reduce a
+    * `(queryIdCol, idCol, sim)` candidate relation to each query's top-k
+    * via the bounded-heap `topk_agg` — `ord` is the order-preserving IEEE
+    * bits of `sim` ([[graft.functions.SortableBits]], strictly monotone),
+    * `payload` the candidate id, so the (ord DESC, payload ASC) heap order
+    * IS the window order (sim DESC, id ASC) and oracles replaying
+    * `row_number()` ranking match row for row.
+    *
+    * Why not `row_number().over(Window.partitionBy(query))`: the window
+    * SORTS each query's entire candidate set in one task — for IVF that
+    * partition is ~nprobe/nlist of the corpus. The aggregate keeps k
+    * entries per (partition, query) map-side, ships ≤ k pairs per group
+    * across the shuffle, and never sorts a group.
+    *
+    * Preconditions (as [[hammingTopK]]): ids integral (they ride the heap
+    * as BIGINT), (query, id) pairs distinct (set semantics collapse
+    * duplicates — every caller's candidate join produces each pair once).
+    */
+  private[graft] def rankTopKByQuery(cands: DataFrame, queryIdCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val idType = cands.schema(idCol).dataType
+    cands
+      .groupBy(col(queryIdCol))
+      .agg(ColumnBridge.column(graft.functions.TopKAgg(
+        ColumnBridge.expression(lit(k)),
+        graft.functions.SortableDoubleBits(
+          ColumnBridge.expression(col("sim").cast("double"))),
+        ColumnBridge.expression(col(idCol).cast("long"))).toAggregateExpression()).as("__tk"))
+      .select(col(queryIdCol).as("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.payload").cast(idType).as("neighbor_id"),
+        ColumnBridge.column(graft.functions.SortableBitsDouble(
+          ColumnBridge.expression(col("__e.ord")))).as("sim"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
-    * (it is broadcast); the embeddings table streams through one stage.
+    * (it is broadcast); the embeddings table streams through one stage and
+    * the per-query ranking is the bounded-heap [[rankTopKByQuery]].
     */
   def bruteForceTopK(embeddings: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val joined = embeddings.crossJoin(broadcast(queries))
       .where(col(idCol) =!= col(queryIdCol))
       .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
+    rankTopKByQuery(joined, queryIdCol, idCol, k)
   }
 
   /** kNN label-consistency report — the embedding-quality eval: for each
@@ -260,9 +293,10 @@ object Embeddings {
     * agreeing votes — all exact integers.
     *
     * Scale shape: inherits [[bruteForceTopK]] (broadcast queries, one
-    * corpus scan, per-query windows) — the exact baseline; swap the
-    * neighbor stage for `lshTopK`/`ivfTopK`/`hammingTopK` at corpus
-    * scale. Label joins are id-keyed; the query side broadcasts.
+    * corpus scan, bounded-heap [[rankTopKByQuery]] ranking) — the exact
+    * baseline; swap the neighbor stage for `lshTopK`/`ivfTopK`/
+    * `hammingTopK` at corpus scale. Label joins are id-keyed; the query
+    * side broadcasts.
     */
   def knnLabelConsistency(embeddings: DataFrame, vecCol: String, idCol: String,
       labelCol: String, queries: DataFrame, queryVecCol: String,
@@ -390,17 +424,13 @@ object Embeddings {
   def lshTopK(embeddings: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
       k: Int, prefixBits: Int = 12, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bucket = (sig: Column) => shiftrightunsigned(sig, 64 - prefixBits)
     val embB = embeddings.withColumn("__bucket", bucket(hyperplaneSignature(col(vecCol), 64, seed)))
     val qryB = queries.withColumn("__bucket", bucket(hyperplaneSignature(col(queryVecCol), 64, seed)))
     val cands = embB.join(broadcast(qryB), "__bucket")
       .where(col(idCol) =!= col(queryIdCol))
       .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    cands.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
+    rankTopKByQuery(cands, queryIdCol, idCol, k)
   }
 
   /** IVF-flat approximate top-k: vectors are partitioned into `nlist`
@@ -424,12 +454,36 @@ object Embeddings {
       centroids: DataFrame, topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroids.select(col("cid"), col("cvec"))
-    val simToCent = vecDot(col(vecCol), col("cvec")) / (vecNorm(col(vecCol)) * vecNorm(col("cvec")))
-    val w = Window.partitionBy(col(idCol)).orderBy(simToCent.desc, col("cid"))
-    df.crossJoin(broadcast(cents))
-      .withColumn("__cr", row_number().over(w))
-      .where(col("__cr") <= topN)
-      .drop("cvec", "__cr")
+    if (topN == 1) {
+      // zero-shuffle corpus path: the ≤ nlist centroids collect to the
+      // driver (config-bounded, the k-means pattern) and ride a codegen'd
+      // exact-argmax expression over the scan — no crossJoin row blowup
+      // and, critically, no full-corpus Exchange on idCol just to rank
+      // nlist candidate rows per vector. `exact = true` replicates the
+      // window form `row_number() OVER (PARTITION BY id ORDER BY sim
+      // DESC, cid) = 1` bit for bit (raw-double compare under Spark's
+      // sort total order, ties to the smallest cid), so both paths — and
+      // the DuckDB oracle replay — agree on every assignment.
+      val rows = cents.select(col("cid").cast("long"), col("cvec")).collect()
+        .map { r =>
+          val cv = r.getSeq[Any](1).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case x => x.toString.toDouble
+          }.toArray
+          (r.getLong(0), cv)
+        }.sortBy(_._1)
+      val nc = NearestCentroid(ColumnBridge.expression(col(vecCol)),
+        rows.map(_._1), rows.map(_._2), exact = true)
+      df.withColumn("cid", ColumnBridge.column(nc))
+    } else {
+      val simToCent = vecDot(col(vecCol), col("cvec")) / (vecNorm(col(vecCol)) * vecNorm(col("cvec")))
+      val w = Window.partitionBy(col(idCol)).orderBy(simToCent.desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__cr", row_number().over(w))
+        .where(col("__cr") <= topN)
+        .drop("cvec", "__cr")
+    }
   }
 
   /** The seed centroid relation [[ivfTopK]] defaults to: the first `nlist`
@@ -445,18 +499,14 @@ object Embeddings {
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = centroids.getOrElse(seedCentroids(embeddings, vecCol, idCol, nlist))
       .select(col("cid"), col("cvec"))
     val cells = assignCells(embeddings, idCol, vecCol, cents, 1)
     val qCells = assignCells(queries, queryIdCol, queryVecCol, cents, nprobe)
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    cells.join(broadcast(qCells), "cid")
+    val cands = cells.join(broadcast(qCells), "cid")
       .where(col(idCol) =!= col(queryIdCol))
       .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryIdCol).as("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
+    rankTopKByQuery(cands, queryIdCol, idCol, k)
   }
 
   /** Exact all-pairs cosine near-duplicates: the O(n^2) correctness
@@ -911,7 +961,8 @@ object Embeddings {
   * row).
   */
 case class NearestCentroid(child: Expression, cids: Array[Long],
-    centroids: Array[Array[Double]]) extends UnaryExpression {
+    centroids: Array[Array[Double]], exact: Boolean = false)
+  extends UnaryExpression {
 
   require(cids.nonEmpty && cids.length == centroids.length,
     "need one cid per centroid, at least one")
@@ -958,6 +1009,7 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
     while (i < n) { vn += v(i) * v(i); i += 1 }
     val vnorm = math.sqrt(vn)
     var bestE6 = 0L
+    var bestSim = 0.0
     var bestCid = 0L
     var first = true
     var c = 0
@@ -967,15 +1019,25 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
       var dot = 0.0
       var j = 0
       while (j < len) { dot += v(j) * cv(j); j += 1 }
-      val x = dot / (vnorm * norms(c)) * 1e6
-      // Spark Round(double): NaN/Inf pass through, else shortest-decimal
-      // BigDecimal HALF_UP; the long cast is the JVM d2l (NaN→0,
-      // Inf→Long.Max) — identical to cast(round(sim*1e6) as long)
-      val simE6 =
-        if (x.isNaN || x.isInfinite) x.toLong
-        else java.math.BigDecimal.valueOf(x)
-          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-      if (first || simE6 > bestE6) { bestE6 = simE6; bestCid = cids(c); first = false }
+      val sim = dot / (vnorm * norms(c))
+      if (exact) {
+        // raw-double argmax under Spark's sort total order (Double.compare:
+        // NaN greatest, -0.0 < 0.0), ties to the smallest cid — replicates
+        // `row_number() OVER (ORDER BY sim DESC, cid) = 1` bit for bit
+        if (first || java.lang.Double.compare(sim, bestSim) > 0) {
+          bestSim = sim; bestCid = cids(c); first = false
+        }
+      } else {
+        val x = sim * 1e6
+        // Spark Round(double): NaN/Inf pass through, else shortest-decimal
+        // BigDecimal HALF_UP; the long cast is the JVM d2l (NaN→0,
+        // Inf→Long.Max) — identical to cast(round(sim*1e6) as long)
+        val simE6 =
+          if (x.isNaN || x.isInfinite) x.toLong
+          else java.math.BigDecimal.valueOf(x)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        if (first || simE6 > bestE6) { bestE6 = simE6; bestCid = cids(c); first = false }
+      }
       c += 1
     }
     bestCid

@@ -59,7 +59,6 @@ object AnnIndex {
   def query(spark: SparkSession, dir: String, queries: DataFrame,
       queryVecCol: String, queryIdCol: String, k: Int,
       nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = spark.read.parquet(s"$dir/centroids")
     val qCells = Embeddings.assignCells(queries, queryIdCol, queryVecCol, cents, nprobe)
     val probed = qCells.select(col("cid").cast("long")).distinct()
@@ -67,14 +66,10 @@ object AnnIndex {
     val cells = spark.read.parquet(s"$dir/cells")
       .where(col("cid").isin(probed: _*))
       .withColumn("cid", col("cid").cast("long"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("sim").desc, col("id"))
-    cells.join(broadcast(qCells.withColumn("cid", col("cid").cast("long"))), "cid")
+    val cands = cells
+      .join(broadcast(qCells.withColumn("cid", col("cid").cast("long"))), "cid")
       .where(col("id") =!= col(queryIdCol))
       .withColumn("sim", Embeddings.cosine(col("vec"), col(queryVecCol)))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryIdCol).as("query_id"), col("rank"),
-        col("id").as("neighbor_id"), col("sim"))
+    Embeddings.rankTopKByQuery(cands, queryIdCol, "id", k)
   }
 }

@@ -22,7 +22,9 @@ object PlanDump {
       "q1_agg" -> "grouped aggregation: 5-column pruned scan, partial+final hash agg",
       "q2_join_agg" -> "broadcast join: pushed IsNotNull, pruned schemas, small side broadcast",
       "q_bloom_semijoin" -> "per-group filters joined back: ObjectHashAggregate partial/final + broadcast join",
-      "q_ann_topk" -> "brute-force ANN: broadcast query side, one pass over embeddings, windowed top-k",
+      "q_ann_topk" -> "brute-force ANN: broadcast query side, one pass over embeddings, bounded-heap topk_agg ranking (round 9 — no per-query Window sort)",
+      "q_ann_lsh" -> "LSH ANN: signature-prefix bucket equi-join, then ObjectHashAggregate topk_agg — no corpus-fraction Window partition anywhere",
+      "q_ann_ivf" -> "IVF ANN: cell equi-join (a query's nprobe cells), then ObjectHashAggregate topk_agg — the per-query candidate set never sorts in one task",
       "q_quotient_merge" -> "FoldSingleRowJoin: the blob-carrying cross join is rewritten to a scalar-subquery filter over the scan",
       "q_fuse_golden" -> "MergeScalarSubqueries builds both filter families in one pass; probes read the merged subquery's struct fields once per task",
       "q5_regional_revenue" -> "5-way star join: three dims broadcast, orders-lineitem shuffle join, partial aggregation above",
@@ -79,7 +81,7 @@ object PlanDump {
       "q_winsorize" -> "winsorize: ONE hist_sketch aggregate pass -> single-row broadcast thresholds -> row-local clip; no sort, no data-keyed exchange",
       "q_token_drift" -> "token drift: top-K vocab via TakeOrderedAndProject broadcasts into the count join; ONE (group, token) partial agg; the KL contribution table is groups x K rows",
       "q_collocations" -> "collocations: adjacent pairs assemble row-locally (transform over the token array — no self-join); pair-keyed partial agg, token-keyed unigram joins, single-row totals broadcast, TakeOrdered(topK)",
-      "q_knn_eval" -> "kNN label eval: broadcast query side rides one corpus scan (the exact ANN baseline), per-query windows bounded by WindowGroupLimit, id-keyed label joins, per-label partial+final agg",
+      "q_knn_eval" -> "kNN label eval: broadcast query side rides one corpus scan (the exact ANN baseline), bounded-heap topk_agg ranking (round 9), id-keyed label joins, per-label partial+final agg",
       "q_upsert_incr" -> "incremental merge: union of snapshot + slice feeds the SAME partial+final struct-argmax as q_upsert — one key exchange, no history re-fold",
       "q_qbin" -> "quantile binning: ONE hist_sketch aggregate, broadcast thresholds, CASE bucket in the scan projection, bucket-keyed rollup",
       "q_graph_stats" -> "degree distribution: two chained partial+final aggregates (node degree then histogram) over the checkpointed edge relation",

@@ -300,6 +300,32 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.isNullAt(0))
   }
 
+  test("SortableBits: involution, strict monotonicity, special-value order") {
+    import graft.functions.SortableBits
+    val rnd = new scala.util.Random(11)
+    val specials = Seq(Double.NegativeInfinity, -Double.MaxValue, -1.5, -Double.MinPositiveValue,
+      -0.0, 0.0, Double.MinPositiveValue, 1.5, Double.MaxValue,
+      Double.PositiveInfinity, Double.NaN)
+    val samples = specials ++ Seq.fill(5000)(
+      java.lang.Double.longBitsToDouble(rnd.nextLong())).filterNot(_.isNaN)
+    for (d <- samples)
+      assert(java.lang.Double.compare(SortableBits.decode(SortableBits.encode(d)), d) == 0,
+        s"round-trip broke on $d")
+    // encode order == Double.compare total order (NaN > +Inf, -0.0 < 0.0)
+    val sorted = samples.sortWith((a, b) => java.lang.Double.compare(a, b) < 0)
+    val encoded = sorted.map(SortableBits.encode)
+    assert(encoded == encoded.sorted, "encode is not monotone under the total order")
+    assert(SortableBits.encode(-0.0) < SortableBits.encode(0.0))
+    assert(SortableBits.encode(Double.NaN) > SortableBits.encode(Double.PositiveInfinity))
+    // the SQL-side pair agrees with the Scala object (codegen path)
+    val row = spark.range(1).selectExpr(
+      "sortable_bits(CAST(-2.75 AS DOUBLE)) AS b",
+      "sortable_bits_double(sortable_bits(CAST(-2.75 AS DOUBLE))) AS d")
+      .collect().head
+    assert(row.getLong(0) == SortableBits.encode(-2.75))
+    assert(row.getDouble(1) == -2.75)
+  }
+
   // --- histogram ---
 
   test("hist: core binning, clamp edge, outliers, merge, round-trip") {

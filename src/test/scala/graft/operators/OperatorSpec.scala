@@ -698,6 +698,42 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.where(col("keep")).count() <= 200L)
   }
 
+  test("assignCells: zero-shuffle topN=1 path equals the window form, no Window/Exchange") {
+    val sps = spark; import sps.implicits._
+    // tie fixture: centroids 10 and 20 are IDENTICAL vectors, so cosine
+    // ties bit-for-bit and the exact argmax must break to the smaller
+    // cid on both paths; 30 is distinct
+    val cents = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)), (20L, Seq(1.0, 0.0, 0.0)),
+      (30L, Seq(0.0, 1.0, 0.0))).toDF("cid", "cvec")
+    val vecs = (1 to 80).map { i =>
+      val a = i / 40.0
+      (i.toLong, Seq(math.cos(a), math.sin(a), math.sin(a * 3) / 9.0))
+    }.toDF("vec_id", "vec")
+    val fast = Embeddings.assignCells(vecs, "vec_id", "vec", cents, 1)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the window form the fast path replaces (rank-1 of sim DESC, cid ASC)
+    val sim = Embeddings.vecDot(col("vec"), col("cvec")) /
+      (Embeddings.vecNorm(col("vec")) * Embeddings.vecNorm(col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(sim.desc, col("cid"))
+    val ref = vecs.crossJoin(broadcast(cents))
+      .withColumn("__cr", row_number().over(w)).where(col("__cr") === 1)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == ref, s"paths diverge: ${fast.toSeq.sorted} vs ${ref.toSeq.sorted}")
+    assert(fast.values.toSet.subsetOf(Set(10L, 30L))) // ties never pick cid 20
+    // the fast path is a pure projection: no Window, no Exchange
+    val plan = Embeddings.assignCells(vecs, "vec_id", "vec", cents, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    // float centroid vectors collect through the float branch
+    val fcents = cents.withColumn("cvec", col("cvec").cast("array<float>"))
+    val ffast = Embeddings.assignCells(vecs, "vec_id", "vec", fcents, 1)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ffast == ref)
+  }
+
   test("bm25: exact Lucene-idf scores, zero for no-hit docs, dl normalization") {
     val docs = spark.createDataFrame(Seq(
       (1L, "spark spark query"),
