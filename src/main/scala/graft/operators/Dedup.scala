@@ -877,12 +877,16 @@ object Dedup {
     val winKey =
       if (portable) s"i -> md5(concat_ws(' ', slice(__toks, i, $w)))"
       else s"i -> xxhash64(slice(__toks, i, $w))"
+    // persisted: `wins` feeds BOTH the hot-window count and the flag join
+    // below — unpersisted, the per-token explode (30M windows at sf1)
+    // would compute twice
     val wins = df
       .select(col(idCol).cast("long").as("__id"), toks.as("__toks"))
       .where(size(col("__toks")) >= w)
       .select(col("__id"), posexplode(expr(
         s"transform(sequence(1, size(__toks) - ${w - 1}), $winKey)")))
       .select(col("__id"), col("pos").cast("long").as("__pos"), col("col").as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = wins.groupBy("__h")
       .agg(count(lit(1)).cast("long").as("__cnt"))
       .where(col("__cnt") >= minCount)
