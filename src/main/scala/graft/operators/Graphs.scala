@@ -70,14 +70,22 @@ object Graphs {
     * out-degree before the damped sum, which stays ≪ 2^63).
     *
     * @param undirected emit each input edge in both directions (dedup'd)
+    * @param tolerancePpb > 0 enables convergence-driven early stop: quit
+    *        when the L1 step delta Σ|rank_i − rank_{i−1}| falls to the
+    *        tolerance (one extra bounded node-keyed join per step;
+    *        `iterations` becomes the cap). A converged run is IDENTICAL
+    *        to letting the remaining fixed iterations run only when the
+    *        tolerance is tight enough that further steps are no-ops —
+    *        gates pin iteration counts and leave this 0 (off).
     * @return DataFrame(node BIGINT, rank_ppb BIGINT)
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPpm: Long = 850000L,
                undirected: Boolean = false,
-               trackConvergence: Boolean = false): DataFrame =
+               trackConvergence: Boolean = false,
+               tolerancePpb: Long = 0L): DataFrame =
     runPageRank(edges, srcCol, dstCol, iterations, dampingPpm, undirected,
-      None, trackConvergence)
+      None, trackConvergence, tolerancePpb)
 
   /** Personalized (seeded) PageRank: the teleport mass lands ONLY on the
     * seed nodes — `tele(v) = 10^9 div |seeds|` for seeds, 0 otherwise —
@@ -89,10 +97,10 @@ object Graphs {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iterations: Int,
       dampingPpm: Long = 850000L, undirected: Boolean = false,
-      trackConvergence: Boolean = false): DataFrame =
+      trackConvergence: Boolean = false, tolerancePpb: Long = 0L): DataFrame =
     runPageRank(edges, srcCol, dstCol, iterations, dampingPpm, undirected,
       Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
-      trackConvergence)
+      trackConvergence, tolerancePpb)
 
   /** Degree distribution of the (simple) graph: one row per distinct
     * degree with the number of nodes holding it — the first thing to look
@@ -151,9 +159,11 @@ object Graphs {
 
   private def runPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPpm: Long, undirected: Boolean,
-      seedsOpt: Option[DataFrame], trackConvergence: Boolean = false): DataFrame = {
+      seedsOpt: Option[DataFrame], trackConvergence: Boolean = false,
+      tolerancePpb: Long = 0L): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations must be in [1, 100]")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm must be in [0, 10^6]")
+    require(tolerancePpb >= 0, "tolerancePpb must be >= 0")
 
     val directed = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -189,9 +199,27 @@ object Graphs {
               .otherwise(lit(0L)).as("tele"))
     }).localCheckpoint()
 
+    // Σ|rank − prev| over the two materialized 16 B/node tables — one
+    // cheap node-keyed join; an empty graph aggregates zero rows, so the
+    // sum is NULL (guarded), not a crash
+    def l1Delta(cur: DataFrame, prv: DataFrame): (Long, Long) = {
+      val row = cur.join(prv.withColumnRenamed("rank", "__prev"), Seq("node"))
+        .agg(sum(abs(col("rank") - col("__prev"))).as("d"), count(lit(1)).as("n"))
+        .head()
+      (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+    }
+
     var ranks = base.select(col("node"), col("tele").as("rank")).localCheckpoint()
     var prev: DataFrame = null
-    for (_ <- 1 to iterations) {
+    var performed = 0
+    var lastDelta = -1L
+    var converged = false
+    while (performed < iterations && !converged) {
+      // superseded two steps back: the new checkpoint is materialized
+      // (localCheckpoint is eager), `prev` stays for the delta check —
+      // without the unpersist, executor storage pins one 16 B/node table
+      // PER iteration (100 tables at iterations=100)
+      val stale = prev
       prev = ranks
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -203,17 +231,25 @@ object Graphs {
           expr(s"((${1000000L - dampingPpm}L * tele) div 1000000L)") +
           expr(s"(${dampingPpm}L * coalesce(inc, 0L)) div 1000000L")).as("rank"))
         .localCheckpoint()
+      if (stale != null) stale.unpersist()
+      performed += 1
+      // convergence-driven early stop: same bounded join as the opt-in
+      // telemetry, run per step only when a tolerance is set
+      if (tolerancePpb > 0) {
+        val (d, _) = l1Delta(ranks, prev)
+        lastDelta = d
+        if (d <= tolerancePpb) converged = true
+      }
     }
     if (trackConvergence && prev != null) {
-      // one cheap node-keyed join over two materialized 16 B/node tables;
-      // opt-in so default runs pay nothing
-      val delta = ranks.join(prev.withColumnRenamed("rank", "__prev"), Seq("node"))
-        .agg(sum(abs(col("rank") - col("__prev"))).as("d"), count(lit(1)).as("n"))
-        .head()
-      statsRegistry.addLast(PageRankStats(iterations, delta.getLong(1),
-        delta.getLong(0)))
+      val (d, n) = if (tolerancePpb > 0 && lastDelta >= 0) {
+        // reuse the step's delta; node count from the final rank table
+        (lastDelta, ranks.count())
+      } else l1Delta(ranks, prev)
+      statsRegistry.addLast(PageRankStats(performed, n, d))
       while (statsRegistry.size() > StatsRegistryCap) statsRegistry.pollFirst()
     }
+    if (prev != null) prev.unpersist()
     ranks.select(col("node"), col("rank").as("rank_ppb"))
   }
 }

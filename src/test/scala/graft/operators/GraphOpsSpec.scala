@@ -91,6 +91,40 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       stats.toString)
   }
 
+  test("pagerank: tolerance early stop equals the fixed run at convergence") {
+    val s = spark
+    import s.implicits._
+    // directed 3-cycle: integer truncation walks ranks down ~1 ppb/node
+    // per step to an exact fixpoint (delta 0) well inside 50 iterations
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val fixed = Graphs.pageRank(edges, "src", "dst", 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val early = Graphs.pageRank(edges, "src", "dst", 50,
+        trackConvergence = true, tolerancePpb = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early == fixed, s"early-stop diverged: $early vs $fixed")
+    val st = Graphs.pageRankStatsSnapshot().last
+    assert(st.iterations < 50, s"never stopped early: $st")
+    assert(st.finalDeltaPpb <= 1L && st.nodes == 3L, st.toString)
+    // a fixed-iteration run shorter than the stop point differs (the
+    // tolerance is doing the work, not the cap)
+    val shorter = Graphs.pageRank(edges, "src", "dst", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shorter != fixed)
+  }
+
+  test("pagerank: empty edge set returns empty, no NPE with tracking on") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Graphs.pageRank(empty, "src", "dst", 3, trackConvergence = true)
+    assert(out.count() == 0L)
+    val st = Graphs.pageRankStatsSnapshot().last
+    assert(st.nodes == 0L && st.finalDeltaPpb == 0L, st.toString)
+    // tolerance mode on an empty graph stops without a crash too
+    assert(Graphs.pageRank(empty, "src", "dst", 3, tolerancePpb = 5L).count() == 0L)
+  }
+
   test("pagerank: multi-edges collapse to the simple graph") {
     val once = ranksOf(Seq((1L, 2L), (2L, 1L)), iters = 3)
     val dup = ranksOf(Seq((1L, 2L), (1L, 2L), (2L, 1L)), iters = 3)
