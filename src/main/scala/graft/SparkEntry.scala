@@ -4060,12 +4060,13 @@ object SparkEntry {
         SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c
         FROM t, LATERAL unnest(t.toks) AS u(tok) GROUP BY u.tok),
       tu AS (SELECT CAST(SUM(c) AS BIGINT) AS tu FROM uni),
-      bi AS (
+      bi_all AS (
         SELECT toks[u.i] AS x, toks[u.i + 1] AS y, CAST(COUNT(*) AS BIGINT) AS cxy
         FROM t, LATERAL unnest(range(1, len(toks))) AS u(i)
         WHERE len(toks) >= 2
-        GROUP BY 1, 2 HAVING COUNT(*) >= 10),
-      tb AS (SELECT CAST(SUM(cxy) AS BIGINT) AS tb FROM bi)
+        GROUP BY 1, 2),
+      tb AS (SELECT CAST(SUM(cxy) AS BIGINT) AS tb FROM bi_all),
+      bi AS (SELECT * FROM bi_all WHERE cxy >= 10)
       SELECT bi.x, bi.y, bi.cxy AS pair_count,
              ux.c AS x_count, uy.c AS y_count,
              CAST(round(ln((CAST(bi.cxy AS DOUBLE) / CAST(tb.tb AS DOUBLE)) /

@@ -152,6 +152,37 @@ object Profile {
         col("old_frac_e6"), col("new_frac_e6"), col("l1_e6"))
   }
 
+  /** Equal-frequency discretization: assign each row to one of `k`
+    * quantile buckets (thresholds at 1/k .. (k-1)/k from ONE
+    * `hist_sketch` pass) — the feature-binning / stratification step
+    * (quantile features for tree models, balanced strata for sampling).
+    * Bucket i = first threshold the value is below; ties at a threshold
+    * go to the higher bucket (`v < t_i`, matching the oracle's CASE).
+    * Same two-narrow-passes shape as [[winsorize]].
+    *
+    * NaN contract: `hist_sketch` drops NaN from the threshold fit, and a
+    * NaN value gets a NULL bucket (it belongs to no quantile — the
+    * otherwise-branch would silently file it in the top bucket). NULL
+    * values already propagate to a NULL bucket through the comparisons.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, nbins: Int,
+      lo: Double, hi: Double, k: Int, outCol: String = "bucket"): DataFrame = {
+    require(nbins >= 1, "nbins must be >= 1")
+    require(k >= 2 && k <= 1000, "k must be in [2, 1000]")
+    val qs = (1 until k).map(i => i.toDouble / k)
+    val thr = df
+      .agg(expr(s"hist_sketch($nbins, $lo, $hi, $valueCol)").as("__sk"))
+      .select(qs.zipWithIndex.map { case (q, i) =>
+        expr(s"hist_quantile(__sk, $q)").as(s"__t$i") }: _*)
+    var bucket = when(isnan(col(valueCol).cast("double")), lit(null).cast("int"))
+      .when(col(valueCol) < col("__t0"), lit(0))
+    for (i <- 1 until k - 1)
+      bucket = bucket.when(col(valueCol) < col(s"__t$i"), lit(i))
+    df.crossJoin(broadcast(thr))
+      .withColumn(outCol, bucket.otherwise(lit(k - 1)))
+      .drop(qs.indices.map(i => s"__t$i"): _*)
+  }
+
   /** Winsorize a numeric column at histogram-sketch quantiles — the
     * heavy-tail taming step before a column feeds model features or
     * sampling weights (a handful of extreme values otherwise dominate
@@ -166,32 +197,12 @@ object Profile {
     *
     * Appends `outCol` (clipped value), `t_lo`/`t_hi` (the thresholds),
     * and `clipped_low`/`clipped_high` flags.
+    *
+    * NaN contract: NaN is excluded from the threshold fit (`hist_sketch`
+    * drops it) and passes through as a NULL `outCol` with false clip
+    * flags — clipping NaN to t_hi (what raw least/greatest would do
+    * under Spark's NaN-greatest ordering) would fabricate a value.
     */
-  /** Equal-frequency discretization: assign each row to one of `k`
-    * quantile buckets (thresholds at 1/k .. (k-1)/k from ONE
-    * `hist_sketch` pass) — the feature-binning / stratification step
-    * (quantile features for tree models, balanced strata for sampling).
-    * Bucket i = first threshold the value is below; ties at a threshold
-    * go to the higher bucket (`v < t_i`, matching the oracle's CASE).
-    * Same two-narrow-passes shape as [[winsorize]].
-    */
-  def quantileBins(df: DataFrame, valueCol: String, nbins: Int,
-      lo: Double, hi: Double, k: Int, outCol: String = "bucket"): DataFrame = {
-    require(nbins >= 1, "nbins must be >= 1")
-    require(k >= 2 && k <= 1000, "k must be in [2, 1000]")
-    val qs = (1 until k).map(i => i.toDouble / k)
-    val thr = df
-      .agg(expr(s"hist_sketch($nbins, $lo, $hi, $valueCol)").as("__sk"))
-      .select(qs.zipWithIndex.map { case (q, i) =>
-        expr(s"hist_quantile(__sk, $q)").as(s"__t$i") }: _*)
-    var bucket = when(col(valueCol) < col("__t0"), lit(0))
-    for (i <- 1 until k - 1)
-      bucket = bucket.when(col(valueCol) < col(s"__t$i"), lit(i))
-    df.crossJoin(broadcast(thr))
-      .withColumn(outCol, bucket.otherwise(lit(k - 1)))
-      .drop(qs.indices.map(i => s"__t$i"): _*)
-  }
-
   def winsorize(df: DataFrame, valueCol: String, nbins: Int,
       lo: Double, hi: Double, pLo: Double, pHi: Double,
       outCol: String = "winsorized"): DataFrame = {
@@ -201,10 +212,11 @@ object Profile {
       .agg(expr(s"hist_sketch($nbins, $lo, $hi, $valueCol)").as("__sk"))
       .select(expr(s"hist_quantile(__sk, $pLo)").as("t_lo"),
         expr(s"hist_quantile(__sk, $pHi)").as("t_hi"))
+    val nan = isnan(col(valueCol).cast("double"))
     df.crossJoin(broadcast(thr))
-      .withColumn("clipped_low", col(valueCol) < col("t_lo"))
-      .withColumn("clipped_high", col(valueCol) > col("t_hi"))
-      .withColumn(outCol,
-        least(greatest(col(valueCol), col("t_lo")), col("t_hi")))
+      .withColumn("clipped_low", !nan && col(valueCol) < col("t_lo"))
+      .withColumn("clipped_high", !nan && col(valueCol) > col("t_hi"))
+      .withColumn(outCol, when(nan, lit(null))
+        .otherwise(least(greatest(col(valueCol), col("t_lo")), col("t_hi"))))
   }
 }

@@ -336,13 +336,16 @@ object TextAnalysis {
     val uni = toks.select(explode(col("__toks")).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).cast("long").as("__c"))
     val uniTotal = uni.agg(sum("__c").cast("long").as("__tu"))
-    val bi = toks.where(size(col("__toks")) >= 2)
+    val biAll = toks.where(size(col("__toks")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(__toks) - 1), i -> struct(__toks[i-1] AS x, __toks[i] AS y))")).as("__p"))
       .select(col("__p.x").as("__x"), col("__p.y").as("__y"))
       .groupBy("__x", "__y").agg(count(lit(1)).cast("long").as("__cxy"))
-      .where(col("__cxy") >= minCount)
-    val biTotal = bi.agg(sum("__cxy").cast("long").as("__tb"))
+    // T_b sums ALL adjacent pairs (standard PMI), not just the
+    // minCount survivors — a post-filter total would uniformly inflate
+    // every pmi by ln(total/filtered)
+    val biTotal = biAll.agg(sum("__cxy").cast("long").as("__tb"))
+    val bi = biAll.where(col("__cxy") >= minCount)
     bi
       .join(uni.select(col("__tok").as("__x"), col("__c").as("__cx")), Seq("__x"))
       .join(uni.select(col("__tok").as("__y"), col("__c").as("__cy")), Seq("__y"))

@@ -459,10 +459,11 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
     val ny = out.find(p => p._1 == "new" && p._2 == "york").get
-    // unigrams: new 3, york 3, the 5, cat 1 (tu 12); surviving bigrams
-    // (minCount 2): ny 3 + 'the the' 2 + 'the new' 2 = tb 7
+    // unigrams: new 3, york 3, the 5, cat 1 (tu 12); T_b counts ALL
+    // adjacent pairs (standard PMI), not just minCount survivors:
+    // the-the 2 + the-new 2 + new-york 3 + york-the 1 + the-cat 1 = 9
     assert((ny._3, ny._4, ny._5) == (3L, 3L, 3L))
-    val tb = out.map(_._3).sum
+    val tb = 9.0
     val want = math.round(math.log((3.0 / tb) / ((3.0 / 12) * (3.0 / 12))) * 1e6)
     assert(ny._6 == want, s"pmi ${ny._6} want $want (tb=$tb)")
     // a high-count independent pair scores LOWER pmi than the collocation

@@ -1225,6 +1225,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._5) == 10 && out.count(_._6) == 10)
   }
 
+  test("winsorize/quantileBins NaN contract: NULL out, false flags, thresholds unaffected") {
+    val sps = spark; import sps.implicits._
+    graft.GraftFunctions.registerAll(spark)
+    val df = ((0 until 100).map(i => (i.toLong, i + 0.5)) :+ (100L, Double.NaN))
+      .toDF("id", "v")
+    val w = Profile.winsorize(df, "v", nbins = 100, lo = 0.0, hi = 100.0,
+      pLo = 0.1, pHi = 0.9)
+    val nanRow = w.where(col("id") === 100L).collect().head
+    // hist_sketch dropped the NaN, so thresholds match the clean fixture
+    assert(nanRow.getDouble(2) == 10.0 && nanRow.getDouble(3) == 90.0)
+    assert(!nanRow.getBoolean(4) && !nanRow.getBoolean(5))
+    assert(nanRow.isNullAt(6), "NaN must winsorize to NULL, not t_hi")
+    val qb = Profile.quantileBins(df, "v", nbins = 100, lo = 0.0, hi = 100.0, k = 4)
+    assert(qb.where(col("id") === 100L).collect().head.isNullAt(2),
+      "NaN must bin to NULL, not the top bucket")
+    assert(qb.where(col("id") < 100L && col("bucket").isNull).count() == 0L)
+  }
+
   test("prepare normalizes driver-parquet timestamps to TIMESTAMP (NTZ drift guard)") {
     // the driver has shipped testdata with isAdjustedToUTC true, false
     // (TIMESTAMP_NTZ) and raw int64 nanos across rounds; every events
