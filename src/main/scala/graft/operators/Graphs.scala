@@ -140,6 +140,14 @@ object Graphs {
       maxGroupSize: Int = 10000, minWeight: Long = 1L): DataFrame = {
     require(maxGroupSize >= 2, "maxGroupSize must be >= 2")
     require(minWeight >= 1, "minWeight must be >= 1")
+    // the pre-distinct looks redundant (collect_set dedups too) and costs
+    // a second exchange, but it EARNS it: measured round 9 on the
+    // q_copurchase fixture, dropping it was 5.35 s vs 5.01 s at sf1
+    // (min-of-4 warm; wash at sf0.1) — the hash-distinct thins duplicate
+    // (group, item) rows with cheap codegen'd partials BEFORE they hit
+    // collect_set's heavier ObjectHashAggregate set-building, which
+    // otherwise re-dedups every copy inside per-group sets on both the
+    // map and merge sides
     val grouped = df
       .select(col(groupCol).as("__g"), col(itemCol).cast("long").as("__i"))
       .distinct()
