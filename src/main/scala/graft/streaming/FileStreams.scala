@@ -28,7 +28,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * split whose files arrive in event-time order (the production landing
   * shape); files arriving OUT of event-time order make earlier-window
   * events late, and the watermark drops them — correct streaming
-  * semantics, pinned by FileStreamsSpec's out-of-order test.
+  * semantics, pinned by FileStreamsSpec's out-of-order test. The contract
+  * extends across QUERY RESTARTS: drains separated by a stop/start from
+  * the same checkpoint (offsets + state + watermark restored) emit, in
+  * union, exactly the single-drain set for in-event-time-order arrivals —
+  * a window still open at an earlier drain's final watermark waits in the
+  * restored state store and finalizes later with its full cross-drain
+  * count (pinned by the two-drain restart spec).
   *
   * Scale shape: the landing directory pattern is the production shape — a
   * 1000-executor cluster streams new files incrementally, state in the
@@ -95,15 +101,25 @@ object FileStreams {
       spark.readStream.schema(schema).parquet(landing.toString), nanosCols)
   }
 
-  /** Run a streaming frame to a fresh parquet sink under AvailableNow,
-    * block until drained, and hand back the sink contents as a batch frame.
-    * Every call gets its own sink + checkpoint (reruns replay from scratch).
+  /** Run a streaming frame to a parquet sink under AvailableNow, block
+    * until drained, and hand back the sink contents as a batch frame. By
+    * default every call gets its own sink + checkpoint (reruns replay
+    * from scratch); pass explicit `sinkDir`/`checkpointDir` to RESUME a
+    * stopped query — the second drain restarts from the checkpointed
+    * offsets + state (watermark included) and processes only files staged
+    * since, appending to the same sink. For in-event-time-order arrivals
+    * the union of emissions across drains equals the single-drain result
+    * (spec-pinned, "two drains" case): a window still open at drain 1's
+    * final watermark survives in the restored state store and finalizes
+    * in drain 2 with its full cross-drain count.
     */
   def runAvailableNow(stream: DataFrame,
-      mode: OutputMode = OutputMode.Append): DataFrame = {
+      mode: OutputMode = OutputMode.Append,
+      sinkDir: Option[Path] = None,
+      checkpointDir: Option[Path] = None): DataFrame = {
     val spark = stream.sparkSession
-    val out = Files.createTempDirectory("graft_sink_")
-    val ck = Files.createTempDirectory("graft_ck_")
+    val out = sinkDir.getOrElse(Files.createTempDirectory("graft_sink_"))
+    val ck = checkpointDir.getOrElse(Files.createTempDirectory("graft_ck_"))
     out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
     val q = stream.writeStream.format("parquet")
       .option("path", out.toString)

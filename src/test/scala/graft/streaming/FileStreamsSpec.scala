@@ -121,6 +121,42 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.collect().map(_.toSeq).toSet == single.collect().map(_.toSeq).toSet)
   }
 
+  test("two drains with a checkpoint restart: union of emissions == single drain") {
+    val batch = batchEvents()
+    // production landing shape: batch 1 lands, the query drains and STOPS;
+    // batch 2 (later event times) lands after a restart from the same
+    // checkpoint — the emitted union must equal one big drain
+    val staged = java.nio.file.Files.createTempDirectory("graft_twodrain_stage_")
+    batch.repartitionByRange(2, col("ts")).write.mode("overwrite").parquet(staged.toString)
+    val parts = staged.toFile.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2)
+    val landing = java.nio.file.Files.createTempDirectory("graft_twodrain_landing_")
+    val sink = java.nio.file.Files.createTempDirectory("graft_twodrain_sink_")
+    val ck = java.nio.file.Files.createTempDirectory("graft_twodrain_ck_")
+    def drain(): DataFrame = FileStreams.runAvailableNow(
+      FileStreams.windowedEventCounts(
+        spark.readStream.schema(batch.schema).parquet(landing.toString),
+        "ts", "event_type", "1 day", "1 hour"),
+      sinkDir = Some(sink), checkpointDir = Some(ck))
+    // drain 1: only the earlier event-time file is staged
+    java.nio.file.Files.createSymbolicLink(
+      landing.resolve("part_00000.parquet"), parts(0).toPath): Unit
+    val first = drain().collect().map(_.toSeq).toSet
+    // drain 2: the later file arrives; restart resumes offsets + state
+    java.nio.file.Files.createSymbolicLink(
+      landing.resolve("part_00001.parquet"), parts(1).toPath): Unit
+    val union = drain().collect().map(_.toSeq).toSet
+    assert(first.subsetOf(union), "a drain-1 emission vanished from the sink")
+    assert(union.size > first.size, "drain 2 emitted nothing — restart did not resume")
+    val single = FileStreams.runAvailableNow(
+      FileStreams.windowedEventCounts(
+        FileStreams.tableStream(spark, dir, "events", Seq("ts")),
+        "ts", "event_type", "1 day", "1 hour"))
+      .collect().map(_.toSeq).toSet
+    assert(union == single,
+      s"two-drain union != single drain: missing ${single -- union}, extra ${union -- single}")
+  }
+
   test("out-of-order file arrival drops late windows (watermark semantics, not a bug)") {
     val batch = batchEvents()
     // randomly split files span the whole time range: after the first
