@@ -1232,6 +1232,21 @@ object SparkEntry {
             countDistinct(col("user_id")).cast("long").as("users"),
             sum("dt_us").cast("long").as("dt_sum"))
       }),
+      // left-outer stream-stream interval join: matched pairs emit as the
+      // batch inner join; a view whose 30-min conversion window expires
+      // unmatched before the final watermark emits a NULL-extended row
+      // from the state store (strict cutoff l_us + win < wm, spec-pinned)
+      "q_stream_outer_join" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.FileStreams.streamIntervalJoinOuter(
+              ev, "ts", "event_type", "user_id", "view", "click", 1800000000L))
+          .agg(sum(when(col("r_us").isNotNull, 1L).otherwise(0L)).cast("long").as("pairs"),
+            sum(when(col("r_us").isNull, 1L).otherwise(0L)).cast("long").as("expired_unmatched"),
+            countDistinct(col("user_id")).cast("long").as("users"),
+            sum("dt_us").cast("long").as("dt_sum"))
+      }),
 
       // streaming gap-sessionization (session_window + watermark): rollup
       // over the sessions finalized by the final watermark; session end is
@@ -2952,6 +2967,30 @@ object SparkEntry {
        AND a.event_type = 'view' AND b.event_type = 'click'
        AND b.ts >= a.ts
        AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""",
+    // left-outer replay: inner pairs (no cutoff) + anti-join left events
+    // whose window expired strictly before the final GLOBAL watermark —
+    // the MIN of the two per-side watermark nodes (each ms-floored over
+    // its own filtered stream), NOT the overall event-time max
+    "q_stream_outer_join" -> """
+      WITH wm AS (
+        SELECT (LEAST(
+            (SELECT epoch_us(MAX(ts)) // 1000 FROM events WHERE event_type = 'view'),
+            (SELECT epoch_us(MAX(ts)) // 1000 FROM events WHERE event_type = 'click'))
+          - 3600000) * 1000 AS w),
+      l AS (SELECT user_id, epoch_us(ts) AS lus FROM events WHERE event_type = 'view'),
+      r AS (SELECT user_id, epoch_us(ts) AS rus FROM events WHERE event_type = 'click'),
+      m AS (SELECT l.user_id, l.lus, r.rus FROM l JOIN r
+              ON l.user_id = r.user_id
+             AND r.rus >= l.lus AND r.rus <= l.lus + 1800000000),
+      u AS (SELECT l.user_id, l.lus FROM l, wm
+            WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id
+                    AND r.rus >= l.lus AND r.rus <= l.lus + 1800000000)
+              AND l.lus + 1800000000 < wm.w)
+      SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS pairs,
+             CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS expired_unmatched,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM (
+               SELECT user_id FROM m UNION ALL SELECT user_id FROM u)) AS BIGINT) AS users,
+             CAST((SELECT SUM(rus - lus) FROM m) AS BIGINT) AS dt_sum""",
     // stream-static enrichment replay: broadcast-dim join + the same
     // ms-floored watermark cutoff as q_stream_window
     "q_stream_enrich" -> """

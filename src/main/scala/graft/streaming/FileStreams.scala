@@ -199,6 +199,46 @@ object FileStreams {
         (unix_micros(col("__rts")) - unix_micros(col("__lts"))).as("dt_us"))
   }
 
+  /** LEFT-OUTER variant of [[streamIntervalJoin]]: every left-type event
+    * emits — matched pairs as they meet, and a NULL-extended row for a
+    * left event whose match window expires unmatched (the "view with no
+    * conversion" attribution row, produced INSIDE the stream instead of
+    * by a daily batch anti-join).
+    *
+    * Emission contract under a single AvailableNow drain (spec-pinned):
+    * matched pairs equal the batch inner join (no cutoff); NULL-extended
+    * rows are exactly the unmatched left events whose state expired at
+    * the final GLOBAL watermark. Each `withWatermark` node tracks its OWN
+    * filtered stream, and the query's watermark is their MIN — so with
+    * per-side maxima maxL/maxR the cutoff is `l_us + windowUs <
+    * (min(floor(maxL_us/1000), floor(maxR_us/1000)) − delay_ms) · 1000`
+    * (strict; ms-floored per side). In particular a left side whose
+    * events run PAST the right side's last event does not advance
+    * eviction beyond the right side's horizon. Unmatched left events
+    * still inside the horizon emit NOTHING yet — they are open state, not
+    * output; a later drain from the same checkpoint finalizes them.
+    *
+    * @return (user key, l_us, r_us NULL for expired-unmatched, dt_us NULL
+    *         likewise)
+    */
+  def streamIntervalJoinOuter(events: DataFrame, tsCol: String, typeCol: String,
+      keyCol: String, leftType: String, rightType: String, windowUs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = events.where(col(typeCol) === leftType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__lts"))
+      .withWatermark("__lts", watermark)
+    val r = events.where(col(typeCol) === rightType)
+      .select(col(keyCol).as("__rk"), col(tsCol).as("__rts"))
+      .withWatermark("__rts", watermark)
+    l.join(r, col("__k") === col("__rk") &&
+        expr(s"__rts >= __lts AND __rts <= __lts + INTERVAL $windowUs MICROSECOND"),
+        "left_outer")
+      .select(col("__k").as(keyCol),
+        unix_micros(col("__lts")).as("l_us"),
+        unix_micros(col("__rts")).as("r_us"),
+        (unix_micros(col("__rts")) - unix_micros(col("__lts"))).as("dt_us"))
+  }
+
   /** Streaming exact dedup: first sighting of each (source, fingerprint)
     * passes, later ones are dropped by the state store — `dropDuplicates`
     * state is the exact-dedup twin of

@@ -121,6 +121,71 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.collect().map(_.toSeq).toSet == single.collect().map(_.toSeq).toSet)
   }
 
+  test("left-outer interval join: matches == batch inner, nulls == expired unmatched") {
+    val ev = FileStreams.tableStream(spark, dir, "events", Seq("ts"))
+    val win = 1800000000L
+    val out = FileStreams.runAvailableNow(
+      FileStreams.streamIntervalJoinOuter(
+        ev, "ts", "event_type", "user_id", "view", "click", win))
+    val batch = batchEvents()
+    val l = batch.where(col("event_type") === "view")
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("lus"))
+    val r = batch.where(col("event_type") === "click")
+      .select(col("user_id").as("rk"), unix_micros(col("ts")).as("rus"))
+    // the GLOBAL watermark is the min over the two per-side watermark
+    // nodes (each sees only its filtered stream, ms-floored)
+    val wm = math.min(
+      watermarkUs(batch.where(col("event_type") === "view"), 3600000L),
+      watermarkUs(batch.where(col("event_type") === "click"), 3600000L))
+    val matched = l.join(r, col("k") === col("rk") &&
+        col("rus") >= col("lus") && col("rus") <= col("lus") + win)
+      .select(col("k"), col("lus"), col("rus"))
+      .collect().map(_.toSeq).toSet
+    val gotMatched = out.where(col("r_us").isNotNull)
+      .select(col("user_id"), col("l_us"), col("r_us"))
+      .collect().map(_.toSeq).toSet
+    assert(gotMatched == matched, "matched pairs != batch inner join")
+    // NULL-extended rows: unmatched left events whose window expired
+    // strictly before the final watermark
+    val unmatched = l.join(r, col("k") === col("rk") &&
+        col("rus") >= col("lus") && col("rus") <= col("lus") + win, "left_anti")
+      .where(col("lus") + win < wm)
+      .select(col("k"), col("lus"))
+      .collect().map(_.toSeq).toSet
+    val gotNulls = out.where(col("r_us").isNull)
+      .select(col("user_id"), col("l_us"))
+      .collect().map(_.toSeq).toSet
+    assert(gotNulls == unmatched,
+      s"null-extension cutoff drifted: missing ${unmatched -- gotNulls}, extra ${gotNulls -- unmatched}")
+    assert(gotNulls.nonEmpty && gotMatched.nonEmpty)
+  }
+
+  test("outer join watermark is the MIN of the per-side nodes (ms-floored each)") {
+    val sps = spark; import sps.implicits._
+    // views at 0..120 min (5-min steps), one click at 200 min; win 30 min,
+    // delay 10 min. Overall-max watermark (190 min) would evict every
+    // view; the VIEW side's own watermark is 120 − 10 = 110 min, so only
+    // views with lts + 30 < 110, i.e. lts <= 75 min, may emit nulls.
+    val base = 1700000000000000L
+    val minUs = 60000000L
+    val rows = (0 to 24).map(i => (i.toLong, "view", base + i * 5 * minUs)) :+
+      (999L, "click", base + 200 * minUs)
+    val df = rows.toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val staged = java.nio.file.Files.createTempDirectory("graft_minwm_")
+    df.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val src = spark.readStream.schema(
+      spark.read.parquet(staged.toString).schema).parquet(staged.toString)
+    val out = FileStreams.runAvailableNow(
+      FileStreams.streamIntervalJoinOuter(
+        src, "ts", "event_type", "user_id", "view", "click", 30 * minUs,
+        watermark = "10 minutes"))
+    val emitted = out.where(col("r_us").isNull).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(emitted == (0L to 15L).toSet,
+      s"min-watermark eviction drifted: got ${emitted.toSeq.sorted}")
+  }
+
   test("two drains with a checkpoint restart: union of emissions == single drain") {
     val batch = batchEvents()
     // production landing shape: batch 1 lands, the query drains and STOPS;
