@@ -1029,6 +1029,19 @@ object SparkEntry {
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy("query_id", "rank")
       }),
+      // product quantization: deterministic seed codebooks (16 lowest-id
+      // vectors, 8 subspaces of dim 8), e6-integer encode + ADC scoring —
+      // the DuckDB oracle rebuilds codebooks, codes and distances exactly
+      "q_ann_pq" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Embeddings.pqTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+            k = 5, m = 8, ksub = 16)
+          .orderBy("query_id", "rank")
+      }),
       // 1-bit sign quantization: the packed word + its popcount per vector
       // certify the exact bit layout (LSB-first within word) against a
       // DuckDB rebuild from embedding[j] > 0 tests
@@ -3235,6 +3248,42 @@ object SparkEntry {
                / t.shingles * 1e6) AS BIGINT) AS frac_e6
       FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id
       ORDER BY frac_e6 DESC, t.doc_id LIMIT 20""",
+    // full replication of the PQ pipeline: codebooks from the 16
+    // lowest-id vectors (8 subspaces x dim 8), per-subspace e6-rounded
+    // squared-L2 encode (sequential fold replayed via list_reduce), ADC =
+    // integer sum of the per-subspace rounded distances, rank by (adc,
+    // id). ^ (power) avoided: (a-b)*(a-b) keeps the arithmetic identical
+    "q_ann_pq" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM e ORDER BY vec_id LIMIT 16),
+      subs AS (SELECT unnest(range(8)) AS j),
+      cb AS (SELECT subs.j, cbv.cid, list_slice(cbv.v, subs.j*8 + 1, subs.j*8 + 8) AS cv
+             FROM cbv, subs),
+      dist AS (SELECT e.vec_id, cb.j, cb.cid,
+        CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (e.v[cb.j*8 + d + 1] - cb.cv[d + 1]) * (e.v[cb.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT) AS d_e6
+        FROM e, cb),
+      enc AS (SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d_e6, cid) AS rn
+        FROM dist) WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      adc AS (SELECT q.qid, enc.vec_id,
+        CAST(SUM(CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (q.qv[enc.j*8 + d + 1] - cb.cv[d + 1]) * (q.qv[enc.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT)) AS BIGINT) AS adc_e6
+        FROM q, enc JOIN cb ON cb.j = enc.j AND cb.cid = enc.cid
+        WHERE enc.vec_id != q.qid
+        GROUP BY q.qid, enc.vec_id)
+      SELECT query_id, rank, neighbor_id, adc_e6 FROM (
+        SELECT qid AS query_id, vec_id AS neighbor_id, adc_e6,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
+        FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
     // full replication of the IVF pipeline: seed centroids, cell
     // assignment (argmax cosine, ties to smallest cid), nprobe=4 query
     // cells, in-cell exact ranking

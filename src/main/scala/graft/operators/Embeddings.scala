@@ -937,6 +937,117 @@ object Embeddings {
       embeddings.withColumn("cid", -best.getField("ncid"))
     }
   }
+
+  // --- product quantization -------------------------------------------
+
+  /** Product-quantization codebooks: the vector space splits into `m`
+    * contiguous subspaces (dim must divide evenly) and each gets a
+    * `ksub`-entry codebook. Entries default to the subvectors of the
+    * `ksub` LOWEST-id vectors — the same deterministic seed-quantizer
+    * convention as [[seedCentroids]], so a SQL oracle rebuilds the exact
+    * codebooks (entry c of subspace j = the c-th lowest id's slice j);
+    * train per-subspace k-means offline and pass the result when recall
+    * matters more than replayability. Driver state: m·ksub·(dim/m) =
+    * ksub·dim doubles — config-bounded, the k-means collect pattern.
+    *
+    * @return codebooks(j)(c) = centroid c of subspace j (length dim/m)
+    */
+  def pqCodebooks(embeddings: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1, "need m >= 1 and ksub >= 1")
+    val rows = embeddings.orderBy(col(idCol)).limit(ksub)
+      .select(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")).collect()
+    require(rows.nonEmpty, "pqCodebooks: embeddings relation is empty")
+    val vecs = rows.map(_.getSeq[Double](0).toArray)
+    val dim = vecs.head.length
+    require(dim % m == 0, s"dim $dim must divide evenly into m=$m subspaces")
+    require(vecs.forall(_.length == dim), "ragged vectors cannot be product-quantized")
+    val sub = dim / m
+    Array.tabulate(m)(j => vecs.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)))
+  }
+
+  /** PQ code column: `ARRAY<INT>` of length m — entry j is the index of
+    * the nearest (squared-L2, e6-micro-rounded, ties to the smaller
+    * index) codebook entry for subvector j. Codes are the 100 TB ANN
+    * memory story: m bytes-ish per vector instead of 4·dim — the
+    * candidate scan reads 32 B codes, not 256 B floats.
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks))
+
+  /** Asymmetric-distance top-k over PQ codes: candidates are scored by
+    * the integer ADC distance `Σ_j round_e6(‖q_sub_j − cb_j[code_j]‖²)`
+    * against the RAW query vector (asymmetric: only the corpus is
+    * quantized). The scan touches ids + m-byte codes only — the raw
+    * corpus vectors never load — and ranking is the bounded-heap
+    * `topk_agg` (ord = −adc, ties to the smaller id), so the whole plan
+    * is one light scan + one ≤k-per-group shuffle. Integer distances
+    * replay exactly in SQL (the q_ann_pq oracle rebuilds codebooks,
+    * codes and ADC sums from the parquet table).
+    *
+    * @return (query_id, rank, neighbor_id, adc_e6)
+    */
+  def pqTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, m: Int = 8, ksub: Int = 16,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cb = codebooks.getOrElse(pqCodebooks(embeddings, vecCol, idCol, m, ksub))
+    val idType = embeddings.schema(idCol).dataType
+    val codes = embeddings.select(col(idCol), pqEncode(col(vecCol), cb).as("__codes"))
+    codes.crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
+      .where(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        ColumnBridge.column(PqAdcE6(
+          ColumnBridge.expression(col("__codes")),
+          ColumnBridge.expression(col(queryVecCol)), cb)).as("__adc"))
+      .groupBy(col(queryIdCol))
+      .agg(ColumnBridge.column(graft.functions.TopKAgg(
+        ColumnBridge.expression(lit(k)),
+        ColumnBridge.expression((-col("__adc")).cast("long")),
+        ColumnBridge.expression(col(idCol).cast("long"))).toAggregateExpression()).as("__tk"))
+      .select(col(queryIdCol).as("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.payload").cast(idType).as("neighbor_id"),
+        (-col("__e.ord")).as("adc_e6"))
+  }
+}
+
+/** Shared PQ arithmetic: the per-subspace squared-L2 distance is a
+  * SEQUENTIAL fold `acc += (v_d − c_d)²` then Spark's HALF_UP
+  * `round(x·1e6)` with NaN/Inf passthrough — the [[NearestCentroid]]
+  * rounding discipline, so a SQL engine replays every distance integer
+  * (DuckDB: `list_reduce(list_prepend(0.0, diffs), +)` + `round`).
+  */
+private[operators] object PqMath {
+  def roundE6(x0: Double): Long = {
+    val x = x0 * 1e6
+    if (x.isNaN || x.isInfinite) x.toLong
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+
+  /** e6-rounded squared L2 between `v[off, off+len)` and `c[0, len)`. */
+  def subDistE6(v: Array[Double], off: Int, c: Array[Double]): Long = {
+    var acc = 0.0
+    var d = 0
+    while (d < c.length) {
+      val diff = v(off + d) - c(d)
+      acc += diff * diff
+      d += 1
+    }
+    roundE6(acc)
+  }
+
+  def toDoubles(arr: ArrayData, isFloat: Boolean, n: Int): Array[Double] = {
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    v
+  }
 }
 
 /** Nearest-centroid assignment against a driver-built centroid matrix —
@@ -1146,4 +1257,134 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
   override def prettyName: String = "hyperplane_signature"
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
     copy(child = newChild)
+}
+
+/** PQ encoder: ARRAY<FLOAT|DOUBLE> -> ARRAY<INT> of per-subspace nearest
+  * codebook indices (e6-micro-rounded squared L2, ties to the smaller
+  * index — [[PqMath]]). The codebook matrix rides the expression into the
+  * per-stage task binary (ksub·dim doubles, shipped once, never per row)
+  * and `doGenCode` is a reference-object call so encoding stays inside
+  * whole-stage codegen — the [[NearestCentroid]] pattern per subspace.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+
+  private val m = codebooks.length
+  private val sub = codebooks(0)(0).length
+  private val dim = m * sub
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Public entry shared by interpreted eval and generated code. */
+  def encode(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    require(arr.numElements() == dim,
+      s"pq_encode: vector length ${arr.numElements()} != codebook dim $dim")
+    val v = PqMath.toDoubles(arr, isFloat, dim)
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val cbj = codebooks(j)
+      var best = 0L
+      var bestC = 0
+      var first = true
+      var c = 0
+      while (c < cbj.length) {
+        val d = PqMath.subDistE6(v, j * sub, cbj(c))
+        if (first || d < best) { best = d; bestC = c; first = false }
+        c += 1
+      }
+      codes(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.encode($v)")
+  }
+
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Integer ADC distance: (codes ARRAY<INT>, query ARRAY<FLOAT|DOUBLE>) ->
+  * BIGINT `Σ_j round_e6(‖q_sub_j − cb_j[code_j]‖²)`. Summing the
+  * PER-SUBSPACE e6-rounded integers (not rounding the double total)
+  * keeps the score an exact integer any engine reproduces.
+  */
+case class PqAdcE6(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+
+  private val m = codebooks.length
+  private val sub = codebooks(0)(0).length
+  private val dim = m * sub
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(FloatType, _) | ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_e6 requires (ARRAY<INT> codes, ARRAY<FLOAT|DOUBLE> query), got (${l.sql}, ${r.sql})")
+  }
+
+  @transient private lazy val isFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Public entry shared by interpreted eval and generated code. */
+  def adc(codesArr: ArrayData, qArr: ArrayData): Long = {
+    require(codesArr.numElements() == m, s"pq_adc_e6: ${codesArr.numElements()} codes != m=$m")
+    require(qArr.numElements() == dim,
+      s"pq_adc_e6: query length ${qArr.numElements()} != codebook dim $dim")
+    val q = PqMath.toDoubles(qArr, isFloat, dim)
+    var total = 0L
+    var j = 0
+    while (j < m) {
+      val c = codesArr.getInt(j)
+      total += PqMath.subDistE6(q, j * sub, codebooks(j)(c))
+      j += 1
+    }
+    total
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    adc(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcE6].getName)
+    defineCodeGen(ctx, ev, (c, q) => s"$ref.adc($c, $q)")
+  }
+
+  override def prettyName: String = "pq_adc_e6"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcE6 =
+    copy(left = l, right = r)
 }

@@ -698,6 +698,49 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.where(col("keep")).count() <= 200L)
   }
 
+  test("pq: codebook slicing, encode argmin, integer ADC, heap ranking") {
+    val sps = spark; import sps.implicits._
+    // dim 4, m 2 (subspaces of 2), ksub 2: codebooks from ids 1..2
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(5.0, 5.0, 0.0, 0.0)),
+      (3L, Seq(0.1, 0.1, 0.2, 0.1)),   // sub0 -> code 0 (id1), sub1 -> code 1 (id2)
+      (4L, Seq(4.9, 5.2, 9.8, 10.1)),  // sub0 -> code 1,       sub1 -> code 0
+      (5L, Seq(2.5, 2.5, 5.0, 5.0))    // equidistant ties -> smaller index 0
+    ).toDF("vec_id", "vec")
+    val cb = Embeddings.pqCodebooks(vecs, "vec", "vec_id", m = 2, ksub = 2)
+    assert(cb.length == 2 && cb(0).length == 2 && cb(0)(0).toSeq == Seq(0.0, 0.0))
+    assert(cb(1)(0).toSeq == Seq(10.0, 10.0) && cb(1)(1).toSeq == Seq(0.0, 0.0))
+    val codes = vecs.select(col("vec_id"), Embeddings.pqEncode(col("vec"), cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(1L) == Seq(0, 0) && codes(2L) == Seq(1, 1))
+    assert(codes(3L) == Seq(0, 1) && codes(4L) == Seq(1, 0))
+    // exact tie (2.5,2.5) between (0,0) and (5,5): 12.5 vs 12.5 -> index 0
+    assert(codes(5L) == Seq(0, 0), s"tie must break to the smaller index: ${codes(5L)}")
+    // ADC by hand: query = vec 3, candidate 4 has codes (1, 0):
+    // sub0 dist = (0.1-5)^2+(0.1-5)^2, sub1 dist = (0.2-10)^2+(0.1-10)^2
+    val q = vecs.where(col("vec_id") === 3L)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val out = Embeddings.pqTopK(vecs, "vec", "vec_id", q, "qvec", "qid",
+        k = 4, m = 2, ksub = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    def e6(x: Double) = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val want4 = e6(math.pow(0.1 - 5, 2) + math.pow(0.1 - 5, 2)) +
+      e6(math.pow(0.2 - 10, 2) + math.pow(0.1 - 10, 2))
+    assert(out.find(_._2 == 4L).map(_._3).contains(want4),
+      s"hand ADC mismatch: $out want $want4")
+    // candidate 1 codes (0,0): sub1 centroid (10,10) -> big distance;
+    // candidate 2 codes (1,1): sub0 (5,5), sub1 (0,0) -> nearest overall
+    assert(out.minBy(_._1)._2 == 2L, out.mkString(","))
+    // the scan side of the plan projects codes, never the raw vectors:
+    // no Window, ranking is the bounded-heap aggregate
+    val plan = Embeddings.pqTopK(vecs, "vec", "vec_id", q, "qvec", "qid",
+      k = 2, m = 2, ksub = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("assignCells: zero-shuffle topN=1 path equals the window form, no Window/Exchange") {
     val sps = spark; import sps.implicits._
     // tie fixture: centroids 10 and 20 are IDENTICAL vectors, so cosine
