@@ -1289,6 +1289,19 @@ object SparkEntry {
           .groupBy("source").agg(count(lit(1)).cast("long").as("n_unique"))
           .orderBy("source")
       }),
+      // watermark-BOUNDED streaming dedup: state evicts at the event-time
+      // horizon instead of growing with the all-time key count. One
+      // in-order drain emits exactly the first-sighting set (batch
+      // distinct replay); cross-horizon re-emission is spec-pinned
+      "q_stream_dedup_wm" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.FileStreams.distinctKeysWithinWatermark(
+              ev, "ts", Seq("user_id", "event_type"), "1 day"))
+          .groupBy("event_type").agg(count(lit(1)).cast("long").as("n_keys"))
+          .orderBy("event_type")
+      }),
       // streaming sketch maintenance: per-day bloom filters over user-id
       // hashes, finalized by the watermark; the gate then probes every
       // distinct key of each emitted day against that day's blob — the
@@ -2966,6 +2979,11 @@ object SparkEntry {
     "q_stream_dedup" -> """
       SELECT source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
       FROM documents GROUP BY source ORDER BY source""",
+    // one in-order drain: the watermark only advances at batch end, so no
+    // key expires mid-drain and the emitted set is the batch distinct
+    "q_stream_dedup_wm" -> """
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // streaming per-day bloom maintenance replay: counts are exact
     // (finalized windows only), misses is exactly 0 by the filters'
     // no-false-negative contract over the probed member keys

@@ -248,4 +248,25 @@ object FileStreams {
     */
   def distinctKeys(rows: DataFrame, keyCols: Seq[String]): DataFrame =
     rows.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+
+  /** Watermark-BOUNDED streaming dedup — the production variant of
+    * [[distinctKeys]], whose `dropDuplicates` state grows with the
+    * all-time distinct-key count. Here a key's state entry is dropped
+    * once the event-time watermark passes it
+    * (`dropDuplicatesWithinWatermark`): duplicates arriving within the
+    * watermark delay of the first sighting are removed, a re-occurrence
+    * AFTER the horizon passes again — the right trade for endless streams
+    * (dedup "the same event delivered twice this hour", not "ever").
+    * State is watermark-horizon-sized, not stream-lifetime-sized.
+    *
+    * Emitted set under one drain, in-event-time-order arrivals, for keys
+    * whose duplicates all fall within `delay` of the first sighting:
+    * exactly the batch first-sighting set (spec-pinned); only duplicates
+    * separated by more than the watermark horizon re-emit.
+    */
+  def distinctKeysWithinWatermark(rows: DataFrame, tsCol: String,
+      keyCols: Seq[String], delay: String): DataFrame =
+    rows.select((keyCols.map(col) :+ col(tsCol)): _*)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -303,6 +303,47 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(count(lit(1))).count() == 2L)
   }
 
+  test("watermarked dedup: drop within horizon, re-emit after it, bounded state") {
+    val sps = spark; import sps.implicits._
+    val base = 1700000000000000L
+    val hour = 3600000000L
+    // drain 1: key A at t0 twice (dup within horizon -> one emit), key B;
+    // a late "pusher" row advances the watermark past A's expiry (delay 1h)
+    val schema = Seq((0L, "x", base)).toDF("k", "tag", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us").schema
+    def stage(landing: java.nio.file.Path, name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wmdedup_stage_")
+      rows.toDF("k", "tag", "us")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createSymbolicLink(landing.resolve(name), part.toPath): Unit
+    }
+    val landing = java.nio.file.Files.createTempDirectory("graft_wmdedup_")
+    val sink = java.nio.file.Files.createTempDirectory("graft_wmdedup_sink_")
+    val ck = java.nio.file.Files.createTempDirectory("graft_wmdedup_ck_")
+    def drain(): DataFrame = FileStreams.runAvailableNow(
+      FileStreams.distinctKeysWithinWatermark(
+        spark.readStream.schema(schema).parquet(landing.toString),
+        "ts", Seq("k"), "1 hour"),
+      sinkDir = Some(sink), checkpointDir = Some(ck))
+    stage(landing, "b1.parquet", Seq(
+      (1L, "a1", base), (1L, "a2", base + 60000000L), // dup 1 min apart
+      (2L, "b", base + 30 * 60000000L),
+      (99L, "push", base + 10 * hour)))               // watermark -> base + 9h
+    val first = drain().select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(first == Seq(1L, 2L, 99L), s"drain 1 emitted $first")
+    // drain 2: key 1 again AFTER its state expired (wm 9h > t0 + 1h) ->
+    // re-emits; key 99 within ITS horizon? 99's expiry = 10h + 1h = 11h >
+    // wm 9h -> state alive -> duplicate dropped
+    stage(landing, "b2.parquet", Seq(
+      (1L, "a3", base + 9 * hour + 30 * 60000000L),
+      (99L, "push2", base + 10 * hour + 60000000L)))
+    val union = drain().select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(union == Seq(1L, 1L, 2L, 99L),
+      s"horizon semantics drifted: $union (want key 1 re-emitted, 99 deduped)")
+  }
+
   test("streaming distinct keys == batch distinct") {
     val docs = FileStreams.tableStream(spark, dir, "documents")
       .select(col("source"), md5(col("text")).as("fp"))
