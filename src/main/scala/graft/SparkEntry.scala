@@ -1042,6 +1042,19 @@ object SparkEntry {
             k = 5, m = 8, ksub = 16)
           .orderBy("query_id", "rank")
       }),
+      // IVF + PQ composed (the billion-scale ANN shape): nprobe cells
+      // bound the candidates, global-codebook PQ codes bound the scan;
+      // the oracle composes the two existing replays
+      "q_ann_ivfpq" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Embeddings.ivfPqTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+            k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16)
+          .orderBy("query_id", "rank")
+      }),
       // 1-bit sign quantization: the packed word + its popcount per vector
       // certify the exact bit layout (LSB-first within word) against a
       // DuckDB rebuild from embedding[j] > 0 tests
@@ -3297,6 +3310,53 @@ object SparkEntry {
         FROM q, enc JOIN cb ON cb.j = enc.j AND cb.cid = enc.cid
         WHERE enc.vec_id != q.qid
         GROUP BY q.qid, enc.vec_id)
+      SELECT query_id, rank, neighbor_id, adc_e6 FROM (
+        SELECT qid AS query_id, vec_id AS neighbor_id, adc_e6,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
+        FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // IVF cell routing composed with the PQ code/ADC replay: candidates
+    // are the query's nprobe cells, scored by the integer ADC distance
+    "q_ann_ivfpq" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS ccid, v AS cv0 FROM e ORDER BY vec_id LIMIT 16),
+      ea AS (
+        SELECT vec_id, v, ccid AS cell FROM (
+          SELECT e.vec_id, e.v, c.ccid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv0) DESC, c.ccid) AS rn
+          FROM e, c) WHERE rn = 1),
+      qa AS (
+        SELECT vec_id AS qid, v AS qv, ccid AS cell FROM (
+          SELECT e.vec_id, e.v, c.ccid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv0) DESC, c.ccid) AS rn
+          FROM e, c WHERE e.vec_id < 10) WHERE rn <= 4),
+      cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM e ORDER BY vec_id LIMIT 16),
+      subs AS (SELECT unnest(range(8)) AS j),
+      cb AS (SELECT subs.j, cbv.cid, list_slice(cbv.v, subs.j*8 + 1, subs.j*8 + 8) AS cv
+             FROM cbv, subs),
+      dist AS (SELECT e.vec_id, cb.j, cb.cid,
+        CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (e.v[cb.j*8 + d + 1] - cb.cv[d + 1]) * (e.v[cb.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT) AS d_e6
+        FROM e, cb),
+      enc AS (SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d_e6, cid) AS rn
+        FROM dist) WHERE rn = 1),
+      adc AS (SELECT qa.qid, ea.vec_id,
+        CAST(SUM(CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (qa.qv[enc.j*8 + d + 1] - cb.cv[d + 1]) * (qa.qv[enc.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT)) AS BIGINT) AS adc_e6
+        FROM ea JOIN qa ON ea.cell = qa.cell
+                JOIN enc ON enc.vec_id = ea.vec_id
+                JOIN cb ON cb.j = enc.j AND cb.cid = enc.cid
+        WHERE ea.vec_id != qa.qid
+        GROUP BY qa.qid, ea.vec_id)
       SELECT query_id, rank, neighbor_id, adc_e6 FROM (
         SELECT qid AS query_id, vec_id AS neighbor_id, adc_e6,
                row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank

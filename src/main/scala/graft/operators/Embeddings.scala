@@ -1011,6 +1011,49 @@ object Embeddings {
         col("__e.payload").cast(idType).as("neighbor_id"),
         (-col("__e.ord")).as("adc_e6"))
   }
+
+  /** IVF + PQ composed — the standard billion-scale ANN shape: coarse
+    * cells bound WHICH candidates are scored (a query touches its
+    * `nprobe` cells ≈ nprobe/nlist of the corpus, an equi-join) and PQ
+    * codes bound WHAT the scoring reads (ids + m-byte codes; raw vectors
+    * never load). Cell assignment is the zero-shuffle codegen argmax;
+    * ranking is the bounded-heap `topk_agg`. Codebooks are GLOBAL
+    * (non-residual IVFPQ): one shared codebook keeps the SQL oracle a
+    * composition of the two existing replays — per-cell residual
+    * codebooks recover more recall but square the replay surface; train
+    * offline and pass `codebooks` when that trade is wanted.
+    *
+    * @return (query_id, rank, neighbor_id, adc_e6)
+    */
+  def ivfPqTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      centroids: Option[DataFrame] = None,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(seedCentroids(embeddings, vecCol, idCol, nlist))
+      .select(col("cid"), col("cvec"))
+    val cb = codebooks.getOrElse(pqCodebooks(embeddings, vecCol, idCol, m, ksub))
+    val idType = embeddings.schema(idCol).dataType
+    val codes = assignCells(embeddings, idCol, vecCol, cents, 1)
+      .select(col("cid"), col(idCol), pqEncode(col(vecCol), cb).as("__codes"))
+    val qCells = assignCells(queries, queryIdCol, queryVecCol, cents, nprobe)
+    codes.join(broadcast(qCells), "cid")
+      .where(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        ColumnBridge.column(PqAdcE6(
+          ColumnBridge.expression(col("__codes")),
+          ColumnBridge.expression(col(queryVecCol)), cb)).as("__adc"))
+      .groupBy(col(queryIdCol))
+      .agg(ColumnBridge.column(graft.functions.TopKAgg(
+        ColumnBridge.expression(lit(k)),
+        ColumnBridge.expression((-col("__adc")).cast("long")),
+        ColumnBridge.expression(col(idCol).cast("long"))).toAggregateExpression()).as("__tk"))
+      .select(col(queryIdCol).as("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.payload").cast(idType).as("neighbor_id"),
+        (-col("__e.ord")).as("adc_e6"))
+  }
 }
 
 /** Shared PQ arithmetic: the per-subspace squared-L2 distance is a

