@@ -49,6 +49,28 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
   }
 
+  /** Incremental maintenance: route NEW vectors through the FROZEN
+    * stored centroids and append them to their cell partitions — no
+    * rebuild, no touch of existing cell files (dynamic partition append:
+    * only directories receiving new vectors gain a file). The
+    * incremental-ANN twin of `incrementalSemanticDeduplicate`'s
+    * frozen-fit discipline: assignments of old vectors never change, so
+    * a post-append [[query]] equals a fresh [[build]] over old ∪ new
+    * with the same centroids (spec-asserted). Cells drift from optimal
+    * as the corpus grows — re-[[build]] with re-trained centroids when
+    * recall telemetry says so; ids are NOT deduplicated (append the same
+    * id twice and both rows exist, as with any parquet append).
+    */
+  def append(newVectors: DataFrame, vecCol: String, idCol: String,
+      dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Embeddings.assignCells(
+        newVectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "id", "vec", cents, 1)
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/cells")
+  }
+
   /** Probe the persisted index: route each query to its `nprobe` nearest
     * cells, read ONLY those cell partitions (directory pruning via the
     * collected ≤ nlist cid list — a config-bounded collect, like the

@@ -64,4 +64,33 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("cid").distinct().count()
     assert(probedCells < nlist)
   }
+
+  test("append routes new vectors through frozen centroids; query == fresh rebuild") {
+    val sps = spark; import sps.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+      .persist()
+    val old = emb.where($"vec_id" % 5 =!= 0L)
+    val fresh = emb.where($"vec_id" % 5 === 0L && $"vec_id" >= 5L)
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"vec".as("qvec"))
+    val nlist = 8; val k = 5
+    // seed centroids must come from the SAME relation for both indexes —
+    // the incremental contract freezes them at first build
+    val cents = Embeddings.seedCentroids(old, "vec", "vec_id", nlist)
+    AnnIndex.build(old, "vec", "vec_id", s"$dir/inc", nlist, Some(cents))
+    val filesBefore = new java.io.File(s"$dir/inc/cells").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).toSet
+    AnnIndex.append(fresh, "vec", "vec_id", s"$dir/inc")
+    // append-only: every pre-existing cell file is still there untouched
+    val filesAfter = new java.io.File(s"$dir/inc/cells").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).toSet
+    assert(filesBefore.subsetOf(filesAfter))
+    AnnIndex.build(emb.where($"vec_id" >= 5L || $"vec_id" % 5 =!= 0L),
+      "vec", "vec_id", s"$dir/full", nlist, Some(cents))
+    def res(p: String) = AnnIndex.query(spark, p, queries, "qvec", "qid", k, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(res(s"$dir/inc") == res(s"$dir/full"), "append drifted from rebuild")
+    assert(res(s"$dir/inc").nonEmpty)
+  }
 }
