@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Changelog, Classify, Dedup, EditDistance, Embeddings, Events, Graphs, Joins, Multimodal, Packing, Pca, Profile, Ranking, Sampling, TextAnalysis, Vocab}
+import graft.operators.{Changelog, Classify, Dedup, EditDistance, Embeddings, Events, Graphs, Joins, Multimodal, Packing, Pca, Profile, Ranking, Sampling, TextAnalysis, UrlOps, Vocab}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -1526,6 +1526,28 @@ object SparkEntry {
       }),
       // per-source curation report: docs / dup rate / volume per source,
       // the table a pipeline reads to set per-source sampling weights
+      // URL canonicalization + registered-domain rollup: URLs synthesized
+      // deterministically from doc_id (the multimodal pattern — both
+      // engines build the identical strings), exercising every contract
+      // clause: case, fragments, default/nondefault ports, tracking
+      // params, param sort, trailing slash, co.uk registered domains
+      "q_url_canon" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val urls = s.table("documents").select(expr(
+          """concat(
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END,
+               CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END,
+               'Site', CAST(doc_id % 50 AS STRING), '.',
+               CASE WHEN doc_id % 5 = 0 THEN 'co.uk' ELSE 'com' END,
+               CASE WHEN doc_id % 7 = 0 THEN ':443'
+                    WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END,
+               '/Page/', CAST(doc_id % 100 AS STRING),
+               CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+               CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&z=1&a=2'
+                    WHEN doc_id % 3 = 1 THEN '?a=2&z=1' ELSE '' END,
+               CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""").as("url"))
+        UrlOps.domainReport(urls, "url").orderBy("domain")
+      }),
       "q_source_report" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         TextAnalysis.sourceReport(s.table("documents"), "text", "source")
@@ -2865,6 +2887,71 @@ object SparkEntry {
       SELECT CAST(filter_rem AS INT) AS filter_rem, CAST(m16 AS BIGINT) AS m16, CAST(m8 AS BIGINT) AS m8
       FROM (VALUES (0, 50000, 50000), (1, 50000, 50000)) t(filter_rem, m16, m8) ORDER BY filter_rem""",
     "q_xor_semijoin" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+    // full canonicalization replay: same synthesized strings, then the
+    // documented contract step by step (scheme/host lower, fragment off,
+    // default-port strip, tracking filter + byte sort, path normalize)
+    "q_url_canon" -> """
+      WITH u AS (SELECT concat(
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END,
+               CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END,
+               'Site', CAST(doc_id % 50 AS VARCHAR), '.',
+               CASE WHEN doc_id % 5 = 0 THEN 'co.uk' ELSE 'com' END,
+               CASE WHEN doc_id % 7 = 0 THEN ':443'
+                    WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END,
+               '/Page/', CAST(doc_id % 100 AS VARCHAR),
+               CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+               CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&z=1&a=2'
+                    WHEN doc_id % 3 = 1 THEN '?a=2&z=1' ELSE '' END,
+               CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+             FROM documents),
+      p AS (SELECT url, lower(split_part(url, '://', 1)) AS scheme,
+                   split_part(split_part(url, '://', 2), '#', 1) AS nofrag
+            FROM u),
+      q AS (SELECT *, split_part(nofrag, '?', 1) AS bq,
+                   CASE WHEN contains(nofrag, '?')
+                        THEN substr(nofrag, length(split_part(nofrag, '?', 1)) + 2)
+                        ELSE '' END AS query
+            FROM p),
+      h AS (SELECT *, split_part(bq, '/', 1) AS hostport FROM q),
+      h2 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+                    CASE WHEN contains(hostport, ':')
+                         THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+                    substr(bq, length(hostport) + 1) AS rawpath
+             FROM h),
+      h3 AS (SELECT *, CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p0 FROM h2),
+      h4 AS (SELECT *,
+                    CASE WHEN p0 <> '/' AND p0 LIKE '%/'
+                         THEN substr(p0, 1, length(p0) - 1) ELSE p0 END AS path,
+                    array_to_string(list_sort(list_filter(string_split(query, '&'),
+                      x -> x <> '' AND NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=')
+                        OR starts_with(x, 'gclid=') OR starts_with(x, 'msclkid=')
+                        OR starts_with(x, 'mc_eid=') OR starts_with(x, 'igshid=')
+                        OR starts_with(x, 'ref=')))), '&') AS qs
+             FROM h3),
+      canon AS (SELECT host,
+                  scheme || '://' || host ||
+                  CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443'))
+                       THEN ':' || port ELSE '' END ||
+                  path ||
+                  CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS curl
+                FROM h4),
+      dom AS (SELECT curl,
+                 CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+                      WHEN len(string_split(host, '.')) >= 3 AND
+                           (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+                             IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+                                 'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',
+                                 'co.nz','co.za','com.sg','com.tr')
+                      THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+                             || '.' || string_split(host, '.')[-1]
+                      ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                 END AS domain
+              FROM canon)
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS pages,
+             CAST(COUNT(DISTINCT curl) AS BIGINT) AS distinct_urls,
+             CAST(COUNT(*) - COUNT(DISTINCT curl) AS BIGINT) AS url_duplicates
+      FROM dom GROUP BY domain ORDER BY domain""",
     "q_dedup_exact" -> """
       SELECT CAST(COUNT(*) AS BIGINT) AS docs,
              CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_docs,

@@ -41,6 +41,48 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text")
   }
 
+  test("url canonicalization: every contract clause hand-checked") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // scheme/host lowercase, path case kept
+      "HTTP://WWW.Example.COM/Path/File" -> "http://www.example.com/Path/File",
+      // fragment dropped, default port stripped
+      "https://a.com:443/x#frag" -> "https://a.com/x",
+      "http://a.com:80/" -> "http://a.com/",
+      // non-default port kept
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      // tracking params dropped, remaining sorted, empty query elided
+      "http://a.com/p?utm_source=tw&b=2&a=1&fbclid=xyz" -> "http://a.com/p?a=1&b=2",
+      "http://a.com/p?utm_campaign=c" -> "http://a.com/p",
+      // empty path -> '/', trailing slash collapsed off non-root
+      "http://a.com" -> "http://a.com/",
+      "http://a.com/dir/" -> "http://a.com/dir",
+      // query without path
+      "http://a.com?b=2&a=1" -> "http://a.com/?a=1&b=2",
+      // '?' inside fragment is not a query
+      "http://a.com/x#sec?notaquery=1" -> "http://a.com/x")
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"canonical drift: got $g want $want")
+    }
+    val hosts = Seq("https://Sub.Shop.Example.CO.UK:8443/x", "http://localhost/x",
+      "http://deep.a.b.site.com/y")
+      .toDF("url")
+      .select(UrlOps.registeredDomain(UrlOps.hostOf(col("url"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(hosts == Seq("example.co.uk", "localhost", "site.com"), hosts.toString)
+    // domainReport: dup counting on the canonical form
+    val rpt = Seq(
+      "http://x.com/a?utm_source=1", "http://X.com/a", "http://x.com/b",
+      "http://y.co.uk/only").toDF("url")
+    val rows = UrlOps.domainReport(rpt, "url")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("x.com") == ((3L, 2L, 1L)), rows.toString)
+    assert(rows("y.co.uk") == ((1L, 1L, 0L)))
+  }
+
   test("dropDuplicateLines removes every copy of a boilerplate line by default") {
     val out = Dedup.dropDuplicateLines(lineDocs, "text", "doc_id", minCount = 3)
       .collect().map(r => r.getLong(0) -> r).toMap
