@@ -640,6 +640,14 @@ object SparkEntry {
       // distribution drift: view-event values vs purchase-event values
       // histogrammed over the same range; per-slot counts, micro-unit
       // occupancy fractions, and the integer L1 drift number
+      // unknown-domain quantiles: min/max pass + [min,max) hist fit with
+      // the virtual max bin; both passes replayed exactly in SQL
+      "q_quantiles_auto" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Profile.autoQuantiles(s.table("events"), "value", nbins = 400,
+            qs = Seq(0.0, 0.5, 0.9, 0.99, 1.0))
+          .orderBy("q_ppm")
+      }),
       "q_drift" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val ev = s.table("events")
@@ -650,7 +658,7 @@ object SparkEntry {
           .select(col("slot").cast("int").as("slot"),
             col("old_cnt").cast("long").as("old_cnt"),
             col("new_cnt").cast("long").as("new_cnt"),
-            col("old_frac_e6"), col("new_frac_e6"), col("l1_e6"))
+            col("old_frac_e6"), col("new_frac_e6"), col("l1_e6"), col("psi_e6"))
           .orderBy("slot")
       }),
 
@@ -2733,9 +2741,15 @@ object SparkEntry {
               CAST(round(old_cnt / t.ot * 1e6) AS BIGINT) AS old_frac_e6,
               CAST(round(new_cnt / t.nt * 1e6) AS BIGINT) AS new_frac_e6
             FROM j, t),
-      l1 AS (SELECT CAST(SUM(ABS(old_frac_e6 - new_frac_e6)) AS BIGINT) AS l1_e6 FROM f)
+      l1 AS (SELECT CAST(SUM(ABS(old_frac_e6 - new_frac_e6)) AS BIGINT) AS l1_e6,
+                    CAST(SUM(CASE WHEN old_frac_e6 > 0 AND new_frac_e6 > 0
+                      THEN CAST(round(CAST(old_frac_e6 - new_frac_e6 AS DOUBLE) / 1e6 *
+                        ln(CAST(old_frac_e6 AS DOUBLE) / CAST(new_frac_e6 AS DOUBLE)) * 1e6)
+                        AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS psi_e6 FROM f)
       SELECT CAST(f.slot AS INT) AS slot, CAST(old_cnt AS BIGINT) AS old_cnt,
-             CAST(new_cnt AS BIGINT) AS new_cnt, old_frac_e6, new_frac_e6, l1.l1_e6
+             CAST(new_cnt AS BIGINT) AS new_cnt, old_frac_e6, new_frac_e6, l1.l1_e6,
+             l1.psi_e6
       FROM f, l1 WHERE old_cnt > 0 OR new_cnt > 0 ORDER BY slot""",
     // bounded-heap top-k == row_number window replay (payloads unique)
     "q_topk" -> """
@@ -2887,6 +2901,35 @@ object SparkEntry {
       SELECT CAST(filter_rem AS INT) AS filter_rem, CAST(m16 AS BIGINT) AS m16, CAST(m8 AS BIGINT) AS m8
       FROM (VALUES (0, 50000, 50000), (1, 50000, 50000)) t(filter_rem, m16, m8) ORDER BY filter_rem""",
     "q_xor_semijoin" -> "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem",
+    // min/max pass + histogram interpolation replay: bin = LEAST(nbins-1,
+    // FLOOR((x-lo)/width)), rank q*n walked through the occupied-bin
+    // cumulative counts, value = lo + width*(b + (rank-cum)/c); the max
+    // values (x >= hi) are the virtual bin at hi
+    "q_quantiles_auto" -> """
+      WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL),
+      mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v),
+      w AS (SELECT lo, hi, (hi - lo) / 400 AS width FROM mm),
+      binned AS (SELECT CASE WHEN x >= w.hi THEN 400
+                        ELSE LEAST(399, CAST(FLOOR((x - w.lo) / w.width) AS INT)) END AS b
+                 FROM v, w),
+      counts AS (SELECT b, COUNT(*) AS c FROM binned GROUP BY b),
+      n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+      realb AS (SELECT b, c, SUM(c) OVER (ORDER BY b) AS ca,
+                       SUM(c) OVER (ORDER BY b) - c AS cum
+                FROM counts WHERE b < 400),
+      qs AS (SELECT unnest([0.0, 0.5, 0.9, 0.99, 1.0]) AS q),
+      ranks AS (SELECT q, q * n.n AS rank FROM qs, n),
+      pick AS (SELECT ranks.q, ranks.rank, MIN(realb.b) AS b
+               FROM ranks LEFT JOIN realb ON CAST(realb.ca AS DOUBLE) >= ranks.rank
+               GROUP BY ranks.q, ranks.rank),
+      vals AS (SELECT pick.q,
+                 CASE WHEN pick.b IS NULL THEN w.hi
+                      ELSE w.lo + w.width * (realb.b +
+                        GREATEST(0.0, (pick.rank - realb.cum) / realb.c)) END AS value
+               FROM pick CROSS JOIN w LEFT JOIN realb ON realb.b = pick.b)
+      SELECT CAST(round(q * 1e6) AS BIGINT) AS q_ppm,
+             CAST(round(value * 1e6) AS BIGINT) AS value_e6
+      FROM vals ORDER BY q_ppm""",
     // full canonicalization replay: same synthesized strings, then the
     // documented contract step by step (scheme/host lower, fragment off,
     // default-port strip, tracking filter + byte sort, path normalize)

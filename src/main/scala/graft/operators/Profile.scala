@@ -144,12 +144,96 @@ object Profile {
         round(col("old_cnt") / col("ot") * lit(1e6)).cast("long"))
       .withColumn("new_frac_e6",
         round(col("new_cnt") / col("nt") * lit(1e6)).cast("long"))
-    val l1 = withFrac.agg(
-      sum(abs(col("old_frac_e6") - col("new_frac_e6"))).cast("long").as("l1_e6"))
-    withFrac.crossJoin(broadcast(l1))
+      // PSI contribution (p−q)·ln(p/q), e6-rounded PER BIN so the total
+      // is an exact integer sum (a double total would be fold-order
+      // sensitive); bins empty on either side are skipped — the standard
+      // PSI convention (alternatives smooth with a pseudocount; callers
+      // wanting that can pre-pad). PSI > 0.2 is the classic retrain/
+      // investigate threshold, i.e. psi_e6 > 200000.
+      .withColumn("__psi_e6",
+        when(col("old_frac_e6") > 0 && col("new_frac_e6") > 0,
+          round((col("old_frac_e6") - col("new_frac_e6")).cast("double") / lit(1e6) *
+            log(col("old_frac_e6").cast("double") / col("new_frac_e6").cast("double")) *
+            lit(1e6)).cast("long"))
+        .otherwise(lit(0L)))
+    val tots = withFrac.agg(
+      sum(abs(col("old_frac_e6") - col("new_frac_e6"))).cast("long").as("l1_e6"),
+      sum(col("__psi_e6")).cast("long").as("psi_e6"))
+    withFrac.crossJoin(broadcast(tots))
       .where(col("old_cnt") > 0 || col("new_cnt") > 0)
       .select(col("slot"), col("old_cnt"), col("new_cnt"),
-        col("old_frac_e6"), col("new_frac_e6"), col("l1_e6"))
+        col("old_frac_e6"), col("new_frac_e6"), col("l1_e6"), col("psi_e6"))
+  }
+
+  /** Quantiles over an UNKNOWN value domain: pass 1 computes min/max,
+    * pass 2 fits a `hist_sketch` over exactly [min, max) and
+    * interpolates the requested quantiles, with the max values (the
+    * sketch's `above` bucket, since `hi` is exclusive) treated as one
+    * virtual bin at `max` so q→1 lands on the true maximum. Two narrow
+    * scans, no sort, no data-keyed shuffle, a config-bounded driver
+    * collect (min/max + nbins+2 counts), and EXACT cross-engine replay —
+    * the deliberate trade against one-pass mergeable quantile sketches
+    * (KLL/GK), whose compactions depend on partial-merge ORDER and so
+    * can neither be replayed by an oracle nor reproduced across
+    * partitionings. At 100 TB the second scan costs one more read of a
+    * single column; determinism and a wasted-bin-free [min,max] fit
+    * usually pay for it. All-NULL input returns an empty frame;
+    * all-equal values return the value for every q; NaN rows are
+    * excluded (Spark's max would otherwise poison the domain fit — the
+    * [[winsorize]] NaN discipline).
+    *
+    * @return one row per q: (q_ppm BIGINT, value_e6 BIGINT)
+    */
+  def autoQuantiles(df0: DataFrame, valueCol: String, nbins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(nbins >= 1, "nbins must be >= 1")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    val spark = df0.sparkSession
+    import spark.implicits._
+    val x = col(valueCol).cast("double")
+    val df = df0.where(!isnan(coalesce(x, lit(0.0))))
+    val mm = df.agg(min(x).as("lo"), max(x).as("hi")).head()
+    if (mm.isNullAt(0))
+      return Seq.empty[(Long, Long)].toDF("q_ppm", "value_e6")
+    val lo = mm.getDouble(0)
+    val hi = mm.getDouble(1)
+    if (lo == hi) // all values equal: every quantile IS that value
+      return qs.map(q => (math.round(q * 1e6), math.round(lo * 1e6)))
+        .toDF("q_ppm", "value_e6")
+    val countsRow = df
+      .agg(ColumnBridge.column(graft.functions.HistCounts(ColumnBridge.expression(
+        ColumnBridge.column(graft.functions.HistSketchAgg(
+          ColumnBridge.expression(lit(nbins)), ColumnBridge.expression(lit(lo)),
+          ColumnBridge.expression(lit(hi)),
+          ColumnBridge.expression(x)).toAggregateExpression())))).as("c"))
+      .head().getSeq[Long](0)
+    val bins = countsRow.slice(1, nbins + 1).toArray
+    val above = countsRow.last // every above value == max (hi exclusive)
+    val width = (hi - lo) / nbins
+    val n = bins.sum + above
+    val rows = qs.map { q =>
+      val rank = q * n
+      var cum = 0L
+      var res = Double.NaN
+      var done = false
+      var b = 0
+      while (b < nbins && !done) {
+        val c = bins(b)
+        if (c > 0) {
+          val ca = cum + c
+          if (ca >= rank) {
+            res = lo + width * (b + math.max(0.0, (rank - cum) / c))
+            done = true
+          }
+          cum = ca
+        }
+        b += 1
+      }
+      if (!done) res = hi // rank beyond the real bins: the virtual max bin
+      (math.round(q * 1e6), math.round(res * 1e6))
+    }
+    rows.toDF("q_ppm", "value_e6")
   }
 
   /** Equal-frequency discretization: assign each row to one of `k`

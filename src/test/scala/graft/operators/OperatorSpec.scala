@@ -1297,6 +1297,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._5) == 10 && out.count(_._6) == 10)
   }
 
+  test("autoQuantiles: exact on uniform data, virtual max bin, degenerate inputs") {
+    val sps = spark; import sps.implicits._
+    graft.GraftFunctions.registerAll(spark)
+    // 0..999 with nbins=1000 over [0, 999): every value its own bin,
+    // 999 in the virtual max bin; quantile(q) interpolates rank q*1000
+    val df = (0 until 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+    val out = Profile.autoQuantiles(df, "v", nbins = 1000,
+        qs = Seq(0.0, 0.5, 0.999, 1.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 0L)                       // start of first bin
+    // rank 500 lands at bin 499 end: 0 + width*(499 + 1) with width 999/1000
+    assert(out(500000L) == math.round((999.0 / 1000) * 500 * 1e6), out.toString)
+    assert(out(1000000L) == 999000000L)         // q=1 -> the true max
+    // all-equal: every q returns the value (all mass in the virtual bin)
+    val eq = Profile.autoQuantiles(Seq(7.5, 7.5, 7.5).toDF("v"), "v", 10, Seq(0.0, 0.5, 1.0))
+      .collect().map(_.getLong(1)).toSeq
+    assert(eq == Seq(7500000L, 7500000L, 7500000L), eq.toString)
+    // all-NULL -> empty; NaN rows ignored for the domain fit
+    assert(Profile.autoQuantiles(
+      Seq.empty[Option[Double]].toDF("v"), "v", 10, Seq(0.5)).count() == 0L)
+    val withNan = (Seq(1.0, 2.0, 3.0, Double.NaN)).toDF("v")
+    val nanOut = Profile.autoQuantiles(withNan, "v", 10, Seq(1.0))
+      .collect().head.getLong(1)
+    assert(nanOut == 3000000L, s"NaN poisoned the fit: $nanOut")
+  }
+
   test("winsorize/quantileBins NaN contract: NULL out, false flags, thresholds unaffected") {
     val sps = spark; import sps.implicits._
     graft.GraftFunctions.registerAll(spark)
