@@ -1394,6 +1394,14 @@ object SparkEntry {
       // target-mixture rebalance: integer-ppm quota arithmetic, binding
       // stratum fixes the scale, per-stratum content-hash prefix keeps
       // the mix exact without upsampling
+      // temperature-flattened mixture weights (sampling-alpha 0.6):
+      // p_i ~ n_i^alpha with integer e6 weights and quotas
+      "q_temperature_mix" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Sampling.temperatureWeights(s.table("documents"), "source",
+            alpha = 0.6, budget = 1000000L)
+          .orderBy("source")
+      }),
       "q_domain_mix" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         Sampling.rebalanceMix(s.table("documents"), "source", "text", "doc_id",
@@ -3877,6 +3885,15 @@ object SparkEntry {
       FROM u GROUP BY 1 ORDER BY 1""",
     // integer-ppm quota replay: binding stratum scale -> per-stratum
     // take -> content-hash prefix, all integer division
+    "q_temperature_mix" -> """
+      WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+                        pow(CAST(COUNT(*) AS DOUBLE), 0.6) AS pw
+                 FROM documents GROUP BY source),
+      t AS (SELECT SUM(pw) AS tot FROM c)
+      SELECT source, docs,
+             CAST(round(pw / t.tot * 1e6) AS BIGINT) AS weight_ppm,
+             CAST(round(pw / t.tot * 1e6) AS BIGINT) * 1000000 // 1000000 AS quota
+      FROM c, t ORDER BY source""",
     "q_domain_mix" -> """
       WITH t AS (SELECT * FROM (VALUES ('src0', 400000), ('src1', 300000),
                                        ('src2', 200000), ('src3', 100000)) v(source, ppm)),

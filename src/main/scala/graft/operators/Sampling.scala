@@ -148,6 +148,36 @@ object Sampling {
       .drop("__rn", "__take")
   }
 
+  /** Temperature-flattened source mixture — the multilingual/multi-source
+    * sampling-alpha pattern (GPT-3 §2.2, XLM-R): draw probability
+    * p_i ∝ n_i^alpha, so alpha = 1 is proportional sampling, alpha = 0
+    * uniform-over-sources, and the usual 0.2–0.7 range up-weights small
+    * sources without letting giants dominate. Emits one row per source
+    * with its count, weight (ppm of the mixture) and integer quota
+    * toward `budget` rows — feed the quotas to [[stratifiedTake]] /
+    * [[rebalanceMix]] to materialize the draw.
+    *
+    * Integer contract: weight_ppm = round(1e6 · n^alpha / Σ n^alpha),
+    * quota = budget·weight_ppm div 1e6 — pow/divide happen on doubles
+    * (e6-rounded, so ULP-level libm differences between engines cannot
+    * flip a value), the quota arithmetic is pure integer. ONE tiny
+    * source-keyed aggregation; the normalizer is a broadcast single row.
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    require(budget >= 0, "budget must be >= 0")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("long").as("docs"))
+      .withColumn("__pw", pow(col("docs").cast("double"), lit(alpha)))
+    val tot = counts.agg(sum(col("__pw")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm",
+        round(col("__pw") / col("__tot") * lit(1e6)).cast("long"))
+      .withColumn("quota", expr(s"${budget}L * weight_ppm div 1000000L"))
+      .select(col(sourceCol), col("docs"), col("weight_ppm"), col("quota"))
+  }
+
   /** Per-stratum weighted reservoir of `n` rows using the A-ES key
     * `weight^(1/w_i)` reformulated in log space: rank strata rows by
     * `-ln(u_i)/w_i` ascending (u_i = the content-hash uniform), keep the

@@ -1297,6 +1297,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._5) == 10 && out.count(_._6) == 10)
   }
 
+  test("temperatureWeights: alpha endpoints, ppm normalization, integer quotas") {
+    val sps = spark; import sps.implicits._
+    val df = (Seq.fill(80)("big") ++ Seq.fill(16)("mid") ++ Seq.fill(4)("tiny"))
+      .toDF("source")
+    // alpha = 1: proportional (80/16/4 of 100)
+    val p1 = Sampling.temperatureWeights(df, "source", 1.0, 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(p1("big") == ((800000L, 800L)) && p1("mid") == ((160000L, 160L))
+      && p1("tiny") == ((40000L, 40L)), p1.toString)
+    // alpha = 0: uniform over sources regardless of size
+    val p0 = Sampling.temperatureWeights(df, "source", 0.0, 999L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(p0.values.map(_._1).toSet == Set(333333L), p0.toString)
+    assert(p0.values.map(_._2).toSet == Set(999L * 333333L / 1000000L))
+    // 0 < alpha < 1 flattens: tiny's share grows, big's shrinks
+    val ph = Sampling.temperatureWeights(df, "source", 0.5, 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ph("tiny") > p1("tiny")._1 && ph("big") < p1("big")._1, ph.toString)
+  }
+
   test("autoQuantiles: exact on uniform data, virtual max bin, degenerate inputs") {
     val sps = spark; import sps.implicits._
     graft.GraftFunctions.registerAll(spark)
