@@ -1063,6 +1063,20 @@ object SparkEntry {
             k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16)
           .orderBy("query_id", "rank")
       }),
+      // recall@5 of the IVF path vs the exact baseline — the eval that
+      // justifies an ANN configuration; every stage deterministic, both
+      // pipelines + the overlap count replayed live
+      "q_ann_recall" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Embeddings.recallReport(
+          Embeddings.ivfTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5,
+            nlist = 16, nprobe = 4),
+          Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5))
+      }),
       // 1-bit sign quantization: the packed word + its popcount per vector
       // certify the exact bit layout (LSB-first within word) against a
       // DuckDB rebuild from embedding[j] > 0 tests
@@ -3453,6 +3467,46 @@ object SparkEntry {
                row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
         FROM adc)
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    // recall@5: both pipelines (exact window ranking; IVF cell routing +
+    // in-cell ranking) replayed, per-query overlap counted, integer
+    // ppm recall rolled up exactly as the operator computes it
+    "q_ann_recall" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e2.v, q.v) DESC, e2.vec_id) AS rank
+        FROM e e2, (SELECT * FROM e WHERE vec_id < 10) q
+        WHERE e2.vec_id != q.vec_id) WHERE rank <= 5),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      ea AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c) WHERE rn = 1),
+      qa AS (SELECT vec_id AS qid, v AS qv, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c WHERE e.vec_id < 10) WHERE rn <= 4),
+      approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT qa.qid AS query_id, ea.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qa.qid
+                 ORDER BY list_cosine_similarity(ea.v, qa.qv) DESC, ea.vec_id) AS rank
+        FROM ea JOIN qa ON ea.cid = qa.cid
+        WHERE ea.vec_id != qa.qid) WHERE rank <= 5),
+      pq AS (SELECT exact.query_id,
+               CAST(COUNT(*) AS BIGINT) AS ex,
+               CAST(SUM(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+             FROM exact LEFT JOIN approx
+               ON approx.query_id = exact.query_id AND approx.neighbor_id = exact.neighbor_id
+             GROUP BY exact.query_id),
+      pr AS (SELECT query_id, ex, hits, hits * 1000000 // ex AS recall_ppm FROM pq)
+      SELECT CAST(COUNT(*) AS BIGINT) AS queries,
+             CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+             CAST(MIN(recall_ppm) AS BIGINT) AS min_recall_ppm,
+             CAST(SUM(CASE WHEN hits = ex THEN 1 ELSE 0 END) AS BIGINT) AS perfect_queries
+      FROM pr""",
     // IVF cell routing composed with the PQ code/ADC replay: candidates
     // are the query's nprobe cells, scored by the integer ADC distance
     "q_ann_ivfpq" -> """

@@ -1012,6 +1012,35 @@ object Embeddings {
         (-col("__e.ord")).as("adc_e6"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact baseline:
+    * per query, |approx ∩ exact| over |exact| (both at the same k), plus
+    * the corpus-level rollup — the number that justifies (or vetoes) an
+    * LSH/IVF/PQ configuration before it ships. Pure integer counts, so
+    * the report is deterministic whenever both inputs are. Expects the
+    * (query_id, neighbor_id) shape every topK here emits; extra columns
+    * ignored. One co-partitioned join on (query_id, neighbor_id) + one
+    * query-keyed aggregate — both sides are ≤ k·|queries| rows.
+    *
+    * @return one row: (queries, mean_recall_ppm, min_recall_ppm,
+    *         perfect_queries)
+    */
+  def recallReport(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val perQuery = e
+      .join(a.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("__exact"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("__hits"))
+      .withColumn("__recall_ppm",
+        expr("__hits * 1000000L div __exact"))
+    perQuery.agg(count(lit(1)).cast("long").as("queries"),
+      expr("sum(__recall_ppm) div count(1)").as("mean_recall_ppm"),
+      min("__recall_ppm").as("min_recall_ppm"),
+      sum(when(col("__hits") === col("__exact"), 1L).otherwise(0L))
+        .cast("long").as("perfect_queries"))
+  }
+
   /** IVF + PQ composed — the standard billion-scale ANN shape: coarse
     * cells bound WHICH candidates are scored (a query touches its
     * `nprobe` cells ≈ nprobe/nlist of the corpus, an equi-join) and PQ

@@ -741,6 +741,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("recallReport: overlap counting, ppm math, perfect-query tally") {
+    val sps = spark; import sps.implicits._
+    // query 1: exact {10,11,12}, approx hits 2 of 3 -> 666666 ppm
+    // query 2: exact {20,21}, approx hits both -> perfect
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), (2L, 21L), (2L, 20L))
+      .toDF("query_id", "neighbor_id")
+    val r = Embeddings.recallReport(approx, exact).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == (666666L + 1000000L) / 2)
+    assert(r.getLong(2) == 666666L)
+    assert(r.getLong(3) == 1L)
+    // identical inputs: full recall
+    val perfect = Embeddings.recallReport(exact, exact).head()
+    assert(perfect.getLong(1) == 1000000L && perfect.getLong(3) == 2L)
+  }
+
   test("ivfpq: full probe equals plain PQ; partial probe prunes but keeps in-cell order") {
     val sps = spark; import sps.implicits._
     val vecs = (1 to 60).map { i =>
