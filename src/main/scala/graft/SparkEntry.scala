@@ -1578,6 +1578,24 @@ object SparkEntry {
                CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""").as("url"))
         UrlOps.domainReport(urls, "url").orderBy("domain")
       }),
+      // HTML -> text extraction on synthesized pages (script/style with
+      // embedded '<', entities incl. double-escapes, block breaks);
+      // per-doc md5 + length of the extraction, replayed byte for byte
+      "q_html_extract" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val pages = s.table("documents").select(col("doc_id"), expr(
+          """concat('<html><head><title>', source, '</title>',
+                    '<style type="text/css">body{margin:0}</style>',
+                    '<script>if(1<2){track()}</script></head>',
+                    '<body><h1>Doc ', CAST(doc_id AS STRING), '</h1><p>', text,
+                    '</p><ul><li>Tag &amp;amp; entity &lt;test&gt;</li></ul>',
+                    '<br/>&nbsp;end</body></html>')""").as("html"))
+        pages.select(col("doc_id"),
+            TextAnalysis.extractHtmlText(col("html")).as("t"))
+          .select(col("doc_id"), length(col("t")).cast("long").as("chars"),
+            substring(md5(col("t")), 1, 16).as("extract_md5"))
+          .orderBy("doc_id")
+      }),
       "q_source_report" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         TextAnalysis.sourceReport(s.table("documents"), "text", "source")
@@ -2952,6 +2970,34 @@ object SparkEntry {
       SELECT CAST(round(q * 1e6) AS BIGINT) AS q_ppm,
              CAST(round(value * 1e6) AS BIGINT) AS value_e6
       FROM vals ORDER BY q_ppm""",
+    // identical page synthesis, then the same regex pipeline with RE2 +
+    // the 'g' flag; entity decodes are plain replaces with &amp; LAST so
+    // double-escapes stay literal in both engines
+    "q_html_extract" -> """
+      WITH pages AS (SELECT doc_id,
+        concat('<html><head><title>', source, '</title>',
+               '<style type="text/css">body{margin:0}</style>',
+               '<script>if(1<2){track()}</script></head>',
+               '<body><h1>Doc ', CAST(doc_id AS VARCHAR), '</h1><p>', text,
+               '</p><ul><li>Tag &amp;amp; entity &lt;test&gt;</li></ul>',
+               '<br/>&nbsp;end</body></html>') AS html
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(html,
+               '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM pages),
+      s2 AS (SELECT doc_id, regexp_replace(t,
+               '(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br[^>]*>',
+               chr(10), 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+      s4 AS (SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                 '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g'),
+                 '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s4)
+      SELECT doc_id, CAST(length(t) AS BIGINT) AS chars,
+             substring(md5(t), 1, 16) AS extract_md5
+      FROM s5 ORDER BY doc_id""",
     // full canonicalization replay: same synthesized strings, then the
     // documented contract step by step (scheme/host lower, fragment off,
     // default-port strip, tracking filter + byte sort, path normalize)

@@ -203,6 +203,33 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"), urlPattern, "<URL>")
 
+  /** HTML → text extraction — the first step of every web-curation
+    * pipeline (the trafilatura/jusText role, as a deterministic
+    * regex-pipeline baseline): script/style blocks dropped wholesale,
+    * block-closing tags become line breaks, remaining tags strip to a
+    * space, the five predefined XML entities plus `&nbsp;`/`&#39;`
+    * decode, whitespace collapses. Patterns stay inside the Java-regex ∩
+    * RE2 common subset ([[redactPii]]'s discipline: character classes,
+    * plain + non-greedy quantifiers, `(?is)` flags), so DuckDB replays
+    * the extraction byte for byte. Row-local, codegen'd, no shuffle.
+    *
+    * This is a BASELINE extractor: it does not score content density or
+    * drop nav/boilerplate — chain [[dropDuplicateLines]] (corpus
+    * boilerplate) and the quality metrics for that.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val breaks = regexp_replace(noScript,
+      "(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST: &amp;lt; -> &lt; stays literal
+    ).foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Split documents into fixed-size token chunks with overlap — the
     * chunking step of embedding/training pipelines. Whitespace tokens;
     * chunk i covers tokens [i*stride, i*stride + chunkTokens) with

@@ -41,6 +41,28 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text")
   }
 
+  test("html extraction: scripts die wholesale, entities decode, double-escapes stay") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "<p>Hello <b>world</b></p>" -> "Hello world",
+      // '<' inside script must not break the wholesale strip
+      "<script>if(1<2){x()}</script>after" -> "after",
+      "<style a=b>.c{d:e}</style>kept" -> "kept",
+      // block closers break words apart; inline tags just space
+      "<div>one</div><div>two</div>" -> "one two",
+      "a<br/>b" -> "a b",
+      // entities, incl. the double-escape &amp;lt; -> literal &lt;
+      "x &amp; y &lt;z&gt; &quot;q&quot; &#39;s&#39; &nbsp;w" -> "x & y <z> \"q\" 's' w",
+      "&amp;lt;literal&amp;gt;" -> "&lt;literal&gt;",
+      "  <p>  spaced   out  </p>  " -> "spaced out")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"extraction drift: got '$g' want '$want'")
+    }
+  }
+
   test("url canonicalization: every contract clause hand-checked") {
     val s = spark
     import s.implicits._
