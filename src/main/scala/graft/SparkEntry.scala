@@ -307,6 +307,21 @@ object SparkEntry {
       // accuracy from 256/500 base rate); the micro-unit final weights
       // and the training accuracy pin every per-row sigmoid/gradient
       // across all rounds
+      // classifier operating-point sweep with FIXED weights (the trained
+      // model's eval twin, oracle-compact): one agg pass, 3 thresholds,
+      // integer ppm precision/recall/F1
+      "q_classifier_eval" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents").withColumn("__m", expr("text_metrics(text)"))
+        val fSw = col("__m.sw_hits").cast("double") / col("__m.toks").cast("double")
+        val fToks = col("__m.toks").cast("double") / lit(100.0)
+        val fLen = col("__m.chars").cast("double") / col("__m.words").cast("double") / lit(10.0)
+        val score = Classify.logisticScore(Array(-2.0, 1.5, 0.8, -0.5),
+          Seq(fSw, fToks, fLen))
+        val y = when(col("n_chars") >= 300, 1.0).otherwise(0.0)
+        Classify.evalReport(docs, score, y, Seq(0.3, 0.5, 0.7))
+          .orderBy("threshold_e6")
+      }),
       "q_logistic" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val docs = s.table("documents").withColumn("__m", expr("text_metrics(text)"))
@@ -2265,6 +2280,35 @@ object SparkEntry {
     "q_bpe" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql(6, 20),
     "q_logistic" -> logisticOracleSql(10, 5.0),
+    "q_classifier_eval" -> {
+      val enList = graft.operators.LangId.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH m AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+               1.0 / (1.0 + exp(-(-2.0
+                 + 1.5 * (CAST(sw_hits AS DOUBLE) / CAST(toks AS DOUBLE))
+                 + 0.8 * (CAST(toks AS DOUBLE) / 100.0)
+                 + -0.5 * (CAST(chars AS DOUBLE) / CAST(words AS DOUBLE) / 10.0)))) AS s
+        FROM (SELECT n_chars, length(text) AS chars,
+                     len(string_split(text, ' ')) AS words,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> list_contains($enList, x))) AS sw_hits,
+                     len(string_split_regex(lower(text), '\\s+')) AS toks
+              FROM documents)),
+      t AS (SELECT unnest([0.3, 0.5, 0.7]) AS th),
+      c AS (SELECT CAST(round(th * 1e6) AS BIGINT) AS threshold_e6,
+                   CAST(SUM(CASE WHEN s >= th AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN s >= th AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN s < th AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN s < th AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM m, t GROUP BY th)
+      SELECT threshold_e6, tp, fp, fn, tn,
+             CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+             CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
+             CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                  ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+      FROM c ORDER BY threshold_e6"""
+    },
     "q_expect" -> """
       WITH a AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS total,

@@ -72,4 +72,41 @@ object Classify {
       weights
     } finally base.unpersist() // a failed round must not pin the cache
   }
+
+  /** Threshold sweep of a binary scorer: per threshold, the confusion
+    * counts and integer precision/recall/F1 (ppm; 0 when the denominator
+    * is 0) — the operating-point picker for a quality classifier before
+    * it gates a corpus. ONE aggregation pass regardless of threshold
+    * count (each threshold adds four conditional sums to the same agg,
+    * not a scan); the explode below unpacks a single driver-sized row.
+    * Predicted positive is `score >= t`; `label` must evaluate to
+    * 0.0/1.0. All-integer outputs replay exactly in SQL.
+    */
+  def evalReport(df: DataFrame, score: Column, label: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val y = label.cast("double")
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      val pos = score >= lit(t)
+      Seq(
+        sum(when(pos && y === 1.0, 1L).otherwise(0L)).cast("long").as(s"__tp$i"),
+        sum(when(pos && y === 0.0, 1L).otherwise(0L)).cast("long").as(s"__fp$i"),
+        sum(when(!pos && y === 1.0, 1L).otherwise(0L)).cast("long").as(s"__fn$i"),
+        sum(when(!pos && y === 0.0, 1L).otherwise(0L)).cast("long").as(s"__tn$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(math.round(t * 1e6)).as("threshold_e6"),
+        col(s"__tp$i").as("tp"), col(s"__fp$i").as("fp"),
+        col(s"__fn$i").as("fn"), col(s"__tn$i").as("tn"))
+    }
+    row.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.threshold_e6"), col("r.tp"), col("r.fp"), col("r.fn"), col("r.tn"))
+      .withColumn("precision_ppm", when(col("tp") + col("fp") === 0, 0L)
+        .otherwise(expr("tp * 1000000L div (tp + fp)")))
+      .withColumn("recall_ppm", when(col("tp") + col("fn") === 0, 0L)
+        .otherwise(expr("tp * 1000000L div (tp + fn)")))
+      .withColumn("f1_ppm", when(lit(2) * col("tp") + col("fp") + col("fn") === 0, 0L)
+        .otherwise(expr("2L * tp * 1000000L div (2L * tp + fp + fn)")))
+  }
 }

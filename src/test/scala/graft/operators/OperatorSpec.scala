@@ -741,6 +741,20 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("evalReport: confusion counts, ppm metrics, degenerate thresholds") {
+    val sps = spark; import sps.implicits._
+    // scores: positives at .9/.6, negatives at .7/.2
+    val df = Seq((0.9, 1.0), (0.6, 1.0), (0.7, 0.0), (0.2, 0.0)).toDF("s", "y")
+    val out = Classify.evalReport(df, col("s"), col("y"), Seq(0.5, 0.95))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // t=0.5: tp=2 fp=1 fn=0 tn=1; precision 2/3, recall 1, f1 4/5
+    assert(out(500000L) == ((2L, 1L, 0L, 1L, 666666L, 1000000L, 800000L)), out.toString)
+    // t=0.95: nothing predicted positive -> precision 0-guarded
+    assert(out(950000L) == ((0L, 0L, 2L, 2L, 0L, 0L, 0L)), out.toString)
+  }
+
   test("recallReport: overlap counting, ppm math, perfect-query tally") {
     val sps = spark; import sps.implicits._
     // query 1: exact {10,11,12}, approx hits 2 of 3 -> 666666 ppm
