@@ -520,6 +520,26 @@ object SparkEntry {
       // (user_id, ts) in this corpus, so DuckDB's native ASOF LEFT JOIN
       // replays it exactly; aggregate to matched/unmatched counts plus
       // exact id/lag checksums so every per-row match is on the hash path.
+      // forward as-of: each purchase takes its EARLIEST click at-or-after
+      // (ties to the largest click_id — the documented rightOrderCols
+      // policy); same single-shuffle plan with the time axis reversed
+      "q_asof_forward" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = s.table("events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        Events.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+            Seq("click_id"), rightOrderCols = Seq("click_id"),
+            direction = "forward")
+          .agg(count(lit(1)).cast("long").as("purchases"),
+            count(col("click_id")).cast("long").as("matched"),
+            sum(col("click_id")).cast("long").as("click_id_sum"),
+            sum(when(col("click_id").isNotNull,
+              col("event_id") * col("click_id") % lit(1000003L)))
+              .cast("long").as("pair_checksum"))
+      }),
       "q_asof_join" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val ev = s.table("events")
@@ -2772,6 +2792,25 @@ object SparkEntry {
       WHERE rank <= 10 ORDER BY rank""",
     // native ASOF LEFT JOIN (inclusive l.ts >= r.ts) — right side unique
     // on (user_id, ts), so the match DuckDB picks is the one match
+    // forward replay: per purchase the min-ts click at-or-after, ties to
+    // the largest click_id (the engine's rightOrderCols-asc last() winner)
+    "q_asof_forward" -> """
+      WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+      j AS (
+        SELECT p.event_id, p.user_id,
+               (SELECT c.click_id FROM c
+                WHERE c.user_id = p.user_id AND c.ts >= p.ts
+                ORDER BY c.ts ASC, c.click_id DESC LIMIT 1) AS click_id
+        FROM p)
+      SELECT CAST(COUNT(*) AS BIGINT) AS purchases,
+             CAST(COUNT(click_id) AS BIGINT) AS matched,
+             CAST(SUM(click_id) AS BIGINT) AS click_id_sum,
+             CAST(SUM(CASE WHEN click_id IS NOT NULL
+                           THEN event_id * click_id % 1000003 END) AS BIGINT) AS pair_checksum
+      FROM j""",
     "q_asof_join" -> """
       WITH p AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

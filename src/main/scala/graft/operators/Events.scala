@@ -108,12 +108,23 @@ object Events {
     * one wins is tie-broken by the LAST payload in `rightOrderCols` order
     * (DuckDB ASOF leaves this unspecified; pre-aggregate the right side
     * to unique (key, ts) when replaying against it).
+    *
+    * `direction` (the pandas merge_asof axis): "backward" (default,
+    * latest right ts <= left ts) or "forward" (EARLIEST right ts >= left
+    * ts — "next scheduled event after"); both inclusive, same single
+    * shuffle (the forward pass just reverses the time axis of the same
+    * running window), same tie policy, tolerance voids matches farther
+    * than `toleranceUs` in the match direction.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, payloadCols: Seq[String],
       toleranceUs: Option[Long] = None,
-      rightOrderCols: Seq[String] = Nil): DataFrame = {
+      rightOrderCols: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val fwd = direction == "forward"
     // The helper columns below would silently overwrite (or be dropped with)
     // same-named input columns, corrupting results — fail fast instead.
     val reserved = Seq("__us", "__side", "__rus", "__c_rus") ++
@@ -131,15 +142,19 @@ object Events {
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // Right rows (__side=0) sort before left rows at the same __us, so a
     // right event AT the left timestamp is visible — inclusive semantics.
-    val order = (col("__us").asc +: col("__side").asc +:
+    // Forward direction traverses time DESCENDING: the last non-null
+    // payload seen is then the SMALLEST right ts >= the left ts.
+    val tsOrder = if (fwd) col("__us").desc else col("__us").asc
+    val order = (tsOrder +: col("__side").asc +:
       rightOrderCols.map(c => col(s"__o_$c").asc))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payloadCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
     }.withColumn("__c_rus", last(col("__rus"), ignoreNulls = true).over(w))
+    val gap = if (fwd) col("__c_rus") - col("__us") else col("__us") - col("__c_rus")
     val inTol = toleranceUs match {
-      case Some(t) => col("__c_rus").isNotNull && col("__us") - col("__c_rus") <= t
+      case Some(t) => col("__c_rus").isNotNull && gap <= t
       case None    => col("__c_rus").isNotNull
     }
     val out = payloadCols.foldLeft(carried.where(col("__side") === 1)) { (df, c) =>

@@ -366,6 +366,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tie.toSeq == Seq(200L), tie.mkString(","))
   }
 
+  test("asof join forward: earliest-at-or-after, inclusive, tolerance, tie policy") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = spark.createDataFrame(Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")), // matches r2 exactly at ts (inclusive)
+      (11L, 1L, ts("2024-01-01 09:00:00")), // earliest AFTER -> r1 (09:30)
+      (12L, 1L, ts("2024-01-01 11:00:00")), // after every right row -> null
+      (13L, 2L, ts("2024-01-01 10:00:00"))  // key with no right rows -> null
+    )).toDF("event_id", "user_id", "ts")
+    val right = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 200L)
+    )).toDF("user_id", "ts", "click_id")
+    def run(df: org.apache.spark.sql.DataFrame, tolUs: Option[Long] = None) =
+      Events.asofJoin(left, df, Seq("user_id"), "ts", "ts", Seq("click_id"),
+          toleranceUs = tolUs, direction = "forward")
+        .select("event_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    assert(run(right).toSeq ==
+      Seq((10L, 200L), (11L, 100L), (12L, -1L), (13L, -1L)))
+    // 11 is 30min before r1 — a 10-minute forward tolerance voids it
+    assert(run(right, Some(600000000L)).toSeq ==
+      Seq((10L, 200L), (11L, -1L), (12L, -1L), (13L, -1L)))
+    // same-(key, ts) right tie: the LAST in rightOrderCols order wins
+    val right2 = right.union(spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 150L))).toDF("user_id", "ts", "click_id"))
+    val tie = Events.asofJoin(left.where(col("event_id") === 10L), right2,
+        Seq("user_id"), "ts", "ts", Seq("click_id"),
+        rightOrderCols = Seq("click_id"), direction = "forward")
+      .select("click_id").collect().map(_.getLong(0))
+    assert(tie.toSeq == Seq(200L), tie.mkString(","))
+  }
+
   test("unigram logprob: exact micro-unit sums, OOV floor, empty docs") {
     val docs = spark.createDataFrame(Seq(
       (1L, "a a b"), (2L, "b"), (3L, "")
