@@ -1613,6 +1613,13 @@ object SparkEntry {
                CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""").as("url"))
         UrlOps.domainReport(urls, "url").orderBy("domain")
       }),
+      // readability: Flesch reading ease with heuristic vowel-group
+      // syllables, per-doc integers + e3 score replayed exactly
+      "q_readability" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.readability(s.table("documents"), "text", "doc_id")
+          .orderBy("doc_id")
+      }),
       // HTML -> text extraction on synthesized pages (script/style with
       // embedded '<', entities incl. double-escapes, block breaks);
       // per-doc md5 + length of the extraction, replayed byte for byte
@@ -3053,6 +3060,24 @@ object SparkEntry {
       SELECT CAST(round(q * 1e6) AS BIGINT) AS q_ppm,
              CAST(round(value * 1e6) AS BIGINT) AS value_e6
       FROM vals ORDER BY q_ppm""",
+    "q_readability" -> """
+      WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS words,
+        GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS sentences,
+        CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x ->
+          GREATEST(1, CAST(len(regexp_extract_all(x, '[aeiouy]+')) AS BIGINT))))) AS BIGINT)
+          AS syllables
+        FROM t)
+      SELECT doc_id, words, sentences, syllables,
+             CASE WHEN words = 0 THEN NULL
+                  ELSE CAST(round((206.835
+                    - 1.015 * CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)
+                    - 84.6 * CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                    * 1000.0) AS BIGINT) END AS flesch_e3
+      FROM m ORDER BY doc_id""",
     // identical page synthesis, then the same regex pipeline with RE2 +
     // the 'g' flag; entity decodes are plain replaces with &amp; LAST so
     // double-escapes stay literal in both engines

@@ -230,6 +230,35 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Readability report (Flesch reading ease, heuristic syllables): per
+    * document the whitespace word count, sentence count (runs of
+    * `[.!?]`, min 1 so fragments don't divide by zero), syllable count
+    * (per word: vowel-group runs `[aeiouy]+`, min 1 — the standard
+    * dictionary-free approximation) and
+    * `flesch_e3 = round((206.835 − 1.015·W/S − 84.6·Y/W)·1000)`.
+    * A classic quality-filter feature (too-low = word salad / OCR junk,
+    * implausibly high = template text). Row-local codegen'd regex + HOF
+    * arithmetic in the Java∩RE2 subset; the oracle replays per-document
+    * integers and the e3 score exactly. English-centric heuristic —
+    * gate on `lang` first.
+    */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val words = size(toks).cast("long")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val syllables = aggregate(toks, lit(0L), (acc, t) =>
+      acc + greatest(lit(1L),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long")))
+    df.select(col(idCol), words.as("words"), sentences.as("sentences"),
+        syllables.as("syllables"))
+      .withColumn("flesch_e3", when(col("words") === 0, lit(null).cast("long"))
+        .otherwise(round((lit(206.835)
+          - lit(1.015) * col("words").cast("double") / col("sentences").cast("double")
+          - lit(84.6) * col("syllables").cast("double") / col("words").cast("double"))
+          * lit(1000.0)).cast("long")))
+  }
+
   /** Split documents into fixed-size token chunks with overlap — the
     * chunking step of embedding/training pipelines. Whitespace tokens;
     * chunk i covers tokens [i*stride, i*stride + chunkTokens) with

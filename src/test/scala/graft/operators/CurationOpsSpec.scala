@@ -41,6 +41,28 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text")
   }
 
+  test("readability: hand-counted words/sentences/syllables and flesch") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),   // 6 words, 2 sentences, 6 syllables
+      (2L, "incomprehensibilities"),       // 1 word, 1 "sentence" (min), 8 vowel groups
+      (3L, "")                              // empty: 0 words -> NULL flesch
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         if (r.isNullAt(4)) Long.MinValue else r.getLong(4))).toMap
+    val f1 = math.round((206.835 - 1.015 * 6.0 / 2.0 - 84.6 * 6.0 / 6.0) * 1000.0)
+    assert(out(1L) == ((6L, 2L, 6L, f1)), out(1L).toString)
+    // i-nco-mpre-he-nsi-bi-li-ti-es: vowel groups i,o,e,e,i,i,i,i,e(s)=9?
+    // count by the rule, not by phonetics: [aeiouy]+ runs in the word
+    val runs = "incomprehensibilities".split("[^aeiouy]+").count(_.nonEmpty)
+    assert(out(2L)._3 == runs.toLong, s"syllables ${out(2L)._3} want $runs")
+    assert(out(2L)._1 == 1L && out(2L)._2 == 1L)
+    assert(out(3L) == ((0L, 1L, 0L, Long.MinValue)), out(3L).toString)
+  }
+
   test("html extraction: scripts die wholesale, entities decode, double-escapes stay") {
     val s = spark
     import s.implicits._
