@@ -1613,6 +1613,35 @@ object SparkEntry {
                CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""").as("url"))
         UrlOps.domainReport(urls, "url").orderBy("domain")
       }),
+      // JSONL quarantine ingest: hand-built JSON lines (identical string
+      // construction in both engines), every 17th truncated-corrupt;
+      // PERMISSIVE parse splits good rows from quarantined raw lines
+      "q_jsonl_ingest" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val lines = s.table("documents")
+          .select(concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+            lit(", \"source\": \""), col("source"), lit("\", \"n_chars\": "),
+            col("n_chars").cast("string"), lit("}")).as("l"),
+            col("doc_id"))
+          .select(when(col("doc_id") % 17 === 0,
+            col("l").substr(lit(1), length(col("l")) - lit(5)))
+            .otherwise(col("l")).as("line"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+        lines.coalesce(4).write.mode("overwrite").text(tmp)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        val (good, bad) = graft.sources.JsonlIngest.ingest(s, tmp, schema)
+        good.agg(count(lit(1)).cast("long").as("good_rows"),
+            sum("doc_id").cast("long").as("id_sum"),
+            countDistinct("source").cast("long").as("sources"))
+          .crossJoin(bad.agg(count(lit(1)).cast("long").as("quarantined"),
+            sum(length(col("raw_line"))).cast("long").as("quarantine_chars")))
+      }),
       // readability: Flesch reading ease with heuristic vowel-group
       // syllables, per-doc integers + e3 score replayed exactly
       "q_readability" -> ((s: SparkSession, dir: String) => {
@@ -3060,6 +3089,22 @@ object SparkEntry {
       SELECT CAST(round(q * 1e6) AS BIGINT) AS q_ppm,
              CAST(round(value * 1e6) AS BIGINT) AS value_e6
       FROM vals ORDER BY q_ppm""",
+    // the same hand-built lines; good rows are the %17!=0 docs, the
+    // quarantine is the truncated lines (raw text lands in the corrupt
+    // column, so its length is the truncated length)
+    "q_jsonl_ingest" -> """
+      WITH l AS (SELECT doc_id, source,
+        concat('{"doc_id": ', CAST(doc_id AS VARCHAR), ', "source": "', source,
+               '", "n_chars": ', CAST(n_chars AS VARCHAR), '}') AS line
+        FROM documents),
+      g AS (SELECT CAST(COUNT(*) AS BIGINT) AS good_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS sources
+            FROM l WHERE doc_id % 17 <> 0),
+      b AS (SELECT CAST(COUNT(*) AS BIGINT) AS quarantined,
+                   CAST(SUM(length(line) - 5) AS BIGINT) AS quarantine_chars
+            FROM l WHERE doc_id % 17 = 0)
+      SELECT good_rows, id_sum, sources, quarantined, quarantine_chars FROM g, b""",
     "q_readability" -> """
       WITH t AS (SELECT doc_id, text,
         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks

@@ -86,7 +86,12 @@ object PlanDump {
       "q_upsert_incr" -> "incremental merge: union of snapshot + slice feeds the SAME partial+final struct-argmax as q_upsert — one key exchange, no history re-fold",
       "q_qbin" -> "quantile binning: ONE hist_sketch aggregate, broadcast thresholds, CASE bucket in the scan projection, bucket-keyed rollup",
       "q_graph_stats" -> "degree distribution: two chained partial+final aggregates (node degree then histogram) over the checkpointed edge relation",
-      "q_copurchase" -> "co-occurrence graph build: group-keyed collect_set (partial ObjectHashAggregate), row-local pair explode (quadratic only within capped groups), pair-keyed partial+final count, TakeOrdered")
+      "q_copurchase" -> "co-occurrence graph build: group-keyed collect_set (partial ObjectHashAggregate), row-local pair explode (quadratic only within capped groups), pair-keyed partial+final count, TakeOrdered",
+      "q_url_canon" -> "URL canonicalization: the whole contract (case/fragment/ports/params/path) is ONE codegen'd string-function projection on the scan; one domain-keyed partial+final agg",
+      "q_html_extract" -> "HTML->text: the regex pipeline rides the scan in one codegen stage - per-doc md5 output, zero exchanges before the final sort",
+      "q_asof_forward" -> "forward as-of: the SAME tagged-union single-exchange running-window plan as backward, time axis reversed - no range join, no per-key collect",
+      "q_quantiles_auto" -> "unknown-domain quantiles: two narrow aggregate-only scans (min/max, then hist_sketch); no sort, no data-keyed exchange",
+      "q_classifier_eval" -> "classifier sweep: one aggregation pass carries every threshold's four conditional sums; the explode unpacks a single driver-sized row")
     val sb = new StringBuilder
     sb.append("# Physical plans of representative gate queries (sf0.01)\n\n")
     sb.append("Generated by `graft.tools.PlanDump`; regenerate after plan-affecting changes.\n")
