@@ -1613,6 +1613,16 @@ object SparkEntry {
                CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""").as("url"))
         UrlOps.domainReport(urls, "url").orderBy("domain")
       }),
+      // dense global ids ordered by (source, doc_id): range partition +
+      // zipWithIndex; oracle replays row_number() - 1
+      "q_dense_ids" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        graft.operators.Ids.assignSequential(
+            s.table("documents").select("doc_id", "source"),
+            Seq("source", "doc_id"))
+          .select(col("doc_id"), col("source"), col("seq_id"))
+          .orderBy("seq_id")
+      }),
       // JSONL quarantine ingest: hand-built JSON lines (identical string
       // construction in both engines), every 17th truncated-corrupt;
       // PERMISSIVE parse splits good rows from quarantined raw lines
@@ -3089,6 +3099,10 @@ object SparkEntry {
       SELECT CAST(round(q * 1e6) AS BIGINT) AS q_ppm,
              CAST(round(value * 1e6) AS BIGINT) AS value_e6
       FROM vals ORDER BY q_ppm""",
+    "q_dense_ids" -> """
+      SELECT doc_id, source,
+             CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS seq_id
+      FROM documents ORDER BY seq_id""",
     // the same hand-built lines; good rows are the %17!=0 docs, the
     // quarantine is the truncated lines (raw text lands in the corrupt
     // column, so its length is the truncated length)

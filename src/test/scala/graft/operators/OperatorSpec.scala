@@ -774,6 +774,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("assignSequential: dense 0..n-1, order-determined, partition-count invariant") {
+    val sps = spark; import sps.implicits._
+    val df = (1 to 500).map(i => ((i * 7919) % 1000L, s"g${i % 3}")).toDF("k", "g")
+    def ids(p: Int) = Ids.assignSequential(df, Seq("g", "k"), partitions = p)
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val a = ids(3)
+    assert(a.values.toSeq.sorted == (0L until 500L).toSeq, "ids not dense 0..n-1")
+    // id == global rank under (g, k)
+    val want = df.collect().map(r => (r.getString(1), r.getLong(0)))
+      .sorted.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+    assert(a == want)
+    // partitioning never changes an id
+    assert(ids(1) == a && ids(13) == a)
+    intercept[IllegalArgumentException] {
+      Ids.assignSequential(df.withColumn("seq_id", lit(1)), Seq("k"))
+    }
+  }
+
   test("evalReport: confusion counts, ppm metrics, degenerate thresholds") {
     val sps = spark; import sps.implicits._
     // scores: positives at .9/.6, negatives at .7/.2
