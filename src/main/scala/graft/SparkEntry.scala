@@ -1613,6 +1613,13 @@ object SparkEntry {
                CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""").as("url"))
         UrlOps.domainReport(urls, "url").orderBy("domain")
       }),
+      // dataset-card corpus summary: one (metric, value) block
+      "q_corpus_report" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        TextAnalysis.corpusReport(s.table("documents"), "text", "doc_id",
+            "lang", "source")
+          .orderBy("metric")
+      }),
       // dense global ids ordered by (source, doc_id): range partition +
       // zipWithIndex; oracle replays row_number() - 1
       "q_dense_ids" -> ((s: SparkSession, dir: String) => {
@@ -3099,6 +3106,26 @@ object SparkEntry {
       SELECT CAST(round(q * 1e6) AS BIGINT) AS q_ppm,
              CAST(round(value * 1e6) AS BIGINT) AS value_e6
       FROM vals ORDER BY q_ppm""",
+    "q_corpus_report" -> """
+      WITH a AS (SELECT
+        CAST(COUNT(*) AS BIGINT) AS docs,
+        CAST(SUM(length(text)) AS BIGINT) AS chars,
+        CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> x <> ''))) AS BIGINT) AS tokens,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS sources,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS languages,
+        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+        CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs
+        FROM documents)
+      SELECT 'docs' AS metric, docs AS value FROM a
+      UNION ALL SELECT 'chars', chars FROM a
+      UNION ALL SELECT 'tokens', tokens FROM a
+      UNION ALL SELECT 'sources', sources FROM a
+      UNION ALL SELECT 'languages', languages FROM a
+      UNION ALL SELECT 'distinct_texts', distinct_texts FROM a
+      UNION ALL SELECT 'empty_docs', empty_docs FROM a
+      UNION ALL SELECT 'duplicate_docs', docs - distinct_texts FROM a
+      ORDER BY metric""",
     "q_dense_ids" -> """
       SELECT doc_id, source,
              CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS seq_id

@@ -230,6 +230,34 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Dataset-card summary: the one-table corpus overview every release
+    * ships — document/char/token totals, per-source and per-language
+    * breadth, exact-duplicate and empty-document counts — as (metric,
+    * value BIGINT) rows. TWO aggregation passes total: one plain
+    * single-row agg over row-local metrics, one distinct-count agg on
+    * the md5 fingerprint (the dedup number needs the corpus-wide
+    * distinct, everything else rides the first scan).
+    */
+  def corpusReport(df: DataFrame, textCol: String, idCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val toks = size(filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")))
+    val row = df.agg(
+      count(lit(1)).cast("long").as("docs"),
+      sum(length(col(textCol))).cast("long").as("chars"),
+      sum(toks).cast("long").as("tokens"),
+      countDistinct(col(sourceCol)).cast("long").as("sources"),
+      countDistinct(col(langCol)).cast("long").as("languages"),
+      countDistinct(md5(col(textCol))).cast("long").as("distinct_texts"),
+      sum(when(length(col(textCol)) === 0, 1L).otherwise(0L)).cast("long").as("empty_docs"))
+    val metrics = Seq("docs", "chars", "tokens", "sources", "languages",
+      "distinct_texts", "empty_docs")
+    row
+      .withColumn("duplicate_docs", col("docs") - col("distinct_texts"))
+      .select(explode(array((metrics :+ "duplicate_docs").map(m =>
+        struct(lit(m).as("metric"), col(m).as("value"))): _*)).as("r"))
+      .select(col("r.metric"), col("r.value"))
+  }
+
   /** Readability report (Flesch reading ease, heuristic syllables): per
     * document the whitespace word count, sentence count (runs of
     * `[.!?]`, min 1 so fragments don't divide by zero), syllable count
