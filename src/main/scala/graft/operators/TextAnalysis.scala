@@ -233,22 +233,29 @@ object TextAnalysis {
   /** Dataset-card summary: the one-table corpus overview every release
     * ships — document/char/token totals, per-source and per-language
     * breadth, exact-duplicate and empty-document counts — as (metric,
-    * value BIGINT) rows. TWO aggregation passes total: one plain
-    * single-row agg over row-local metrics, one distinct-count agg on
-    * the md5 fingerprint (the dedup number needs the corpus-wide
-    * distinct, everything else rides the first scan).
+    * value BIGINT) rows. The three COUNT(DISTINCT)s are written as
+    * SEPARATE single-row aggregations crossJoined back (the q_hll
+    * discipline): packed into one agg with the base metrics, Spark
+    * plans a 4-way Expand that multiplies every FULL-width scan row —
+    * text-derived sums included — into the first shuffle. From the
+    * separate form the optimizer may still merge a narrow pair (it
+    * fuses the lang+md5 distincts into one 2-way Expand of just those
+    * two columns) — that residual is the optimizer's own narrow-column
+    * trade, not the full-width blowup this structure avoids.
     */
   def corpusReport(df: DataFrame, textCol: String, idCol: String,
       langCol: String, sourceCol: String): DataFrame = {
     val toks = size(filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")))
-    val row = df.agg(
+    val base = df.agg(
       count(lit(1)).cast("long").as("docs"),
       sum(length(col(textCol))).cast("long").as("chars"),
       sum(toks).cast("long").as("tokens"),
-      countDistinct(col(sourceCol)).cast("long").as("sources"),
-      countDistinct(col(langCol)).cast("long").as("languages"),
-      countDistinct(md5(col(textCol))).cast("long").as("distinct_texts"),
       sum(when(length(col(textCol)) === 0, 1L).otherwise(0L)).cast("long").as("empty_docs"))
+    val srcs = df.agg(countDistinct(col(sourceCol)).cast("long").as("sources"))
+    val langs = df.agg(countDistinct(col(langCol)).cast("long").as("languages"))
+    val texts = df.agg(countDistinct(md5(col(textCol))).cast("long").as("distinct_texts"))
+    val row = base.crossJoin(broadcast(srcs))
+      .crossJoin(broadcast(langs)).crossJoin(broadcast(texts))
     val metrics = Seq("docs", "chars", "tokens", "sources", "languages",
       "distinct_texts", "empty_docs")
     row
