@@ -68,8 +68,14 @@ object UrlOps {
       .otherwise(lastTwo)
   }
 
-  /** The canonical URL (contract in the object doc). */
-  def canonicalizeUrl(url: Column): Column = {
+  /** The canonical URL (contract in the object doc); inputs without an
+    * explicit `scheme://` pass through unchanged (the guard lives HERE,
+    * so direct callers get the documented behavior, not mangled output).
+    */
+  def canonicalizeUrl(url: Column): Column =
+    when(url.contains("://"), canonicalizeSchemed(url)).otherwise(url)
+
+  private def canonicalizeSchemed(url: Column): Column = {
     val s = trim(url)
     val scheme = lower(substring_index(s, "://", 1))
     val rest = substring_index(s, "://", -1)
@@ -106,10 +112,8 @@ object UrlOps {
     * domain-keyed aggregation; canonicalization rides the scan.
     */
   def domainReport(df: DataFrame, urlCol: String): DataFrame = {
-    val canon = canonicalizeUrl(col(urlCol))
-    val guarded = when(col(urlCol).contains("://"), canon).otherwise(col(urlCol))
     df.select(registeredDomain(hostOf(col(urlCol))).as("domain"),
-        guarded.as("canonical_url"))
+        canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .groupBy("domain")
       .agg(count(lit(1)).cast("long").as("pages"),
         countDistinct(col("canonical_url")).cast("long").as("distinct_urls"))

@@ -105,7 +105,10 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // query without path
       "http://a.com?b=2&a=1" -> "http://a.com/?a=1&b=2",
       // '?' inside fragment is not a query
-      "http://a.com/x#sec?notaquery=1" -> "http://a.com/x")
+      "http://a.com/x#sec?notaquery=1" -> "http://a.com/x",
+      // no scheme: pass through unchanged (guard inside canonicalizeUrl)
+      "mailto:someone@example.com" -> "mailto:someone@example.com",
+      "not a url" -> "not a url")
     val got = cases.map(_._1).toDF("url")
       .select(UrlOps.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
     cases.map(_._2).zip(got).foreach { case (want, g) =>
