@@ -1439,6 +1439,8 @@ case class PqAdcE6(left: Expression, right: Expression,
     var j = 0
     while (j < m) {
       val c = codesArr.getInt(j)
+      require(c >= 0 && c < codebooks(j).length,
+        s"pq_adc_e6: code $c out of range for subspace $j (ksub=${codebooks(j).length}) — codes from a different codebook?")
       total += PqMath.subDistE6(q, j * sub, codebooks(j)(c))
       j += 1
     }

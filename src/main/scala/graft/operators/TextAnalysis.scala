@@ -215,7 +215,10 @@ object TextAnalysis {
     *
     * This is a BASELINE extractor: it does not score content density or
     * drop nav/boilerplate — chain [[dropDuplicateLines]] (corpus
-    * boilerplate) and the quality metrics for that.
+    * boilerplate) and the quality metrics for that. Regex-stripper
+    * limitation (inherent, shared by every non-parsing extractor): a
+    * BARE `<` in running text followed by a later `>` is eaten as if it
+    * were a tag — entity-encoded pages (`&lt;`) are unaffected.
     */
   def extractHtmlText(html: Column): Column = {
     val noScript = regexp_replace(html,

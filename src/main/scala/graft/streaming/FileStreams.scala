@@ -262,7 +262,10 @@ object FileStreams {
     * Emitted set under one drain, in-event-time-order arrivals, for keys
     * whose duplicates all fall within `delay` of the first sighting:
     * exactly the batch first-sighting set (spec-pinned); only duplicates
-    * separated by more than the watermark horizon re-emit.
+    * separated by more than the watermark horizon re-emit. As with
+    * [[distinctKeys]], the emitted KEY set is deterministic but WHICH
+    * duplicate row's `tsCol` survives a within-batch race is not —
+    * determinism-sensitive callers project the key columns only.
     */
   def distinctKeysWithinWatermark(rows: DataFrame, tsCol: String,
       keyCols: Seq[String], delay: String): DataFrame =
