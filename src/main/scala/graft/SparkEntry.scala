@@ -1098,6 +1098,28 @@ object SparkEntry {
             k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16)
           .orderBy("query_id", "rank")
       }),
+      // multi-probe LSH recall curve vs the exact baseline: Hamming-ball
+      // query-side probing recovers the recall a single coarse bucket
+      // loses (12% -> 44% -> 84% at prefixBits=4) — golden pin, audited
+      // round 9 (the hyperplane constants are not SQL-expressible)
+      "q_ann_lsh_probe" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val exact = Embeddings.bruteForceTopK(emb, "vec", "vec_id",
+          queries, "qvec", "qid", 5)
+        (0 to 2).map { p =>
+          Embeddings.recallReport(
+              Embeddings.lshTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+                5, prefixBits = 4, multiProbe = p), exact)
+            .withColumn("probe", lit(p))
+        }.reduce(_.unionByName(_))
+          .select(col("probe"), col("queries"), col("mean_recall_ppm"),
+            col("min_recall_ppm"), col("perfect_queries"))
+          .orderBy("probe")
+      }),
       // recall@5 of the IVF path vs the exact baseline — the eval that
       // justifies an ANN configuration; every stage deterministic, both
       // pipelines + the overlap count replayed live
@@ -3707,6 +3729,17 @@ object SparkEntry {
                row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
         FROM adc)
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    // golden pin (sf0.01): deterministic planes + integer recall rollups,
+    // audited against a live run round 9 — the multi-probe recall curve
+    "q_ann_lsh_probe" -> """
+      SELECT CAST(probe AS INT) AS probe, CAST(queries AS BIGINT) AS queries,
+             CAST(mean AS BIGINT) AS mean_recall_ppm,
+             CAST(mn AS BIGINT) AS min_recall_ppm,
+             CAST(perfect AS BIGINT) AS perfect_queries
+      FROM (VALUES (0, 10, 120000, 0, 0),
+                   (1, 10, 440000, 0, 0),
+                   (2, 10, 840000, 200000, 6)) t(probe, queries, mean, mn, perfect)
+      ORDER BY probe""",
     // recall@5: both pipelines (exact window ranking; IVF cell routing +
     // in-cell ranking) replayed, per-query overlap counted, integer
     // ppm recall rolled up exactly as the operator computes it

@@ -421,12 +421,37 @@ object Embeddings {
     * signature prefix with the query, ranked by exact cosine. Trades recall
     * for a bucket-equi-join instead of a full scan.
     */
+  /** `multiProbe` extends the query side to Hamming-adjacent buckets
+    * (multi-probe LSH, Lv et al. 2007): 0 = exact-prefix only; `p` adds
+    * every bucket within Hamming distance ≤ p of the query's prefix —
+    * a hyperplane sign near the decision boundary flips exactly one
+    * prefix bit, so probing 1-bit neighbors recovers most of the recall
+    * a single bucket loses, for (prefixBits choose ≤p) extra QUERY rows
+    * (the corpus side is untouched — still one signature + one
+    * equi-join). Monotone: every bucket probed at p is probed at p+1,
+    * so recall never decreases (spec-pinned).
+    */
   def lshTopK(embeddings: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
-      k: Int, prefixBits: Int = 12, seed: Long = 42L): DataFrame = {
+      k: Int, prefixBits: Int = 12, seed: Long = 42L,
+      multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= 2,
+      "multiProbe must be 0, 1 or 2 (beyond 2 probe the exact path instead)")
     val bucket = (sig: Column) => shiftrightunsigned(sig, 64 - prefixBits)
     val embB = embeddings.withColumn("__bucket", bucket(hyperplaneSignature(col(vecCol), 64, seed)))
-    val qryB = queries.withColumn("__bucket", bucket(hyperplaneSignature(col(queryVecCol), 64, seed)))
+    val qryB0 = queries.withColumn("__bucket", bucket(hyperplaneSignature(col(queryVecCol), 64, seed)))
+    // flip-masks for Hamming balls of radius <= multiProbe over prefixBits
+    val masks: Seq[Long] = 0L +: (multiProbe match {
+      case 0 => Seq.empty
+      case 1 => (0 until prefixBits).map(i => 1L << i)
+      case _ => (0 until prefixBits).map(i => 1L << i) ++
+        (for (i <- 0 until prefixBits; j <- i + 1 until prefixBits)
+          yield (1L << i) | (1L << j))
+    })
+    val qryB =
+      if (masks.size == 1) qryB0
+      else qryB0.withColumn("__bucket",
+        explode(array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)))
     val cands = embB.join(broadcast(qryB), "__bucket")
       .where(col(idCol) =!= col(queryIdCol))
       .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))

@@ -806,6 +806,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(950000L) == ((0L, 0L, 2L, 2L, 0L, 0L, 0L)), out.toString)
   }
 
+  test("multi-probe LSH: recall monotone in probe radius, candidates stay distinct") {
+    val sps = spark; import sps.implicits._
+    val vecs = (1 to 300).map { i =>
+      val a = i / 23.0
+      (i.toLong, Seq(math.cos(a), math.sin(a), math.cos(3 * a), math.sin(5 * a)))
+    }.toDF("vec_id", "vec")
+    val q = vecs.where(col("vec_id") <= 8L)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val exact = Embeddings.bruteForceTopK(vecs, "vec", "vec_id", q, "qvec", "qid", 5)
+    def recall(p: Int): Long = Embeddings.recallReport(
+      Embeddings.lshTopK(vecs, "vec", "vec_id", q, "qvec", "qid", 5,
+        prefixBits = 6, multiProbe = p), exact).head().getLong(1)
+    val r0 = recall(0); val r1 = recall(1); val r2 = recall(2)
+    assert(r0 <= r1 && r1 <= r2, s"recall not monotone: $r0, $r1, $r2")
+    assert(r2 > r0, s"probing neighbors recovered nothing ($r0 -> $r2) — fixture too easy?")
+    // probed buckets are distinct, so no (query, candidate) pair doubles
+    val mp = Embeddings.lshTopK(vecs, "vec", "vec_id", q, "qvec", "qid", 300,
+      prefixBits = 6, multiProbe = 2)
+    val pairs = mp.select("query_id", "neighbor_id").collect().map(_.toSeq)
+    assert(pairs.length == pairs.distinct.length)
+  }
+
   test("recallReport: overlap counting, ppm math, perfect-query tally") {
     val sps = spark; import sps.implicits._
     // query 1: exact {10,11,12}, approx hits 2 of 3 -> 666666 ppm
