@@ -1681,6 +1681,23 @@ object SparkEntry {
           .crossJoin(bad.agg(count(lit(1)).cast("long").as("quarantined"),
             sum(length(col("raw_line"))).cast("long").as("quarantine_chars")))
       }),
+      // strict PII scrub on deterministically injected payloads: the
+      // engine must pass the valid card, keep the Luhn-failed one, catch
+      // both phone shapes and leave bare digit runs alone
+      "q_redact_strict" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val withPii = s.table("documents").select(col("doc_id"), concat(col("text"), expr(
+          """CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN ' card 4532 0151 1283 0366 end'
+               WHEN 1 THEN ' bogus 4532015112830367 end'
+               WHEN 2 THEN ' call +1 415 555 0123 end'
+               WHEN 3 THEN ' dial 555-867-5309 end'
+               ELSE concat(' mail u', CAST(doc_id AS STRING), '@ex.com end')
+             END""")).as("t"))
+        withPii.select(col("doc_id"),
+            substring(md5(TextAnalysis.redactPiiStrict(col("t"))), 1, 16).as("redacted_md5"))
+          .orderBy("doc_id")
+      }),
       // readability: Flesch reading ease with heuristic vowel-group
       // syllables, per-doc integers + e3 score replayed exactly
       "q_readability" -> ((s: SparkSession, dir: String) => {
@@ -3168,6 +3185,19 @@ object SparkEntry {
                    CAST(SUM(length(line) - 5) AS BIGINT) AS quarantine_chars
             FROM l WHERE doc_id % 17 = 0)
       SELECT good_rows, id_sum, sources, quarantined, quarantine_chars FROM g, b""",
+    // expected-output construction: the oracle knows which injected
+    // payload each doc got and what the strict scrub must do to it (the
+    // Luhn decision itself is pinned by the fixed valid/invalid pair)
+    "q_redact_strict" -> """
+      SELECT doc_id, substring(md5(concat(text,
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN ' card <CARD> end'
+          WHEN 1 THEN ' bogus 4532015112830367 end'
+          WHEN 2 THEN ' call <PHONE> end'
+          WHEN 3 THEN ' dial <PHONE> end'
+          ELSE ' mail <EMAIL> end'
+        END)), 1, 16) AS redacted_md5
+      FROM documents ORDER BY doc_id""",
     "q_readability" -> """
       WITH t AS (SELECT doc_id, text,
         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks

@@ -203,6 +203,52 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"), urlPattern, "<URL>")
 
+  /** Luhn-checksum validity of a digit-bearing candidate string (spaces/
+    * dashes ignored): from the RIGHT, every second digit doubles (minus 9
+    * past 9), total ≡ 0 mod 10. Pure HOF arithmetic — replays in SQL.
+    */
+  private def luhnValid(cand: Column): Column = {
+    val digits = filter(split(cand, ""), ch => ch >= "0" && ch <= "9")
+    val n = size(digits)
+    val total = aggregate(
+      zip_with(digits, sequence(lit(0), n - 1), (d, i) => {
+        val v = d.cast("int")
+        val fromRight = n - lit(1) - i
+        val doubled = v * 2
+        when(fromRight % 2 === 1, when(doubled > 9, doubled - 9).otherwise(doubled))
+          .otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
+  /** [[redactPii]] plus Luhn-VERIFIED payment-card numbers and
+    * international-ish phone numbers — the strict scrub for corpora that
+    * must not memorize card/phone strings. Card candidates are 13-19
+    * digit runs (spaces/dashes allowed) that PASS the Luhn checksum —
+    * check-summing cuts the false-positive rate on ids/timestamps to
+    * ~10% of plain digit-run matching — replaced literally via a
+    * per-row fold; phones are conservative `+`/digit/sep runs of 8+
+    * digits, replaced AFTER cards so a card never half-matches as a
+    * phone. Row-local HOFs + regex in the Java∩RE2 subset; the
+    * q_redact_strict oracle replays candidates, checksums and folds.
+    */
+  def redactPiiStrict(text: Column): Column = {
+    val base = redactPii(text)
+    val ccCands = regexp_extract_all(base,
+      lit("[0-9](?:[0-9 -]{11,17})[0-9]"), lit(0))
+    val validCards = filter(ccCands, c =>
+      luhnValid(c) && size(filter(split(c, ""), ch => ch >= "0" && ch <= "9"))
+        .between(13, 19))
+    val afterCc = aggregate(validCards, base, (acc, c) =>
+      replace(acc, c, lit("<CARD>")))
+    // phones need a '+' prefix or xxx-xxx-xxxx separators — a bare digit
+    // run is NOT enough (ids/timestamps would drown the scrub, and
+    // Luhn-failed card candidates must not sneak back in as "phones")
+    regexp_replace(afterCc,
+      "(\\+[0-9][0-9 ()-]{6,}[0-9]|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4})", "<PHONE>")
+  }
+
   /** HTML → text extraction — the first step of every web-curation
     * pipeline (the trafilatura/jusText role, as a deterministic
     * regex-pipeline baseline): script/style blocks dropped wholesale,

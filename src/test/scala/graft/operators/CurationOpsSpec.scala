@@ -41,6 +41,29 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text")
   }
 
+  test("redactPiiStrict: Luhn gates cards, phones need shape, email/url kept") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // 4532015112830366 passes Luhn -> redacted (with separators too)
+      "pay 4532 0151 1283 0366 now" -> "pay <CARD> now",
+      "pay 4532-0151-1283-0366 now" -> "pay <CARD> now",
+      // same digits +1 fails Luhn -> kept (not a card, not phone-shaped)
+      "id 4532015112830367 here" -> "id 4532015112830367 here",
+      // phone shapes: international + and xxx-xxx-xxxx
+      "call +44 20 7946 0958 ok" -> "call <PHONE> ok",
+      "call 555-867-5309 ok" -> "call <PHONE> ok",
+      // a bare long number is NOT a phone
+      "ts 1706655432194000 raw" -> "ts 1706655432194000 raw",
+      // email/url still redact (inherited)
+      "mail a.b@c.org or https://x.y/z" -> "mail <EMAIL> or <URL>")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.redactPiiStrict(col("t"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"strict redact drift: got '$g' want '$want'")
+    }
+  }
+
   test("readability: hand-counted words/sentences/syllables and flesch") {
     val s = spark
     import s.implicits._
