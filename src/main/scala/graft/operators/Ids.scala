@@ -19,6 +19,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * choice yields the same id for every row (spec-asserted across
   * partition counts; the q_dense_ids oracle replays
   * `row_number() − 1`).
+  *
+  * Cost note: zipWithIndex round-trips FULL rows through the RDD layer
+  * (one deserialization pass). The narrow alternative — enumerate only
+  * `orderCols`, equi-join ids back — replaces that pass with a second
+  * full-width shuffle of the wide table; for the typical
+  * one-off-before-write use the single pass wins. Stamp ids BEFORE
+  * attaching heavyweight columns when possible.
   */
 object Ids {
 
