@@ -285,4 +285,46 @@ object Events {
         orderCols.map(col): _*),
       Seq(keyCol), "grid_ts", tsCol, Seq(valueCol), toleranceUs, orderCols)
   }
+
+  /** Per-key EWMA smoothing with EXACT integer recursion — the telemetry
+    * baseline/anomaly primitive: `e_1 = v_1`,
+    * `e_t = (alpha_ppm·v_t + (10^6 − alpha_ppm)·e_{t−1}) div 10^6`
+    * over micro-rounded values (`v_e6 = round(value·1e6)`, truncating
+    * integer division), ordered by (ts, value) within each key — a pure
+    * integer fold any engine replays bit for bit, where a double
+    * recursion would drift with libm/fold-shape differences. Emits per
+    * row the smoothed `ewma_e6` and the pre-update residual
+    * `dev_e6 = v_e6 − e_{t−1}` (0 for a key's first row) — threshold
+    * `abs(dev_e6)` for spike detection against the learned baseline.
+    *
+    * Scale shape: ONE key-keyed exchange; each key's history is
+    * assembled with sort_array(collect_list) and folded row-locally —
+    * per-key memory is the key's OWN history (telemetry keys: hundreds
+    * of points), never the corpus. The quadratic-ish array append in
+    * the fold is bounded by the same per-key count; keys with millions
+    * of rows belong in the windowed aggregations instead.
+    *
+    * @return (keyCol, us BIGINT, v_e6, ewma_e6, dev_e6)
+    */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000L, "alphaPpm must be in [0, 10^6]")
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        round(col(valueCol).cast("double") * lit(1e6)).cast("long").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__us"), col("__v")))).as("__h"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(__h,
+              CAST(array() AS ARRAY<STRUCT<us: BIGINT, v: BIGINT, e: BIGINT, d: BIGINT>>),
+              (acc, x) -> concat(acc, array(named_struct(
+                'us', x.__us, 'v', x.__v,
+                'e', CASE WHEN size(acc) = 0 THEN x.__v
+                          ELSE (${alphaPpm}L * x.__v +
+                                ${1000000L - alphaPpm}L * element_at(acc, -1).e) div 1000000L
+                     END,
+                'd', CASE WHEN size(acc) = 0 THEN 0L
+                          ELSE x.__v - element_at(acc, -1).e END))))""")).as("__r"))
+      .select(col(keyCol), col("__r.us").as("us"), col("__r.v").as("v_e6"),
+        col("__r.e").as("ewma_e6"), col("__r.d").as("dev_e6"))
+  }
 }

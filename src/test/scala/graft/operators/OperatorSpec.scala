@@ -366,6 +366,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tie.toSeq == Seq(200L), tie.mkString(","))
   }
 
+  test("ewmaSmooth: integer recursion by hand, first-row seed, trunc-div sign") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 4.0),
+      (1L, ts("2024-01-01 10:01:00"), 2.0),
+      (1L, ts("2024-01-01 10:02:00"), 3.0),
+      (2L, ts("2024-01-01 10:00:00"), 7.0)
+    )).toDF("k", "ts", "v")
+    val out = Events.ewmaSmooth(df, "k", "ts", "v", alphaPpm = 500000L)
+      .orderBy("k", "us").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // key 1: e=[4e6, (2+4)/2=3e6, (3+3)/2=3e6], dev=[0, -2e6, 0]
+    assert(out.toSeq == Seq(
+      (1L, 4000000L, 4000000L, 0L),
+      (1L, 2000000L, 3000000L, -2000000L),
+      (1L, 3000000L, 3000000L, 0L),
+      (2L, 7000000L, 7000000L, 0L)), out.mkString(","))
+    // truncating div toward ZERO on a negative ewma: e2 = -500000/1e6 -> 0
+    val neg = spark.createDataFrame(Seq(
+      (9L, ts("2024-01-01 10:00:00"), -0.000001),
+      (9L, ts("2024-01-01 10:01:00"), 0.0)
+    )).toDF("k", "ts", "v")
+    val e2 = Events.ewmaSmooth(neg, "k", "ts", "v", 500000L)
+      .orderBy("us").collect().map(_.getLong(3))
+    assert(e2.toSeq == Seq(-1L, 0L), s"trunc-div drift: ${e2.toSeq}")
+  }
+
   test("asof join forward: earliest-at-or-after, inclusive, tolerance, tie policy") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
