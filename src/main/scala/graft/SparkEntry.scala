@@ -1714,6 +1714,31 @@ object SparkEntry {
             substring(md5(TextAnalysis.redactPiiStrict(col("t"))), 1, 16).as("redacted_md5"))
           .orderBy("doc_id")
       }),
+      // CSV quarantine ingest: strict-arity parse — every 13th line is
+      // written SHORT (two fields) and must land verbatim in quarantine
+      "q_csv_ingest" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val lines = s.table("documents")
+          .select(when(col("doc_id") % 13 === 0,
+              concat(col("doc_id").cast("string"), lit(","), col("source")))
+            .otherwise(concat(col("doc_id").cast("string"), lit(","), col("source"),
+              lit(","), col("n_chars").cast("string"))).as("line"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+        lines.coalesce(4).write.mode("overwrite").text(tmp)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        val (good, bad) = graft.sources.JsonlIngest.ingestCsv(s, tmp, schema)
+        good.agg(count(lit(1)).cast("long").as("good_rows"),
+            sum("doc_id").cast("long").as("id_sum"),
+            sum("n_chars").cast("long").as("chars_sum"))
+          .crossJoin(bad.agg(count(lit(1)).cast("long").as("quarantined"),
+            sum(length(col("raw_line"))).cast("long").as("quarantine_chars")))
+      }),
       // readability: Flesch reading ease with heuristic vowel-group
       // syllables, per-doc integers + e3 score replayed exactly
       "q_readability" -> ((s: SparkSession, dir: String) => {
@@ -3211,6 +3236,16 @@ object SparkEntry {
       SELECT doc_id, source,
              CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS seq_id
       FROM documents ORDER BY seq_id""",
+    "q_csv_ingest" -> """
+      WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS good_rows,
+                        CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                        CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+                 FROM documents WHERE doc_id % 13 <> 0),
+      b AS (SELECT CAST(COUNT(*) AS BIGINT) AS quarantined,
+                   CAST(SUM(length(CAST(doc_id AS VARCHAR)) + 1 + length(source)) AS BIGINT)
+                     AS quarantine_chars
+            FROM documents WHERE doc_id % 13 = 0)
+      SELECT good_rows, id_sum, chars_sum, quarantined, quarantine_chars FROM g, b""",
     // the same hand-built lines; good rows are the %17!=0 docs, the
     // quarantine is the truncated lines (raw text lands in the corrupt
     // column, so its length is the truncated length)

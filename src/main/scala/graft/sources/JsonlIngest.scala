@@ -54,4 +54,35 @@ object JsonlIngest {
       .select(col("__raw").as("raw_line"))
     (good, bad)
   }
+
+  /** CSV sibling of [[read]]/[[ingest]] — same text + `from_csv`
+    * quarantine shape (one pass, verbatim bad lines), for headerless
+    * delimiter files. Arity is STRICT, unlike JSON's missing-field
+    * tolerance: a row with fewer fields than the schema quarantines
+    * (spec-pinned), as do unclosed quotes — only a NULL-valued field
+    * (`a,,c`) parses through as NULL.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ","): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
+    val withCorrupt = StructType(schema.fields :+
+      StructField(CorruptCol, StringType, nullable = true))
+    spark.read.text(path)
+      .select(col("value").as("__raw"),
+        from_csv(col("value"), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "sep" -> delimiter,
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("__r"))
+      .select(col("__raw") +: withCorrupt.fieldNames.map(f => col(s"__r.$f")): _*)
+  }
+
+  def ingestCsv(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ","): (DataFrame, DataFrame) = {
+    val raw = readCsv(spark, path, schema, delimiter)
+    val good = raw.where(col(CorruptCol).isNull).drop(CorruptCol, "__raw")
+    val bad = raw.where(col(CorruptCol).isNotNull)
+      .select(col("__raw").as("raw_line"))
+    (good, bad)
+  }
 }

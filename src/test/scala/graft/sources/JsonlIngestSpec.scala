@@ -49,4 +49,25 @@ class JsonlIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
         StructField(JsonlIngest.CorruptCol, StringType))))
     }
   }
+
+  test("csv ingest: typed parse, strict arity, empty field is NULL not corrupt") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_spec_").toString
+    val lines = Seq(
+      "1,alpha,1.5",
+      "2,\"unclosed quote,2.0",   // malformed -> quarantine
+      "3,gamma",                  // SHORT row -> quarantine (strict arity)
+      "5,,2.5",                   // empty field -> NULL value, still good
+      "4,delta,3.25")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.csv"),
+      String.join("\n", lines: _*).getBytes): Unit
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val (good, bad) = JsonlIngest.ingestCsv(spark, dir, schema)
+    val g = good.orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "-" else r.getString(1), r.getDouble(2)))
+    assert(g.toSeq == Seq((1L, "alpha", 1.5), (4L, "delta", 3.25), (5L, "-", 2.5)),
+      g.mkString(","))
+    assert(bad.collect().map(_.getString(0)).toSet == Set(lines(1), lines(2)))
+  }
 }
