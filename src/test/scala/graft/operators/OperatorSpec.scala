@@ -366,6 +366,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tie.toSeq == Seq(200L), tie.mkString(","))
   }
 
+  test("round-9 edge paths: pq dim guards, ewma empty/single, url host edges") {
+    val sps = spark; import sps.implicits._
+    // pqCodebooks: dim not divisible by m fails fast with the dims named
+    val vecs = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Embeddings.pqCodebooks(vecs, "vec", "vec_id", m = 2, ksub = 1)
+    }
+    assert(e.getMessage.contains("dim 3"), e.getMessage)
+    // pqEncode: wrong-length vector fails with both lengths named
+    val cb = Embeddings.pqCodebooks(
+      Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "vec"), "vec", "vec_id", 1, 1)
+    val err = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("vec")
+        .select(Embeddings.pqEncode(col("vec"), cb)).collect()
+    }
+    assert(err.getMessage.contains("3") && err.getMessage.contains("2"))
+    // ewma: empty input -> empty output; single row seeds itself, dev 0
+    import java.sql.Timestamp
+    val empty = Seq.empty[(Long, Timestamp, Double)].toDF("k", "ts", "v")
+    assert(Events.ewmaSmooth(empty, "k", "ts", "v", 500000L).count() == 0L)
+    val one = Seq((5L, Timestamp.valueOf("2024-01-01 00:00:00"), 2.5)).toDF("k", "ts", "v")
+    val r = Events.ewmaSmooth(one, "k", "ts", "v", 500000L).collect().head
+    assert(r.getLong(3) == 2500000L && r.getLong(4) == 0L)
+    // url host edges: no path, port without path, userinfo-free contract
+    val hosts = Seq("https://A.B.com", "http://x.y:8080", "https://q.r/only/path")
+      .toDF("u").select(UrlOps.hostOf(col("u"))).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("a.b.com", "x.y", "q.r"), hosts.mkString(","))
+  }
+
   test("ewmaSmooth: integer recursion by hand, first-row seed, trunc-div sign") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
