@@ -540,6 +540,26 @@ object SparkEntry {
               col("event_id") * col("click_id") % lit(1000003L)))
               .cast("long").as("pair_checksum"))
       }),
+      // STREAMING per-key EWMA: flatMapGroupsWithState carries one 16-byte
+      // (lastUs, lastEwma) state per key; one AvailableNow drain emits the
+      // batch recursion row for row (same oracle as q_ewma)
+      "q_stream_ewma" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        import s.implicits._
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+          .where(col("event_type") === "view" && col("user_id") % 7 === 0)
+          .select(col("user_id").as("k"), unix_micros(col("ts")).as("us"),
+            round(col("value").cast("double") * lit(1e6)).cast("long").as("vE6"))
+          .as[graft.streaming.StreamingEwma.KeyedPoint]
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.StreamingEwma.ewmaStream(ev, alphaPpm = 300000L).toDF(),
+            mode = org.apache.spark.sql.streaming.OutputMode.Append())
+          .agg(count(lit(1)).cast("long").as("points"),
+            countDistinct(col("k")).cast("long").as("keys"),
+            sum("ewmaE6").cast("long").as("ewma_sum"),
+            sum(abs(col("devE6"))).cast("long").as("abs_dev_sum"),
+            max(abs(col("devE6"))).cast("long").as("max_abs_dev"))
+      }),
       // per-key EWMA: exact integer recursion (alpha 0.3), rolled up so
       // the full per-row fold is pinned without a 15k-row output; the
       // DuckDB oracle replays the recursion with a recursive CTE and
@@ -2925,6 +2945,31 @@ object SparkEntry {
       WHERE rank <= 10 ORDER BY rank""",
     // native ASOF LEFT JOIN (inclusive l.ts >= r.ts) — right side unique
     // on (user_id, ts), so the match DuckDB picks is the one match
+    // identical recursion replay as q_ewma — the streaming drain must
+    // emit the batch fold row for row
+    "q_stream_ewma" -> """
+      WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch_us(ts) AS us,
+               CAST(round(value * 1e6) AS BIGINT) AS v
+        FROM events WHERE event_type = 'view' AND user_id % 7 = 0),
+      o AS (SELECT k, us, v,
+                   row_number() OVER (PARTITION BY k ORDER BY us, v) AS rn
+            FROM ev),
+      r AS (
+        SELECT k, rn, v, v AS e, CAST(0 AS BIGINT) AS d
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.k, o.rn, o.v,
+               ((300000 * o.v + 700000 * r.e) -
+                ((300000 * o.v + 700000 * r.e) % 1000000)) // 1000000 AS e,
+               o.v - r.e AS d
+        FROM r JOIN o ON o.k = r.k AND o.rn = r.rn + 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS points,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS keys,
+             CAST(SUM(e) AS BIGINT) AS ewma_sum,
+             CAST(SUM(ABS(d)) AS BIGINT) AS abs_dev_sum,
+             CAST(MAX(ABS(d)) AS BIGINT) AS max_abs_dev
+      FROM r""",
     // recursive-CTE replay of the integer EWMA recursion; toward-zero
     // division via (x - x % 1e6) / 1e6 (DuckDB % is C-style like the
     // JVM's, so the subtraction leaves an exactly divisible numerator)

@@ -344,6 +344,53 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"horizon semantics drifted: $union (want key 1 re-emitted, 99 deduped)")
   }
 
+  test("streaming ewma == batch recursion; restart continues from carried state") {
+    val sps = spark; import sps.implicits._
+    val batch = batchEvents().where(col("event_type") === "view" && col("user_id") < 20)
+    def toPoints(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("us"),
+        round(col("value").cast("double") * lit(1e6)).cast("long").as("vE6"))
+    val want = graft.operators.Events.ewmaSmooth(batch, "user_id", "ts", "value", 400000L)
+      .select(col("user_id").as("k"), col("us"), col("ewma_e6"), col("dev_e6"))
+      .collect().map(_.toSeq).toSet
+    // single drain over the whole fixture == the batch fold
+    val staged = java.nio.file.Files.createTempDirectory("graft_sewma_")
+    batch.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    def src() = toPoints(spark.readStream.schema(batch.schema).parquet(staged.toString)
+      .where(col("event_type") === "view" && col("user_id") < 20))
+      .as[StreamingEwma.KeyedPoint]
+    val one = FileStreams.runAvailableNow(
+        StreamingEwma.ewmaStream(src(), 400000L).toDF())
+      .select(col("k"), col("us"), col("ewmaE6"), col("devE6"))
+      .collect().map(_.toSeq).toSet
+    assert(one == want, "single drain diverged from the batch recursion")
+    // two drains with a restart: the 16-byte state carries the recursion
+    val landing = java.nio.file.Files.createTempDirectory("graft_sewma_land_")
+    val sink = java.nio.file.Files.createTempDirectory("graft_sewma_sink_")
+    val ck = java.nio.file.Files.createTempDirectory("graft_sewma_ck_")
+    val halves = batch.repartitionByRange(2, col("ts"))
+    halves.write.mode("overwrite").parquet(s"$landing/stage")
+    val parts = new java.io.File(s"$landing/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val live = java.nio.file.Files.createTempDirectory("graft_sewma_live_")
+    def drain(): org.apache.spark.sql.DataFrame = FileStreams.runAvailableNow(
+      StreamingEwma.ewmaStream(
+        toPoints(spark.readStream.schema(batch.schema).parquet(live.toString)
+          .where(col("event_type") === "view" && col("user_id") < 20))
+          .as[StreamingEwma.KeyedPoint], 400000L).toDF(),
+      sinkDir = Some(sink), checkpointDir = Some(ck))
+    java.nio.file.Files.createSymbolicLink(
+      live.resolve("a.parquet"), parts(0).toPath): Unit
+    drain(): Unit
+    java.nio.file.Files.createSymbolicLink(
+      live.resolve("b.parquet"), parts(1).toPath): Unit
+    val union = drain()
+      .select(col("k"), col("us"), col("ewmaE6"), col("devE6"))
+      .collect().map(_.toSeq).toSet
+    assert(union == want,
+      "two-drain union diverged: state did not carry the recursion across the restart")
+  }
+
   test("streaming distinct keys == batch distinct") {
     val docs = FileStreams.tableStream(spark, dir, "documents")
       .select(col("source"), md5(col("text")).as("fp"))
