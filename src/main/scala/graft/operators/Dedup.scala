@@ -96,7 +96,7 @@ object Dedup {
     * neither folds it away nor reorders it past the cap filter. Apply to
     * the post-aggregate bucket stream: `.where(skewRecord(...)(size(...)))`.
     */
-  private def skewRecord(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def skewRecord(spark: org.apache.spark.sql.SparkSession,
       name: String, cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val stats = newLshRunStats(spark, name)
     udf { (sz: Int) =>

@@ -286,6 +286,21 @@ object Events {
       Seq(keyCol), "grid_ts", tsCol, Seq(valueCol), toleranceUs, orderCols)
   }
 
+  /** Largest |v_e6| the exact integer recursion can fold without BIGINT
+    * overflow: the update term `alpha_ppm·v + (10^6−alpha_ppm)·e` is
+    * bounded by `10^6·max(|v|,|e|)`, and |e| never exceeds max|v| (each
+    * step is a convex combination under toward-zero division), so
+    * |v_e6| ≤ floor(Long.MaxValue / 10^6) = 9 223 372 036 854 — i.e.
+    * |value| ≲ 9.22×10^6 natural units — keeps every intermediate in
+    * range. Out-of-domain values RAISE (both here and in
+    * [[graft.streaming.StreamingEwma]]) rather than silently wrapping:
+    * batch and streaming would wrap identically, so no oracle could
+    * catch the corruption after the fact.
+    */
+  val EwmaMaxAbsVE6: Long = Long.MaxValue / 1000000L  // 9223372036854
+
+  private val ewmaObserveId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Per-key EWMA smoothing with EXACT integer recursion — the telemetry
     * baseline/anomaly primitive: `e_1 = v_1`,
     * `e_t = (alpha_ppm·v_t + (10^6 − alpha_ppm)·e_{t−1}) div 10^6`
@@ -297,22 +312,54 @@ object Events {
     * `dev_e6 = v_e6 − e_{t−1}` (0 for a key's first row) — threshold
     * `abs(dev_e6)` for spike detection against the learned baseline.
     *
+    * Domain: |value| must stay within ±[[EwmaMaxAbsVE6]]/10^6 (~9.22e6
+    * natural units); rows beyond it raise at the scan rather than fold
+    * to silently-wrapped garbage. NULL values pass through untouched
+    * (they fold to NULL smoothed values, as before).
+    *
     * Scale shape: ONE key-keyed exchange; each key's history is
     * assembled with sort_array(collect_list) and folded row-locally —
     * per-key memory is the key's OWN history (telemetry keys: hundreds
     * of points), never the corpus. The quadratic-ish array append in
     * the fold is bounded by the same per-key count; keys with millions
-    * of rows belong in the windowed aggregations instead.
+    * of rows belong in the windowed aggregations instead. `maxKeyHistory`
+    * is the fail-soft backstop for exactly that hot key: over-cap keys
+    * are DROPPED (their rows are not emitted — truncating a prefix would
+    * silently change every downstream smoothed value), and the drop
+    * count + max observed history are published both as the
+    * `graft_ewma_keys_<n>` observable metric and as the AQE-safe per-run
+    * accumulators the LSH skew machinery uses
+    * ([[Dedup.lshRunStatsSnapshot]]). Default = no cap: dropping keys
+    * changes results, so any threshold is the caller's call.
     *
     * @return (keyCol, us BIGINT, v_e6, ewma_e6, dev_e6)
     */
   def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, alphaPpm: Long): DataFrame = {
+      valueCol: String, alphaPpm: Long,
+      maxKeyHistory: Int = Int.MaxValue): DataFrame = {
     require(alphaPpm >= 0 && alphaPpm <= 1000000L, "alphaPpm must be in [0, 10^6]")
-    df.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
-        round(col(valueCol).cast("double") * lit(1e6)).cast("long").as("__v"))
+    val vRaw = round(col(valueCol).cast("double") * lit(1e6)).cast("long")
+    // NULL-safe domain guard: coalesce keeps NULL values on the legacy
+    // pass-through path; only a non-NULL out-of-range value raises.
+    val vGuarded = when(coalesce(abs(vRaw) <= lit(EwmaMaxAbsVE6), lit(true)), vRaw)
+      .otherwise(raise_error(concat(
+        lit("graft.ewmaSmooth: |value| outside the exact-recursion domain " +
+          s"(|v_e6| <= $EwmaMaxAbsVE6, ~9.22e6 natural units); got v_e6="),
+        vRaw.cast("string"))).cast("long"))
+    val runId = ewmaObserveId.incrementAndGet()
+    val record = Dedup.skewRecord(df.sparkSession, s"graft_ewma_keys_$runId", maxKeyHistory)
+    val histories = df
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), vGuarded.as("__v"))
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("__us"), col("__v")))).as("__h"))
+      .observe(s"graft_ewma_keys_$runId",
+        sum(when(size(col("__h")) > maxKeyHistory, 1L).otherwise(0L)).as("dropped_keys"),
+        max(size(col("__h"))).as("max_key_history"))
+      .where(record(size(col("__h"))))
+    val guarded =
+      if (maxKeyHistory == Int.MaxValue) histories
+      else histories.where(size(col("__h")) <= maxKeyHistory)
+    guarded
       .select(col(keyCol), explode(expr(
         s"""aggregate(__h,
               CAST(array() AS ARRAY<STRUCT<us: BIGINT, v: BIGINT, e: BIGINT, d: BIGINT>>),

@@ -118,9 +118,14 @@ object FileStreams {
       sinkDir: Option[Path] = None,
       checkpointDir: Option[Path] = None): DataFrame = {
     val spark = stream.sparkSession
-    val out = sinkDir.getOrElse(Files.createTempDirectory("graft_sink_"))
-    val ck = checkpointDir.getOrElse(Files.createTempDirectory("graft_ck_"))
-    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    // deleteOnExit ONLY on directories this call created — a caller's
+    // persistent sink/checkpoint location is theirs, not ours to delete
+    val out = sinkDir.getOrElse {
+      val d = Files.createTempDirectory("graft_sink_"); d.toFile.deleteOnExit(); d
+    }
+    val ck = checkpointDir.getOrElse {
+      val d = Files.createTempDirectory("graft_ck_"); d.toFile.deleteOnExit(); d
+    }
     val q = stream.writeStream.format("parquet")
       .option("path", out.toString)
       .option("checkpointLocation", ck.toString)

@@ -423,6 +423,58 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.toSeq == Seq(-1L, 0L), s"trunc-div drift: ${e2.toSeq}")
   }
 
+  test("ewmaSmooth: overflow domain — boundary folds exactly, beyond it raises") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // |value| = 9.2e6 natural units -> v_e6 = 9.2e12, inside the
+    // floor(Long.MaxValue/1e6) = 9223372036854 bound: alpha*v at
+    // alpha=1e6 is 9.2e18 < Long.MaxValue — folds without wrap
+    val big = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 9200000.0),
+      (1L, ts("2024-01-01 10:01:00"), -9200000.0)
+    )).toDF("k", "ts", "v")
+    val ok = Events.ewmaSmooth(big, "k", "ts", "v", 500000L)
+      .orderBy("us").collect().map(_.getLong(3))
+    assert(ok.toSeq == Seq(9200000000000L, 0L), ok.mkString(","))
+    // 9.3e6 natural units -> v_e6 = 9.3e12 > bound: raises at the scan
+    // instead of silently wrapping identically in every engine
+    val over = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 9300000.0))).toDF("k", "ts", "v")
+    val err = intercept[Exception] {
+      Events.ewmaSmooth(over, "k", "ts", "v", 500000L).collect()
+    }
+    assert(err.getMessage.contains("exact-recursion domain"), err.getMessage)
+    // NULL values keep the legacy pass-through path (no raise)
+    val withNull = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), java.lang.Double.valueOf(2.0)),
+      (1L, ts("2024-01-01 10:01:00"), null.asInstanceOf[java.lang.Double])
+    )).toDF("k", "ts", "v")
+    assert(Events.ewmaSmooth(withNull, "k", "ts", "v", 500000L).count() == 2L)
+  }
+
+  test("ewmaSmooth: maxKeyHistory drops hot keys fail-soft with telemetry") {
+    import java.sql.Timestamp
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$i%02d")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.createDataFrame(
+        (1 to 5).map(i => (1L, ts(i), i.toDouble)) ++ // hot key: 5 points
+          (1 to 2).map(i => (2L, ts(i), i.toDouble))  // cold key: 2 points
+      ).toDF("k", "ts", "v")
+      // uncapped: all 7 rows; capped at 3: the hot key is DROPPED whole
+      assert(Events.ewmaSmooth(df, "k", "ts", "v", 500000L).count() == 7L)
+      val capped = Events.ewmaSmooth(df, "k", "ts", "v", 500000L, maxKeyHistory = 3)
+      val rows = capped.collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(2L), rows.mkString(","))
+      val m = capped.queryExecution.observedMetrics.collectFirst {
+        case (name, r) if name.startsWith("graft_ewma_keys") => r
+      }.getOrElse(fail("graft_ewma_keys metric missing from the executed plan"))
+      assert(m.getAs[Long]("dropped_keys") == 1L)
+      assert(m.getAs[Int]("max_key_history") == 5)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("asof join forward: earliest-at-or-after, inclusive, tolerance, tie policy") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -391,6 +391,38 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "two-drain union diverged: state did not carry the recursion across the restart")
   }
 
+  test("streaming ewma out-of-order telemetry counts cross-batch regressions") {
+    val sps = spark; import sps.implicits._
+    val live = java.nio.file.Files.createTempDirectory("graft_sewma_ooo_")
+    val sink = java.nio.file.Files.createTempDirectory("graft_sewma_ooo_sink_")
+    val ck = java.nio.file.Files.createTempDirectory("graft_sewma_ooo_ck_")
+    val acc = StreamingEwma.outOfOrderCounter(spark)
+    val schema = Seq((0L, 0L, 0L)).toDF("k", "us", "vE6").schema
+    def drain() = FileStreams.runAvailableNow(
+      StreamingEwma.ewmaStream(
+        spark.readStream.schema(schema).parquet(live.toString)
+          .as[StreamingEwma.KeyedPoint],
+        500000L, outOfOrder = Some(acc)).toDF(),
+      sinkDir = Some(sink), checkpointDir = Some(ck))
+    def stage(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sewma_ooo_stage_")
+      rows.toDF("k", "us", "vE6")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createSymbolicLink(live.resolve(name), part.toPath): Unit
+    }
+    // drain 1: within-batch disorder is SORTED before folding -> no count
+    stage("a.parquet", Seq((1L, 200L, 1000000L), (1L, 100L, 2000000L)))
+    drain(): Unit
+    assert(acc.value == 0L, "within-batch disorder must not count (it is sorted away)")
+    // drain 2: us=150 < the state's lastUs=200 -> batch parity degraded
+    // for that point, counted; us=300 is in order -> not counted
+    stage("b.parquet", Seq((1L, 150L, 3000000L), (1L, 300L, 500000L)))
+    val out = drain()
+    assert(acc.value == 1L, s"out-of-order count ${acc.value}, want 1")
+    assert(out.count() == 4L)
+  }
+
   test("streaming distinct keys == batch distinct") {
     val docs = FileStreams.tableStream(spark, dir, "documents")
       .select(col("source"), md5(col("text")).as("fp"))
