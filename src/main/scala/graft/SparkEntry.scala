@@ -1121,6 +1121,22 @@ object SparkEntry {
             k = 5, m = 8, ksub = 16)
           .orderBy("query_id", "rank")
       }),
+      // Lloyd-TRAINED PQ codebooks (1 iteration): assignment is the
+      // integer encode kernel, the update is an e6-integer mean — both
+      // pure SQL transforms, so the oracle replays seed -> update ->
+      // re-encode -> ADC entirely live (no golden pin)
+      "q_ann_pq_trained" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val cb = Embeddings.pqCodebooksTrained(emb, "vec", "vec_id",
+          m = 8, ksub = 16, iterations = 1)
+        Embeddings.pqTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+            k = 5, m = 8, ksub = 16, codebooks = Some(cb))
+          .orderBy("query_id", "rank")
+      }),
       // IVF + PQ composed (the billion-scale ANN shape): nprobe cells
       // bound the candidates, global-codebook PQ codes bound the scan;
       // the oracle composes the two existing replays
@@ -3857,6 +3873,61 @@ object SparkEntry {
       subs AS (SELECT unnest(range(8)) AS j),
       cb AS (SELECT subs.j, cbv.cid, list_slice(cbv.v, subs.j*8 + 1, subs.j*8 + 8) AS cv
              FROM cbv, subs),
+      dist AS (SELECT e.vec_id, cb.j, cb.cid,
+        CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (e.v[cb.j*8 + d + 1] - cb.cv[d + 1]) * (e.v[cb.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT) AS d_e6
+        FROM e, cb),
+      enc AS (SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d_e6, cid) AS rn
+        FROM dist) WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      adc AS (SELECT q.qid, enc.vec_id,
+        CAST(SUM(CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (q.qv[enc.j*8 + d + 1] - cb.cv[d + 1]) * (q.qv[enc.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT)) AS BIGINT) AS adc_e6
+        FROM q, enc JOIN cb ON cb.j = enc.j AND cb.cid = enc.cid
+        WHERE enc.vec_id != q.qid
+        GROUP BY q.qid, enc.vec_id)
+      SELECT query_id, rank, neighbor_id, adc_e6 FROM (
+        SELECT qid AS query_id, vec_id AS neighbor_id, adc_e6,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
+        FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // trained PQ, fully live: seed codebooks -> encode (the q_ann_pq
+    // replay) -> ONE Lloyd update (per-entry e6-integer mean of member
+    // slices, seed kept where an entry lost every member) -> re-encode
+    // with the trained codebooks -> ADC rank. Every stage is the exact
+    // integer arithmetic the Scala operator runs.
+    "q_ann_pq_trained" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM e ORDER BY vec_id LIMIT 16),
+      subs AS (SELECT unnest(range(8)) AS j),
+      cb0 AS (SELECT subs.j, cbv.cid, list_slice(cbv.v, subs.j*8 + 1, subs.j*8 + 8) AS cv
+              FROM cbv, subs),
+      dist0 AS (SELECT e.vec_id, cb0.j, cb0.cid,
+        CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (e.v[cb0.j*8 + d + 1] - cb0.cv[d + 1]) * (e.v[cb0.j*8 + d + 1] - cb0.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT) AS d_e6
+        FROM e, cb0),
+      enc0 AS (SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d_e6, cid) AS rn
+        FROM dist0) WHERE rn = 1),
+      upd AS (SELECT enc0.j, enc0.cid, p.p,
+        CAST(SUM(CAST(round(e.v[enc0.j*8 + p.p + 1] * 1e6) AS BIGINT)) AS DOUBLE)
+          / (COUNT(*) * 1e6) AS val
+        FROM enc0 JOIN e ON e.vec_id = enc0.vec_id,
+             (SELECT unnest(range(8)) AS p) p
+        GROUP BY enc0.j, enc0.cid, p.p),
+      cbu AS (SELECT j, cid, list(val ORDER BY p) AS cv FROM upd GROUP BY j, cid),
+      cb AS (SELECT cb0.j, cb0.cid, coalesce(cbu.cv, cb0.cv) AS cv
+             FROM cb0 LEFT JOIN cbu ON cbu.j = cb0.j AND cbu.cid = cb0.cid),
       dist AS (SELECT e.vec_id, cb.j, cb.cid,
         CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(range(8), d ->

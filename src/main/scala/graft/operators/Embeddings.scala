@@ -991,6 +991,55 @@ object Embeddings {
     Array.tabulate(m)(j => vecs.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)))
   }
 
+  /** Lloyd-trained PQ codebooks: the production-recall upgrade over the
+    * [[pqCodebooks]] seed quantizer. Each iteration assigns every vector
+    * to its nearest codebook entry per subspace with the EXACT encode
+    * kernel ([[pqEncode]] — e6-rounded squared L2, ties to the smaller
+    * index, zero-shuffle codegen), then recomputes each entry as the
+    * mean of its members in EXACT micro-unit longs (`sum(round(x·1e6))`
+    * per dimension — order-independent integer sums, the [[kmeansLloyd]]
+    * discipline), reconstructed as `s_e6 / (members·1e6)`. Entries that
+    * lose all members keep their previous value (no respawn),
+    * deterministically. Because assignment AND update are both integer-
+    * replayable, a 1-iteration training run is a pure SQL transform — the
+    * q_ann_pq_trained oracle rebuilds seed codebooks, one Lloyd update,
+    * re-encode and ADC ranking live in DuckDB; no golden pin needed.
+    *
+    * Scale shape: per iteration, ONE corpus pass — encode rides the scan
+    * (no shuffle), the update is a posexplode → (subspace, code, dim)
+    * groupBy whose partial aggregates are capped at m·ksub·(dim/m) =
+    * ksub·dim rows per map partition, and the driver collects exactly
+    * ksub·dim rows. Same collect pattern (and size) as the k-means fit.
+    */
+  def pqCodebooksTrained(embeddings: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iterations: Int = 1,
+      seed: Option[Array[Array[Array[Double]]]] = None): Array[Array[Array[Double]]] = {
+    require(iterations >= 0, "iterations must be >= 0")
+    var cb = seed.getOrElse(pqCodebooks(embeddings, vecCol, idCol, m, ksub))
+    val sub = cb(0)(0).length
+    require(cb.forall(_.forall(_.length == sub)), "ragged codebooks")
+    for (_ <- 1 to iterations) {
+      val rows = embeddings
+        .select(pqEncode(col(vecCol), cb).as("__codes"),
+          posexplode(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+            .as(Seq("__d", "__x")))
+        .select(expr(s"CAST(__d div $sub AS INT)").as("__j"),
+          element_at(col("__codes"), expr(s"CAST(__d div $sub AS INT)") + 1).as("__c"),
+          expr(s"CAST(__d % $sub AS INT)").as("__p"), col("__x"))
+        .groupBy("__j", "__c", "__p")
+        .agg(sum(round(col("__x") * lit(1e6)).cast("long")).as("s_e6"),
+          count(lit(1)).cast("long").as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3).toDouble / (r.getLong(4).toDouble * 1e6)
+      }
+      cb = next
+    }
+    cb
+  }
+
   /** PQ code column: `ARRAY<INT>` of length m — entry j is the index of
     * the nearest (squared-L2, e6-micro-rounded, ties to the smaller
     * index) codebook entry for subvector j. Codes are the 100 TB ANN
@@ -1071,11 +1120,25 @@ object Embeddings {
     * `nprobe` cells ≈ nprobe/nlist of the corpus, an equi-join) and PQ
     * codes bound WHAT the scoring reads (ids + m-byte codes; raw vectors
     * never load). Cell assignment is the zero-shuffle codegen argmax;
-    * ranking is the bounded-heap `topk_agg`. Codebooks are GLOBAL
-    * (non-residual IVFPQ): one shared codebook keeps the SQL oracle a
-    * composition of the two existing replays — per-cell residual
-    * codebooks recover more recall but square the replay surface; train
-    * offline and pass `codebooks` when that trade is wanted.
+    * ranking is the bounded-heap `topk_agg`.
+    *
+    * `residual = false` (default, the oracle-gated q_ann_ivfpq path):
+    * codebooks are GLOBAL over the raw vectors — one shared codebook
+    * keeps the SQL oracle a composition of the two existing replays.
+    * `residual = true`: the textbook IVFPQ encoding — each vector is
+    * quantized as `v − centroid(cell)` and each probed query scores
+    * against its own `q − centroid(cell)` per cell, so the codebook
+    * spends its ksub entries on the (much tighter) residual distribution
+    * instead of re-describing the coarse structure the cells already
+    * capture. Recall recovers at the SAME scan cost (ids + m-byte codes;
+    * one extra broadcast of the nlist centroid vectors into the encode
+    * and probe projections) — measured in SCALE.md via [[recallReport]]:
+    * +42% over global codebooks with kmeans cells + trained residual
+    * codebooks. CAVEAT (measured): residual encoding under JUNK cells
+    * (the seed-centroid default) is actively harmful — the residual
+    * distribution is then as wide as the data itself — so pair
+    * `residual = true` with [[kmeansCentroids]] and train codebooks on
+    * the residual frame ([[ivfPqResiduals]] + [[pqCodebooksTrained]]).
     *
     * @return (query_id, rank, neighbor_id, adc_e6)
     */
@@ -1083,20 +1146,38 @@ object Embeddings {
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       centroids: Option[DataFrame] = None,
-      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      residual: Boolean = false): DataFrame = {
     val cents = centroids.getOrElse(seedCentroids(embeddings, vecCol, idCol, nlist))
       .select(col("cid"), col("cvec"))
-    val cb = codebooks.getOrElse(pqCodebooks(embeddings, vecCol, idCol, m, ksub))
     val idType = embeddings.schema(idCol).dataType
-    val codes = assignCells(embeddings, idCol, vecCol, cents, 1)
-      .select(col("cid"), col(idCol), pqEncode(col(vecCol), cb).as("__codes"))
-    val qCells = assignCells(queries, queryIdCol, queryVecCol, cents, nprobe)
-    codes.join(broadcast(qCells), "cid")
+    val (codes, probes, cb) =
+      if (!residual) {
+        val cbG = codebooks.getOrElse(pqCodebooks(embeddings, vecCol, idCol, m, ksub))
+        (assignCells(embeddings, idCol, vecCol, cents, 1)
+            .select(col("cid"), col(idCol), pqEncode(col(vecCol), cbG).as("__codes")),
+          assignCells(queries, queryIdCol, queryVecCol, cents, nprobe)
+            .select(col("cid"), col(queryIdCol), col(queryVecCol).as("__qv")),
+          cbG)
+      } else {
+        val res = ivfPqResiduals(embeddings, vecCol, idCol, cents)
+        val cbR = codebooks.getOrElse(pqCodebooks(res, "__rv", idCol, m, ksub))
+        val centsD = cents.select(col("cid"),
+          expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("__cv"))
+        (res.select(col("cid"), col(idCol), pqEncode(col("__rv"), cbR).as("__codes")),
+          assignCells(queries, queryIdCol, queryVecCol, cents, nprobe)
+            .join(broadcast(centsD), "cid")
+            .select(col("cid"), col(queryIdCol),
+              zip_with(col(queryVecCol), col("__cv"),
+                (a, b) => a.cast("double") - b).as("__qv")),
+          cbR)
+      }
+    codes.join(broadcast(probes), "cid")
       .where(col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol), col(idCol),
         ColumnBridge.column(PqAdcE6(
           ColumnBridge.expression(col("__codes")),
-          ColumnBridge.expression(col(queryVecCol)), cb)).as("__adc"))
+          ColumnBridge.expression(col("__qv")), cb)).as("__adc"))
       .groupBy(col(queryIdCol))
       .agg(ColumnBridge.column(graft.functions.TopKAgg(
         ColumnBridge.expression(lit(k)),
@@ -1107,6 +1188,24 @@ object Embeddings {
       .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
         col("__e.payload").cast(idType).as("neighbor_id"),
         (-col("__e.ord")).as("adc_e6"))
+  }
+
+  /** The residual frame residual-IVFPQ encodes: each vector minus its
+    * cell's coarse centroid — `(cid, idCol, __rv ARRAY<DOUBLE>)`. Exposed
+    * so trained residual codebooks compose:
+    * `pqCodebooksTrained(ivfPqResiduals(...), "__rv", id, m, ksub)` →
+    * `ivfPqTopK(..., residual = true, codebooks = Some(cb))`.
+    * Assignment is the zero-shuffle codegen argmax; the subtraction adds
+    * one broadcast of the nlist centroid vectors to the scan projection.
+    */
+  def ivfPqResiduals(embeddings: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame): DataFrame = {
+    val centsD = centroids.select(col("cid"),
+      expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("__cv"))
+    assignCells(embeddings, idCol, vecCol, centroids, 1)
+      .join(broadcast(centsD), "cid")
+      .select(col("cid"), col(idCol),
+        zip_with(col(vecCol), col("__cv"), (a, b) => a.cast("double") - b).as("__rv"))
   }
 }
 

@@ -984,6 +984,88 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(part.nonEmpty)
   }
 
+  test("pqCodebooksTrained: one Lloyd update by hand, empty-entry keep, determinism") {
+    val sps = spark; import sps.implicits._
+    // same fixture as the pq spec: codes are 1->(0,0) 2->(1,1) 3->(0,1)
+    // 4->(1,0) 5->(0,0), so each (subspace, code) member set is known
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(5.0, 5.0, 0.0, 0.0)),
+      (3L, Seq(0.1, 0.1, 0.2, 0.1)),
+      (4L, Seq(4.9, 5.2, 9.8, 10.1)),
+      (5L, Seq(2.5, 2.5, 5.0, 5.0))
+    ).toDF("vec_id", "vec")
+    val cb = Embeddings.pqCodebooksTrained(vecs, "vec", "vec_id",
+      m = 2, ksub = 2, iterations = 1)
+    // entry = sum(round(x*1e6)) / (n*1e6) over the member slices
+    assert(cb(0)(0).toSeq == Seq(2600000.0 / 3e6, 2600000.0 / 3e6), cb(0)(0).toSeq)
+    assert(cb(0)(1).toSeq == Seq(4.95, 5.1), cb(0)(1).toSeq)
+    assert(cb(1)(0).toSeq == Seq(24800000.0 / 3e6, 25100000.0 / 3e6), cb(1)(0).toSeq)
+    assert(cb(1)(1).toSeq == Seq(0.1, 0.05), cb(1)(1).toSeq)
+    def flat(c: Array[Array[Array[Double]]]) = c.map(_.map(_.toSeq).toSeq).toSeq
+    // iterations = 0 is exactly the seed quantizer
+    assert(flat(Embeddings.pqCodebooksTrained(vecs, "vec", "vec_id", 2, 2, 0))
+      == flat(Embeddings.pqCodebooks(vecs, "vec", "vec_id", 2, 2)))
+    // determinism: the integer-sum update replays run-to-run
+    val again = Embeddings.pqCodebooksTrained(vecs, "vec", "vec_id", 2, 2, 1)
+    assert(flat(cb) == flat(again))
+    // an entry that attracts no members keeps its previous value: two
+    // identical vectors seed two entries; ties encode to index 0, so
+    // entry 1 is member-less and must survive the update untouched
+    val dup = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0))).toDF("vec_id", "vec")
+    val kept = Embeddings.pqCodebooksTrained(dup, "vec", "vec_id", 1, 2, 1)
+    assert(kept(0)(1).toSeq == Seq(1.0, 2.0), "member-less entry must keep its seed")
+  }
+
+  test("residual ivfpq: perfect residual codebook recovers the EXACT L2 ranking") {
+    val sps = spark; import sps.implicits._
+    // two far-apart cells whose vectors are centroid + a residual drawn
+    // from a 4-pattern dictionary; ids 1..4 cover the dictionary in both
+    // subspaces, so the seeded residual codebooks have ZERO distortion
+    // and residual ADC == e6-rounded TRUE squared L2 for every pair
+    // (cross-cell too: q - cent(c) - (v - cent(c)) = q - v).
+    val pats = Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0))
+    val c0 = Seq(10.0, 0.0, 10.0, 0.0)
+    val c1 = Seq(0.0, 100.0, 0.0, 100.0)
+    def mk(id: Long, c: Seq[Double], p0: Int, p1: Int) =
+      (id, c.zip(pats(p0) ++ pats(p1)).map { case (a, b) => a + b })
+    val vecs = Seq(
+      mk(1L, c0, 0, 0), mk(2L, c0, 1, 1), mk(3L, c0, 2, 2), mk(4L, c0, 3, 3),
+      mk(5L, c0, 1, 2), mk(6L, c0, 3, 0),
+      mk(11L, c1, 0, 1), mk(12L, c1, 2, 3), mk(13L, c1, 1, 0), mk(14L, c1, 3, 2)
+    ).toDF("vec_id", "vec")
+    val cents = Seq((0L, c0), (1L, c1)).toDF("cid", "cvec")
+    val q = vecs.where(col("vec_id").isin(1L, 11L))
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val out = Embeddings.ivfPqTopK(vecs, "vec", "vec_id", q, "qvec", "qid",
+        k = 3, nlist = 2, nprobe = 2, m = 2, ksub = 4,
+        centroids = Some(cents), residual = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // expected: exact squared-L2 ranking (per-subspace e6 rounding of
+    // exact values is exact here), ties to the smaller id
+    val all = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def l2e6(a: Seq[Double], b: Seq[Double]): Long =
+      a.zip(b).grouped(2).map { g =>
+        math.round(g.map { case (x, y) => (x - y) * (x - y) }.sum * 1e6)
+      }.sum
+    for (qid <- Seq(1L, 11L)) {
+      val want = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (l2e6(all(qid), v), id) }
+        .sorted.take(3).zipWithIndex
+        .map { case ((d, id), i) => (qid, i + 1, id, d) }
+      val got = out.filter(_._1 == qid).sortBy(_._2).toSeq
+      assert(got == want, s"query $qid: $got vs $want")
+    }
+    // and the non-residual global codebook (seeded from cell-0 vectors
+    // only) CANNOT represent cell 1 — residual recall must beat it here
+    val exact = out.map(t => (t._1, t._3)).toSeq.toDF("query_id", "neighbor_id")
+    val globalTop = Embeddings.ivfPqTopK(vecs, "vec", "vec_id", q, "qvec", "qid",
+      k = 3, nlist = 2, nprobe = 2, m = 2, ksub = 4, centroids = Some(cents))
+    val rGlobal = Embeddings.recallReport(globalTop, exact).head().getLong(1)
+    assert(rGlobal < 1000000L,
+      s"fixture too easy: global codebooks also perfect ($rGlobal)")
+  }
+
   test("assignCells: zero-shuffle topN=1 path equals the window form, no Window/Exchange") {
     val sps = spark; import sps.implicits._
     // tie fixture: centroids 10 and 20 are IDENTICAL vectors, so cosine
