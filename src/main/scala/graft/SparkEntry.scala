@@ -2489,9 +2489,10 @@ object SparkEntry {
                    CAST(SUM(CASE WHEN s >= th AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
                    CAST(SUM(CASE WHEN s >= th AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
                    CAST(SUM(CASE WHEN s < th AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-                   CAST(SUM(CASE WHEN s < th AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                   CAST(SUM(CASE WHEN s < th AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                   CAST(SUM(CASE WHEN s IS NULL OR y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rows
             FROM m, t GROUP BY th)
-      SELECT threshold_e6, tp, fp, fn, tn,
+      SELECT threshold_e6, tp, fp, fn, tn, null_rows,
              CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
              CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
              CASE WHEN 2 * tp + fp + fn = 0 THEN 0
@@ -3282,7 +3283,8 @@ object SparkEntry {
         CAST(COUNT(DISTINCT source) AS BIGINT) AS sources,
         CAST(COUNT(DISTINCT lang) AS BIGINT) AS languages,
         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
-        CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs
+        CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs,
+        CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_docs
         FROM documents)
       SELECT 'docs' AS metric, docs AS value FROM a
       UNION ALL SELECT 'chars', chars FROM a
@@ -3291,7 +3293,8 @@ object SparkEntry {
       UNION ALL SELECT 'languages', languages FROM a
       UNION ALL SELECT 'distinct_texts', distinct_texts FROM a
       UNION ALL SELECT 'empty_docs', empty_docs FROM a
-      UNION ALL SELECT 'duplicate_docs', docs - distinct_texts FROM a
+      UNION ALL SELECT 'null_docs', null_docs FROM a
+      UNION ALL SELECT 'duplicate_docs', docs - null_docs - distinct_texts FROM a
       ORDER BY metric""",
     "q_dense_ids" -> """
       SELECT doc_id, source,
@@ -3408,11 +3411,18 @@ object SparkEntry {
                         ELSE '' END AS query
             FROM p),
       h AS (SELECT *, split_part(bq, '/', 1) AS hostport FROM q),
-      h2 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
-                    CASE WHEN contains(hostport, ':')
-                         THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+      h1 AS (SELECT *, string_split(hostport, '@')[-1] AS hp FROM h),
+      h2 AS (SELECT *,
+                    CASE WHEN starts_with(hp, '[')
+                         THEN lower(split_part(hp, ']', 1) || ']')
+                         ELSE lower(split_part(hp, ':', 1)) END AS host,
+                    CASE WHEN starts_with(hp, '[')
+                         THEN CASE WHEN contains(hp, ']:')
+                                   THEN string_split(hp, ']:')[-1] ELSE '' END
+                         ELSE CASE WHEN contains(hp, ':')
+                                   THEN split_part(hp, ':', 2) ELSE '' END END AS port,
                     substr(bq, length(hostport) + 1) AS rawpath
-             FROM h),
+             FROM h1),
       h3 AS (SELECT *, CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p0 FROM h2),
       h4 AS (SELECT *,
                     CASE WHEN p0 <> '/' AND p0 LIKE '%/'
@@ -3433,6 +3443,7 @@ object SparkEntry {
                 FROM h4),
       dom AS (SELECT curl,
                  CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+                      WHEN regexp_matches(host, '^[0-9.]+$') THEN host
                       WHEN len(string_split(host, '.')) >= 3 AND
                            (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
                              IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',

@@ -80,7 +80,11 @@ object Classify {
     * count (each threshold adds four conditional sums to the same agg,
     * not a scan); the explode below unpacks a single driver-sized row.
     * Predicted positive is `score >= t`; `label` must evaluate to
-    * 0.0/1.0. All-integer outputs replay exactly in SQL.
+    * 0.0/1.0. All-integer outputs replay exactly in SQL. Rows with a
+    * NULL score or label belong to NO confusion bucket (a NULL
+    * comparison routes every `when` to its 0 branch) — they are counted
+    * in `null_rows` so the totals stay auditable:
+    * `tp + fp + fn + tn + null_rows = rows` at every threshold.
     */
   def evalReport(df: DataFrame, score: Column, label: Column,
       thresholds: Seq[Double]): DataFrame = {
@@ -93,15 +97,17 @@ object Classify {
         sum(when(pos && y === 0.0, 1L).otherwise(0L)).cast("long").as(s"__fp$i"),
         sum(when(!pos && y === 1.0, 1L).otherwise(0L)).cast("long").as(s"__fn$i"),
         sum(when(!pos && y === 0.0, 1L).otherwise(0L)).cast("long").as(s"__tn$i"))
-    }
+    } :+ sum(when(score.isNull || y.isNull, 1L).otherwise(0L))
+      .cast("long").as("__nulls")
     val row = df.agg(aggs.head, aggs.tail: _*)
     val rows = thresholds.zipWithIndex.map { case (t, i) =>
       struct(lit(math.round(t * 1e6)).as("threshold_e6"),
         col(s"__tp$i").as("tp"), col(s"__fp$i").as("fp"),
         col(s"__fn$i").as("fn"), col(s"__tn$i").as("tn"))
     }
-    row.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.threshold_e6"), col("r.tp"), col("r.fp"), col("r.fn"), col("r.tn"))
+    row.select(explode(array(rows: _*)).as("r"), col("__nulls"))
+      .select(col("r.threshold_e6"), col("r.tp"), col("r.fp"), col("r.fn"),
+        col("r.tn"), col("__nulls").as("null_rows"))
       .withColumn("precision_ppm", when(col("tp") + col("fp") === 0, 0L)
         .otherwise(expr("tp * 1000000L div (tp + fp)")))
       .withColumn("recall_ppm", when(col("tp") + col("fn") === 0, 0L)

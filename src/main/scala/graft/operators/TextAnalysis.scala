@@ -281,34 +281,67 @@ object TextAnalysis {
 
   /** Dataset-card summary: the one-table corpus overview every release
     * ships — document/char/token totals, per-source and per-language
-    * breadth, exact-duplicate and empty-document counts — as (metric,
-    * value BIGINT) rows. The three COUNT(DISTINCT)s are written as
-    * SEPARATE single-row aggregations crossJoined back (the q_hll
-    * discipline): packed into one agg with the base metrics, Spark
-    * plans a 4-way Expand that multiplies every FULL-width scan row —
-    * text-derived sums included — into the first shuffle. From the
-    * separate form the optimizer may still merge a narrow pair (it
-    * fuses the lang+md5 distincts into one 2-way Expand of just those
-    * two columns) — that residual is the optimizer's own narrow-column
-    * trade, not the full-width blowup this structure avoids.
+    * breadth, exact-duplicate, empty- and NULL-document counts — as
+    * (metric, value BIGINT) rows. The metrics PARTITION consistently:
+    * `docs = null_docs + distinct_texts + duplicate_docs` (NULL texts
+    * count in `docs` and `null_docs` only — they are neither empty,
+    * distinct, nor duplicates).
+    *
+    * Exact mode (default, the q_corpus_report oracle): the three
+    * COUNT(DISTINCT)s are written as SEPARATE single-row aggregations
+    * crossJoined back (the q_hll discipline) — packed into one agg with
+    * the base metrics, Spark plans a 4-way Expand that multiplies every
+    * FULL-width scan row — text-derived sums included — into the first
+    * shuffle. From the separate form the optimizer may still merge a
+    * narrow pair (it fuses the lang+md5 distincts into one 2-way Expand
+    * of just those two columns) — that residual is the optimizer's own
+    * narrow-column trade, not the full-width blowup this structure
+    * avoids. Still FOUR scans of the corpus.
+    *
+    * `approx = true`: the 100 TB dataset-card — ONE scan, one ordinary
+    * aggregate. The three distinct counts become `hll_sketch(p, hash)`
+    * register blobs (mergeable KB state, ±~1% at the default p=14)
+    * finished with `hll_estimate`; everything else is unchanged and
+    * exact. No Expand, no crossJoin, no second scan — spec-asserted
+    * plan shape. Estimates are rounded to BIGINT so the report schema
+    * is identical across modes.
     */
   def corpusReport(df: DataFrame, textCol: String, idCol: String,
-      langCol: String, sourceCol: String): DataFrame = {
+      langCol: String, sourceCol: String,
+      approx: Boolean = false, approxP: Int = 14): DataFrame = {
     val toks = size(filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit("")))
-    val base = df.agg(
+    val metrics = Seq("docs", "chars", "tokens", "sources", "languages",
+      "distinct_texts", "empty_docs", "null_docs")
+    val baseAggs = Seq(
       count(lit(1)).cast("long").as("docs"),
       sum(length(col(textCol))).cast("long").as("chars"),
       sum(toks).cast("long").as("tokens"),
-      sum(when(length(col(textCol)) === 0, 1L).otherwise(0L)).cast("long").as("empty_docs"))
-    val srcs = df.agg(countDistinct(col(sourceCol)).cast("long").as("sources"))
-    val langs = df.agg(countDistinct(col(langCol)).cast("long").as("languages"))
-    val texts = df.agg(countDistinct(md5(col(textCol))).cast("long").as("distinct_texts"))
-    val row = base.crossJoin(broadcast(srcs))
-      .crossJoin(broadcast(langs)).crossJoin(broadcast(texts))
-    val metrics = Seq("docs", "chars", "tokens", "sources", "languages",
-      "distinct_texts", "empty_docs")
+      sum(when(length(col(textCol)) === 0, 1L).otherwise(0L)).cast("long").as("empty_docs"),
+      sum(when(col(textCol).isNull, 1L).otherwise(0L)).cast("long").as("null_docs"))
+    val row =
+      if (approx) {
+        // hll_sketch skips NULL hashes, so a NULL text/lang/source never
+        // lands in its distinct estimate — same contract as COUNT(DISTINCT)
+        // xxhash64(NULL) is the non-null seed in Spark, so each hash is
+        // NULL-guarded to keep the COUNT(DISTINCT) excludes-NULL contract
+        def hllDistinct(c: String) = expr(s"CAST(round(hll_estimate(" +
+          s"hll_sketch($approxP, CASE WHEN $c IS NULL THEN CAST(NULL AS BIGINT) " +
+          s"ELSE xxhash64($c) END))) AS BIGINT)")
+        df.agg(baseAggs.head, baseAggs.tail ++ Seq(
+          hllDistinct(sourceCol).as("sources"),
+          hllDistinct(langCol).as("languages"),
+          hllDistinct(s"md5($textCol)").as("distinct_texts")): _*)
+      } else {
+        val base = df.agg(baseAggs.head, baseAggs.tail: _*)
+        val srcs = df.agg(countDistinct(col(sourceCol)).cast("long").as("sources"))
+        val langs = df.agg(countDistinct(col(langCol)).cast("long").as("languages"))
+        val texts = df.agg(countDistinct(md5(col(textCol))).cast("long").as("distinct_texts"))
+        base.crossJoin(broadcast(srcs))
+          .crossJoin(broadcast(langs)).crossJoin(broadcast(texts))
+      }
     row
-      .withColumn("duplicate_docs", col("docs") - col("distinct_texts"))
+      .withColumn("duplicate_docs",
+        col("docs") - col("null_docs") - col("distinct_texts"))
       .select(explode(array((metrics :+ "duplicate_docs").map(m =>
         struct(lit(m).as("metric"), col(m).as("value"))): _*)).as("r"))
       .select(col("r.metric"), col("r.value"))

@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   *     `mc_eid`, `igshid`, `ref`), remaining params sorted
   *     byte-lexicographically (param ORDER never distinguishes URLs);
   *  5. empty path becomes `/`; a trailing slash on a non-root path is
-  *     dropped (`/a/` ≡ `/a`).
+  *     dropped (`/a/` ≡ `/a`);
+  *  6. userinfo (`user:pw@`) is STRIPPED from the canonical form (and
+  *     from [[hostOf]]) — credentials are noise for crawl dedup and
+  *     would otherwise corrupt the ':'-port split;
+  *  7. IPv6 literal hosts (`[::1]`, with or without a port) keep their
+  *     brackets; an IP literal (v4 or v6) is its own registered domain
+  *     (no label heuristic on numeric hosts).
   * Input must carry an explicit `scheme://`; anything else (mailto:,
   * scheme-relative `//host`, garbage) passes through unchanged via the
   * `contains('://')` guard — curation drops non-http(s) rows anyway.
@@ -42,13 +48,18 @@ object UrlOps {
     "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
     "co.nz", "co.za", "com.sg", "com.tr")
 
-  /** Lowercased host (port stripped) of a `scheme://...` URL. */
+  /** Lowercased host (port and userinfo stripped; IPv6 brackets kept)
+    * of a `scheme://...` URL.
+    */
   def hostOf(url: Column): Column = {
     val rest = substring_index(trim(url), "://", -1)
     val beforeFrag = substring_index(rest, "#", 1)
     val beforeQuery = substring_index(beforeFrag, "?", 1)
     val hostport = substring_index(beforeQuery, "/", 1)
-    lower(substring_index(hostport, ":", 1))
+    val hp = substring_index(hostport, "@", -1) // strip userinfo
+    when(hp.startsWith("["),
+        lower(concat(substring_index(hp, "]", 1), lit("]"))))
+      .otherwise(lower(substring_index(hp, ":", 1)))
   }
 
   /** Registered (pay-level) domain of a lowercased host: the last two
@@ -64,6 +75,9 @@ object UrlOps {
     val lastThree = concat_ws(".",
       element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
     when(n <= lit(1), host)
+      // IP literals are their own registered domain: IPv6 has no dots
+      // (caught by n <= 1), IPv4 is all digits-and-dots
+      .when(host.rlike("^[0-9.]+$"), host)
       .when(n >= lit(3) && lastTwo.isin(suffixes: _*), lastThree)
       .otherwise(lastTwo)
   }
@@ -87,9 +101,17 @@ object UrlOps {
       beforeFrag.substr(length(beforeQuery) + lit(2), length(beforeFrag)))
       .otherwise(lit(""))
     val hostport = substring_index(beforeQuery, "/", 1)
-    val host = lower(substring_index(hostport, ":", 1))
-    val port = when(hostport.contains(":"),
-      substring_index(hostport, ":", -1)).otherwise(lit(""))
+    val hp = substring_index(hostport, "@", -1) // userinfo stripped (contract 6)
+    val isV6 = hp.startsWith("[")
+    val host = when(isV6, lower(concat(substring_index(hp, "]", 1), lit("]"))))
+      .otherwise(lower(substring_index(hp, ":", 1)))
+    val afterBracket = hp.substr(
+      length(substring_index(hp, "]", 1)) + lit(2), length(hp))
+    val port = when(isV6,
+        when(afterBracket.startsWith(":"),
+          afterBracket.substr(lit(2), length(afterBracket))).otherwise(lit("")))
+      .otherwise(when(hp.contains(":"),
+        substring_index(hp, ":", -1)).otherwise(lit("")))
     val keepPort = port =!= lit("") &&
       !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
     val rawPath = beforeQuery.substr(length(hostport) + lit(1), length(beforeQuery))

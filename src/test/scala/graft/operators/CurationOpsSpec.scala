@@ -129,6 +129,13 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "http://a.com?b=2&a=1" -> "http://a.com/?a=1&b=2",
       // '?' inside fragment is not a query
       "http://a.com/x#sec?notaquery=1" -> "http://a.com/x",
+      // userinfo stripped from the canonical form (contract clause 6)
+      "https://user:pw@Host.COM/x" -> "https://host.com/x",
+      "http://alice@a.com:8080/x" -> "http://a.com:8080/x",
+      // IPv6 literal hosts keep brackets; port rules still apply (clause 7)
+      "http://[::1]:8080/x" -> "http://[::1]:8080/x",
+      "https://[2001:DB8::1]/x" -> "https://[2001:db8::1]/x",
+      "https://[::1]:443/x" -> "https://[::1]/x",
       // no scheme: pass through unchanged (guard inside canonicalizeUrl)
       "mailto:someone@example.com" -> "mailto:someone@example.com",
       "not a url" -> "not a url")
@@ -138,11 +145,16 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g == want, s"canonical drift: got $g want $want")
     }
     val hosts = Seq("https://Sub.Shop.Example.CO.UK:8443/x", "http://localhost/x",
-      "http://deep.a.b.site.com/y")
+      "http://deep.a.b.site.com/y",
+      // IP literals are their own registered domain (clause 7)
+      "http://[::1]:8080/x", "http://10.0.0.1:9090/x",
+      // userinfo never reaches the domain heuristic (clause 6)
+      "https://bob@www.example.co.uk/y")
       .toDF("url")
       .select(UrlOps.registeredDomain(UrlOps.hostOf(col("url"))))
       .collect().map(_.getString(0)).toSeq
-    assert(hosts == Seq("example.co.uk", "localhost", "site.com"), hosts.toString)
+    assert(hosts == Seq("example.co.uk", "localhost", "site.com",
+      "[::1]", "10.0.0.1", "example.co.uk"), hosts.toString)
     // domainReport: dup counting on the canonical form
     val rpt = Seq(
       "http://x.com/a?utm_source=1", "http://X.com/a", "http://x.com/b",

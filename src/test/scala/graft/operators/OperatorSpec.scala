@@ -389,7 +389,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = Seq((5L, Timestamp.valueOf("2024-01-01 00:00:00"), 2.5)).toDF("k", "ts", "v")
     val r = Events.ewmaSmooth(one, "k", "ts", "v", 500000L).collect().head
     assert(r.getLong(3) == 2500000L && r.getLong(4) == 0L)
-    // url host edges: no path, port without path, userinfo-free contract
+    // url host edges: no path, port without path (userinfo/IPv6 cases
+    // live in the CurationOpsSpec contract test)
     val hosts = Seq("https://A.B.com", "http://x.y:8080", "https://q.r/only/path")
       .toDF("u").select(UrlOps.hostOf(col("u"))).collect().map(_.getString(0))
     assert(hosts.toSeq == Seq("a.b.com", "x.y", "q.r"), hosts.mkString(","))
@@ -901,18 +902,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("evalReport: confusion counts, ppm metrics, degenerate thresholds") {
+  test("evalReport: confusion counts, ppm metrics, degenerate thresholds, null audit") {
     val sps = spark; import sps.implicits._
     // scores: positives at .9/.6, negatives at .7/.2
     val df = Seq((0.9, 1.0), (0.6, 1.0), (0.7, 0.0), (0.2, 0.0)).toDF("s", "y")
     val out = Classify.evalReport(df, col("s"), col("y"), Seq(0.5, 0.95))
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getLong(6), r.getLong(7), r.getLong(8))).toMap
     // t=0.5: tp=2 fp=1 fn=0 tn=1; precision 2/3, recall 1, f1 4/5
-    assert(out(500000L) == ((2L, 1L, 0L, 1L, 666666L, 1000000L, 800000L)), out.toString)
+    assert(out(500000L) == ((2L, 1L, 0L, 1L, 0L, 666666L, 1000000L, 800000L)), out.toString)
     // t=0.95: nothing predicted positive -> precision 0-guarded
-    assert(out(950000L) == ((0L, 0L, 2L, 2L, 0L, 0L, 0L)), out.toString)
+    assert(out(950000L) == ((0L, 0L, 2L, 2L, 0L, 0L, 0L, 0L)), out.toString)
+    // NULL score/label rows land in NO bucket but ARE counted, so the
+    // confusion totals stay auditable: tp+fp+fn+tn+null_rows == rows
+    val withNulls = Seq(
+      (Option(0.9), Option(1.0)), (None, Option(0.0)), (Option(0.4), None)
+    ).toDF("s", "y")
+    val r = Classify.evalReport(withNulls, col("s"), col("y"), Seq(0.5))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 0L, 0L, 0L)))
+    assert(r.getLong(5) == 2L, s"null_rows ${r.getLong(5)}")
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == 3L)
   }
 
   test("multi-probe LSH: recall monotone in probe radius, candidates stay distinct") {
@@ -1903,6 +1914,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = TextAnalysis.topTokens(df, "text", 3)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(rows.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("corpusReport: NULL-consistent partition; approx HLL mode is one scan, same values") {
+    val sps = spark; import sps.implicits._
+    val df = Seq(
+      (1L, "a b c", "en", "web"),
+      (2L, "a b c", "en", "web"),                    // exact duplicate of 1
+      (3L, "", "de", "book"),                        // empty text
+      (4L, null.asInstanceOf[String], "en", "web"),  // NULL text
+      (5L, "x y", null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "lang", "source")
+    def m(ap: Boolean) = TextAnalysis.corpusReport(df, "text", "doc_id",
+        "lang", "source", approx = ap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = m(false)
+    assert(exact("docs") == 5 && exact("null_docs") == 1 && exact("empty_docs") == 1)
+    assert(exact("distinct_texts") == 3 && exact("duplicate_docs") == 1)
+    assert(exact("sources") == 2 && exact("languages") == 2, exact.toString)
+    // the partition contract: docs = null_docs + distinct + duplicates
+    assert(exact("docs") ==
+      exact("null_docs") + exact("distinct_texts") + exact("duplicate_docs"))
+    // approx mode: HLL is exact at these cardinalities -> identical report
+    assert(m(true) == exact, s"${m(true)} vs $exact")
+    // and the plan is ONE scan: single leaf, no Expand, no join of any kind
+    val ap = TextAnalysis.corpusReport(df, "text", "doc_id", "lang", "source",
+      approx = true)
+    assert(ap.queryExecution.optimizedPlan.collectLeaves().size == 1)
+    val exec = ap.queryExecution.executedPlan.toString
+    assert(!exec.contains("Expand") && !exec.contains("Join"), exec)
+    // the exact mode, by contrast, scans more than once (the optimizer
+    // may fuse some narrow pairs, but never down to a single pass)
+    val ex = TextAnalysis.corpusReport(df, "text", "doc_id", "lang", "source")
+    assert(ex.queryExecution.optimizedPlan.collectLeaves().size >= 2)
   }
 
   test("lsh maxBucketSize guard drops pathological buckets fail-soft") {
