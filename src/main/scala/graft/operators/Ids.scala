@@ -21,18 +21,31 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * `row_number() − 1`).
   *
   * Cost note: zipWithIndex round-trips FULL rows through the RDD layer
-  * (one deserialization pass). The narrow alternative — enumerate only
-  * `orderCols`, equi-join ids back — replaces that pass with a second
-  * full-width shuffle of the wide table; for the typical
-  * one-off-before-write use the single pass wins. Stamp ids BEFORE
-  * attaching heavyweight columns when possible.
+  * (one deserialization pass) and range-shuffles the full table. When
+  * the table is WIDE (multimodal payloads — image bytes, long text) and
+  * "stamp ids before attaching payload columns" is not possible, pass
+  * `narrow = true`: only `orderCols` range-shuffle and enumerate, and
+  * the ids equi-join back (one hash shuffle of the wide rows, but NO
+  * full-row RDD serde round-trip and no full-width range exchange —
+  * measured ~2x on a 1 KB-payload fixture, SCALE.md). The narrow path
+  * additionally requires `orderCols` to be UNIQUE per row (a duplicate
+  * key would fan out in the join) — the same uniqueness the determinism
+  * contract already assumes; the wide default tolerates duplicates at
+  * the price of tie order being partition-dependent.
   */
 object Ids {
 
   def assignSequential(df: DataFrame, orderCols: Seq[String],
-      idCol: String = "seq_id", partitions: Int = 0): DataFrame = {
+      idCol: String = "seq_id", partitions: Int = 0,
+      narrow: Boolean = false): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
     require(!df.columns.contains(idCol), s"column $idCol already exists")
+    if (narrow) {
+      val keys = df.select(orderCols.map(col): _*)
+      val ids = assignSequential(keys, orderCols, idCol, partitions)
+      return df.join(ids, orderCols)
+        .select(df.columns.map(col) :+ col(idCol): _*)
+    }
     val p = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df

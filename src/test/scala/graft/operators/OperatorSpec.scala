@@ -900,6 +900,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Ids.assignSequential(df.withColumn("seq_id", lit(1)), Seq("k"))
     }
+    // narrow mode (enumerate orderCols only, join ids back): identical
+    // ids, identical schema, any partition count — the wide-table path
+    val narrow = Ids.assignSequential(df, Seq("g", "k"), narrow = true)
+    assert(narrow.columns.toSeq == Seq("k", "g", "seq_id"))
+    assert(narrow.collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap == a)
+    assert(Ids.assignSequential(df, Seq("g", "k"), partitions = 7, narrow = true)
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap == a)
   }
 
   test("evalReport: confusion counts, ppm metrics, degenerate thresholds, null audit") {
