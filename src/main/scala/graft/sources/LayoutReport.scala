@@ -45,4 +45,63 @@ object LayoutReport {
       .toDF("files", "total_bytes", "small_files", "largest_bytes",
         "smallest_bytes", "avg_bytes", "recommended_files")
   }
+
+  /** Execute what [[fileReport]] recommends: rewrite the SMALL-FILE TAIL
+    * of a flat parquet directory — every top-level file under half the
+    * target coalesces into ceil(small_bytes / target) files — and leave
+    * already-right-sized files untouched (a 100 TB table's healthy
+    * gigabyte files must not be rewritten to fix its tail). Pass
+    * `zorderBits`/`zorderDims` to keep (or introduce) z-clustering in
+    * the rewritten files via [[DataLayout.clusterByZOrder]]; otherwise
+    * the rewrite is a plain size-targeted repartition.
+    *
+    * Scope and failure contract (documented, not hidden): this operates
+    * on a PLAIN parquet directory — no transaction log — so the swap is
+    * copy-in-then-delete: new `part-compacted-*` files land first, then
+    * the originals delete. A crash between the two steps leaves
+    * DUPLICATE rows visible (never missing rows); re-listing the
+    * `part-compacted-` prefix of the interrupted run is the manual
+    * recovery. Hive-partitioned tables: call per partition directory
+    * (top-level files only are compacted; partition values live in
+    * directory names and would be lost by a cross-partition rewrite).
+    *
+    * @return the post-compaction [[fileReport]] of the directory
+    */
+  def compact(spark: SparkSession, dataDir: String,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      zorderBits: Int = 0, zorderDims: Seq[String] = Nil): DataFrame = {
+    require(targetFileBytes >= 1, "targetFileBytes must be >= 1")
+    require(zorderDims.isEmpty || zorderBits >= 1,
+      "zorderDims needs zorderBits >= 1")
+    val fs = new Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val small = fs.listStatus(new Path(dataDir)).toSeq
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet")
+        && st.getLen < targetFileBytes / 2)
+    if (small.size > 1) {
+      val smallBytes = small.map(_.getLen).sum
+      val nOut = math.max(1L,
+        (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val df0 = spark.read.parquet(small.map(_.getPath.toString): _*)
+      val df =
+        if (zorderDims.nonEmpty)
+          DataLayout.clusterByZOrder(df0, zorderBits,
+            zorderDims.map(org.apache.spark.sql.functions.col), nOut)
+        else df0.repartition(nOut)
+      val runId = java.util.UUID.randomUUID.toString.take(8)
+      // dot-prefixed staging dir: hidden from every parquet reader
+      val tmp = new Path(dataDir, s".compact-tmp-$runId")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val staged = fs.listStatus(tmp).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      staged.zipWithIndex.foreach { case (st, i) =>
+        require(fs.rename(st.getPath,
+          new Path(dataDir, s"part-compacted-$runId-$i.parquet")),
+          s"rename failed for ${st.getPath}")
+      }
+      small.foreach(st => fs.delete(st.getPath, false))
+      fs.delete(tmp, true): Unit
+    }
+    fileReport(spark, dataDir, targetFileBytes)
+  }
 }
