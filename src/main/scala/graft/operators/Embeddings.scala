@@ -1019,13 +1019,17 @@ object Embeddings {
     val sub = cb(0)(0).length
     require(cb.forall(_.forall(_.length == sub)), "ragged codebooks")
     for (_ <- 1 to iterations) {
+      // pqEncode is the GENERATOR input, so it evaluates exactly once per
+      // row (a plain projection would be collapsed into the per-element
+      // select and re-encode the vector once per exploded dimension —
+      // measured 13x slower); the per-(row, j) slice then explodes the
+      // subvector the assigned code owns
       val rows = embeddings
-        .select(pqEncode(col(vecCol), cb).as("__codes"),
-          posexplode(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
-            .as(Seq("__d", "__x")))
-        .select(expr(s"CAST(__d div $sub AS INT)").as("__j"),
-          element_at(col("__codes"), expr(s"CAST(__d div $sub AS INT)") + 1).as("__c"),
-          expr(s"CAST(__d % $sub AS INT)").as("__p"), col("__x"))
+        .select(col(vecCol),
+          posexplode(pqEncode(col(vecCol), cb)).as(Seq("__j", "__c")))
+        .select(col("__j"), col("__c"), posexplode(expr(
+            s"transform(slice($vecCol, __j * $sub + 1, $sub), x -> CAST(x AS DOUBLE))"))
+          .as(Seq("__p", "__x")))
         .groupBy("__j", "__c", "__p")
         .agg(sum(round(col("__x") * lit(1e6)).cast("long")).as("s_e6"),
           count(lit(1)).cast("long").as("n"))
