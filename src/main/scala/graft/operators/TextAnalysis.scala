@@ -340,8 +340,11 @@ object TextAnalysis {
           .crossJoin(broadcast(langs)).crossJoin(broadcast(texts))
       }
     row
+      // clamped at 0: exact counts can never go negative (no-op there),
+      // but an approx distinct estimate can exceed docs by its ~1% error
+      // and a "-224 duplicates" dataset card helps nobody
       .withColumn("duplicate_docs",
-        col("docs") - col("null_docs") - col("distinct_texts"))
+        greatest(lit(0L), col("docs") - col("null_docs") - col("distinct_texts")))
       .select(explode(array((metrics :+ "duplicate_docs").map(m =>
         struct(lit(m).as("metric"), col(m).as("value"))): _*)).as("r"))
       .select(col("r.metric"), col("r.value"))
