@@ -1362,6 +1362,18 @@ object SparkEntry {
               ev, "ts", "event_type", "1 day", "1 hour"))
           .orderBy("w_us", "event_type")
       }),
+      // per-window top-k heavy hitters as CHAINED stateful aggregations
+      // (count per (window,key) -> window-of-window topk_agg): the second
+      // operator's state is <= k entries per window, never the key
+      // universe; emission inherits the q_stream_window cutoff
+      "q_stream_topk" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.FileStreams.windowedTopK(
+              ev, "ts", "user_id", 5, "1 day", "1 hour"))
+          .orderBy("w_us", "rank")
+      }),
       // stream-static enrichment: the events stream broadcast-joins the
       // static customer dimension each micro-batch, then rolls up per
       // (day, mktsegment) under the watermark — same emission contract as
@@ -1686,6 +1698,26 @@ object SparkEntry {
                     WHEN doc_id % 3 = 1 THEN '?a=2&z=1' ELSE '' END,
                CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""").as("url"))
         UrlOps.domainReport(urls, "url").orderBy("domain")
+      }),
+      // encoding-damage (mojibake) screen: cp1252 artifacts injected into
+      // every 7th doc with identical string synthesis in both engines;
+      // hits counted by pure replace/length arithmetic (no regex dialect)
+      "q_mojibake" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents").select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit("\u0020caf\u00c3\u00a9 don" +
+              "\u00e2\u20ac\u2122t\u00c2\u00a0end")))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.mojibakeReport(docs, "text", "doc_id")
+          .join(s.table("documents").select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum(when(col("mojibake_hits") > 0, 1L).otherwise(0L))
+              .cast("long").as("damaged_docs"),
+            sum(col("mojibake_hits")).cast("long").as("hits"),
+            max(col("mojibake_ppm")).cast("long").as("max_ppm"))
+          .orderBy("source")
       }),
       // dataset-card corpus summary: one (metric, value) block
       "q_corpus_report" -> ((s: SparkSession, dir: String) => {
@@ -3552,6 +3584,46 @@ object SparkEntry {
       GROUP BY 1, 2, wm
       HAVING w_us + 86400000000 <= wm
       ORDER BY w_us, event_type""",
+    // mojibake replay: identical payload synthesis via chr() code points,
+    // hits via the same replace/length arithmetic — the artifact list and
+    // the SQL are generated from ONE source (TextAnalysis.MojibakeArtifacts)
+    "q_mojibake" -> {
+      def chrs(s: String) = s.map(c => s"chr(${c.toInt})").mkString(" || ")
+      val arts = graft.operators.TextAnalysis.MojibakeArtifacts
+      val hits = arts.map(s =>
+        s"(length(t2) - length(replace(t2, ${chrs(s)}, ''))) // ${s.length}")
+        .mkString("(", " + ", ")")
+      val payload = s"' caf' || ${chrs("Ã©")} || ' don' || " +
+        s"${chrs("â€™")} || 't' || ${chrs("Â ")} || 'end'"
+      s"""
+      WITH d AS (SELECT doc_id, source,
+          CASE WHEN doc_id % 7 = 0 THEN text || $payload ELSE text END AS t2
+        FROM documents),
+      r AS (SELECT doc_id, source, $hits AS h, length(t2) AS chars FROM d),
+      p AS (SELECT doc_id, source, h,
+                   CASE WHEN chars = 0 THEN 0 ELSE h * 1000000 // chars END AS ppm
+            FROM r)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS damaged_docs,
+             CAST(SUM(h) AS BIGINT) AS hits,
+             CAST(MAX(ppm) AS BIGINT) AS max_ppm
+      FROM p GROUP BY source ORDER BY source"""
+    },
+    // streaming windowed top-k replay: per-(closed window, user) counts
+    // ranked n DESC, user ASC — the topk_agg ordering contract — under
+    // the same ms-floored watermark cutoff as q_stream_window
+    "q_stream_topk" -> """
+      WITH m AS (
+        SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS wm FROM events),
+      c AS (SELECT epoch_us(date_trunc('day', ts)) AS w_us, user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+      r AS (SELECT w_us, user_id, n,
+                   row_number() OVER (PARTITION BY w_us ORDER BY n DESC, user_id) AS rk
+            FROM c)
+      SELECT w_us, CAST(rk AS INT) AS rank, CAST(user_id AS BIGINT) AS user_id, n
+      FROM r, m WHERE rk <= 5 AND w_us + 86400000000 <= wm
+      ORDER BY w_us, rank""",
     // streaming sessionization replay: gap sessions (break on diff > gap —
     // events exactly gap apart merge, same as session_window), session end
     // = last event + gap, kept iff end <= final ms-floored watermark

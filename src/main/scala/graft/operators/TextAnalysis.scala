@@ -350,6 +350,55 @@ object TextAnalysis {
       .select(col("r.metric"), col("r.value"))
   }
 
+  /** The classic UTF-8-decoded-as-cp1252 artifact sequences ("mojibake"):
+    * an accented Latin-1 char's two UTF-8 bytes render as `Ã©`-style
+    * pairs, and the General Punctuation block's three bytes as
+    * `â€™`-style triples. Written as unicode escapes so the source file
+    * stays ASCII; each is matched as a LITERAL substring (no regex).
+    */
+  val MojibakeArtifacts: Seq[String] = Seq(
+    // two-char family: UTF-8 of e-acute/e-grave/a-acute/a-uml/o-uml/
+    // u-uml/n-tilde/c-cedilla misread as cp1252 (A-tilde + symbol)
+    "\u00c3\u00a9", "\u00c3\u00a8", "\u00c3\u00a1", "\u00c3\u00a4",
+    "\u00c3\u00b6", "\u00c3\u00bc", "\u00c3\u00b1", "\u00c3\u00a7",
+    // three-char family: right-quote/left-dquote/en-dash/em-dash/ellipsis
+    // (a-circumflex + euro-sign + symbol)
+    "\u00e2\u20ac\u2122", "\u00e2\u20ac\u0153", "\u00e2\u20ac\u201c",
+    "\u00e2\u20ac\u201d", "\u00e2\u20ac\u00a6",
+    // A-circumflex family: nbsp and guillemets
+    "\u00c2\u00a0", "\u00c2\u00ab", "\u00c2\u00bb")
+
+  /** Occurrence count of the [[MojibakeArtifacts]] in `text`, as pure
+    * string arithmetic \u2014 `(len(t) \u2212 len(replace(t, s, ''))) / len(s)`
+    * per artifact, summed \u2014 so ANY SQL engine replays the count byte for
+    * byte (no regex dialect, no unicode-class differences). NULL text
+    * counts NULL (pass-through).
+    */
+  def mojibakeHits(text: Column): Column =
+    MojibakeArtifacts.map { s =>
+      ((length(text) - length(replace(text, lit(s), lit(""))))
+        / lit(s.length)).cast("long")
+    }.reduce(_ + _)
+
+  /** Per-document encoding-damage report — the ftfy-role curation
+    * screen: crawl slices that went through a cp1252 round-trip light up
+    * with `Ã©`/`â€™` artifacts, and routing them to re-decoding (or
+    * dropping them) beats training on them. Emits per doc the artifact
+    * hit count, char length, and `mojibake_ppm = hits·10^6 div chars`
+    * (0 for empty docs) — threshold ppm, not hits, so long documents
+    * don't dominate. Row-local codegen'd string ops (16 literal
+    * replaces), no shuffle, no regex; every number replays exactly in
+    * the q_mojibake oracle.
+    *
+    * @return (idCol, mojibake_hits, chars, mojibake_ppm)
+    */
+  def mojibakeReport(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), mojibakeHits(col(textCol)).as("mojibake_hits"),
+        length(col(textCol)).cast("long").as("chars"))
+      .withColumn("mojibake_ppm",
+        when(col("chars") === 0, 0L)
+          .otherwise(expr("mojibake_hits * 1000000L div chars")))
+
   /** Readability report (Flesch reading ease, heuristic syllables): per
     * document the whitespace word count, sentence count (runs of
     * `[.!?]`, min 1 so fragments don't divide by zero), syllable count

@@ -148,6 +148,42 @@ object FileStreams {
       .agg(count(lit(1)).cast("long").as("n"))
       .select(unix_micros(col("window.start")).as("w_us"), col(typeCol), col("n"))
 
+  /** Per-window top-k heavy hitters — CHAINED stateful aggregations in
+    * one append-mode query (the Spark 3.5+ multiple-stateful-operator
+    * shape): the first watermarked aggregation counts per (event-time
+    * window, key); the second, grouped on `window(window)` (the
+    * window-of-window pattern), folds those finalized counts through the
+    * bounded-heap `topk_agg` — so the per-window state the SECOND
+    * operator holds is ≤ k entries, not the key universe, and no
+    * per-window sort ever runs. Emission inherits the
+    * [[windowedEventCounts]] contract: a window's top-k appears exactly
+    * once, when the watermark closes it.
+    *
+    * The streaming face of the batch `topk_agg` gate: identical ranking
+    * semantics (ord = count descending, ties to the smaller key), so the
+    * oracle replays counts + `row_number` per closed window.
+    *
+    * @return (w_us, rank, key, n)
+    */
+  def windowedTopK(events: DataFrame, tsCol: String, keyCol: String, k: Int,
+      windowExpr: String = "1 day", watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.ColumnBridge
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowExpr), col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .groupBy(window(col("window"), windowExpr).as("w2"))
+      .agg(ColumnBridge.column(graft.functions.TopKAgg(
+        ColumnBridge.expression(lit(k)),
+        ColumnBridge.expression(col("n")),
+        ColumnBridge.expression(col(keyCol).cast("long"))).toAggregateExpression())
+        .as("__tk"))
+      .select(unix_micros(col("w2.start")).as("w_us"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("w_us"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.payload").as(keyCol), col("__e.ord").as("n"))
+  }
+
   /** Stream-static enrichment + windowed rollup: each micro-batch joins
     * the event stream against a STATIC dimension (broadcast — the classic
     * "enrich the firehose with reference data" pattern; Spark re-reads the

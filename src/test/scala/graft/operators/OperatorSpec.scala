@@ -1924,6 +1924,33 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("mojibakeReport: hand-counted artifacts, ppm math, clean text scores zero") {
+    val sps = spark; import sps.implicits._
+    val eAcute = "Ã©"   // e-acute mojibake (2 chars)
+    val rQuote = "â€™" // right-quote mojibake (3 chars)
+    val nbsp = "Â "     // nbsp mojibake (2 chars)
+    val df = Seq(
+      (1L, s"caf$eAcute$eAcute don${rQuote}t$nbsp"), // 2 + 1 + 1 = 4 hits, 14 chars
+      (2L, "perfectly clean ascii text."),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mojibakeReport(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4L, s"hits ${out(1L).getLong(1)}")
+    val chars1 = out(1L).getLong(2)
+    assert(chars1 == 3 + 2 + 2 + 4 + 3 + 1 + 2, s"chars $chars1") // caf ÃÃ©(2+2) _don ™(3) t nbsp(2)
+    assert(out(1L).getLong(3) == 4L * 1000000L / chars1)
+    assert(out(2L).getLong(1) == 0L && out(2L).getLong(3) == 0L)
+    assert(out(3L).getLong(1) == 0L && out(3L).getLong(3) == 0L, "empty doc: 0 ppm")
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(2), "NULL text passes through")
+    // every artifact in the table counts exactly once when present once
+    val all = TextAnalysis.MojibakeArtifacts.mkString(" ")
+    val one = Seq((9L, all)).toDF("doc_id", "text")
+    assert(TextAnalysis.mojibakeReport(one, "text", "doc_id").head().getLong(1)
+      == TextAnalysis.MojibakeArtifacts.size.toLong)
+  }
+
   test("corpusReport: NULL-consistent partition; approx HLL mode is one scan, same values") {
     val sps = spark; import sps.implicits._
     val df = Seq(

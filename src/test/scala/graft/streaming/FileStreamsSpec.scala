@@ -56,6 +56,30 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() > 0)
   }
 
+  test("windowed top-k: chained stateful aggs == batch counts + rank under the cutoff") {
+    val ev = FileStreams.tableStream(spark, dir, "events", Seq("ts"))
+    val out = FileStreams.runAvailableNow(
+      FileStreams.windowedTopK(ev, "ts", "user_id", k = 5, "1 day", "1 hour"))
+    val batch = batchEvents()
+    val wm = watermarkUs(batch, 3600000L)
+    val counts = batch
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(unix_micros(col("window.start")).as("w_us"), col("user_id"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_us").orderBy(col("n").desc, col("user_id"))
+    val expected = counts
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 5 && col("w_us") + 86400000000L <= wm)
+      .select(col("w_us"), col("rank"), col("user_id").cast("long"), col("n"))
+    assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+    assert(out.count() > 0)
+    // each closed window emits its top-k exactly once, ranks dense 1..k
+    val ranks = out.groupBy("w_us").agg(collect_list("rank").as("rs"))
+      .collect().map(_.getSeq[Int](1).sorted)
+    assert(ranks.forall(rs => rs == (1 to rs.size)), ranks.mkString(";"))
+  }
+
   test("stream-static enrichment: emitted set == batch join+rollup under the cutoff") {
     val ev = FileStreams.tableStream(spark, dir, "events", Seq("ts"))
     val dim = spark.read.parquet(s"$dir/customer.parquet")
