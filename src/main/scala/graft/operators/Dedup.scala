@@ -325,7 +325,11 @@ object Dedup {
     }
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       private def check(): Unit = warned.synchronized {
-        lshRunStatsSnapshot().foreach { st =>
+        // the registry is shared with other skew-capped operators (e.g.
+        // ewmaSmooth's graft_ewma_keys_*) — this listener speaks only for
+        // LSH buckets, so filter on the prefix
+        lshRunStatsSnapshot()
+          .filter(_.name.startsWith("graft_lsh_buckets")).foreach { st =>
           val maxBucket = st.maxBucket.value
           if (maxBucket > threshold) {
             val prev = Option(warned.get(st)).fold(0L)(_.longValue)

@@ -1538,6 +1538,17 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.get() != null, "bucket-skew warning did not fire under AQE")
     assert(seen.get()._1 == 30L, s"expected max bucket 30, got ${seen.get()}")
     assert(seen.get()._2 == 0L, "uncapped run must not drop buckets")
+    // other skew-capped operators share the accumulator registry but must
+    // NOT trigger the LSH-labeled warning: a 40-point EWMA key (over the
+    // 10-entry threshold) leaves the latch untouched
+    import java.sql.Timestamp
+    val tele = (1 to 40).map(i =>
+      (1L, Timestamp.valueOf(f"2024-01-01 10:00:$i%02d"), i.toDouble))
+      .toDF("k", "ts", "v")
+    Events.ewmaSmooth(tele, "k", "ts", "v", 500000L).count()
+    Thread.sleep(500) // listener bus drain window
+    assert(seen.get() == ((30L, 0L)),
+      s"EWMA key history fired the LSH warning: ${seen.get()}")
   }
 
   test("connected components: pointer jumping converges on a long path in O(log d) rounds") {
