@@ -1699,6 +1699,44 @@ object SparkEntry {
                CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""").as("url"))
         UrlOps.domainReport(urls, "url").orderBy("domain")
       }),
+      // consistent pseudonymization: every distinct email -> a stable
+      // user_<md5-8>@redacted.invalid token, longest-first replace fold;
+      // every 11th doc carries the substring-hazard pair (a@b.co inside
+      // xa@b.co) so the ordering is exercised live
+      "q_pseudonymize" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents").select(col("doc_id"), col("source"),
+          concat(col("text"),
+            lit(" contact admin"), (col("doc_id") % 5).cast("string"),
+            lit("@example.com"),
+            when(col("doc_id") % 11 === 0, lit(" a@b.co xa@b.co"))
+              .otherwise(lit(""))).as("text"))
+        docs.select(col("source"),
+            TextAnalysis.pseudonymizeEmails(col("text")).as("t2"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum(length(col("t2"))).cast("long").as("chars"),
+            countDistinct(md5(col("t2"))).cast("long").as("distinct_texts"),
+            sum(((length(col("t2")) -
+              length(replace(col("t2"), lit("@redacted.invalid"), lit(""))))
+              / lit(17)).cast("long")).cast("long").as("pseudo_hits"))
+          .orderBy("source")
+      }),
+      // per-source token-budget curation: greedy-prefix admission in
+      // (toks DESC, doc_id) priority order under a 2000-token budget per
+      // source; ONE stratum-keyed window cumsum
+      "q_token_budget" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents").select(col("doc_id"), col("source"),
+          size(filter(split(lower(col("text")), "\\s+"), t => t =!= lit("")))
+            .cast("long").as("toks"))
+        Sampling.tokenBudgetTake(docs, "source", "toks", 2000L,
+            Seq(col("toks").desc, col("doc_id")))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("kept_docs"),
+            sum("toks").cast("long").as("kept_tokens"))
+          .orderBy("source")
+      }),
       // encoding-damage (mojibake) screen: cp1252 artifacts injected into
       // every 7th doc with identical string synthesis in both engines;
       // hits counted by pure replace/length arithmetic (no regex dialect)
@@ -3584,6 +3622,45 @@ object SparkEntry {
       GROUP BY 1, 2, wm
       HAVING w_us + 86400000000 <= wm
       ORDER BY w_us, event_type""",
+    // pseudonymize replay: identical payload synthesis, the same
+    // longest-first (lpad key) literal-replace fold, token arithmetic via
+    // DuckDB's own md5/list_reduce — the whole transform replayed
+    "q_pseudonymize" -> s"""
+      WITH d AS (SELECT doc_id, source,
+          text || ' contact admin' || CAST(doc_id % 5 AS VARCHAR) || '@example.com' ||
+          CASE WHEN doc_id % 11 = 0 THEN ' a@b.co xa@b.co' ELSE '' END AS t
+        FROM documents),
+      p AS (SELECT doc_id, source,
+          list_reduce(
+            list_prepend(t,
+              list_transform(
+                list_sort(list_transform(
+                  list_distinct(regexp_extract_all(t,
+                    '${graft.operators.TextAnalysis.EmailPattern}')),
+                  e -> lpad(CAST(9999 - length(e) AS VARCHAR), 4, '0') || e)),
+                x -> substr(x, 5))),
+            (acc, e) -> replace(acc, e,
+              'user_' || substr(md5(e), 1, 8) || '@redacted.invalid')) AS t2
+        FROM d)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(length(t2)) AS BIGINT) AS chars,
+             CAST(COUNT(DISTINCT md5(t2)) AS BIGINT) AS distinct_texts,
+             CAST(SUM((length(t2) - length(replace(t2, '@redacted.invalid', ''))) // 17)
+               AS BIGINT) AS pseudo_hits
+      FROM p GROUP BY source ORDER BY source""",
+    // token-budget replay: window cumsum in the same (toks DESC, doc_id)
+    // order, prefix kept while cum <= budget
+    "q_token_budget" -> """
+      WITH t AS (SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS BIGINT) AS toks
+        FROM documents),
+      c AS (SELECT doc_id, source, toks,
+          SUM(toks) OVER (PARTITION BY source ORDER BY toks DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(toks) AS BIGINT) AS kept_tokens
+      FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source""",
     // mojibake replay: identical payload synthesis via chr() code points,
     // hits via the same replace/length arithmetic — the artifact list and
     // the SQL are generated from ONE source (TextAnalysis.MojibakeArtifacts)

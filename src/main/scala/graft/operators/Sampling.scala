@@ -82,6 +82,36 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-stratum TOKEN-budget take — the curation primitive when the
+    * training contract is "at most B tokens from each source", not "at
+    * most n documents": rows are admitted in `orderCols` priority order
+    * (quality-first is the usual call) while the stratum's RUNNING token
+    * total stays within `budgetTokens`. Greedy-prefix semantics, stated
+    * plainly: the first document that would overflow the budget is
+    * dropped and ADMISSION STOPS THERE for that stratum — later, smaller
+    * documents are not back-filled (a knapsack would be; a deterministic,
+    * engine-replayable prefix is worth more than the few percent of
+    * budget a backfill recovers, and "highest-priority prefix" is the
+    * policy auditors can reason about).
+    *
+    * `orderCols` must totally order each stratum (add a unique id last)
+    * or the prefix is partition-dependent. Scale shape: ONE stratum-keyed
+    * window cumsum — the [[stratifiedTake]] exchange with a running sum
+    * instead of a rank; nothing driver-side, nothing quadratic.
+    */
+  def tokenBudgetTake(df: DataFrame, strataCol: String, tokenCol: String,
+      budgetTokens: Long, orderCols: Seq[Column]): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    require(orderCols.nonEmpty, "need priority order columns")
+    require(!df.columns.contains("__cum"),
+      "tokenBudgetTake input contains reserved helper column __cum; rename it first")
+    val w = Window.partitionBy(col(strataCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .where(col("__cum") <= budgetTokens)
+      .drop("__cum")
+  }
+
   /** Rebalance a corpus to a target domain MIXTURE (the DoReMi /
     * Pile-style "domain weights" primitive): given target proportions per
     * stratum, keep the largest possible corpus whose stratum shares match

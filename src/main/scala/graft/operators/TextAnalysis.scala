@@ -380,6 +380,39 @@ object TextAnalysis {
         / lit(s.length)).cast("long")
     }.reduce(_ + _)
 
+  /** Email pattern shared by pseudonymization (Java∩RE2∩DuckDB subset). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** CONSISTENT pseudonymization — the step up from blank redaction:
+    * every distinct email maps to a STABLE token
+    * `user_<md5-prefix-8>@redacted.invalid`, so cross-document (and
+    * in-document) co-reference survives scrubbing — "alice@x.com replied
+    * to alice@x.com's earlier point" still reads as the same entity, and
+    * joins on the pseudonym still work, while the raw address is gone.
+    *
+    * Mechanics, all codegen'd HOFs (no UDF, no per-match callback —
+    * Spark's regexp_replace cannot compute per-match): extract distinct
+    * matches, order them LONGEST-FIRST (a shorter email that is a
+    * substring of a longer one — `a@b.co` inside `xa@b.co` — must not
+    * fire first and corrupt the longer match mid-string; the ordering
+    * key is `lpad(9999 − len)` + value, so engines whose list_sort has
+    * no comparator replay it with a plain ascending sort), then fold a
+    * literal `replace` per match. Per-row cost is matches × one text
+    * copy — bounded by the document's own match count; rows without
+    * matches pay one regex scan. NULL text passes through NULL.
+    */
+  def pseudonymizeEmails(text: Column): Column = {
+    val found = array_distinct(
+      regexp_extract_all(text, lit(EmailPattern), lit(0)))
+    val keyed = transform(found, e =>
+      concat(lpad((lit(9999) - length(e)).cast("string"), 4, "0"), e))
+    val ordered = transform(array_sort(keyed), x =>
+      x.substr(lit(5), length(x) - lit(4)))
+    aggregate(ordered, text, (acc, e) =>
+      replace(acc, e, concat(lit("user_"), substring(md5(e), 1, 8),
+        lit("@redacted.invalid"))))
+  }
+
   /** Per-document encoding-damage report — the ftfy-role curation
     * screen: crawl slices that went through a cp1252 round-trip light up
     * with `Ã©`/`â€™` artifacts, and routing them to re-decoding (or

@@ -1935,6 +1935,57 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("tokenBudgetTake: greedy prefix per stratum, no backfill, exact boundary") {
+    val sps = spark; import sps.implicits._
+    val df = Seq(
+      // stratum a, priority = quality desc: 60 + 30 fills 90 of 100;
+      // next (20) would hit 110 -> dropped, and the LATER 10 is NOT
+      // back-filled (prefix semantics), even though it would fit
+      (1L, "a", 60L, 9.0), (2L, "a", 30L, 8.0), (3L, "a", 20L, 7.0),
+      (4L, "a", 10L, 6.0),
+      // stratum b: single doc exactly at budget -> kept (<= is inclusive)
+      (5L, "b", 100L, 5.0),
+      // stratum c: first doc alone overflows -> stratum keeps nothing
+      (6L, "c", 101L, 9.9), (7L, "c", 1L, 0.1)
+    ).toDF("id", "src", "toks", "q")
+    val kept = Sampling.tokenBudgetTake(df, "src", "toks", 100L,
+        Seq(col("q").desc, col("id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L), s"kept $kept")
+    // helper column collision fails fast
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetTake(df.withColumn("__cum", lit(1)), "src", "toks",
+        10L, Seq(col("id")))
+    }
+  }
+
+  test("pseudonymizeEmails: stable tokens, co-reference survives, substring ordering") {
+    val sps = spark; import sps.implicits._
+    def run(t: String): String = Seq(Tuple1(t)).toDF("t")
+      .select(TextAnalysis.pseudonymizeEmails(col("t"))).head().getString(0)
+    // same address -> same token (co-reference survives); different -> different
+    val out = run("alice@x.com wrote to bob@y.org, then alice@x.com replied")
+    val tok = "user_[0-9a-f]{8}@redacted\\.invalid".r
+    val toks = tok.findAllIn(out).toSeq
+    assert(toks.size == 3 && toks(0) == toks(2) && toks(0) != toks(1), out)
+    assert(!out.contains("alice@x.com") && !out.contains("bob@y.org"), out)
+    // deterministic: the token is the md5 prefix of the address
+    val expected = "user_" + org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("alice@x.com").take(8) + "@redacted.invalid"
+    assert(out.startsWith(expected), s"$out vs $expected")
+    // substring hazard: a@b.co inside xa@b.co — longest replaced first,
+    // the standalone short address still gets its OWN token
+    val hz = run("see xa@b.co and a@b.co")
+    val hzToks = tok.findAllIn(hz).toSeq
+    assert(hzToks.size == 2 && hzToks(0) != hzToks(1), hz)
+    assert(!hz.contains("@b.co"), hz)
+    // no matches / NULL: pass through
+    assert(run("no addresses here") == "no addresses here")
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(TextAnalysis.pseudonymizeEmails(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("mojibakeReport: hand-counted artifacts, ppm math, clean text scores zero") {
     val sps = spark; import sps.implicits._
     val eAcute = "Ã©"   // e-acute mojibake (2 chars)
