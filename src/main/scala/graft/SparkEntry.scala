@@ -3630,18 +3630,23 @@ object SparkEntry {
           text || ' contact admin' || CAST(doc_id % 5 AS VARCHAR) || '@example.com' ||
           CASE WHEN doc_id % 11 = 0 THEN ' a@b.co xa@b.co' ELSE '' END AS t
         FROM documents),
+      f AS (SELECT doc_id, source, t,
+          list_distinct(regexp_extract_all(t,
+            '${graft.operators.TextAnalysis.EmailPattern}')) AS found
+        FROM d),
       p AS (SELECT doc_id, source,
-          list_reduce(
-            list_prepend(t,
-              list_transform(
-                list_sort(list_transform(
-                  list_distinct(regexp_extract_all(t,
-                    '${graft.operators.TextAnalysis.EmailPattern}')),
-                  e -> lpad(CAST(9999 - length(e) AS VARCHAR), 4, '0') || e)),
-                x -> substr(x, 5))),
-            (acc, e) -> replace(acc, e,
-              'user_' || substr(md5(e), 1, 8) || '@redacted.invalid')) AS t2
-        FROM d)
+          CASE WHEN len(found) <= 1000 THEN
+            list_reduce(
+              list_prepend(t,
+                list_transform(
+                  list_sort(list_transform(found,
+                    e -> lpad(CAST(9999 - length(e) AS VARCHAR), 4, '0') || e)),
+                  x -> substr(x, 5))),
+              (acc, e) -> replace(acc, e,
+                'user_' || substr(md5(e), 1, 8) || '@redacted.invalid'))
+          ELSE regexp_replace(t, '${graft.operators.TextAnalysis.EmailPattern}',
+            'user_overflow@redacted.invalid', 'g') END AS t2
+        FROM f)
       SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
              CAST(SUM(length(t2)) AS BIGINT) AS chars,
              CAST(COUNT(DISTINCT md5(t2)) AS BIGINT) AS distinct_texts,

@@ -95,7 +95,10 @@ object Sampling {
     * policy auditors can reason about).
     *
     * `orderCols` must totally order each stratum (add a unique id last)
-    * or the prefix is partition-dependent. Scale shape: ONE stratum-keyed
+    * or the prefix is partition-dependent; `tokenCol` must be
+    * nonnegative (a negative count would make the running sum
+    * non-monotone and re-admit rows after an overflow, which is no
+    * longer a prefix). Scale shape: ONE stratum-keyed
     * window cumsum — the [[stratifiedTake]] exchange with a running sum
     * instead of a rank; nothing driver-side, nothing quadratic.
     */

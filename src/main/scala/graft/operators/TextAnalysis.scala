@@ -397,20 +397,30 @@ object TextAnalysis {
     * fire first and corrupt the longer match mid-string; the ordering
     * key is `lpad(9999 − len)` + value, so engines whose list_sort has
     * no comparator replay it with a plain ascending sort), then fold a
-    * literal `replace` per match. Per-row cost is matches × one text
-    * copy — bounded by the document's own match count; rows without
-    * matches pay one regex scan. NULL text passes through NULL.
+    * literal `replace` per match. Per-row cost is distinct matches × one
+    * text copy — fine for prose (a handful of addresses), quadratic for
+    * a pathological all-addresses document. `maxDistinct` is the
+    * fail-CLOSED backstop: past the cap the row degrades to one
+    * `regexp_replace` of every match with a single generic token —
+    * per-address identity is lost for that row, but the PII is STILL
+    * removed (a fail-open "leave the overflow raw" would silently ship
+    * addresses). Rows without matches pay one regex scan. NULL text
+    * passes through NULL.
     */
-  def pseudonymizeEmails(text: Column): Column = {
+  def pseudonymizeEmails(text: Column, maxDistinct: Int = 1000): Column = {
+    require(maxDistinct >= 1, "maxDistinct must be >= 1")
     val found = array_distinct(
       regexp_extract_all(text, lit(EmailPattern), lit(0)))
     val keyed = transform(found, e =>
       concat(lpad((lit(9999) - length(e)).cast("string"), 4, "0"), e))
     val ordered = transform(array_sort(keyed), x =>
       x.substr(lit(5), length(x) - lit(4)))
-    aggregate(ordered, text, (acc, e) =>
+    val folded = aggregate(ordered, text, (acc, e) =>
       replace(acc, e, concat(lit("user_"), substring(md5(e), 1, 8),
         lit("@redacted.invalid"))))
+    when(size(found) <= maxDistinct, folded)
+      .otherwise(regexp_replace(text, lit(EmailPattern),
+        lit("user_overflow@redacted.invalid")))
   }
 
   /** Per-document encoding-damage report — the ftfy-role curation

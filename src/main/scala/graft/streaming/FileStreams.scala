@@ -168,6 +168,14 @@ object FileStreams {
   def windowedTopK(events: DataFrame, tsCol: String, keyCol: String, k: Int,
       windowExpr: String = "1 day", watermark: String = "1 hour"): DataFrame = {
     import graft.operators.ColumnBridge
+    // fail fast on non-integral keys: a string key would cast to NULL
+    // silently and vanish from every ranking
+    events.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"windowedTopK key column $keyCol must be integral (topk_agg payload is BIGINT), got $other")
+    }
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowExpr), col(keyCol))

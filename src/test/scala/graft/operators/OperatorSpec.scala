@@ -1984,6 +1984,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
       .select(TextAnalysis.pseudonymizeEmails(col("t"))).head()
     assert(n.isNullAt(0))
+    // over maxDistinct: fail CLOSED — every address still redacted, to
+    // the single generic token (identity lost, PII gone)
+    val many = (1 to 5).map(i => s"p$i@x.com").mkString(" ")
+    val capped = Seq(Tuple1(many)).toDF("t")
+      .select(TextAnalysis.pseudonymizeEmails(col("t"), maxDistinct = 3))
+      .head().getString(0)
+    assert(capped == Seq.fill(5)("user_overflow@redacted.invalid").mkString(" "), capped)
+    // at the cap boundary: per-address tokens still assigned
+    val atCap = Seq(Tuple1(many)).toDF("t")
+      .select(TextAnalysis.pseudonymizeEmails(col("t"), maxDistinct = 5))
+      .head().getString(0)
+    assert(!atCap.contains("user_overflow") && !atCap.contains("@x.com"), atCap)
   }
 
   test("mojibakeReport: hand-counted artifacts, ppm math, clean text scores zero") {
