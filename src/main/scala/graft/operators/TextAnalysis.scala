@@ -323,14 +323,23 @@ object TextAnalysis {
         // hll_sketch skips NULL hashes, so a NULL text/lang/source never
         // lands in its distinct estimate — same contract as COUNT(DISTINCT)
         // xxhash64(NULL) is the non-null seed in Spark, so each hash is
-        // NULL-guarded to keep the COUNT(DISTINCT) excludes-NULL contract
-        def hllDistinct(c: String) = expr(s"CAST(round(hll_estimate(" +
-          s"hll_sketch($approxP, CASE WHEN $c IS NULL THEN CAST(NULL AS BIGINT) " +
-          s"ELSE xxhash64($c) END))) AS BIGINT)")
+        // NULL-guarded to keep the COUNT(DISTINCT) excludes-NULL contract.
+        // Expressions are built DIRECTLY (not by SQL-name lookup), so the
+        // approx report works without GraftFunctions registration.
+        def hllDistinct(c: Column) = {
+          val hashed = when(c.isNull, lit(null).cast("long"))
+            .otherwise(xxhash64(c))
+          round(ColumnBridge.column(graft.functions.HllEstimate(
+            ColumnBridge.expression(ColumnBridge.column(
+              graft.functions.HllSketchAgg(
+                ColumnBridge.expression(lit(approxP)),
+                ColumnBridge.expression(hashed)).toAggregateExpression())))))
+            .cast("long")
+        }
         df.agg(baseAggs.head, baseAggs.tail ++ Seq(
-          hllDistinct(sourceCol).as("sources"),
-          hllDistinct(langCol).as("languages"),
-          hllDistinct(s"md5($textCol)").as("distinct_texts")): _*)
+          hllDistinct(col(sourceCol)).as("sources"),
+          hllDistinct(col(langCol)).as("languages"),
+          hllDistinct(md5(col(textCol))).as("distinct_texts")): _*)
       } else {
         val base = df.agg(baseAggs.head, baseAggs.tail: _*)
         val srcs = df.agg(countDistinct(col(sourceCol)).cast("long").as("sources"))
