@@ -3513,6 +3513,7 @@ object SparkEntry {
                 FROM h4),
       dom AS (SELECT curl,
                  CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+                      WHEN starts_with(host, '[') THEN host
                       WHEN regexp_matches(host, '^[0-9.]+$') THEN host
                       WHEN len(string_split(host, '.')) >= 3 AND
                            (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
@@ -3675,8 +3676,8 @@ object SparkEntry {
       val hits = arts.map(s =>
         s"(length(t2) - length(replace(t2, ${chrs(s)}, ''))) // ${s.length}")
         .mkString("(", " + ", ")")
-      val payload = s"' caf' || ${chrs("Ã©")} || ' don' || " +
-        s"${chrs("â€™")} || 't' || ${chrs("Â ")} || 'end'"
+      val payload = s"' caf' || ${chrs("\u00c3\u00a9")} || ' don' || " +
+        s"${chrs("\u00e2\u20ac\u2122")} || 't' || ${chrs("\u00c2\u00a0")} || 'end'"
       s"""
       WITH d AS (SELECT doc_id, source,
           CASE WHEN doc_id % 7 = 0 THEN text || $payload ELSE text END AS t2

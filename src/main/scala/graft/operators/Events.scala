@@ -338,14 +338,19 @@ object Events {
       valueCol: String, alphaPpm: Long,
       maxKeyHistory: Int = Int.MaxValue): DataFrame = {
     require(alphaPpm >= 0 && alphaPpm <= 1000000L, "alphaPpm must be in [0, 10^6]")
-    val vRaw = round(col(valueCol).cast("double") * lit(1e6)).cast("long")
-    // NULL-safe domain guard: coalesce keeps NULL values on the legacy
-    // pass-through path; only a non-NULL out-of-range value raises.
-    val vGuarded = when(coalesce(abs(vRaw) <= lit(EwmaMaxAbsVE6), lit(true)), vRaw)
+    // Domain guard on the DOUBLE, before the long cast: with ANSI off the
+    // cast CLAMPS (e.g. -1e19 -> Long.MinValue, whose abs wraps negative
+    // and would sneak past a post-cast check) — the guard must see the
+    // unclamped value. NaN/Infinity fail the <= and raise too (they have
+    // no exact-integer fold). NULL keeps the legacy pass-through path.
+    val vDouble = round(col(valueCol).cast("double") * lit(1e6))
+    val vGuarded = when(
+        coalesce(abs(vDouble) <= lit(EwmaMaxAbsVE6.toDouble), col(valueCol).isNull),
+        vDouble.cast("long"))
       .otherwise(raise_error(concat(
         lit("graft.ewmaSmooth: |value| outside the exact-recursion domain " +
-          s"(|v_e6| <= $EwmaMaxAbsVE6, ~9.22e6 natural units); got v_e6="),
-        vRaw.cast("string"))).cast("long"))
+          s"(|v_e6| <= $EwmaMaxAbsVE6, ~9.22e6 natural units); got value="),
+        col(valueCol).cast("string"))).cast("long"))
     val runId = ewmaObserveId.incrementAndGet()
     val record = Dedup.skewRecord(df.sparkSession, s"graft_ewma_keys_$runId", maxKeyHistory)
     val histories = df

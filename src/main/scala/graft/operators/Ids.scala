@@ -43,7 +43,13 @@ object Ids {
     if (narrow) {
       val keys = df.select(orderCols.map(col): _*)
       val ids = assignSequential(keys, orderCols, idCol, partitions)
-      return df.join(ids, orderCols)
+      // NULL-SAFE equi-join (still a hash equi-join plan): a plain join
+      // would silently drop NULL-key rows that the wide path stamps,
+      // leaving gaps in the id sequence — mode parity requires <=>
+      val renamed = orderCols.foldLeft(ids)((d, c) =>
+        d.withColumnRenamed(c, s"__nk_$c"))
+      val cond = orderCols.map(c => col(c) <=> col(s"__nk_$c")).reduce(_ && _)
+      return df.join(renamed, cond)
         .select(df.columns.map(col) :+ col(idCol): _*)
     }
     val p = if (partitions > 0) partitions

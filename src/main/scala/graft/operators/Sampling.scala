@@ -110,7 +110,17 @@ object Sampling {
       "tokenBudgetTake input contains reserved helper column __cum; rename it first")
     val w = Window.partitionBy(col(strataCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+    // enforce the nonnegativity the prefix contract depends on: a
+    // negative count (tokenizer error sentinel) would dip the running
+    // sum back under budget and re-admit rows — raise instead of
+    // silently returning a non-prefix. NULL counts pass (sum skips them:
+    // a NULL-cost row rides the current cumsum).
+    val tok = col(tokenCol).cast("long")
+    val guarded = when(coalesce(tok >= 0, lit(true)), tok)
+      .otherwise(raise_error(concat(
+        lit(s"graft.tokenBudgetTake: negative $tokenCol breaks the prefix contract; got "),
+        tok.cast("string"))).cast("long"))
+    df.withColumn("__cum", sum(guarded).over(w))
       .where(col("__cum") <= budgetTokens)
       .drop("__cum")
   }

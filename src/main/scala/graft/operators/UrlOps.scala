@@ -75,8 +75,11 @@ object UrlOps {
     val lastThree = concat_ws(".",
       element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
     when(n <= lit(1), host)
-      // IP literals are their own registered domain: IPv6 has no dots
-      // (caught by n <= 1), IPv4 is all digits-and-dots
+      // IP literals are their own registered domain: bracketed IPv6
+      // FIRST (IPv4-mapped forms like [::ffff:192.0.2.1] DO contain
+      // dots, so the no-dots assumption alone is not enough), then
+      // all-digits-and-dots IPv4
+      .when(host.startsWith("["), host)
       .when(host.rlike("^[0-9.]+$"), host)
       .when(n >= lit(3) && lastTwo.isin(suffixes: _*), lastThree)
       .otherwise(lastTwo)

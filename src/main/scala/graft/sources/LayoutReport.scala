@@ -99,7 +99,13 @@ object LayoutReport {
           new Path(dataDir, s"part-compacted-$runId-$i.parquet")),
           s"rename failed for ${st.getPath}")
       }
-      small.foreach(st => fs.delete(st.getPath, false))
+      // a silently failed delete would leave the row permanently
+      // duplicated with a clean-looking report — fail loudly instead,
+      // like the rename step (the documented crash-window recovery
+      // applies: re-list the part-compacted prefix of this run)
+      small.foreach(st => require(fs.delete(st.getPath, false),
+        s"compact: delete failed for ${st.getPath} — rows are duplicated " +
+          s"until it is removed (compacted files carry prefix part-compacted-$runId)"))
       fs.delete(tmp, true): Unit
     }
     fileReport(spark, dataDir, targetFileBytes)

@@ -62,7 +62,9 @@ object StreamingEwma {
           val sorted = rows.toVector.sortBy(p => (p.us, p.vE6))
           var st = state.getOption
           val out = sorted.map { p =>
-            require(math.abs(p.vE6) <= Events.EwmaMaxAbsVE6,
+            // Long.MinValue's abs wraps negative and would pass a bare
+            // abs() check — test both bounds explicitly
+            require(p.vE6 <= Events.EwmaMaxAbsVE6 && p.vE6 >= -Events.EwmaMaxAbsVE6,
               s"graft.StreamingEwma: |v_e6| outside the exact-recursion domain " +
                 s"(<= ${Events.EwmaMaxAbsVE6}); got ${p.vE6} for key $k")
             val (e, d) = st match {

@@ -146,15 +146,17 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val hosts = Seq("https://Sub.Shop.Example.CO.UK:8443/x", "http://localhost/x",
       "http://deep.a.b.site.com/y",
-      // IP literals are their own registered domain (clause 7)
+      // IP literals are their own registered domain (clause 7) — incl.
+      // IPv4-mapped IPv6, whose brackets contain dots
       "http://[::1]:8080/x", "http://10.0.0.1:9090/x",
+      "http://[::ffff:192.0.2.1]/x",
       // userinfo never reaches the domain heuristic (clause 6)
       "https://bob@www.example.co.uk/y")
       .toDF("url")
       .select(UrlOps.registeredDomain(UrlOps.hostOf(col("url"))))
       .collect().map(_.getString(0)).toSeq
     assert(hosts == Seq("example.co.uk", "localhost", "site.com",
-      "[::1]", "10.0.0.1", "example.co.uk"), hosts.toString)
+      "[::1]", "10.0.0.1", "[::ffff:192.0.2.1]", "example.co.uk"), hosts.toString)
     // domainReport: dup counting on the canonical form
     val rpt = Seq(
       "http://x.com/a?utm_source=1", "http://X.com/a", "http://x.com/b",

@@ -451,6 +451,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, ts("2024-01-01 10:01:00"), null.asInstanceOf[java.lang.Double])
     )).toDF("k", "ts", "v")
     assert(Events.ewmaSmooth(withNull, "k", "ts", "v", 500000L).count() == 2L)
+    // the clamp bypass: with ANSI off, -1e13 would cast-clamp to
+    // Long.MinValue whose abs wraps negative and slips a post-cast
+    // check — the guard tests the DOUBLE, so it still raises
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val clamp = spark.createDataFrame(Seq(
+        (1L, ts("2024-01-01 10:00:00"), -1e13))).toDF("k", "ts", "v")
+      val e3 = intercept[Exception] {
+        Events.ewmaSmooth(clamp, "k", "ts", "v", 500000L).collect()
+      }
+      assert(e3.getMessage.contains("exact-recursion domain"), e3.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 
   test("ewmaSmooth: maxKeyHistory drops hot keys fail-soft with telemetry") {
@@ -908,6 +921,15 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap == a)
     assert(Ids.assignSequential(df, Seq("g", "k"), partitions = 7, narrow = true)
       .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap == a)
+    // NULL order keys: both modes keep the row and stay dense (the
+    // narrow join is null-safe — a plain equi-join would drop it)
+    val withNull = Seq((Option(5L), "g1"), (None, "g0"), (Option(2L), "g1"))
+      .toDF("k", "g")
+    def idsOf(nr: Boolean) = Ids.assignSequential(withNull, Seq("g", "k"), narrow = nr)
+      .collect().map(r => (r.getString(1), Option(r.get(0))) -> r.getLong(2)).toMap
+    val wide = idsOf(false)
+    assert(wide.values.toSeq.sorted == Seq(0L, 1L, 2L), wide.toString)
+    assert(idsOf(true) == wide, "narrow mode diverged on NULL keys")
   }
 
   test("evalReport: confusion counts, ppm metrics, degenerate thresholds, null audit") {
@@ -1957,6 +1979,15 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Sampling.tokenBudgetTake(df.withColumn("__cum", lit(1)), "src", "toks",
         10L, Seq(col("id")))
     }
+    // negative token counts break prefix monotonicity -> raise, never a
+    // silent non-prefix result
+    val neg = Seq((1L, "a", 60L, 9.0), (2L, "a", -5L, 8.0))
+      .toDF("id", "src", "toks", "q")
+    val err = intercept[Exception] {
+      Sampling.tokenBudgetTake(neg, "src", "toks", 100L,
+        Seq(col("q").desc, col("id"))).collect()
+    }
+    assert(err.getMessage.contains("prefix contract"), err.getMessage)
   }
 
   test("pseudonymizeEmails: stable tokens, co-reference survives, substring ordering") {
