@@ -2535,6 +2535,54 @@ object SparkEntry {
   }
 
   /** DuckDB-runnable oracle SQL per query (same column names + ordering). */
+  /** Shared DuckDB CTE fragment replaying the splitmix64 hyperplane LSH
+    * bucketing LIVE (assumes a CTE `e(vec_id, v DOUBLE[])` is already in
+    * scope): plane value k of the counter-based splitmix64 stream is a
+    * PURE FUNCTION of k (`mix(seed + k·golden)` — no sequential state),
+    * so the first `prefixBits`·dim plane draws, the sequential
+    * dot-product folds, and the sign-prefix bucket all replay exactly.
+    * The mod-2^64 multiplies decompose into 32x64-bit pieces
+    * (`(lo·c + ((hi·c) mod 2^32)·2^32) mod 2^64`) because a full 64x64
+    * product overflows DuckDB's signed INT128. Produces
+    * `bkt(vec_id, b BIGINT)` — the exact `shiftrightunsigned(sig,
+    * 64 − prefixBits)` bucket (bit 63−j of the signature is plane j, so
+    * the bucket needs only planes j < prefixBits). Replaces the former
+    * golden pins for the LSH gates.
+    */
+  private def lshBucketCte(prefixBits: Int, seed: Long = 42L): String = s"""
+      d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+      idx AS (SELECT j.j, i.i, (j.j * d.dim + i.i + 1) AS k
+              FROM d, (SELECT unnest(range($prefixBits)) AS j) j,
+                   (SELECT unnest(range((SELECT dim FROM d))) AS i) i),
+      st AS (SELECT j, i,
+        CAST((($seed::HUGEINT + k::HUGEINT * 11400714819323198485::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS UBIGINT) AS s FROM idx),
+      sm1 AS (SELECT j, i, CAST(xor(s, s >> 30) AS HUGEINT) AS z FROM st),
+      sm2 AS (SELECT j, i, CAST(
+          ((z % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+           + (((z // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT)
+              % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+          % 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM sm1),
+      sm3 AS (SELECT j, i, CAST(xor(z, z >> 27) AS HUGEINT) AS z FROM sm2),
+      sm4 AS (SELECT j, i, CAST(
+          ((z % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+           + (((z // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT)
+              % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+          % 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM sm3),
+      sm5 AS (SELECT j, i, xor(z, z >> 31) AS z FROM sm4),
+      pl AS (SELECT j, list(CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
+                            ORDER BY i) AS pv
+             FROM sm5 GROUP BY j),
+      hdots AS (SELECT e.vec_id, pl.j,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range((SELECT dim FROM d)), x -> e.v[x + 1] * pl.pv[x + 1])),
+          (a, b) -> a + b) AS dot
+        FROM e, pl),
+      bkt AS (SELECT vec_id,
+                     CAST(SUM(CASE WHEN dot > 0
+                              THEN 1 << (${prefixBits - 1} - j) ELSE 0 END) AS BIGINT) AS b
+              FROM hdots GROUP BY vec_id)"""
+
   def oracleSql: Map[String, String] = Map(
     "q_bpe" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql(6, 20),
@@ -4118,17 +4166,45 @@ object SparkEntry {
                row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
         FROM adc)
       WHERE rank <= 5 ORDER BY query_id, rank""",
-    // golden pin (sf0.01): deterministic planes + integer recall rollups,
-    // audited against a live run round 9 — the multi-probe recall curve
-    "q_ann_lsh_probe" -> """
-      SELECT CAST(probe AS INT) AS probe, CAST(queries AS BIGINT) AS queries,
-             CAST(mean AS BIGINT) AS mean_recall_ppm,
-             CAST(mn AS BIGINT) AS min_recall_ppm,
-             CAST(perfect AS BIGINT) AS perfect_queries
-      FROM (VALUES (0, 10, 120000, 0, 0),
-                   (1, 10, 440000, 0, 0),
-                   (2, 10, 840000, 200000, 6)) t(probe, queries, mean, mn, perfect)
-      ORDER BY probe""",
+    // LIVE (was golden until r10): the full multi-probe recall curve —
+    // splitmix buckets (lshBucketCte), exact baseline, Hamming-ball
+    // probe masks (bit_count(m) <= p over prefixBits), per-probe top-5,
+    // and the recallReport integer rollup, all replayed
+    "q_ann_lsh_probe" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${lshBucketCte(4)},
+      c AS (SELECT e.vec_id, e.v, bkt.b FROM e JOIN bkt USING (vec_id)),
+      q AS (SELECT vec_id AS qid, v AS qv, b FROM c WHERE vec_id < 10),
+      exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rank
+        FROM c, q WHERE c.vec_id != q.qid) t WHERE rank <= 5),
+      probes AS (SELECT p.p, m.m FROM (SELECT unnest(range(3)) AS p) p,
+                 (SELECT unnest(range(16)) AS m) m WHERE bit_count(m) <= p.p),
+      cand AS (SELECT pr.p, q.qid, c.vec_id,
+               list_cosine_similarity(c.v, q.qv) AS sim
+        FROM q JOIN probes pr ON true
+             JOIN c ON c.b = xor(q.b::UBIGINT, pr.m::UBIGINT)::BIGINT
+        WHERE c.vec_id != q.qid),
+      approx AS (SELECT p, query_id, neighbor_id FROM (
+        SELECT p, qid AS query_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p, qid ORDER BY sim DESC, vec_id) AS rank
+        FROM cand) t WHERE rank <= 5),
+      per AS (SELECT pr.p, ex.query_id,
+              CAST(COUNT(*) AS BIGINT) AS ex_cnt,
+              CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM (SELECT unnest(range(3)) AS p) pr
+        CROSS JOIN exact ex
+        LEFT JOIN approx a ON a.p = pr.p AND a.query_id = ex.query_id
+             AND a.neighbor_id = ex.neighbor_id
+        GROUP BY pr.p, ex.query_id),
+      r AS (SELECT p, query_id, ex_cnt, hits, hits * 1000000 // ex_cnt AS ppm FROM per)
+      SELECT CAST(p AS INT) AS probe, CAST(COUNT(*) AS BIGINT) AS queries,
+             CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+             CAST(MIN(ppm) AS BIGINT) AS min_recall_ppm,
+             CAST(SUM(CASE WHEN hits = ex_cnt THEN 1 ELSE 0 END) AS BIGINT) AS perfect_queries
+      FROM r GROUP BY p ORDER BY probe""",
     // recall@5: both pipelines (exact window ranking; IVF cell routing +
     // in-cell ranking) replayed, per-query overlap counted, integer
     // ppm recall rolled up exactly as the operator computes it
@@ -4241,13 +4317,26 @@ object SparkEntry {
         FROM ea JOIN qa ON ea.cid = qa.cid
         WHERE ea.vec_id != qa.qid)
       WHERE rank <= 5 ORDER BY query_id, rank""",
-    // golden pin (sf0.01): LSH-bucketed cosine near-dup — deterministic
-    // (fixed splitmix hyperplane planes, not SQL-expressible), pinned from
-    // an audited run like q_ann_lsh; 124 of the 990 exact pairs at 0.3
-    // survive the 4-bit bucket blocking (the recall/throughput trade)
-    "q_cosine_lsh" -> """
-      SELECT CAST(124 AS BIGINT) AS pairs, CAST(22455 AS BIGINT) AS id1_sum,
-             CAST(42808 AS BIGINT) AS id2_sum""",
+    // LIVE (was golden until r10): buckets replay via lshBucketCte; the
+    // in-bucket sim is the operator's EXACT expression — sequential dot
+    // fold / (norm_a · norm_b), norms each a sequential sumsq fold — so
+    // the >= threshold test cannot ULP-flip between engines
+    "q_cosine_lsh" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${lshBucketCte(4)},
+      n AS (SELECT e.vec_id, e.v, bkt.b,
+        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range((SELECT dim FROM d)), x -> e.v[x + 1] * e.v[x + 1])),
+          (a, b) -> a + b)) AS nrm
+        FROM e JOIN bkt USING (vec_id)),
+      prs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range((SELECT dim FROM d)), x -> a.v[x + 1] * b.v[x + 1])),
+          (p, q) -> p + q) / (a.nrm * b.nrm) AS sim
+        FROM n a JOIN n b ON a.b = b.b AND a.vec_id < b.vec_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs, CAST(SUM(id1) AS BIGINT) AS id1_sum,
+             CAST(SUM(id2) AS BIGINT) AS id2_sum
+      FROM prs WHERE sim >= 0.3""",
     // exact all-pairs cosine: both engines fold the dot product
     // left-to-right over the same double-cast values, so counts agree
     "q_cosine_pairs" -> """
@@ -4294,25 +4383,20 @@ object SparkEntry {
       SELECT lang_detected, CAST(COUNT(*) AS BIGINT) AS docs
       FROM l GROUP BY lang_detected ORDER BY lang_detected"""
     },
-    // golden pin (sf0.01): q_ann_lsh output is fully deterministic — fixed
-    // splitmix64 hyperplane seed, sequential dot products, integer vec_id
-    // tie-breaks — but the plane constants are not SQL-expressible, so the
-    // oracle pins an audited run like the reference's sqllogictest goldens
-    "q_ann_lsh" -> """
-      SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
-             CAST(neighbor_id AS BIGINT) AS neighbor_id
-      FROM (VALUES
-        (0,1,483),(0,2,415),(0,3,177),(0,4,272),(0,5,204),
-        (1,1,312),(1,2,477),(1,3,192),(1,4,31),(1,5,243),
-        (2,1,202),(2,2,407),(2,3,13),(2,4,266),(2,5,187),
-        (3,1,134),(3,2,184),(3,3,37),(3,4,80),(3,5,447),
-        (4,1,496),(4,2,403),(4,3,395),(4,4,129),(4,5,418),
-        (5,1,157),(5,2,46),(5,3,182),(5,4,330),(5,5,19),
-        (6,1,437),(6,2,214),(6,3,252),(6,4,53),(6,5,270),
-        (7,1,340),(7,2,332),(7,3,214),(7,4,467),(7,5,107),
-        (8,1,39),(8,2,497),(8,3,207),(8,4,326),(8,5,386),
-        (9,1,319),(9,2,109),(9,3,20),(9,4,439),(9,5,427)) t(query_id, rank, neighbor_id)
-      ORDER BY query_id, rank""",
+    // LIVE (was golden until r10): the splitmix64 plane stream is
+    // counter-based, so the buckets replay in SQL (lshBucketCte); ranking
+    // is the established list_cosine_similarity + row_number replay
+    "q_ann_lsh" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${lshBucketCte(4)},
+      c AS (SELECT e.vec_id, e.v, bkt.b FROM e JOIN bkt USING (vec_id)),
+      q AS (SELECT vec_id AS qid, v AS qv, b FROM c WHERE vec_id < 10),
+      cand AS (SELECT q.qid, c.vec_id, list_cosine_similarity(c.v, q.qv) AS sim
+               FROM c JOIN q ON c.b = q.b WHERE c.vec_id != q.qid)
+      SELECT query_id, rank, neighbor_id FROM (
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM cand) t WHERE rank <= 5 ORDER BY query_id, rank""",
     // LIVE oracle for the real-codec round-trip: Spark routes pixels
     // through actual PNG encode (javax.imageio) -> bytes -> PNG decode ->
     // feature extraction; DuckDB recomputes the identical statistics
