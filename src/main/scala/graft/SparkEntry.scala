@@ -1097,7 +1097,8 @@ object SparkEntry {
 
       // IVF-flat with deterministic seed centroids: assignment, probing and
       // ranking are all exactly replayable in DuckDB (real oracle), unlike
-      // the hyperplane-LSH path whose plane constants are pinned golden
+      // the hyperplane-LSH path, whose planes are ALSO live since r10
+      // (counter-based splitmix64 replays in SQL)
       "q_ann_ivf" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
@@ -1152,8 +1153,8 @@ object SparkEntry {
       }),
       // multi-probe LSH recall curve vs the exact baseline: Hamming-ball
       // query-side probing recovers the recall a single coarse bucket
-      // loses (12% -> 44% -> 84% at prefixBits=4) — golden pin, audited
-      // round 9 (the hyperplane constants are not SQL-expressible)
+      // loses (12% -> 44% -> 84% at prefixBits=4) — LIVE oracle since
+      // r10: the counter-based splitmix planes replay in SQL
       "q_ann_lsh_probe" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
