@@ -322,6 +322,20 @@ object SparkEntry {
         Classify.evalReport(docs, score, y, Seq(0.3, 0.5, 0.7))
           .orderBy("threshold_e6")
       }),
+      // calibration / reliability diagram of the same quality scorer:
+      // equal-width bins, integer mean-score/rate/ECE-contribution per
+      // bin — is a 0.9 score actually right 90% of the time?
+      "q_calibration" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val docs = s.table("documents").withColumn("__m", expr("text_metrics(text)"))
+        val fSw = col("__m.sw_hits").cast("double") / col("__m.toks").cast("double")
+        val fToks = col("__m.toks").cast("double") / lit(100.0)
+        val fLen = col("__m.chars").cast("double") / col("__m.words").cast("double") / lit(10.0)
+        val score = Classify.logisticScore(Array(-2.0, 1.5, 0.8, -0.5),
+          Seq(fSw, fToks, fLen))
+        val y = when(col("n_chars") >= 300, 1.0).otherwise(0.0)
+        Classify.calibrationReport(docs, score, y, bins = 10).orderBy("bin")
+      }),
       "q_logistic" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val docs = s.table("documents").withColumn("__m", expr("text_metrics(text)"))
@@ -2588,6 +2602,37 @@ object SparkEntry {
     "q_bpe" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql(6, 20),
     "q_logistic" -> logisticOracleSql(10, 5.0),
+    // calibration replay: the q_classifier_eval scoring CTE, bucketed
+    // into 10 equal-width bins with the same integer mean/rate/ECE math
+    "q_calibration" -> {
+      val enList = graft.operators.LangId.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH m AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+               1.0 / (1.0 + exp(-(-2.0
+                 + 1.5 * (CAST(sw_hits AS DOUBLE) / CAST(toks AS DOUBLE))
+                 + 0.8 * (CAST(toks AS DOUBLE) / 100.0)
+                 + -0.5 * (CAST(chars AS DOUBLE) / CAST(words AS DOUBLE) / 10.0)))) AS s
+        FROM (SELECT n_chars, length(text) AS chars,
+                     len(string_split(text, ' ')) AS words,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> list_contains($enList, x))) AS sw_hits,
+                     len(string_split_regex(lower(text), '\\s+')) AS toks
+              FROM documents)),
+      b AS (SELECT CAST(least(9, floor(s * 10)) AS INT) AS bin,
+                   CAST(round(s * 1e6) AS BIGINT) AS s_e6,
+                   CASE WHEN y = 1.0 THEN 1 ELSE 0 END AS pos
+            FROM m WHERE s IS NOT NULL AND y IS NOT NULL),
+      g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(s_e6) // COUNT(*) AS BIGINT) AS mean_score_e6,
+                   CAST(SUM(pos) AS BIGINT) AS positives
+            FROM b GROUP BY bin)
+      SELECT bin, n, mean_score_e6, positives,
+             CAST(positives * 1000000 // n AS BIGINT) AS rate_ppm,
+             CAST(abs(positives * 1000000 // n - mean_score_e6) * n AS BIGINT)
+               AS ece_contrib_e6
+      FROM g ORDER BY bin"""
+    },
     "q_classifier_eval" -> {
       val enList = graft.operators.LangId.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
       s"""

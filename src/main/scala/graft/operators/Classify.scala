@@ -73,6 +73,44 @@ object Classify {
     } finally base.unpersist() // a failed round must not pin the cache
   }
 
+  /** Calibration (reliability) report of a probabilistic scorer: scores
+    * bucket into `bins` equal-width bins over [0, 1] and each bin reports
+    * its count, e6-integer mean score, positive count and observed
+    * positive rate — the reliability diagram, plus each bin's ECE
+    * contribution `n·|rate − mean_score|` (sum the column and divide by
+    * total n for expected calibration error). The eval that says whether
+    * a quality classifier's 0.9 MEANS 90% — `evalReport` picks the
+    * operating point, this says whether the scores are honest
+    * probabilities between the points.
+    *
+    * Integer contract: `mean_score_e6` is the integer mean of per-row
+    * e6-rounded scores (`sum(round(s·1e6)) div n` — order-independent),
+    * `rate_ppm = positives·10^6 div n`, and `ece_contrib_e6 =
+    * |rate_ppm − mean_score_e6|·n` — every output exact in any engine.
+    * Bin = `least(bins−1, floor(s·bins))` (score 1.0 joins the top bin).
+    * Rows with NULL score or label are EXCLUDED and counted in the
+    * companion `evalReport`'s null audit. ONE aggregation pass
+    * (bin-keyed, ≤ `bins` groups).
+    *
+    * @return (bin, n, mean_score_e6, positives, rate_ppm, ece_contrib_e6)
+    */
+  def calibrationReport(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val y = label.cast("double")
+    df.where(score.isNotNull && y.isNotNull)
+      .select(least(lit(bins - 1), floor(score * lit(bins))).cast("int").as("bin"),
+        round(score * lit(1e6)).cast("long").as("__s_e6"),
+        when(y === 1.0, 1L).otherwise(0L).as("__pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n"),
+        expr("sum(__s_e6) div count(1)").as("mean_score_e6"),
+        sum(col("__pos")).cast("long").as("positives"))
+      .withColumn("rate_ppm", expr("positives * 1000000L div n"))
+      .withColumn("ece_contrib_e6",
+        abs(col("rate_ppm") - col("mean_score_e6")) * col("n"))
+  }
+
   /** Threshold sweep of a binary scorer: per threshold, the confusion
     * counts and integer precision/recall/F1 (ppm; 0 when the denominator
     * is 0) — the operating-point picker for a quality classifier before

@@ -956,6 +956,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == 3L)
   }
 
+  test("calibrationReport: bin edges, integer mean/rate/ECE, null exclusion") {
+    val sps = spark; import sps.implicits._
+    val df = Seq(
+      (0.05, 0.0), (0.08, 1.0),     // bin 0: n=2, pos=1
+      (0.95, 1.0), (1.0, 1.0),      // bin 9 (score 1.0 joins the top bin)
+      (0.55, 0.0)                   // bin 5
+    ).toDF("s", "y")
+    val out = Classify.calibrationReport(df, col("s"), col("y"), bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // bin 0: mean = (50000+80000)/2 = 65000, rate 500000, ece |500000-65000|*2
+    assert(out(0) == ((2L, 65000L, 1L, 500000L, 870000L)), out.toString)
+    assert(out(9) == ((2L, 975000L, 2L, 1000000L, 50000L)), out.toString)
+    assert(out(5) == ((1L, 550000L, 0L, 0L, 550000L)), out.toString)
+    assert(out.size == 3)
+    // NULL score/label rows are excluded (they live in evalReport's audit)
+    val withNull = Seq((Option(0.5), Option(1.0)), (None, Option(1.0)),
+      (Option(0.5), None)).toDF("s", "y")
+    val r = Classify.calibrationReport(withNull, col("s"), col("y")).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 1L)
+  }
+
   test("multi-probe LSH: recall monotone in probe radius, candidates stay distinct") {
     val sps = spark; import sps.implicits._
     val vecs = (1 to 300).map { i =>
