@@ -1377,6 +1377,18 @@ object SparkEntry {
               ev, "ts", "event_type", "1 day", "1 hour"))
           .orderBy("w_us", "event_type")
       }),
+      // per-window value histogram (streaming drift monitor): mergeable
+      // hist_sketch state per window (nbins+2 longs), bins emitted at
+      // window close; pre-rounding and slot arithmetic replay exactly
+      "q_stream_histogram" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
+          .withColumn("x", round(col("value") * 100).cast("long").cast("double"))
+        graft.streaming.FileStreams.runAvailableNow(
+            graft.streaming.FileStreams.windowedHistogram(
+              ev, "ts", "x", 50, 0.0, 50000.0, "1 day", "1 hour"))
+          .orderBy("w_us", "slot")
+      }),
       // per-window top-k heavy hitters as CHAINED stateful aggregations
       // (count per (window,key) -> window-of-window topk_agg): the second
       // operator's state is <= k entries per window, never the key
@@ -3786,6 +3798,21 @@ object SparkEntry {
              CAST(MAX(ppm) AS BIGINT) AS max_ppm
       FROM p GROUP BY source ORDER BY source"""
     },
+    // streaming histogram replay: q_histogram's slot arithmetic per
+    // window closed by the ms-floored watermark cutoff, zero bins absent
+    "q_stream_histogram" -> """
+      WITH m AS (
+        SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS wm FROM events),
+      v AS (SELECT epoch_us(date_trunc('day', ts)) AS w_us,
+                   CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS x
+            FROM events),
+      b AS (SELECT w_us,
+                   CASE WHEN x < 0.0 THEN 0 WHEN x >= 50000.0 THEN 51
+                        ELSE 1 + LEAST(49, CAST(FLOOR(x / 1000.0) AS INT)) END AS slot
+            FROM v)
+      SELECT w_us, CAST(slot AS INT) AS slot, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b, m WHERE w_us + 86400000000 <= wm
+      GROUP BY w_us, slot ORDER BY w_us, slot""",
     // streaming windowed top-k replay: per-(closed window, user) counts
     // ranked n DESC, user ASC — the topk_agg ordering contract — under
     // the same ms-floored watermark cutoff as q_stream_window

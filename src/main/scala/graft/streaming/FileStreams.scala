@@ -192,6 +192,35 @@ object FileStreams {
         col("__e.payload").as(keyCol), col("__e.ord").as("n"))
   }
 
+  /** Per-window value histogram — the streaming drift monitor: each
+    * event-time window folds its values through the mergeable
+    * [[graft.functions.HistSketchAgg]] (per-window state = nbins+2
+    * longs, never rows) and emits its non-empty (slot, n) bins when the
+    * watermark closes it. Feed consecutive windows to
+    * [[graft.operators.Profile.histDrift]]-style PSI/TVD comparison for
+    * ingest drift alarms. Slot layout is the sketch's: 0 = underflow,
+    * 1..nbins in-range, nbins+1 = overflow. Emission inherits the
+    * [[windowedEventCounts]] contract.
+    *
+    * @return (w_us, slot, n) — zero bins omitted
+    */
+  def windowedHistogram(events: DataFrame, tsCol: String, valueCol: String,
+      nbins: Int, lo: Double, hi: Double,
+      windowExpr: String = "1 day", watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.ColumnBridge
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowExpr))
+      .agg(ColumnBridge.column(graft.functions.HistCounts(ColumnBridge.expression(
+        ColumnBridge.column(graft.functions.HistSketchAgg(
+          ColumnBridge.expression(lit(nbins)), ColumnBridge.expression(lit(lo)),
+          ColumnBridge.expression(lit(hi)),
+          ColumnBridge.expression(col(valueCol).cast("double"))).toAggregateExpression()))))
+        .as("__c"))
+      .select(unix_micros(col("window.start")).as("w_us"),
+        posexplode(col("__c")).as(Seq("slot", "n")))
+      .where(col("n") > 0)
+  }
+
   /** Stream-static enrichment + windowed rollup: each micro-batch joins
     * the event stream against a STATIC dimension (broadcast — the classic
     * "enrich the firehose with reference data" pattern; Spark re-reads the

@@ -80,6 +80,26 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranks.forall(rs => rs == (1 to rs.size)), ranks.mkString(";"))
   }
 
+  test("windowed histogram: emitted bins == batch sketch under the cutoff, zeros absent") {
+    val ev = FileStreams.tableStream(spark, dir, "events", Seq("ts"))
+      .withColumn("x", round(col("value") * 100).cast("long").cast("double"))
+    val out = FileStreams.runAvailableNow(
+      FileStreams.windowedHistogram(ev, "ts", "x", 50, 0.0, 50000.0, "1 day", "1 hour"))
+    val batch = batchEvents()
+      .withColumn("x", round(col("value") * 100).cast("long").cast("double"))
+    val wm = watermarkUs(batch, 3600000L)
+    val expected = batch
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("w_us"),
+        when(col("x") < 0.0, 0)
+          .when(col("x") >= 50000.0, 51)
+          .otherwise(lit(1) + least(lit(49), floor(col("x") / 1000.0).cast("int")))
+          .as("slot"))
+      .groupBy("w_us", "slot").agg(count(lit(1)).as("n"))
+      .where(col("w_us") + 86400000000L <= wm)
+    assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
+    assert(out.count() > 0 && out.where(col("n") <= 0).count() == 0)
+  }
+
   test("stream-static enrichment: emitted set == batch join+rollup under the cutoff") {
     val ev = FileStreams.tableStream(spark, dir, "events", Seq("ts"))
     val dim = spark.read.parquet(s"$dir/customer.parquet")
