@@ -312,13 +312,7 @@ object SparkEntry {
       // integer ppm precision/recall/F1
       "q_classifier_eval" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val docs = s.table("documents").withColumn("__m", expr("text_metrics(text)"))
-        val fSw = col("__m.sw_hits").cast("double") / col("__m.toks").cast("double")
-        val fToks = col("__m.toks").cast("double") / lit(100.0)
-        val fLen = col("__m.chars").cast("double") / col("__m.words").cast("double") / lit(10.0)
-        val score = Classify.logisticScore(Array(-2.0, 1.5, 0.8, -0.5),
-          Seq(fSw, fToks, fLen))
-        val y = when(col("n_chars") >= 300, 1.0).otherwise(0.0)
+        val (docs, score, y) = qualityScorer(s)
         Classify.evalReport(docs, score, y, Seq(0.3, 0.5, 0.7))
           .orderBy("threshold_e6")
       }),
@@ -327,13 +321,7 @@ object SparkEntry {
       // bin — is a 0.9 score actually right 90% of the time?
       "q_calibration" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val docs = s.table("documents").withColumn("__m", expr("text_metrics(text)"))
-        val fSw = col("__m.sw_hits").cast("double") / col("__m.toks").cast("double")
-        val fToks = col("__m.toks").cast("double") / lit(100.0)
-        val fLen = col("__m.chars").cast("double") / col("__m.words").cast("double") / lit(10.0)
-        val score = Classify.logisticScore(Array(-2.0, 1.5, 0.8, -0.5),
-          Seq(fSw, fToks, fLen))
-        val y = when(col("n_chars") >= 300, 1.0).otherwise(0.0)
+        val (docs, score, y) = qualityScorer(s)
         Classify.calibrationReport(docs, score, y, bins = 10).orderBy("bin")
       }),
       "q_logistic" -> ((s: SparkSession, dir: String) => {
@@ -2562,6 +2550,44 @@ object SparkEntry {
   }
 
   /** DuckDB-runnable oracle SQL per query (same column names + ordering). */
+  /** ONE definition of the demo quality scorer shared by
+    * q_classifier_eval / q_calibration (and mirrored by
+    * [[classifierScoreCte]] on the oracle side): text_metrics features,
+    * fixed logistic weights, n_chars >= 300 label. A scorer change edits
+    * exactly two places (this and the CTE), not four gates.
+    */
+  private def qualityScorer(s: SparkSession)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
+    val docs = s.table("documents").withColumn("__m", expr("text_metrics(text)"))
+    val fSw = col("__m.sw_hits").cast("double") / col("__m.toks").cast("double")
+    val fToks = col("__m.toks").cast("double") / lit(100.0)
+    val fLen = col("__m.chars").cast("double") / col("__m.words").cast("double") / lit(10.0)
+    val score = Classify.logisticScore(Array(-2.0, 1.5, 0.8, -0.5),
+      Seq(fSw, fToks, fLen))
+    val y = when(col("n_chars") >= 300, 1.0).otherwise(0.0)
+    (docs, score, y)
+  }
+
+  /** The oracle-side twin of [[qualityScorer]]: the `m(y, s)` scoring CTE
+    * both classifier-gate oracles share.
+    */
+  private def classifierScoreCte: String = {
+    val enList = graft.operators.LangId.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""m AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+               1.0 / (1.0 + exp(-(-2.0
+                 + 1.5 * (CAST(sw_hits AS DOUBLE) / CAST(toks AS DOUBLE))
+                 + 0.8 * (CAST(toks AS DOUBLE) / 100.0)
+                 + -0.5 * (CAST(chars AS DOUBLE) / CAST(words AS DOUBLE) / 10.0)))) AS s
+        FROM (SELECT n_chars, length(text) AS chars,
+                     len(string_split(text, ' ')) AS words,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> list_contains($enList, x))) AS sw_hits,
+                     len(string_split_regex(lower(text), '\\s+')) AS toks
+              FROM documents))"""
+  }
+
   /** Shared DuckDB CTE fragment replaying the splitmix64 hyperplane LSH
     * bucketing LIVE (assumes a CTE `e(vec_id, v DOUBLE[])` is already in
     * scope): plane value k of the counter-based splitmix64 stream is a
@@ -2614,27 +2640,16 @@ object SparkEntry {
     "q_bpe" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql(6, 20),
     "q_logistic" -> logisticOracleSql(10, 5.0),
-    // calibration replay: the q_classifier_eval scoring CTE, bucketed
-    // into 10 equal-width bins with the same integer mean/rate/ECE math
-    "q_calibration" -> {
-      val enList = graft.operators.LangId.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""
-      WITH m AS (
-        SELECT CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
-               1.0 / (1.0 + exp(-(-2.0
-                 + 1.5 * (CAST(sw_hits AS DOUBLE) / CAST(toks AS DOUBLE))
-                 + 0.8 * (CAST(toks AS DOUBLE) / 100.0)
-                 + -0.5 * (CAST(chars AS DOUBLE) / CAST(words AS DOUBLE) / 10.0)))) AS s
-        FROM (SELECT n_chars, length(text) AS chars,
-                     len(string_split(text, ' ')) AS words,
-                     len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                     x -> list_contains($enList, x))) AS sw_hits,
-                     len(string_split_regex(lower(text), '\\s+')) AS toks
-              FROM documents)),
-      b AS (SELECT CAST(least(9, floor(s * 10)) AS INT) AS bin,
-                   CAST(round(s * 1e6) AS BIGINT) AS s_e6,
+    // calibration replay: the shared scoring CTE, bucketed into 10
+    // equal-width bins with the same integer mean/rate/ECE math
+    "q_calibration" -> s"""
+      WITH $classifierScoreCte,
+      b0 AS (SELECT least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), s)) AS sc, y
+             FROM m WHERE s IS NOT NULL AND y IS NOT NULL),
+      b AS (SELECT CAST(least(9, floor(sc * 10)) AS INT) AS bin,
+                   CAST(round(sc * 1e6) AS BIGINT) AS s_e6,
                    CASE WHEN y = 1.0 THEN 1 ELSE 0 END AS pos
-            FROM m WHERE s IS NOT NULL AND y IS NOT NULL),
+            FROM b0),
       g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(s_e6) // COUNT(*) AS BIGINT) AS mean_score_e6,
                    CAST(SUM(pos) AS BIGINT) AS positives
@@ -2643,23 +2658,9 @@ object SparkEntry {
              CAST(positives * 1000000 // n AS BIGINT) AS rate_ppm,
              CAST(abs(positives * 1000000 // n - mean_score_e6) * n AS BIGINT)
                AS ece_contrib_e6
-      FROM g ORDER BY bin"""
-    },
-    "q_classifier_eval" -> {
-      val enList = graft.operators.LangId.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""
-      WITH m AS (
-        SELECT CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
-               1.0 / (1.0 + exp(-(-2.0
-                 + 1.5 * (CAST(sw_hits AS DOUBLE) / CAST(toks AS DOUBLE))
-                 + 0.8 * (CAST(toks AS DOUBLE) / 100.0)
-                 + -0.5 * (CAST(chars AS DOUBLE) / CAST(words AS DOUBLE) / 10.0)))) AS s
-        FROM (SELECT n_chars, length(text) AS chars,
-                     len(string_split(text, ' ')) AS words,
-                     len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                     x -> list_contains($enList, x))) AS sw_hits,
-                     len(string_split_regex(lower(text), '\\s+')) AS toks
-              FROM documents)),
+      FROM g ORDER BY bin""",
+    "q_classifier_eval" -> s"""
+      WITH $classifierScoreCte,
       t AS (SELECT unnest([0.3, 0.5, 0.7]) AS th),
       c AS (SELECT CAST(round(th * 1e6) AS BIGINT) AS threshold_e6,
                    CAST(SUM(CASE WHEN s >= th AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -2673,8 +2674,7 @@ object SparkEntry {
              CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
              CASE WHEN 2 * tp + fp + fn = 0 THEN 0
                   ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
-      FROM c ORDER BY threshold_e6"""
-    },
+      FROM c ORDER BY threshold_e6""",
     "q_expect" -> """
       WITH a AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS total,
@@ -4246,17 +4246,27 @@ object SparkEntry {
     "q_ann_lsh_probe" -> s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       ${lshBucketCte(4)},
-      c AS (SELECT e.vec_id, e.v, bkt.b FROM e JOIN bkt USING (vec_id)),
-      q AS (SELECT vec_id AS qid, v AS qv, b FROM c WHERE vec_id < 10),
+      c AS (SELECT e.vec_id, e.v, bkt.b,
+        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range((SELECT dim FROM d)), x -> e.v[x + 1] * e.v[x + 1])),
+          (a, b) -> a + b)) AS nrm
+        FROM e JOIN bkt USING (vec_id)),
+      q AS (SELECT vec_id AS qid, v AS qv, b, nrm AS qnrm FROM c WHERE vec_id < 10),
       exact AS (SELECT query_id, neighbor_id FROM (
         SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY q.qid
-                 ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rank
+                 ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range((SELECT dim FROM d)),
+                       x -> c.v[x + 1] * q.qv[x + 1])),
+                     (p, s) -> p + s) / (c.nrm * q.qnrm) DESC, c.vec_id) AS rank
         FROM c, q WHERE c.vec_id != q.qid) t WHERE rank <= 5),
       probes AS (SELECT p.p, m.m FROM (SELECT unnest(range(3)) AS p) p,
                  (SELECT unnest(range(16)) AS m) m WHERE bit_count(m) <= p.p),
       cand AS (SELECT pr.p, q.qid, c.vec_id,
-               list_cosine_similarity(c.v, q.qv) AS sim
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range((SELECT dim FROM d)),
+                   x -> c.v[x + 1] * q.qv[x + 1])),
+                 (p2, s2) -> p2 + s2) / (c.nrm * q.qnrm) AS sim
         FROM q JOIN probes pr ON true
              JOIN c ON c.b = xor(q.b::UBIGINT, pr.m::UBIGINT)::BIGINT
         WHERE c.vec_id != q.qid),
@@ -4457,15 +4467,23 @@ object SparkEntry {
       FROM l GROUP BY lang_detected ORDER BY lang_detected"""
     },
     // LIVE (was golden until r10): the splitmix64 plane stream is
-    // counter-based, so the buckets replay in SQL (lshBucketCte); ranking
-    // is the established list_cosine_similarity + row_number replay
+    // counter-based, so the buckets replay in SQL (lshBucketCte); the
+    // ranking sim is the operator's EXACT expression (sequential dot
+    // fold / (norm_a · norm_b)) so near-ties cannot ULP-flip the order
     "q_ann_lsh" -> s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       ${lshBucketCte(4)},
-      c AS (SELECT e.vec_id, e.v, bkt.b FROM e JOIN bkt USING (vec_id)),
-      q AS (SELECT vec_id AS qid, v AS qv, b FROM c WHERE vec_id < 10),
-      cand AS (SELECT q.qid, c.vec_id, list_cosine_similarity(c.v, q.qv) AS sim
-               FROM c JOIN q ON c.b = q.b WHERE c.vec_id != q.qid)
+      c AS (SELECT e.vec_id, e.v, bkt.b,
+        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range((SELECT dim FROM d)), x -> e.v[x + 1] * e.v[x + 1])),
+          (a, b) -> a + b)) AS nrm
+        FROM e JOIN bkt USING (vec_id)),
+      q AS (SELECT vec_id AS qid, v AS qv, b, nrm AS qnrm FROM c WHERE vec_id < 10),
+      cand AS (SELECT q.qid, c.vec_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range((SELECT dim FROM d)), x -> c.v[x + 1] * q.qv[x + 1])),
+          (p, s) -> p + s) / (c.nrm * q.qnrm) AS sim
+        FROM c JOIN q ON c.b = q.b WHERE c.vec_id != q.qid)
       SELECT query_id, rank, neighbor_id FROM (
         SELECT qid AS query_id, vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank

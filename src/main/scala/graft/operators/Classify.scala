@@ -87,10 +87,14 @@ object Classify {
     * e6-rounded scores (`sum(round(s·1e6)) div n` — order-independent),
     * `rate_ppm = positives·10^6 div n`, and `ece_contrib_e6 =
     * |rate_ppm − mean_score_e6|·n` — every output exact in any engine.
-    * Bin = `least(bins−1, floor(s·bins))` (score 1.0 joins the top bin).
-    * Rows with NULL score or label are EXCLUDED and counted in the
-    * companion `evalReport`'s null audit. ONE aggregation pass
-    * (bin-keyed, ≤ `bins` groups).
+    * Scores CLAMP into [0, 1] before everything (a stray −0.01 or 1.3 —
+    * an uncalibrated margin passed by mistake — lands in the edge bin
+    * with a clamped mean contribution rather than minting a phantom
+    * bin −1 or pushing the integer sums onto the negative domain where
+    * truncating and flooring division disagree across engines); score
+    * 1.0 joins the top bin. Rows with NULL score or label are EXCLUDED
+    * and counted in the companion `evalReport`'s null audit. ONE
+    * aggregation pass (bin-keyed, ≤ `bins` groups).
     *
     * @return (bin, n, mean_score_e6, positives, rate_ppm, ece_contrib_e6)
     */
@@ -98,9 +102,10 @@ object Classify {
       bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
     val y = label.cast("double")
+    val sc = least(lit(1.0), greatest(lit(0.0), score.cast("double")))
     df.where(score.isNotNull && y.isNotNull)
-      .select(least(lit(bins - 1), floor(score * lit(bins))).cast("int").as("bin"),
-        round(score * lit(1e6)).cast("long").as("__s_e6"),
+      .select(least(lit(bins - 1), floor(sc * lit(bins))).cast("int").as("bin"),
+        round(sc * lit(1e6)).cast("long").as("__s_e6"),
         when(y === 1.0, 1L).otherwise(0L).as("__pos"))
       .groupBy("bin")
       .agg(count(lit(1)).cast("long").as("n"),

@@ -207,6 +207,10 @@ object FileStreams {
   def windowedHistogram(events: DataFrame, tsCol: String, valueCol: String,
       nbins: Int, lo: Double, hi: Double,
       windowExpr: String = "1 day", watermark: String = "1 hour"): DataFrame = {
+    // fail fast at plan construction (the sibling windowedTopK
+    // discipline) — not as a wrapped SparkException inside a micro-batch
+    require(nbins >= 1, s"nbins must be >= 1, got $nbins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     import graft.operators.ColumnBridge
     events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowExpr))
