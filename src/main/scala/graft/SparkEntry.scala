@@ -1737,6 +1737,14 @@ object SparkEntry {
               / lit(17)).cast("long")).cast("long").as("pseudo_hits"))
           .orderBy("source")
       }),
+      // exact-size deterministic sample: the 500 smallest content-hash
+      // keys — TakeOrdered plan (bounded heap/partition), no global sort
+      "q_sample_take" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        Sampling.deterministicTake(s.table("documents"), "text", 500, "doc_id")
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      }),
       // per-source token-budget curation: greedy-prefix admission in
       // (toks DESC, doc_id) priority order under a 2000-token budget per
       // source; ONE stratum-keyed window cumsum
@@ -3760,6 +3768,12 @@ object SparkEntry {
              CAST(SUM((length(t2) - length(replace(t2, '@redacted.invalid', ''))) // 17)
                AS BIGINT) AS pseudo_hits
       FROM p GROUP BY source ORDER BY source""",
+    // exact-size sample replay: same md5 order, same tie-break, LIMIT n
+    "q_sample_take" -> """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source FROM documents
+        ORDER BY md5(text), doc_id LIMIT 500) t
+      ORDER BY doc_id""",
     // token-budget replay: window cumsum in the same (toks DESC, doc_id)
     // order, prefix kept while cum <= budget
     "q_token_budget" -> """

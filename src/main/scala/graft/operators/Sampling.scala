@@ -39,6 +39,27 @@ object Sampling {
     df.where(hashWeight(col(keyCol)) < lit(fraction))
   }
 
+  /** EXACT-size deterministic sample: the `n` rows with the smallest
+    * content-hash order keys — the eval-set cutter when the contract is
+    * "exactly 10,000 docs", where [[deterministicSample]]'s fraction
+    * only lands NEAR the target. Same determinism family: partitioning-
+    * invariant, and append-MONOTONE rather than append-stable — a new
+    * row enters the sample only by evicting the current largest key, so
+    * refreshes churn at most the boundary (|old ∩ new| >= n − additions),
+    * never the interior. Ties on the md5 key break by `uniqueCol`.
+    *
+    * Scale shape: Spark plans the order-by-limit as
+    * TakeOrderedAndProject — a bounded n-row heap per partition, ≤ n
+    * rows shipped per partition, no global sort, no full-corpus
+    * exchange. (The q_sample_take plan is spec-asserted to contain
+    * TakeOrdered and no Sort/Exchange.)
+    */
+  def deterministicTake(df: DataFrame, keyCol: String, n: Int,
+      uniqueCol: String): DataFrame = {
+    require(n >= 0, "n must be >= 0")
+    df.orderBy(md5(col(keyCol).cast("string")), col(uniqueCol)).limit(n)
+  }
+
   /** Deterministic train/val/test split assignment: each row gets the
     * first label whose cumulative weight share exceeds its content-hash
     * uniform. Purely row-local (no shuffle), partitioning-invariant, and

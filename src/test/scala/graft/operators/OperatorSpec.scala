@@ -1979,6 +1979,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("deterministicTake: exact n, partition-invariant, append-monotone, TakeOrdered plan") {
+    val sps = spark; import sps.implicits._
+    val df = (1 to 400).map(i => (i.toLong, s"doc content $i")).toDF("id", "t")
+    def take(d: org.apache.spark.sql.DataFrame, n: Int) =
+      Sampling.deterministicTake(d, "t", n, "id").collect().map(_.getLong(0)).toSet
+    val s100 = take(df, 100)
+    assert(s100.size == 100)
+    // partitioning never changes the sample
+    assert(take(df.repartition(13), 100) == s100)
+    // append-monotone: adding rows churns at most the boundary — the new
+    // sample is a subset of (old sample + the added rows)
+    val grown = df.union(Seq((900L, "fresh a"), (901L, "fresh b")).toDF("id", "t"))
+    val g100 = take(grown, 100)
+    assert(g100.size == 100 && g100.subsetOf(s100 ++ Set(900L, 901L)))
+    // n >= corpus: everything; n = 0: nothing
+    assert(take(df, 500).size == 400 && take(df, 0).isEmpty)
+    // plan: bounded-heap TakeOrdered, no global Sort, no Exchange
+    val plan = Sampling.deterministicTake(df, "t", 10, "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("tokenBudgetTake: greedy prefix per stratum, no backfill, exact boundary") {
     val sps = spark; import sps.implicits._
     val df = Seq(
