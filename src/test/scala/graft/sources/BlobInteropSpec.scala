@@ -72,14 +72,30 @@ class BlobInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
     info(out.toString)
     assert(code == 0, s"python prober failed:\n$out")
-    assert(out.toString.contains("bloom-rebuild: byte_equal=True"))
+    // every family is rebuilt INDEPENDENTLY in Python from the member hashes
+    // and must byte-equal the Spark-built blob (all six constructions are
+    // order-insensitive for a key set)
+    val families = Seq("bloom", "xor8", "xor16", "fuse8", "fuse16", "quotient")
+    families.foreach { fam =>
+      assert(out.toString.contains(s"$fam-rebuild: byte_equal=True"),
+        s"$fam independent rebuild did not byte-match the Spark blob")
+    }
 
-    // reverse direction on the JVM side too: the Python-BUILT bloom blob is
-    // byte-identical and probes all members through our core implementation
-    val pyBloom = Files.readAllBytes(dir.resolve("pybloom.blob"))
-    val sparkBloom = Files.readAllBytes(dir.resolve("bloom.blob"))
-    assert(java.util.Arrays.equals(pyBloom, sparkBloom))
+    // reverse direction on the JVM side too: the Python-BUILT blobs are
+    // byte-identical and probe all members through our core implementations
     val members = hashes(1, 20001)
+    families.foreach { fam =>
+      val py = Files.readAllBytes(dir.resolve(s"py$fam.blob"))
+      val sp = Files.readAllBytes(dir.resolve(s"$fam.blob"))
+      assert(java.util.Arrays.equals(py, sp), s"$fam blob bytes differ")
+    }
+    val pyBloom = Files.readAllBytes(dir.resolve("pybloom.blob"))
     assert(members.forall(graft.core.DuckDbBloomFilter.probeBlob(pyBloom, _)))
+    val pyQuotient = Files.readAllBytes(dir.resolve("pyquotient.blob"))
+    assert(members.forall(graft.core.QuotientFilter.probeBlob(pyQuotient, _)))
+    val pyFuse8 = Files.readAllBytes(dir.resolve("pyfuse8.blob"))
+    assert(members.forall(graft.core.BinaryFuseFilter.probeBlob(8, pyFuse8, _)))
+    val pyXor8 = Files.readAllBytes(dir.resolve("pyxor8.blob"))
+    assert(members.forall(graft.core.XorFilter.probeBlob(8, pyXor8, _)))
   }
 }
