@@ -1239,25 +1239,24 @@ object SparkEntry {
         Pca.gramMatrix(emb8, "v8", roundE6 = true)
           .orderBy("i", "j")
       }),
-      // full PCA path (fit k=4 -> project) under exactReplay: the e6-integer
-      // Gram makes the model a pure function of the data, so per-component
-      // checksums of the e6-rounded projections are golden-pinnable (like
-      // q_ann_lsh); any error anywhere in gram/eigen/sign/projection moves
-      // them
+      // full PCA path (fit k=4 -> project) under exactReplay, LIVE: the
+      // e6-integer Gram makes the model a deterministic pure function of
+      // the data, so the oracle pins the fitted model AS DATA
+      // (tools.PinPcaModel regenerates the literals) and replays every
+      // per-row projection dot product against the parquet vectors in
+      // DuckDB — both engines fold the dot left-to-right, so e6-rounded
+      // projections match exactly; any error in gram/eigen/sign/projection
+      // surfaces per row
       "q_pca_project" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
         val model = Pca.fit(emb, "vec", k = 4, exactReplay = true)
         Pca.project(emb, "vec", model, "pca")
-          .select(posexplode(col("pca")).as(Seq("component", "x")))
-          .select(col("component"),
+          .select(col("vec_id"), posexplode(col("pca")).as(Seq("component", "x")))
+          .select(col("vec_id"), col("component"),
             expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("x_e6"))
-          .groupBy("component")
-          .agg(count(lit(1)).as("n"), sum("x_e6").as("sum_e6"),
-            sum(abs(col("x_e6"))).as("sum_abs_e6"),
-            min(col("x_e6")).as("min_e6"), max(col("x_e6")).as("max_e6"))
-          .orderBy("component")
+          .orderBy("vec_id", "component")
       }),
       "q_cosine_pairs" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
@@ -5125,22 +5124,26 @@ object SparkEntry {
         WHERE s.mmr_rank < 5)
       SELECT qid AS query_id, CAST(mmr_rank AS INT) AS mmr_rank, id, score AS mmr_score_e12
       FROM sel ORDER BY query_id, mmr_rank""",
-    // full fit->project path, golden-pinned (audited exactReplay run:
-    // e6-integer Gram -> driver Jacobi -> literal-broadcast projection;
-    // verified identical across different partitionings/thread counts).
-    // Per-component checksums of e6-rounded projections over sf0.01
-    // embeddings, k=4
+    // LIVE fit->project replay: the model (mean + 4 eigenvector rows,
+    // deterministic under exactReplay — regenerate with
+    // `runMain graft.tools.PinPcaModel`) rides as %.17E DOUBLE literals
+    // (E-notation bypasses DuckDB's DECIMAL literal path, which loses the
+    // last bit at 17 significant digits); every per-row projection dot
+    // product is recomputed from the parquet vectors — both engines fold
+    // the dot left-to-right, so the e6 roundings agree bit-for-bit
     "q_pca_project" -> """
-      SELECT CAST(component AS INT) AS component, CAST(n AS BIGINT) AS n,
-             CAST(sum_e6 AS BIGINT) AS sum_e6, CAST(sum_abs_e6 AS BIGINT) AS sum_abs_e6,
-             CAST(min_e6 AS BIGINT) AS min_e6, CAST(max_e6 AS BIGINT) AS max_e6
-      FROM (VALUES
-        (0, 500,  5, 67121585, -477643, 436444),
-        (1, 500,  3, 66181471, -489693, 513665),
-        (2, 500, -9, 65159093, -515790, 423566),
-        (3, 500, -2, 63494132, -578719, 522941))
-        t(component, n, sum_e6, sum_abs_e6, min_e6, max_e6)
-      ORDER BY component""",
+      WITH m(mv) AS (SELECT [2.16468600000000030E-03, -4.54778400000000000E-03, 3.93014800000000000E-03, -4.79319200000000000E-03, 9.94306600000000000E-03, 7.77251400000000000E-03, -1.82313359999999970E-02, 9.21736400000000000E-03, -2.42739800000000030E-03, -6.17906000000000000E-04, 6.43607000000000000E-03, 3.35401200000000000E-03, -2.65886800000000000E-03, 2.05402000000000000E-03, -2.14576000000000000E-04, 5.91025199999999950E-03, 3.33420800000000000E-03, 5.82612199999999960E-03, -4.61284000000000000E-04, 1.23172999999999990E-03, -3.83917000000000030E-03, 2.30218400000000000E-03, 4.16825800000000000E-03, -8.05457800000000000E-03, -1.89116600000000000E-03, 1.28081300000000010E-02, -1.59705000000000000E-03, 1.06263300000000000E-02, -1.15325799999999990E-03, 3.90362000000000000E-04, 5.60471400000000000E-03, -5.79268800000000000E-03, 8.33528600000000000E-03, -6.67538400000000000E-03, 5.15563199999999900E-03, 1.17717800000000000E-03, -5.33530800000000000E-03, -1.59378200000000000E-03, -9.66712000000000000E-04, -1.14097800000000000E-03, -1.74419800000000000E-03, -1.18341320000000000E-02, 3.13532000000000000E-04, -5.63154000000000100E-04, -1.15205620000000000E-02, 3.83261800000000000E-03, -5.98054000000000000E-04, 5.89032400000000000E-03, -3.74965200000000000E-03, -1.02643980000000000E-02, 9.37715800000000000E-03, -1.48200800000000000E-03, 7.77006000000000000E-03, -3.91755000000000000E-03, 4.70980799999999900E-03, -3.57730600000000000E-03, 4.77385400000000000E-03, -2.47035800000000000E-03, -4.84451800000000000E-03, -8.72118400000000000E-03, -2.81182000000000000E-04, 5.00419400000000000E-03, -1.15905400000000000E-03, -1.32662280000000000E-02]),
+      w(component, wv) AS (SELECT * FROM (VALUES
+        (0, [-2.09637431034738590E-01, -1.20574081125557150E-01, 3.65484518011678500E-02, 1.18156093359072320E-02, 7.56817388533994700E-02, 1.32197454245310180E-02, 9.05857609588422000E-02, 2.86616087396804400E-01, 4.95497316072653700E-02, 4.14058348730044200E-01, 6.53085671210877800E-02, 1.82083204383351400E-01, 6.51357715535512100E-02, -3.65243474073781300E-02, 1.71150317903916350E-01, -1.85344199549312900E-01, 8.89937954353822000E-02, -1.57010237303274070E-01, -3.01407629228647930E-02, 3.21725797766466400E-02, 6.12139494795602800E-02, -1.10687764432858720E-01, -8.34720713703858700E-02, -5.54522004228823000E-02, 1.95393063671478460E-02, 1.99114439155969270E-01, -3.75156375231135360E-02, 1.49508353479352870E-01, -1.72882829635925630E-01, -6.12957524828209900E-03, -5.87145758387652840E-02, 6.20266590780878600E-02, 2.96538670932913100E-01, 1.06169260971473830E-01, -3.20423893743521700E-02, 1.04145965135935400E-01, 4.45388629341989500E-02, 6.14703884423725700E-02, 1.30177048699382240E-02, 2.17717106417454400E-02, -1.16681199841526390E-01, 5.52341414773432100E-03, -2.40839488684682160E-01, 9.57011585582488200E-02, -2.82989518115019830E-02, -2.25136184560476770E-01, 8.72893577383126300E-03, -7.90294833214097600E-02, -8.36753939866723400E-02, -1.18458093179396100E-01, 1.20453643989867310E-01, 7.24793096337067600E-02, -1.71887900893984700E-02, 8.16054089209783300E-02, -1.50202372755692050E-02, -6.67635286145457200E-02, -5.56642937578253060E-02, -5.13756754458284400E-02, 6.02001671306695900E-02, -9.11432572363520700E-02, 1.21984680700850580E-01, 5.06514030110032300E-02, -2.18209687694950060E-01, -1.02018394168036560E-01]),
+        (1, [-3.82614861964671650E-03, -5.44267044511338660E-02, -1.25698197232347930E-02, -8.81342057503294600E-02, 1.74852814954314400E-01, 2.52151987808642460E-02, 7.49371066106005200E-02, -6.99958177568155700E-02, 7.74453801465564400E-02, 3.06799222196417300E-02, 1.05752128107031880E-01, -1.78883132165813500E-02, 1.29757662333787800E-02, 1.33696102255356750E-01, 1.45530947155207150E-02, 4.14000730319377600E-02, 1.48406861300535870E-01, 3.60315786144146060E-01, -5.41865469037229250E-02, -5.07686586564696100E-02, 3.25382497876920760E-02, 3.53997596352181800E-02, 6.53369797939068300E-02, -3.09122168435199240E-01, -2.57681848514826400E-01, -2.39072462782937000E-01, -2.06359910011985020E-02, -2.33883731935700200E-04, -8.62787651199400200E-02, -1.74537594547058970E-01, -2.40663772266517400E-02, -2.17545084120418900E-01, 2.94509038873270460E-02, 6.15325170451285560E-02, 3.37554110326395900E-02, 7.92133873339692500E-02, 5.94650003361553600E-02, 3.64950553720355950E-02, 1.82104432477002140E-01, 4.66672188632489500E-02, 1.61553933930031880E-05, 4.69842780918952900E-02, -6.27574830473286200E-02, -1.79195937874397970E-01, 1.72690813366424530E-01, -1.88821930732813730E-01, -4.69494380014951900E-02, 1.45785288530459380E-01, 1.12926222582550000E-01, -1.13279576299867760E-01, -1.57440011601631620E-01, -8.19782552093865900E-02, 1.29831095233372880E-02, -1.60964231847483850E-02, 2.38033292206858430E-01, 2.33885560894593800E-02, -3.02817877638045350E-01, 1.63857327216615470E-02, 1.35434352106690750E-01, -1.21583849203273480E-01, -8.36764122359758800E-02, 8.48386381209897500E-02, -4.33176579799888300E-04, -7.86124825824218300E-02]),
+        (2, [-1.48046750332393950E-01, -8.51249043459217600E-02, -6.39494068004561000E-02, -4.52541455521864030E-04, -2.04376279577943400E-01, -4.37370571984197800E-02, 1.17754669789601400E-01, -2.84496004847680500E-01, 4.44000787408083200E-02, 2.37192498718357000E-02, -5.11799527509957300E-02, 3.57093827033086800E-02, -6.01803710327698000E-02, -3.45493885211157100E-02, 9.44875318444576000E-03, -2.34548632161978520E-01, 1.71372227292240500E-01, -8.49342879462092000E-02, 1.16043520351319460E-01, 7.73277547194007900E-02, 1.31304294353160800E-02, 1.75306686477205200E-01, -1.00650252636449930E-01, 5.33752679695009600E-02, 9.25597814132542000E-02, 1.00091656322476960E-01, 9.06388360908878700E-02, -1.34140220029033800E-01, 1.02783781050169390E-02, -1.05405083643715760E-01, -1.22857628213435850E-01, 9.09147158965031600E-02, 4.82536438306717460E-02, -1.80662728726899450E-01, -2.97705661757287770E-02, -1.02159976266446420E-01, 1.39078149535445780E-01, -2.12550272516058800E-01, -6.34582230442277000E-02, -1.03929500726763950E-01, 1.89475955428966360E-01, 1.90111808413394980E-01, -1.25857781556541340E-01, -2.08932047390370360E-01, 1.65862734654765610E-01, 5.28331987054422440E-02, 4.27962315556811400E-02, 1.80183334373169370E-02, -6.83220918754494500E-02, -5.12752891025444300E-02, -1.29497010032367550E-01, -1.06455640341563920E-01, 2.27798082404439160E-01, -1.53292535345041970E-01, -1.79155303703712330E-01, -1.92124817841267870E-03, -5.38094645552129100E-03, 1.09725602383203030E-01, 1.82795279144604470E-01, -5.26860581940923500E-02, -6.95556241582247800E-02, 2.88429622891418500E-01, -9.00798132790077300E-02, -7.55302354799709800E-02]),
+        (3, [6.80902328793719600E-02, 6.26914295601839000E-02, 8.78675003826429600E-03, 1.72523607750973250E-01, -2.57962491946418460E-01, 1.07124965529677420E-01, -2.32062842348599200E-02, 1.77547053531111200E-01, -1.15219730227456310E-01, 1.36201693965931430E-01, 7.64362999470015500E-03, 2.01940048873867930E-01, -6.07768168405638000E-02, -1.40229689928538130E-01, -9.31137814263003800E-02, 4.93055606552435500E-02, 9.68299284733391400E-02, 7.14275308210931700E-02, -9.31745913385740400E-03, -2.03162968120711580E-01, -2.25473142082178200E-01, 1.57656322391089200E-01, -1.18584586319731690E-02, 7.32350087910955800E-02, 2.74689860877154050E-02, -1.19084857077785100E-01, 1.16458515506099410E-01, -3.83182587604725170E-03, 1.28927102014330200E-01, -1.04516634935519650E-01, 1.52115839835546750E-01, 2.00577884355629930E-01, -8.14119901158750500E-02, -1.76731186951389030E-02, -1.16499533161383460E-01, 3.16189724822011900E-01, -1.16724728799180640E-01, -1.48437187189686760E-01, -1.02517736677084670E-02, -4.82841177408609700E-02, -1.45110267150384450E-02, -1.81461531978852170E-04, -8.56492646873811700E-02, -1.74328811463185700E-02, -7.57341526004470700E-02, -4.15192630992194940E-02, -1.36232657457258640E-02, 3.69404946286905200E-01, -1.08513557934003700E-01, -1.53443177246738700E-01, 6.64719529412692700E-02, -1.97771895891525120E-02, 9.32838132676339400E-03, 5.39657506983237900E-03, -2.19144018640998470E-02, 1.01474638949070050E-01, -1.70905797865731400E-01, 9.29293227559200300E-02, -1.70723291228551230E-01, -7.39169500430603700E-02, -1.92064350652884740E-01, -9.62199752320433600E-02, -8.40471305389681900E-02, 2.62931794608543600E-02])) t(component, wv)),
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      SELECT e.vec_id, CAST(w.component AS INT) AS component,
+             CAST(floor(list_inner_product(
+               list_transform(range(1, len(v) + 1), i -> v[i] - mv[i]), wv) * 1000000.0 + 0.5) AS BIGINT) AS x_e6
+      FROM e, m, w
+      ORDER BY vec_id, component""",
     // upper-triangle Gram over the first 8 dims, each product micro-rounded
     // to e6 (floor(x + 0.5): the only half-rounding identical across
     // engines) before the exact integer sum
