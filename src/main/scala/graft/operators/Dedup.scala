@@ -171,6 +171,13 @@ object Dedup {
     * join), and ordered pairs explode from the list (no shingle self-join)
     * into the per-pair common count. `maxDocFreq` is the classic skew
     * guard: a shingle in thousands of docs would emit quadratic pairs.
+    * The cap is NOT silent: every run publishes its dropped-shingle count
+    * and max observed doc frequency as the `graft_jaccard_shingles_<n>`
+    * observable metric plus AQE-proof per-run accumulators
+    * ([[LshRunStats]]), and [[registerJaccardShingleWarningListener]]
+    * turns a crossed threshold into a WARN — dropped shingles mean the
+    * affected pairs under-count their intersection, so the count is the
+    * operator's accuracy disclosure, not just perf telemetry.
     * Scale note: the widest shuffle now carries one row per distinct
     * shingle with a <=maxDocFreq id list, instead of one row per
     * (shingle-collision pair).
@@ -182,10 +189,22 @@ object Dedup {
     * near 1. Free here (same common/size inputs).
     */
   def exactJaccardPairs(shingles0: DataFrame, maxDocFreq: Int = 1000): DataFrame = {
+    val runId = lshObserveId.incrementAndGet()
+    // same telemetry discipline as the LSH bucket cap: the doc-frequency
+    // cap DROPS hot shingles (their intersection contributions vanish, so
+    // affected pairs under-count), and a silent drop violates the no-
+    // silent-caps rule — every run publishes dropped-shingle count and max
+    // observed doc frequency both as an observable metric and as AQE-proof
+    // per-run accumulators polled by [[registerJaccardShingleWarningListener]]
+    val record = skewRecord(shingles0.sparkSession, s"graft_jaccard_shingles_$runId", maxDocFreq)
     // collect_set: input rows are per-doc multisets (see shingleHashes);
     // dedup happens inside this groupBy rather than in an upstream shuffle
     val capped = shingles0.groupBy("shingle")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .observe(s"graft_jaccard_shingles_$runId",
+        sum(when(size(col("docs")) > maxDocFreq, 1L).otherwise(0L)).as("dropped_shingles"),
+        max(size(col("docs"))).as("max_doc_freq"))
+      .where(record(size(col("docs"))))
       .where(size(col("docs")) <= maxDocFreq)
       // feeds both the per-doc sizes and the pair counts
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -316,7 +335,41 @@ object Dedup {
     */
   def registerLshBucketWarningListener(spark: org.apache.spark.sql.SparkSession,
       threshold: Long = 10000L,
-      onWarn: (Long, Long) => Unit = (_, _) => ()): Unit = {
+      onWarn: (Long, Long) => Unit = (_, _) => ()): Unit =
+    registerSkewWarningListener(spark, "graft_lsh_buckets", threshold, onWarn,
+      (mx, dropped) =>
+        s"graft: LSH bucket skew — max candidate bucket has $mx docs " +
+          s"(threshold $threshold), $dropped buckets dropped by maxBucketSize. " +
+          "An uncapped hot bucket emits O(k^2) pairs; drop exact duplicates " +
+          "upstream or pass maxBucketSize to fail soft.")
+
+  /** The [[registerLshBucketWarningListener]] analogue for
+    * [[exactJaccardPairs]]'s doc-frequency cap: logs a WARN (and invokes
+    * `onWarn`) whenever a run observes a shingle doc-frequency above
+    * `threshold`. Unlike the LSH cap (a fail-soft backstop that is off by
+    * default), `maxDocFreq` defaults ON at 1000 because the exact path is
+    * quadratic per shingle — so the dropped count is the number the
+    * operator's accuracy claim rests on, and it should be watched.
+    */
+  def registerJaccardShingleWarningListener(spark: org.apache.spark.sql.SparkSession,
+      threshold: Long = 1000L,
+      onWarn: (Long, Long) => Unit = (_, _) => ()): Unit =
+    registerSkewWarningListener(spark, "graft_jaccard_shingles", threshold, onWarn,
+      (mx, dropped) =>
+        s"graft: exact-Jaccard shingle skew — hottest shingle appears in $mx docs " +
+          s"(threshold $threshold), $dropped hot shingles dropped by maxDocFreq; " +
+          "affected pairs under-count their intersection. Raise maxDocFreq, strip " +
+          "boilerplate shingles upstream, or use the MinHash path at this scale.")
+
+  /** Shared poll-the-accumulators listener: warns once per run per observed
+    * maximum for every [[LshRunStats]] entry whose name starts with
+    * `prefix`. Polls the per-run accumulators (not `observedMetrics`), so
+    * it fires with AQE on or off; runs that finished before registration
+    * are latched at their current high-water mark and do not retro-trigger.
+    */
+  private def registerSkewWarningListener(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, threshold: Long, onWarn: (Long, Long) => Unit,
+      message: (Long, Long) => String): Unit = {
     // per-listener latch: warn only when a run's max grows past what THIS
     // listener already reported (weak keys: dropped registry entries fall out)
     val warned = new java.util.WeakHashMap[LshRunStats, java.lang.Long]()
@@ -325,23 +378,20 @@ object Dedup {
     }
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       private def check(): Unit = warned.synchronized {
-        // the registry is shared with other skew-capped operators (e.g.
-        // ewmaSmooth's graft_ewma_keys_*) — this listener speaks only for
-        // LSH buckets, so filter on the prefix
+        // the registry is shared across skew-capped operators (LSH buckets,
+        // jaccard shingles, ewmaSmooth's graft_ewma_keys_*) — each listener
+        // speaks only for its own prefix
         lshRunStatsSnapshot()
-          .filter(_.name.startsWith("graft_lsh_buckets")).foreach { st =>
-          val maxBucket = st.maxBucket.value
-          if (maxBucket > threshold) {
+          .filter(_.name.startsWith(prefix)).foreach { st =>
+          val maxSeen = st.maxBucket.value
+          if (maxSeen > threshold) {
             val prev = Option(warned.get(st)).fold(0L)(_.longValue)
-            if (maxBucket > prev) {
-              warned.put(st, maxBucket)
+            if (maxSeen > prev) {
+              warned.put(st, maxSeen)
               val dropped = st.dropped.value
-              org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
-                s"graft: LSH bucket skew — max candidate bucket has $maxBucket docs " +
-                  s"(threshold $threshold), $dropped buckets dropped by maxBucketSize. " +
-                  "An uncapped hot bucket emits O(k^2) pairs; drop exact duplicates " +
-                  "upstream or pass maxBucketSize to fail soft.")
-              onWarn(maxBucket, dropped)
+              org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
+                .warn(message(maxSeen, dropped))
+              onWarn(maxSeen, dropped)
             }
           }
         }

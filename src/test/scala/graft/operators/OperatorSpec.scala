@@ -1595,6 +1595,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"EWMA key history fired the LSH warning: ${seen.get()}")
   }
 
+  test("exact-jaccard doc-freq cap publishes dropped-shingle telemetry and warns") {
+    val sps = spark; import sps.implicits._
+    val seen = new java.util.concurrent.atomic.AtomicReference[(Long, Long)](null)
+    Dedup.registerJaccardShingleWarningListener(spark, threshold = 5L,
+      onWarn = (mx, dr) => seen.set((mx, dr)))
+    // planted hot shingle: 12 docs of 5 tokens each share their first
+    // 3-gram ("alpha beta gamma"); the other two 3-grams per doc are unique
+    val docs = (1L to 12L).map(i => (i, s"alpha beta gamma u$i v$i")).toDF("doc_id", "text")
+    val shingles = Dedup.shingleHashes(docs, "text", "doc_id", 3)
+    // capped at 5: the hot shingle (doc freq 12) is dropped; the surviving
+    // shingles are all unique, so no pairs remain — the silent-underreport
+    // scenario the telemetry exists to expose
+    val capped = Dedup.exactJaccardPairs(shingles, maxDocFreq = 5)
+    assert(capped.count() == 0L)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (seen.get() == null && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(seen.get() != null, "jaccard shingle-skew warning did not fire")
+    assert(seen.get() == ((12L, 1L)),
+      s"expected (max_doc_freq 12, dropped 1), got ${seen.get()}")
+    // uncapped control on the same corpus: the hot shingle contributes all
+    // 66 ordered pairs at jaccard 1/(3+3-1), and no drops are recorded
+    val seen2 = new java.util.concurrent.atomic.AtomicReference[(Long, Long)](null)
+    Dedup.registerJaccardShingleWarningListener(spark, threshold = 5L,
+      onWarn = (mx, dr) => seen2.set((mx, dr)))
+    val full = Dedup.exactJaccardPairs(shingles).collect()
+    assert(full.length == 66)
+    assert(full.forall(r => math.abs(r.getAs[Double]("jaccard") - 0.2) < 1e-15))
+    val deadline2 = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (seen2.get() == null && System.nanoTime() < deadline2) Thread.sleep(50)
+    assert(seen2.get() == ((12L, 0L)),
+      s"uncapped run must record max 12 and zero drops, got ${seen2.get()}")
+  }
+
   test("connected components: pointer jumping converges on a long path in O(log d) rounds") {
     val sps = spark; import sps.implicits._
     // 64-node path 0-1-2-...-63: diameter 63, worst case for plain min-label
