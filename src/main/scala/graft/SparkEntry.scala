@@ -807,6 +807,15 @@ object SparkEntry {
       "q_duckdb_hash" -> q("""
         SELECT o_orderkey, conv(hex(bitfilters_duckdb_hash('v1.5.1', o_orderkey)), 16, 10) AS h
         FROM orders ORDER BY o_orderkey""") _,
+      // DuckDB UBIGINT parquet columns surface as DECIMAL(20,0) in Spark;
+      // the dispatch hashes the exact integer's low 64 bits. Keys are
+      // shifted above 2^63 so the two's-complement wrap is exercised
+      "q_duckdb_hash_u64" -> q("""
+        SELECT o_orderkey,
+               conv(hex(bitfilters_duckdb_hash('v1.5.1',
+                 CAST(CAST(o_orderkey AS DECIMAL(20,0))
+                      + CAST(9223372036854775000 AS DECIMAL(20,0)) AS DECIMAL(20,0)))), 16, 10) AS h
+        FROM orders ORDER BY o_orderkey""") _,
       "q_duckdb_hash_vectors" -> q(HashVectors.sparkSql) _,
 
       // --- duckdb bloom filter family -----------------------------------
@@ -3407,6 +3416,13 @@ object SparkEntry {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_duckdb_hash" -> """
       SELECT o_orderkey, CAST(hash(o_orderkey) AS VARCHAR) AS h
+      FROM orders ORDER BY o_orderkey""",
+    // the Spark side hashes a DECIMAL(20,0) (how Spark reads parquet
+    // UINT64); DuckDB hashes the same keys as native UBIGINT — bit equality
+    // proves the u64 interop path
+    "q_duckdb_hash_u64" -> """
+      SELECT o_orderkey,
+             CAST(hash(o_orderkey::UBIGINT + 9223372036854775000::UBIGINT) AS VARCHAR) AS h
       FROM orders ORDER BY o_orderkey""",
     // certified golden vectors from the reference's hash_values_v1.5.1.json
     "q_duckdb_hash_vectors" -> HashVectors.oracleSqlText,

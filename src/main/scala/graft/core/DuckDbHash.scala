@@ -104,6 +104,20 @@ object DuckDbHash {
     murmur(h)
   }
 
+  /** UBIGINT interop path (reference cpp:113-115): DuckDB writes UBIGINT to
+    * parquet as the UINT64 logical type, which Spark surfaces as
+    * DECIMAL(20,0); the hash is murmur over the raw 64-bit value, so the
+    * exact integer is reduced mod 2^64 (BigInteger.longValue keeps the low
+    * 64 bits) after a range check — a DECIMAL(20,0) holding >= 2^64 was
+    * never a UBIGINT and must not silently alias one.
+    */
+  def hashUnsigned64(bi: java.math.BigInteger): Long = {
+    if (bi.signum < 0 || bi.bitLength > 64)
+      throw new IllegalArgumentException(
+        s"bitfilters_duckdb_hash: DECIMAL value $bi is outside the UBIGINT range [0, 2^64)")
+    murmur(bi.longValue)
+  }
+
   /** CombineHash for multi-argument hashing; reference cpp:174-178. */
   @inline def combine(a0: Long, b: Long): Long = {
     var a = a0

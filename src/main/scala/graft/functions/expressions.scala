@@ -221,6 +221,12 @@ private[functions] object HashDispatch {
     case DoubleType => v => DuckDbHash.hashDouble(v.asInstanceOf[Double])
     case _: StringType => v => DuckDbHash.hashBytes(v.asInstanceOf[UTF8String].getBytes)
     case BinaryType => v => DuckDbHash.hashBytes(v.asInstanceOf[Array[Byte]])
+    // DuckDB UBIGINT parquet columns surface as DECIMAL(20,0) in Spark:
+    // hash the exact integer's low 64 bits (range-checked), matching
+    // DuckDB's uint64 path (reference cpp:113-115)
+    case dt: DecimalType if dt.scale == 0 && dt.precision == 20 =>
+      v => DuckDbHash.hashUnsigned64(
+        v.asInstanceOf[Decimal].toJavaBigDecimal.toBigIntegerExact)
     case other => throw new IllegalArgumentException(s"$name: unsupported type ${other.sql}")
   }
 
@@ -233,6 +239,8 @@ private[functions] object HashDispatch {
     case DoubleType => s"graft.core.DuckDbHash.hashDouble($v)"
     case _: StringType => s"graft.core.DuckDbHash.hashBytes($v.getBytes())"
     case BinaryType => s"graft.core.DuckDbHash.hashBytes($v)"
+    case dt: DecimalType if dt.scale == 0 && dt.precision == 20 =>
+      s"graft.core.DuckDbHash.hashUnsigned64($v.toJavaBigDecimal().toBigIntegerExact())"
     case other => throw new IllegalArgumentException(s"unsupported type ${other.sql}")
   }
 
@@ -240,6 +248,7 @@ private[functions] object HashDispatch {
     case BooleanType | ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
          BinaryType => true
     case _: StringType => true
+    case dt: DecimalType => dt.scale == 0 && dt.precision == 20
     case _ => false
   }
 

@@ -48,6 +48,32 @@ class SparkFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(4) == java.lang.Long.parseUnsignedLong("12722334483198565868"))
   }
 
+  test("duckdb hash SQL: DECIMAL(20,0) hashes as UBIGINT (both eval paths)") {
+    // DuckDB UBIGINT parquet columns surface as DECIMAL(20,0) in Spark;
+    // anchors from live DuckDB hash(v::UBIGINT) incl. values above 2^63
+    val rows = sqlRows("""
+      SELECT bitfilters_duckdb_hash('v1.5.1', CAST(42 AS DECIMAL(20,0))),
+             bitfilters_duckdb_hash('v1.5.1', CAST('9223372036854775808' AS DECIMAL(20,0))),
+             bitfilters_duckdb_hash('v1.5.1', CAST('18446744073709551615' AS DECIMAL(20,0))),
+             bitfilters_duckdb_hash('v1.5.1', CAST('12345678901234567890' AS DECIMAL(20,0)))
+    """)
+    val r = rows.head
+    assert(r(0) == java.lang.Long.parseUnsignedLong("7199933130570745587"))
+    assert(r(1) == java.lang.Long.parseUnsignedLong("8233824478078409175"))
+    assert(r(2) == java.lang.Long.parseUnsignedLong("4939931809569846361"))
+    assert(r(3) == java.lang.Long.parseUnsignedLong("14454407496768820157"))
+    // interpreted path (non-codegen): same dispatch through hasherFor
+    val dfRows = spark.sql(
+      "SELECT CAST('12345678901234567890' AS DECIMAL(20,0)) AS d")
+      .selectExpr("bitfilters_duckdb_hash('v1.5.1', d) AS h")
+      .collect()
+    assert(dfRows.head.getLong(0) == java.lang.Long.parseUnsignedLong("14454407496768820157"))
+    // DECIMAL shapes that are not parquet-UINT64 stay rejected
+    val err = intercept[Exception](sqlRows(
+      "SELECT bitfilters_duckdb_hash('v1.5.1', CAST(1 AS DECIMAL(19,0)))"))
+    assert(err.getMessage.contains("unsupported type") || err.getMessage.contains("DECIMAL"))
+  }
+
   test("quotient filter SQL: golden FP counts via grouped agg + join") {
     spark.sql("""
       CREATE OR REPLACE TEMP VIEW quotient_filters AS
