@@ -38,6 +38,14 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
+    // streaming gates: wall time conflates the per-gate harness (landing
+    // staging, schema reads, checkpoint bootstrap, sink read-back) with the
+    // micro-batch execution; FileStreams meters the latter, and the bench
+    // reports it per gate so operator regressions stay visible under the
+    // ~fixed harness cost (min-of-passes, like the wall times)
+    val streamOperatorSec =
+      scala.collection.mutable.Map.empty[String, Double].withDefaultValue(-1.0)
+
     def pass(only: String => Boolean = _ => true): Seq[(String, Double)] = {
       // drop cross-gate checkpoints so every pass pays each shared
       // relation's build exactly once (in its first consumer) — otherwise
@@ -45,6 +53,7 @@ object Bench {
       // the build would vanish from the totals
       SparkEntry.clearSharedRelations()
       SparkEntry.queries.toSeq.sortBy(_._1).filter(p => only(p._1)).map { case (name, fn) =>
+        val op0 = graft.streaming.FileStreams.operatorMsSnapshot
         val t0 = System.nanoTime()
         val ok = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
@@ -52,6 +61,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val opSec = (graft.streaming.FileStreams.operatorMsSnapshot - op0) / 1e3
+        if (ok && opSec > 0) {
+          val prev = streamOperatorSec(name)
+          streamOperatorSec(name) = if (prev < 0) opSec else math.min(prev, opSec)
+        }
         spark.catalog.clearCache() // queries are self-contained; don't let one
                                    // query's persisted frames pressure the next
         name -> (if (ok) dt else -1.0)
@@ -70,7 +84,18 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"loadavg_1m":$loadAvg%.2f}"""
+      // streaming split: operator = engine-clocked micro-batch execution,
+      // harness = the rest of the gate's wall time (staging/checkpoint/
+      // read-back). Totals let round-over-round diffs see which moved.
+      val opMap = streamOperatorSec.toSeq.sortBy(_._1)
+      val ops = opMap.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val opTotal = opMap.map(_._2).filter(_ >= 0).sum
+      val streamWall = results
+        .filter { case (k, v) => v >= 0 && streamOperatorSec.contains(k) }
+        .map(_._2).sum
+      val harnessTotal = math.max(0.0, streamWall - opTotal)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"loadavg_1m":$loadAvg%.2f,"stream_operator":$ops,"stream_operator_sec":$opTotal%.3f,"stream_harness_sec":$harnessTotal%.3f}"""
     }
 
     // per-query minimum over up to 3 passes: single passes swing ±30% on

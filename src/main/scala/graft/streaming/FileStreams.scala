@@ -44,6 +44,18 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object FileStreams {
 
+  /** Harness-vs-operator cost split for the bench: a streaming gate's wall
+    * time conflates landing-dir staging, schema footer reads, query
+    * startup/checkpoint bootstrap and sink read-back (harness) with the
+    * micro-batch execution itself (operator). [[runAvailableNow]] adds each
+    * drain's summed `triggerExecution` duration (the engine's own per-batch
+    * clock) here; `graft.Bench` snapshots the counter around every gate and
+    * reports the operator share separately, so a regression in the actual
+    * streaming operators is visible under the fixed ~per-gate harness cost.
+    */
+  private val operatorMsAcc = new java.util.concurrent.atomic.AtomicLong()
+  def operatorMsSnapshot: Long = operatorMsAcc.get
+
   /** Normalize driver-generated parquet timestamp columns to session-zone
     * TIMESTAMP: `nanosCols` that arrived as raw nanos-since-epoch longs
     * (spark.sql.legacy.parquet.nanosAsLong=true) become microsecond
@@ -133,6 +145,12 @@ object FileStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // operator-cost meter: the engine's own per-batch triggerExecution
+    // clock, summed over this drain (AvailableNow drains stay far under the
+    // recentProgress retention cap)
+    operatorMsAcc.addAndGet(q.recentProgress.iterator.map { p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+    }.sum): Unit
     spark.read.parquet(out.toString)
   }
 
