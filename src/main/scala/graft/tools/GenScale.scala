@@ -23,13 +23,30 @@ import org.apache.spark.sql.functions._
   *    neighbor ranking keeps distinct similarity values instead of 10-way
   *    exact ties.
   *
-  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> [factor]
+  * A fourth argument `constant-density` switches to the shape a real
+  * 10x corpus has — more time, more distinct content, same local density —
+  * instead of 10x mass in the same window:
+  *  - events: replica r's timestamps shift by r * (span + 1 day), so the
+  *    event RATE stays constant (the replica mode compresses 10x events
+  *    into the same 30-day window, which grows time-window join outputs
+  *    ~factor^2 — an output-shape effect, not operator scaling);
+  *  - documents: every whitespace token in replicas r>0 is rewritten with
+  *    an `r<r>` prefix, so shingle sets are DISJOINT across replicas and
+  *    per-shingle doc frequency stays at the source distribution (the
+  *    replica mode shares ~all shingles across replicas, inflating
+  *    in-bucket pair emission toward factor^2).
+  * Per-replica duplicate/near-duplicate structure is preserved in both
+  * modes. This mode exists to measure the constant-density scaling curve
+  * of the time-window and shingle operators (SCALE.md).
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> [factor] [constant-density]
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val dstDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val constantDensity = args.length > 3 && args(3) == "constant-density"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -86,13 +103,37 @@ object GenScale {
     write(shifted(ord, "o_orderkey" -> oStride, "o_custkey" -> cStride), "orders")
     write(shifted(src("lineitem"),
       "l_orderkey" -> oStride, "l_partkey" -> pStride, "l_suppkey" -> sStride), "lineitem")
-    write(shifted(ev, "event_id" -> eStride, "user_id" -> uStride), "events")
+    val evShifted = shifted(ev, "event_id" -> eStride, "user_id" -> uStride)
+    val evOut = if (!constantDensity) evShifted else {
+      // constant rate: replica r lives in its own (span + 1 day) time slab
+      // (ts may be TIMESTAMP or TIMESTAMP_NTZ depending on the source dir —
+      // sessions run UTC, so casting through TIMESTAMP is value-preserving)
+      val tsc = col("ts").cast("timestamp")
+      val Array(minUs, maxUs) = ev.agg(unix_micros(min(tsc)),
+        unix_micros(max(tsc))).head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val slabUs = maxUs - minUs + 86400L * 1000000L
+      evShifted.withColumn("ts",
+        timestamp_micros(unix_micros(col("ts").cast("timestamp")) + col("__r") * slabUs))
+    }
+    write(evOut, "events")
 
-    val docsN = shifted(docs, "doc_id" -> dStride)
-      .withColumn("__prefix", when(col("__r") === 0, lit("")).otherwise(concat(lit("r"), col("__r"), lit(" "))))
-      .withColumn("text", concat(col("__prefix"), col("text")))
-      .withColumn("n_chars", col("n_chars") + length(col("__prefix")))
-      .drop("__prefix")
+    val docsN = if (constantDensity) {
+      // disjoint shingles: every whitespace token gets a per-replica prefix
+      // (r0 keeps the source text verbatim); duplicate structure within a
+      // replica is unchanged, cross-replica shingle sharing drops to zero
+      shifted(docs, "doc_id" -> dStride)
+        .withColumn("__text2", when(col("__r") === 0, col("text")).otherwise(
+          expr("regexp_replace(text, '(\\\\S+)', concat('r', CAST(__r AS STRING), '$1'))")))
+        .withColumn("n_chars", col("n_chars") + length(col("__text2")) - length(col("text")))
+        .withColumn("text", col("__text2"))
+        .drop("__text2")
+    } else {
+      shifted(docs, "doc_id" -> dStride)
+        .withColumn("__prefix", when(col("__r") === 0, lit("")).otherwise(concat(lit("r"), col("__r"), lit(" "))))
+        .withColumn("text", concat(col("__prefix"), col("text")))
+        .withColumn("n_chars", col("n_chars") + length(col("__prefix")))
+        .drop("__prefix")
+    }
     write(docsN, "documents")
 
     val embN = shifted(emb, "vec_id" -> vStride)
