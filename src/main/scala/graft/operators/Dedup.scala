@@ -210,12 +210,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = capped.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // two pipelined generators, NOT flatten(transform(...)): the one-shot
+    // form materializes the full k^2/2 pair array per shingle row before
+    // exploding — at maxDocFreq=1000 that is ~500k boxed structs held at
+    // once per row, an executor OOM with a few concurrent hot shingles
+    // (observed at the sf10 sweep). The outer posexplode streams positions,
+    // the inner explode slices O(k) ids per position; peak heap per row is
+    // one slice, total pair stream and the downstream groupBy unchanged.
     val common = capped.where(size(col("docs")) >= 2)
-      .select(explode(expr("""
-        flatten(transform(docs, (a, i) ->
-          transform(slice(docs, i + 2, size(docs) - i - 1), b ->
-            named_struct('id1', a, 'id2', b))))""")).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "id1")))
+      .select(col("id1"), explode(expr("slice(docs, i + 2, size(docs) - i - 1)")).as("id2"))
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("common"))
     // merge-hinted: the pair side's size estimate descends from an
     // explode (Catalyst assumes rows-out = rows-in), so the static
@@ -297,12 +302,13 @@ object Dedup {
     val guarded =
       if (maxBucketSize == Int.MaxValue) buckets
       else buckets.where(size(col("docs")) <= maxBucketSize)
+    // streaming pair emission (see exactJaccardPairs): the one-shot
+    // flatten(transform(...)) holds the whole k^2/2 pair array per bucket
+    // row — an uncapped hot bucket OOMs the executor before maxBucketSize
+    // semantics even enter into it
     val pairs = guarded
-      .select(explode(expr("""
-        flatten(transform(docs, (a, i) ->
-          transform(slice(docs, i + 2, size(docs) - i - 1), b ->
-            named_struct('id1', a, 'id2', b))))""")).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "id1")))
+      .select(col("id1"), explode(expr("slice(docs, i + 2, size(docs) - i - 1)")).as("id2"))
       .dropDuplicates("id1", "id2")
     pairs
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
@@ -811,12 +817,11 @@ object Dedup {
       .where(record(size(col("docs"))))
     (if (maxBucketSize == Int.MaxValue) buckets
      else buckets.where(size(col("docs")) <= maxBucketSize))
-      .select(explode(expr("""
-        flatten(transform(docs, (a, i) ->
-          transform(slice(docs, i + 2, size(docs) - i - 1), b ->
-            named_struct('id1', a.doc_id, 'id2', b.doc_id,
-              'hamming', bit_count(a.simhash ^ b.simhash)))))""")).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.hamming").as("hamming"))
+      // streaming pair emission (see exactJaccardPairs): never hold k^2
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(docs, i + 2, size(docs) - i - 1)")).as("b"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       // filter BEFORE the dedup: hamming is a function of the pair, so the
       // result set is identical, but only actual near-dups (not the full
       // quadratic in-bucket candidate set) pay the dropDuplicates shuffle

@@ -156,11 +156,11 @@ object Graphs {
       .where(size(col("__items")).between(2, maxGroupSize))
       .select(array_sort(col("__items")).as("__items"))
     grouped
-      .select(explode(expr(
-        """flatten(transform(__items, (x, i) ->
-             transform(slice(__items, i + 2, size(__items)), y ->
-               struct(x AS src, y AS dst))))""")).as("__p"))
-      .groupBy(col("__p.src").as("src"), col("__p.dst").as("dst"))
+      // streaming pair emission (see Dedup.exactJaccardPairs): two
+      // pipelined generators never hold the k^2/2 pair array per row
+      .select(col("__items"), posexplode(col("__items")).as(Seq("__pos", "src")))
+      .select(col("src"), explode(expr("slice(__items, __pos + 2, size(__items))")).as("dst"))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).cast("long").as("weight"))
       .where(col("weight") >= minWeight)
   }
