@@ -710,6 +710,33 @@ object SparkEntry {
           .orderBy(col("o_orderpriority"))
       }),
 
+      // co-located join from BUCKETED tables: both sides hash-bucketed on
+      // the join key at write time, so the join itself plans with zero
+      // Exchange (spec-asserted in BucketedTablesSpec) — the write-once /
+      // join-many layout. Results are identical to the plain join, which
+      // is what the oracle replays.
+      "q_bucketed_join" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val base = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+        graft.sources.BucketedTables.saveBucketed(
+          s.table("lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          "graft_b_lineitem", "l_orderkey", 8, sortCols = Seq("l_orderkey"),
+          path = Some(s"$base/lineitem"))
+        graft.sources.BucketedTables.saveBucketed(
+          s.table("orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          "graft_b_orders", "l_orderkey", 8, sortCols = Seq("l_orderkey"),
+          path = Some(s"$base/orders"))
+        graft.sources.BucketedTables.bucketedJoin(s,
+            "graft_b_lineitem", "graft_b_orders", Seq("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long")).cast("long").as("revenue_e2"),
+            (sum(col("l_orderkey") % lit(1000003L)) % lit(1000003L))
+              .cast("long").as("key_checksum"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
       // distribution drift: view-event values vs purchase-event values
       // histogrammed over the same range; per-slot counts, micro-unit
       // occupancy fractions, and the integer L1 drift number
@@ -932,6 +959,28 @@ object SparkEntry {
           (SELECT xor8_filter(bitfilters_duckdb_hash('v1.5.1', s_suppkey)) FROM supplier),
           bitfilters_duckdb_hash('v1.5.1', l_suppkey))""") _,
 
+      // --- filter catalog (build once, store, probe later) ---------------
+      // per-nation xor16 filters persisted as a parquet catalog, reloaded
+      // and probed via a broadcast join — the reference's documented
+      // store-the-blob workflow (docs/README.md:174,463). Every probe key
+      // is a member of its own nation's filter, so the no-false-negative
+      // contract makes the counts exact — the oracle is the plain
+      // per-nation aggregate.
+      "q_filter_store" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val path = java.nio.file.Files.createTempDirectory("graft_fstore_").toString + "/catalog"
+        val cust = s.table("customer").select(col("c_nationkey"), col("c_custkey"),
+          expr("bitfilters_duckdb_hash('v1.5.1', c_custkey)").as("h"))
+        graft.sources.FilterStore.write(cust, "c_nationkey", "h",
+          "xor16_filter(h)", "xor16", "", path)
+        graft.sources.FilterStore.probeJoin(cust, "c_nationkey", "h",
+            graft.sources.FilterStore.read(s, path), "xor16_filter_contains")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum("c_custkey").cast("long").as("key_sum"))
+          .orderBy("c_nationkey")
+      }),
+
       // --- dedup operators ----------------------------------------------
       "q_dedup_exact" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
@@ -1117,6 +1166,23 @@ object SparkEntry {
         val queries = emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
         Embeddings.ivfTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy("query_id", "rank")
+      }),
+      // persisted IVF index (build-once / probe-many): write centroids +
+      // cid-partitioned cells to disk, then answer from the FILES — the
+      // probe reads only nprobe/nlist of the corpus directories. Routing
+      // and ranking reuse the exact ivfTopK kernels, so the stored-index
+      // answer replays in the SAME DuckDB oracle as q_ann_ivf
+      "q_ann_index" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_").toString
+        graft.sources.AnnIndex.build(emb, "vec", "vec_id", idx, nlist = 16)
+        graft.sources.AnnIndex.query(s, idx, queries, "qvec", "qid", k = 5, nprobe = 4)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy("query_id", "rank")
       }),
@@ -3407,6 +3473,21 @@ object SparkEntry {
              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_e2
       FROM lineitem
       WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)""",
+    // bucketed-table join: the zero-Exchange layout must return exactly
+    // the plain join's answer
+    "q_bucketed_join" -> """
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
+             CAST(SUM(l_orderkey % 1000003) % 1000003 AS BIGINT) AS key_checksum
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // filter catalog: members always probe true (no false negatives), and
+    // each row probes its own group's filter => exact per-nation counts
+    "q_filter_store" -> """
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_salted_join" -> """
       SELECT o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -4407,6 +4488,30 @@ object SparkEntry {
     // full replication of the IVF pipeline: seed centroids, cell
     // assignment (argmax cosine, ties to smallest cid), nprobe=4 query
     // cells, in-cell exact ranking
+    // the persisted index must answer EXACTLY like the in-memory IVF —
+    // same routing, same ranking — so its oracle IS the q_ann_ivf replay
+    "q_ann_index" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      ea AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, c) WHERE rn = 1),
+      qa AS (
+        SELECT vec_id AS qid, v AS qv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, c WHERE e.vec_id < 10) WHERE rn <= 4)
+      SELECT query_id, rank, neighbor_id FROM (
+        SELECT qa.qid AS query_id, ea.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qa.qid
+                 ORDER BY list_cosine_similarity(ea.v, qa.qv) DESC, ea.vec_id) AS rank
+        FROM ea JOIN qa ON ea.cid = qa.cid
+        WHERE ea.vec_id != qa.qid)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_ann_ivf" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),

@@ -22,19 +22,24 @@ import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
   */
 object BucketedTables {
 
-  /** Save `df` as a bucketed (optionally bucket-sorted) managed parquet
-    * table. Repartitioning by the bucket key first keeps one output file
+  /** Save `df` as a bucketed (optionally bucket-sorted) parquet table.
+    * Repartitioning by the bucket key first keeps one output file
     * per (task, bucket) pair from each write task — without it every task
     * writes a file per bucket it sees (tasks x buckets small files).
+    * `path` makes the table EXTERNAL at that location (bucketing metadata
+    * still lives in the catalog — a plain `spark.read.parquet(path)` won't
+    * see it); None uses the session warehouse (managed table).
     */
   def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
-      sortCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+      sortCols: Seq[String] = Nil, mode: String = "overwrite",
+      path: Option[String] = None): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val base: DataFrameWriter[Row] = df
       .repartition(buckets, df(bucketCol))
       .write.mode(mode).format("parquet")
       .bucketBy(buckets, bucketCol)
-    (if (sortCols.nonEmpty) base.sortBy(sortCols.head, sortCols.tail: _*) else base)
+    val located = path.fold(base)(p => base.option("path", p))
+    (if (sortCols.nonEmpty) located.sortBy(sortCols.head, sortCols.tail: _*) else located)
       .saveAsTable(table)
   }
 

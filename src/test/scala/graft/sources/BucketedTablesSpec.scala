@@ -55,6 +55,25 @@ class BucketedTablesSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(aggExchanges.isEmpty, "groupBy on the bucket key must reuse the bucketing")
   }
 
+  test("external-path bucketed tables keep the zero-exchange join") {
+    val sps = spark; import sps.implicits._
+    val docs = (1L to 2000L).map(i => (i, i % 7)).toDF("doc_id", "grp")
+    val scores = (1L to 2000L by 3L).map(i => (i, i * 2.0)).toDF("doc_id", "score")
+    val base = Files.createTempDirectory("graft-bucketed-ext").toString
+    BucketedTables.saveBucketed(docs, "b_ext_docs", "doc_id", 8,
+      sortCols = Seq("doc_id"), path = Some(s"$base/docs"))
+    BucketedTables.saveBucketed(scores, "b_ext_scores", "doc_id", 8,
+      sortCols = Seq("doc_id"), path = Some(s"$base/scores"))
+    val joined = BucketedTables.bucketedJoin(spark, "b_ext_docs", "b_ext_scores", Seq("doc_id"))
+    val exchanges = collect(joined.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"external bucketed join must be exchange-free: $exchanges")
+    assert(joined.count() == docs.join(scores, "doc_id").count())
+    // the data really lives at the external location
+    assert(new java.io.File(s"$base/docs").listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
   test("mis-bucketed pairs and wrong join keys fail fast") {
     val sps = spark; import sps.implicits._
     val other = (1L to 100L).map(i => (i, i)).toDF("doc_id", "v")
