@@ -555,7 +555,8 @@ object SparkEntry {
           .as[graft.streaming.StreamingEwma.KeyedPoint]
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.StreamingEwma.ewmaStream(ev, alphaPpm = 300000L).toDF(),
-            mode = org.apache.spark.sql.streaming.OutputMode.Append())
+            mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+            statePartitions = Some(8))
           .agg(count(lit(1)).cast("long").as("points"),
             countDistinct(col("k")).cast("long").as("keys"),
             sum("ewmaE6").cast("long").as("ewma_sum"),
@@ -1436,7 +1437,8 @@ object SparkEntry {
         val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.windowedEventCounts(
-              ev, "ts", "event_type", "1 day", "1 hour"))
+              ev, "ts", "event_type", "1 day", "1 hour"),
+            statePartitions = Some(8))
           .orderBy("w_us", "event_type")
       }),
       // per-window value histogram (streaming drift monitor): mergeable
@@ -1448,7 +1450,8 @@ object SparkEntry {
           .withColumn("x", round(col("value") * 100).cast("long").cast("double"))
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.windowedHistogram(
-              ev, "ts", "x", 50, 0.0, 50000.0, "1 day", "1 hour"))
+              ev, "ts", "x", 50, 0.0, 50000.0, "1 day", "1 hour"),
+            statePartitions = Some(8))
           .orderBy("w_us", "slot")
       }),
       // per-window top-k heavy hitters as CHAINED stateful aggregations
@@ -1460,7 +1463,8 @@ object SparkEntry {
         val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.windowedTopK(
-              ev, "ts", "user_id", 5, "1 day", "1 hour"))
+              ev, "ts", "user_id", 5, "1 day", "1 hour"),
+            statePartitions = Some(8))
           .orderBy("w_us", "rank")
       }),
       // stream-static enrichment: the events stream broadcast-joins the
@@ -1473,7 +1477,8 @@ object SparkEntry {
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.enrichedWindowedStats(
               ev, "ts", "value", "user_id",
-              s.table("customer"), "c_custkey", "c_mktsegment"))
+              s.table("customer"), "c_custkey", "c_mktsegment"),
+            statePartitions = Some(8))
           .orderBy("w_us", "segment")
       }),
       // stream-stream interval self-join: view->click attribution pairs
@@ -1485,7 +1490,8 @@ object SparkEntry {
         val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.streamIntervalJoin(
-              ev, "ts", "event_type", "user_id", "view", "click", 1800000000L))
+              ev, "ts", "event_type", "user_id", "view", "click", 1800000000L),
+            statePartitions = Some(8))
           .agg(count(lit(1)).cast("long").as("pairs"),
             countDistinct(col("user_id")).cast("long").as("users"),
             sum("dt_us").cast("long").as("dt_sum"))
@@ -1499,7 +1505,8 @@ object SparkEntry {
         val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.streamIntervalJoinOuter(
-              ev, "ts", "event_type", "user_id", "view", "click", 1800000000L))
+              ev, "ts", "event_type", "user_id", "view", "click", 1800000000L),
+            statePartitions = Some(8))
           .agg(sum(when(col("r_us").isNotNull, 1L).otherwise(0L)).cast("long").as("pairs"),
             sum(when(col("r_us").isNull, 1L).otherwise(0L)).cast("long").as("expired_unmatched"),
             countDistinct(col("user_id")).cast("long").as("users"),
@@ -1515,7 +1522,8 @@ object SparkEntry {
         val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.StreamingSessions.streamingSessionStats(
-              ev, "user_id", "ts", gap = "30 minutes", watermark = "1 hour"))
+              ev, "user_id", "ts", gap = "30 minutes", watermark = "1 hour"),
+            statePartitions = Some(8))
           .agg(count(lit(1)).cast("long").as("sessions"),
             sum("n_events").cast("long").as("events"),
             sum(unix_micros(col("session_end")) - unix_micros(col("session_start")))
@@ -1530,7 +1538,8 @@ object SparkEntry {
         val docs = graft.streaming.FileStreams.tableStream(s, dir, "documents")
           .select(col("source"), md5(col("text")).as("fp"))
         graft.streaming.FileStreams.runAvailableNow(
-            graft.streaming.FileStreams.distinctKeys(docs, Seq("source", "fp")))
+            graft.streaming.FileStreams.distinctKeys(docs, Seq("source", "fp")),
+            statePartitions = Some(8))
           .groupBy("source").agg(count(lit(1)).cast("long").as("n_unique"))
           .orderBy("source")
       }),
@@ -1543,7 +1552,8 @@ object SparkEntry {
         val ev = graft.streaming.FileStreams.tableStream(s, dir, "events", Seq("ts"))
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.distinctKeysWithinWatermark(
-              ev, "ts", Seq("user_id", "event_type"), "1 day"))
+              ev, "ts", Seq("user_id", "event_type"), "1 day"),
+            statePartitions = Some(8))
           .groupBy("event_type").agg(count(lit(1)).cast("long").as("n_keys"))
           .orderBy("event_type")
       }),
@@ -1558,7 +1568,8 @@ object SparkEntry {
           .selectExpr("ts", "bitfilters_duckdb_hash('v1.5.1', user_id) AS h")
         val filters = graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.StreamingFilters.windowedKeyFilters(
-              ev, "ts", "h", "1 day", "1 hour", numSectors = 1024))
+              ev, "ts", "h", "1 day", "1 hour", numSectors = 1024),
+            statePartitions = Some(8))
           .select(unix_micros(col("window.start")).as("w_us"),
             col("filter"), col("events").cast("long").as("events"))
         val keys = s.table("events")

@@ -128,8 +128,27 @@ object FileStreams {
   def runAvailableNow(stream: DataFrame,
       mode: OutputMode = OutputMode.Append,
       sinkDir: Option[Path] = None,
-      checkpointDir: Option[Path] = None): DataFrame = {
+      checkpointDir: Option[Path] = None,
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
+    // State-partition sizing: a stateful streaming query FREEZES its state
+    // partition count at the first checkpoint (it rides the offset-log
+    // metadata; later conf changes are ignored on resume), and every
+    // micro-batch pays a per-partition state-store commit for EVERY
+    // stateful operator — a stream-stream join commits four stores per
+    // partition per batch. Inheriting the session's batch-oriented
+    // shuffle.partitions therefore sets a permanent per-batch floor that
+    // has nothing to do with state volume. `statePartitions` sizes it
+    // explicitly at query start (state is keyed small-state here:
+    // watermark-bounded windows/joins hold thousands of keys, not rows);
+    // None keeps the session default. Only meaningful for a FRESH
+    // checkpoint — on resume the checkpointed count wins, by design.
+    val prevShuffle = statePartitions.map { n =>
+      require(n > 0, s"statePartitions must be positive, got $n")
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      old
+    }
     // deleteOnExit ONLY on directories this call created — a caller's
     // persistent sink/checkpoint location is theirs, not ours to delete
     val out = sinkDir.getOrElse {
@@ -138,13 +157,17 @@ object FileStreams {
     val ck = checkpointDir.getOrElse {
       val d = Files.createTempDirectory("graft_ck_"); d.toFile.deleteOnExit(); d
     }
-    val q = stream.writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", ck.toString)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = try {
+      val started = stream.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started.awaitTermination()
+      started
+    } finally prevShuffle.foreach(old =>
+      spark.conf.set("spark.sql.shuffle.partitions", old))
     // operator-cost meter: the engine's own per-batch triggerExecution
     // clock, summed over this drain (AvailableNow drains stay far under the
     // recentProgress retention cap)
