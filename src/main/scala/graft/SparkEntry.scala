@@ -886,21 +886,28 @@ object SparkEntry {
           (SELECT quotient_filter(16, 4, bitfilters_duckdb_hash('v1.5.1', id)) FROM range(1, 100001) WHERE id % 2 = 1),
           bitfilters_duckdb_hash('v1.5.1', id))
         ORDER BY filter_rem""") _,
-      // q=19 sizes the filter for the LARGEST sf this gate runs at (sf1:
-      // 150k customers -> load 0.29). A quotient filter has a hard 2^q
-      // capacity: above it, inserts degrade to O(cluster) shifting
-      // (load->1 turned this gate quadratic at sf1) and merge silently
-      // drops keys (replicated reference overflow behavior) — capacity is
-      // a BUILD parameter the caller must size to the keyset, exactly as
-      // in the reference.
-      "q_quotient_merge" -> q("""
+      // A quotient filter has a hard 2^q capacity: above ~0.6 load,
+      // inserts degrade to O(cluster) shifting (load->1 turned this gate
+      // quadratic at sf1, then pinned a single merge task for 15+ min at
+      // sf10) and merge silently drops keys (replicated reference
+      // overflow behavior). Capacity is a BUILD parameter the caller
+      // must size to the keyset, exactly as in the reference — so this
+      // gate derives q from the actual key count (metadata-cheap count;
+      // load <= 0.5 at every sf; minQ=19 keeps the small-sf blobs
+      // byte-identical to the fixed-19 era).
+      "q_quotient_merge" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val qq = graft.core.QuotientFilter.qForKeys(
+          s.table("customer").count(), maxLoad = 0.5, minQ = 19)
+        s.sql(s"""
         WITH per AS (
-          SELECT c_mktsegment, quotient_filter(19, 4, bitfilters_duckdb_hash('v1.5.1', c_custkey)) AS f
+          SELECT c_mktsegment, quotient_filter($qq, 4, bitfilters_duckdb_hash('v1.5.1', c_custkey)) AS f
           FROM customer GROUP BY c_mktsegment),
-        m AS (SELECT quotient_filter(19, 4, f) AS f FROM per)
+        m AS (SELECT quotient_filter($qq, 4, f) AS f FROM per)
         SELECT CAST(COUNT(*) AS BIGINT) AS cnt
         FROM customer, m
-        WHERE quotient_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', c_custkey))""") _,
+        WHERE quotient_filter_contains(f, bitfilters_duckdb_hash('v1.5.1', c_custkey))""")
+      }),
 
       // --- binary fuse filter family ------------------------------------
       // four scalar subqueries that Spark's MergeScalarSubqueries fuses into

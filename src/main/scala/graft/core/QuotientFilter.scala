@@ -260,6 +260,24 @@ object QuotientFilter {
   @inline private[core] def isRunStart(elt: Long): Boolean =
     !isContinuation(elt) && (isOccupied(elt) || isShifted(elt))
 
+  /** Smallest q whose 2^q slot capacity keeps load ≤ `maxLoad` for `n`
+    * keys. Capacity is a BUILD parameter the caller must size to the
+    * keyset (reference semantics): past ~0.6 load inserts degrade to
+    * O(cluster) linear shifting, and at load 1 a merge silently drops
+    * keys — measured as a single task quadratically shifting for 15+
+    * minutes when a fixed q=19 met a 1.5M-key corpus at sf10. Callers
+    * whose key count scales with data MUST derive q from a count, not
+    * hard-code it.
+    */
+  def qForKeys(n: Long, maxLoad: Double = 0.5, minQ: Int = 10): Int = {
+    require(n >= 0, s"key count must be >= 0, got $n")
+    require(maxLoad > 0 && maxLoad <= 1, s"maxLoad must be in (0,1], got $maxLoad")
+    require(minQ >= 1 && minQ <= 28, s"minQ must be in [1,28], got $minQ")
+    var q = minQ
+    while (q < 28 && (1L << q) * maxLoad < n) q += 1
+    q
+  }
+
   /** Serialized table payload size; reference quotient_filter.cpp:419-423. */
   def tableSizeBytes(q: Int, r: Int): Int = {
     val bits = (1L << q) * (r + 3)
