@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Changelog, Classify, Dedup, EditDistance, Embeddings, Events, Graphs, Joins, Multimodal, Packing, Pca, Profile, Ranking, Sampling, TextAnalysis, UrlOps, Vocab}
+import graft.operators.{Changelog, Classify, Dedup, EditDistance, Embeddings, Events, Graphs, Joins, Multimodal, Packing, Pca, PcaPinnedModels, Profile, Ranking, Sampling, TextAnalysis, UrlOps, Vocab}
 
 /** Driver contract — the complete operator surface exposed as named queries
   * with DuckDB oracle SQL where the semantics are plain-SQL-expressible.
@@ -1236,6 +1236,21 @@ object SparkEntry {
             k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16)
           .orderBy("query_id", "rank")
       }),
+      // residual IVFPQ (the textbook encoding): codes quantize v − cell
+      // centroid instead of v, queries rank in residual space — LIVE
+      // oracle since r11: the residual subtraction is one list_transform
+      // layered over the q_ann_ivfpq replay (codebooks seed from the
+      // residual frame, so the whole encode/ADC pipeline shifts with it)
+      "q_ann_ivfpq_residual" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Embeddings.ivfPqTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+            k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, residual = true)
+          .orderBy("query_id", "rank")
+      }),
       // multi-probe LSH recall curve vs the exact baseline: Hamming-ball
       // query-side probing recovers the recall a single coarse bucket
       // loses (12% -> 44% -> 84% at prefixBits=4) — LIVE oracle since
@@ -1322,20 +1337,22 @@ object SparkEntry {
         Pca.gramMatrix(emb8, "v8", roundE6 = true)
           .orderBy("i", "j")
       }),
-      // full PCA path (fit k=4 -> project) under exactReplay, LIVE: the
-      // e6-integer Gram makes the model a deterministic pure function of
-      // the data, so the oracle pins the fitted model AS DATA
-      // (tools.PinPcaModel regenerates the literals) and replays every
-      // per-row projection dot product against the parquet vectors in
-      // DuckDB — both engines fold the dot left-to-right, so e6-rounded
-      // projections match exactly; any error in gram/eigen/sign/projection
-      // surfaces per row
+      // PCA projection, LIVE at every scale factor: BOTH sides project the
+      // same pinned model (PcaPinnedModels.sf001K4 — the deterministic
+      // exactReplay fit of the sf0.01 fixture; tools.PinPcaModel
+      // regenerates, PcaSpec asserts the re-fit still equals the pin) and
+      // the oracle replays every per-row projection dot product against
+      // the parquet vectors in DuckDB — both engines fold the dot
+      // left-to-right, so e6-rounded projections match exactly. A live
+      // RE-fit here would bind the gate to the fixture the oracle literals
+      // were fitted on (mismatch at any other SF); fit correctness rides
+      // q_pca_cov (live gram) + the Jacobi/fit specs + the pin-equality
+      // spec instead
       "q_pca_project" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
-        val model = Pca.fit(emb, "vec", k = 4, exactReplay = true)
-        Pca.project(emb, "vec", model, "pca")
+        Pca.project(emb, "vec", PcaPinnedModels.sf001K4, "pca")
           .select(col("vec_id"), posexplode(col("pca")).as(Seq("component", "x")))
           .select(col("vec_id"), col("component"),
             expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("x_e6"))
@@ -4498,6 +4515,61 @@ object SparkEntry {
                 JOIN cb ON cb.j = enc.j AND cb.cid = enc.cid
         WHERE ea.vec_id != qa.qid
         GROUP BY qa.qid, ea.vec_id)
+      SELECT query_id, rank, neighbor_id, adc_e6 FROM (
+        SELECT qid AS query_id, vec_id AS neighbor_id, adc_e6,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
+        FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    // residual IVFPQ: identical skeleton to q_ann_ivfpq with every vector
+    // replaced by (v − centroid-of-its-cell); codebooks seed from the
+    // residual frame (first ksub residual vectors by vec_id), the query
+    // residual is taken against EACH probed cell's centroid
+    "q_ann_ivfpq_residual" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS ccid, v AS cv0 FROM e ORDER BY vec_id LIMIT 16),
+      ea AS (
+        SELECT vec_id, v, ccid AS cell FROM (
+          SELECT e.vec_id, e.v, c.ccid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv0) DESC, c.ccid) AS rn
+          FROM e, c) WHERE rn = 1),
+      er AS (SELECT ea.vec_id, ea.cell,
+               list_transform(range(64), i -> ea.v[i + 1] - c.cv0[i + 1]) AS rv
+             FROM ea JOIN c ON c.ccid = ea.cell),
+      qa AS (
+        SELECT vec_id AS qid, v AS qv, ccid AS cell FROM (
+          SELECT e.vec_id, e.v, c.ccid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv0) DESC, c.ccid) AS rn
+          FROM e, c WHERE e.vec_id < 10) WHERE rn <= 4),
+      qr AS (SELECT qa.qid, qa.cell,
+               list_transform(range(64), i -> qa.qv[i + 1] - c.cv0[i + 1]) AS qrv
+             FROM qa JOIN c ON c.ccid = qa.cell),
+      cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, rv AS v
+              FROM er ORDER BY vec_id LIMIT 16),
+      subs AS (SELECT unnest(range(8)) AS j),
+      cb AS (SELECT subs.j, cbv.cid, list_slice(cbv.v, subs.j*8 + 1, subs.j*8 + 8) AS cv
+             FROM cbv, subs),
+      dist AS (SELECT er.vec_id, cb.j, cb.cid,
+        CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (er.rv[cb.j*8 + d + 1] - cb.cv[d + 1]) * (er.rv[cb.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT) AS d_e6
+        FROM er, cb),
+      enc AS (SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d_e6, cid) AS rn
+        FROM dist) WHERE rn = 1),
+      adc AS (SELECT qr.qid, er.vec_id,
+        CAST(SUM(CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (qr.qrv[enc.j*8 + d + 1] - cb.cv[d + 1]) * (qr.qrv[enc.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT)) AS BIGINT) AS adc_e6
+        FROM er JOIN qr ON er.cell = qr.cell
+                JOIN enc ON enc.vec_id = er.vec_id
+                JOIN cb ON cb.j = enc.j AND cb.cid = enc.cid
+        WHERE er.vec_id != qr.qid
+        GROUP BY qr.qid, er.vec_id)
       SELECT query_id, rank, neighbor_id, adc_e6 FROM (
         SELECT qid AS query_id, vec_id AS neighbor_id, adc_e6,
                row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank

@@ -2470,6 +2470,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-4) } }
   }
 
+  test("pca pinned model: sf0.01 exactReplay re-fit equals PcaPinnedModels.sf001K4 bit-for-bit") {
+    // the q_pca_project gate projects this pin on BOTH sides (Spark and the
+    // oracle literals), so the gate stays live at every scale factor; this
+    // spec is what keeps the pin honest — if the fit ever drifts from the
+    // literals, it fails here, not silently in a re-pinned oracle
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+    val fit = Pca.fit(emb, "vec", k = 4, exactReplay = true)
+    val pin = graft.operators.PcaPinnedModels.sf001K4
+    assert(fit.mean.sameElements(pin.mean))
+    assert(fit.components.length == pin.components.length)
+    fit.components.zip(pin.components).foreach { case (a, b) =>
+      assert(a.sameElements(b)) }
+    fit.eigenvalues.zip(pin.eigenvalues).foreach { case (a, b) =>
+      assert(a == b, s"$a vs $b") }
+  }
+
   test("hamming top-k telemetry: generous budget has margin, exhausted budget saturates") {
     val sps = spark; import sps.implicits._
     val vecs = (0 until 40).map { i =>
