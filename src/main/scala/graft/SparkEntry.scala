@@ -981,7 +981,10 @@ object SparkEntry {
           expr("bitfilters_duckdb_hash('v1.5.1', c_custkey)").as("h"))
         graft.sources.FilterStore.write(cust, "c_nationkey", "h",
           "xor16_filter(h)", "xor16", "", path)
-        graft.sources.FilterStore.probeJoin(cust, "c_nationkey", "h",
+        // catalog-map probe (no join, blob read in place): the joined-blob
+        // path re-copies each nation's filter per row — 197x/decade on the
+        // sf10 sweep; this path is the 100 TB shape
+        graft.sources.FilterStore.probeCatalog(cust, "c_nationkey", "h",
             graft.sources.FilterStore.read(s, path), "xor16_filter_contains")
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).cast("long").as("cnt"),

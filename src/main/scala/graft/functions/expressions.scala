@@ -79,6 +79,62 @@ case class BroadcastBlob(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
   }
 }
 
+/** A broadcast CATALOG of filter blobs, looked up by a per-row key: the
+  * zero-copy probe path for "one filter per group" stores. Joining the blob
+  * column onto the big side instead means every probe re-copies the blob
+  * out of the joined row — the blob grows with the group's key count, so
+  * the copy bill scales as |rows| × |blob| (measured 197×/decade on the
+  * sf10 sweep's per-nation xor16 catalog). Here the map is broadcast once,
+  * each lookup returns the SAME byte array reference, and the contains
+  * probe reads it in place — one codegen'd scan, no join, no copies.
+  *
+  * A key with no catalog entry yields NULL, which the contains expression
+  * propagates — a `WHERE` on the probe then drops the row, matching the
+  * inner probe-join's semantics.
+  */
+case class BroadcastBlobMap(
+    bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]],
+    child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "broadcast_blob_map"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName key argument must be STRING, got " + child.dataType.sql)
+
+  /** One block-manager fetch per expression instance; UTF8String keys so
+    * per-row lookups skip the String decode.
+    */
+  @transient lazy val byKey: java.util.HashMap[UTF8String, Array[Byte]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Byte]]()
+    bc.value.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+
+  def lookup(key: UTF8String): Array[Byte] = byKey.get(key)
+
+  override def eval(input: InternalRow): Any = {
+    val k = child.eval(input)
+    if (k == null) null else lookup(k.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBcastBlobMap", this, classOf[BroadcastBlobMap].getName)
+    nullSafeCodeGen(ctx, ev, k =>
+      s"""
+         |${ev.value} = $ref.lookup($k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BroadcastBlobMap =
+    copy(child = c)
+}
+
 abstract class FilterContainsExpression extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

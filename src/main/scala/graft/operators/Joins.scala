@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Per-run [[saltedJoin]] telemetry, newest last in
+    * [[saltedJoinStatsSnapshot]]: how many hot keys were salted, whether
+    * the `maxHotKeys` cap engaged (heaviest-K kept, rest joined plain —
+    * result unchanged, but the threshold has stopped being selective), and
+    * the smallest kept count (every dropped key weighs ≤ this).
+    */
+  final case class SaltedJoinStats(hotKeysKept: Int, overflowed: Boolean,
+      minKeptCount: Long, hotKeyThreshold: Long)
+
+  private val saltedJoinStatsRegistry =
+    new java.util.concurrent.ConcurrentLinkedDeque[SaltedJoinStats]()
+
+  private def publishSaltedJoinStats(s: SaltedJoinStats): Unit = {
+    saltedJoinStatsRegistry.addLast(s)
+    while (saltedJoinStatsRegistry.size > 64) saltedJoinStatsRegistry.pollFirst()
+  }
+
+  /** Snapshot of recent [[saltedJoin]] runs' stats (oldest first). */
+  def saltedJoinStatsSnapshot(): Seq[SaltedJoinStats] = {
+    val b = Seq.newBuilder[SaltedJoinStats]
+    saltedJoinStatsRegistry.forEach(s => b += s)
+    b.result()
+  }
+
   /** Left-side key frequencies above `threshold` — the keys that would
     * overload single tasks in a plain shuffle join. One partial-aggregated
     * key count, so the scan is the only full-data pass; the result is by
@@ -56,11 +80,21 @@ object Joins {
     *
     * @param how `"inner"` or `"left"` (unmatched left rows appear once,
     *            whatever their salt).
-    * @param maxHotKeys hard cap on the hot-key set (it is materialized on
-    *            the driver ONCE so the four split joins reuse a local
-    *            relation instead of re-running the key-count aggregate —
-    *            by construction the set holds ≤ |left| / hotKeyThreshold
-    *            keys, but a mis-set threshold should fail loudly, not OOM).
+    * @param maxHotKeys cap on the hot-key set (it is materialized on the
+    *            driver ONCE so the four split joins reuse a local relation
+    *            instead of re-running the key-count aggregate). When MORE
+    *            keys exceed the threshold, the operator keeps the
+    *            `maxHotKeys` HEAVIEST (count desc, then key — a bounded
+    *            TakeOrdered, not a full sort-collect) and joins the rest
+    *            plain: the result is identical either way (salting is
+    *            layout, not semantics), the driver stays bounded, and the
+    *            overflow is reported via a warn log + [[SaltedJoinStats]]
+    *            (no silent behavior change). A threshold low enough to
+    *            overflow the cap means "hot" stopped being selective — the
+    *            heaviest keys are exactly the ones worth salting; found by
+    *            the sf10 sweep, where a gate threshold sized at sf0.1
+    *            qualified >1M keys and the previous fail-fast require()
+    *            aborted a join that was otherwise fine.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltFactor: Int = 16, hotKeyThreshold: Long = 2000000,
@@ -81,15 +115,36 @@ object Joins {
           s"${clash.mkString(", ")}; rename them before the join")
     }
 
-    // One driver action: the hot-key set is tiny by construction, and
+    // One driver action: the hot-key set is small by construction, and
     // pinning it as a local relation means the splits below are pure
     // broadcast semi/anti joins — the key-count aggregate runs once, not
     // once per split (4 extra full left-side scans at scale otherwise).
+    // Ordered by weight so a cap overflow keeps the HEAVIEST keys; the
+    // orderBy+limit plans as TakeOrdered (bounded heap), never a full
+    // sort-collect of the qualifying set.
     val spark = left.sparkSession
-    val hotRows = hotKeys(left, keys, hotKeyThreshold).limit(maxHotKeys + 1).collect()
-    require(hotRows.length <= maxHotKeys,
-      s"saltedJoin found more than $maxHotKeys keys above hotKeyThreshold=" +
-        s"$hotKeyThreshold; raise the threshold (salting is for a FEW hot keys)")
+    val keyCols = keys.map(col)
+    val candidate = left.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__hot_cnt"))
+      .where(col("__hot_cnt") > hotKeyThreshold)
+      .orderBy(col("__hot_cnt").desc +: keyCols: _*)
+      .limit(maxHotKeys + 1)
+      .collect()
+    val overflowed = candidate.length > maxHotKeys
+    val hotRows = (if (overflowed) candidate.take(maxHotKeys) else candidate)
+      .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+    val minKeptCount =
+      if (hotRows.isEmpty) 0L else candidate(hotRows.length - 1).getLong(keys.length)
+    publishSaltedJoinStats(SaltedJoinStats(
+      hotKeysKept = hotRows.length, overflowed = overflowed,
+      minKeptCount = minKeptCount, hotKeyThreshold = hotKeyThreshold))
+    if (overflowed)
+      org.slf4j.LoggerFactory.getLogger(Joins.getClass).warn(
+        s"saltedJoin: more than $maxHotKeys keys exceed hotKeyThreshold=" +
+          s"$hotKeyThreshold; salting only the $maxHotKeys heaviest " +
+          s"(min kept count $minKeptCount) and joining the rest plain. " +
+          "The result is unchanged, but the threshold is no longer " +
+          "selective — raise it so 'hot' means the actual outliers.")
     if (hotRows.isEmpty) return left.join(right, keys, how)
     val hotSchema = org.apache.spark.sql.types.StructType(
       keys.map(k => left.schema(k)))

@@ -69,6 +69,12 @@ object FilterStore {
     * broadcast join on the (small) catalog, then the contains predicate.
     * For a SINGLE key prefer `loadBlob` + a literal probe (no join at all,
     * small blobs) or `broadcastProbe` (big blobs).
+    *
+    * PREFER [[probeCatalog]] when the blobs are more than a few KB: the
+    * joined `filter` column makes every contains probe re-copy the blob
+    * out of the row (blob size grows with the group's key count, so the
+    * copy bill is |rows| × |blob| — measured 197×/decade on the sf10
+    * sweep); the catalog-map path probes the broadcast bytes in place.
     */
   def probeJoin(big: DataFrame, keyCol: String, hashCol: String,
       catalog: DataFrame, containsFn: String): DataFrame =
@@ -76,6 +82,24 @@ object FilterStore {
         big(keyCol).cast("string") === col("key"))
       .where(call_function(containsFn, col("filter"), col(hashCol)))
       .drop("key", "filter")
+
+  /** Probe a big table against a stored catalog with NO join: the catalog
+    * (one blob per group — small by construction) is collected once,
+    * broadcast as a map, and each row's probe looks its group's blob up by
+    * reference inside one codegen'd scan. Rows whose key has no catalog
+    * entry are dropped (the lookup yields NULL and the contains predicate
+    * propagates it), matching [[probeJoin]]'s inner-join semantics.
+    */
+  def probeCatalog(big: DataFrame, keyCol: String, hashCol: String,
+      catalog: DataFrame, containsFn: String): DataFrame = {
+    val blobs = catalog.select(col("key"), col("filter")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val bc = big.sparkSession.sparkContext.broadcast(blobs)
+    val blobCol = graft.operators.ColumnBridge.column(
+      graft.functions.BroadcastBlobMap(bc,
+        graft.operators.ColumnBridge.expression(col(keyCol).cast("string"))))
+    big.where(call_function(containsFn, blobCol, col(hashCol)))
+  }
 
   /** Write `df` as a bucketed+sorted managed table: repeated joins or
     * aggregations on `keyCol` then run WITHOUT an exchange (bucket-local

@@ -85,6 +85,30 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.max < 5000 * 0.3, s"no bucket holds >30% of a hot key: ${buckets.toSeq}")
   }
 
+  test("maxHotKeys overflow salts the heaviest keys, result unchanged, stats reported") {
+    val (left, right) = skewed
+    val plain = left.join(right, Seq("k"), "inner")
+    // threshold 9 qualifies all 201 keys; cap 3 keeps only the heaviest
+    // (key 0 at 5000 rows, then keys 1 and 2 at 10 rows by the key
+    // tie-break) and joins the other 198 plain — same answer either way
+    val before = Joins.saltedJoinStatsSnapshot().length
+    val salted = Joins.saltedJoin(left, right, Seq("k"),
+      saltFactor = 4, hotKeyThreshold = 9L, maxHotKeys = 3)
+    assert(sortedRows(salted) == sortedRows(plain))
+    val stats = Joins.saltedJoinStatsSnapshot().drop(before)
+    assert(stats.nonEmpty)
+    val s = stats.last
+    assert(s.overflowed)
+    assert(s.hotKeysKept == 3)
+    assert(s.minKeptCount == 10L) // the lightest kept key has 10 left rows
+    // a non-overflowing run reports cleanly too
+    val before2 = Joins.saltedJoinStatsSnapshot().length
+    Joins.saltedJoin(left, right, Seq("k"),
+      saltFactor = 4, hotKeyThreshold = 100L).count()
+    val s2 = Joins.saltedJoinStatsSnapshot().drop(before2).last
+    assert(!s2.overflowed && s2.hotKeysKept == 1 && s2.minKeptCount == 5000L)
+  }
+
   test("reserved helper names are rejected") {
     val (left, right) = skewed
     val bad = left.withColumn("__salt", lit(1))

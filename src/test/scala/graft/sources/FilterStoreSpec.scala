@@ -57,6 +57,31 @@ class FilterStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException](FilterStore.loadBlob(spark, path, "99"))
   }
 
+  test("catalog-map probe equals the join probe, drops uncataloged keys, no join in plan") {
+    val keys = spark.range(1, 20001).toDF("id")
+      .withColumn("grp", col("id") % 4)
+      .selectExpr("grp", "id", "bitfilters_duckdb_hash('v1.5.1', id) AS h")
+    val path = s"$dir/cat2"
+    FilterStore.write(keys, "grp", "h", "xor16_filter(h)", "xor16", "{}", path)
+    val cat = FilterStore.read(spark, path)
+
+    val viaJoin = FilterStore.probeJoin(keys, "grp", "h", cat, "xor16_filter_contains")
+    val viaMap = FilterStore.probeCatalog(keys, "grp", "h", cat, "xor16_filter_contains")
+    assert(viaMap.count() == 20000L)
+    assert(viaMap.count() == viaJoin.count())
+    assert(viaMap.select(sum("id")).head.getLong(0) ==
+      viaJoin.select(sum("id")).head.getLong(0))
+
+    // rows whose group has no catalog entry vanish (NULL-propagating probe)
+    val widened = keys.withColumn("grp", col("grp") + 100)
+    assert(FilterStore.probeCatalog(widened, "grp", "h", cat,
+      "xor16_filter_contains").count() == 0L)
+
+    // the whole probe is one scan: no BroadcastHashJoin / SortMergeJoin
+    val plan = viaMap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"catalog-map probe should not join:\n$plan")
+  }
+
   test("bucketed tables join without an exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val sps = spark; import sps.implicits._
