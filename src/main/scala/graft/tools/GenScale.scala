@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
   *    an `r<r>` prefix, so shingle sets are DISJOINT across replicas and
   *    per-shingle doc frequency stays at the source distribution (the
   *    replica mode shares ~all shingles across replicas, inflating
-  *    in-bucket pair emission toward factor^2).
+  *    in-bucket pair emission toward factor^2);
+  *  - embeddings: replicas r>0 get a per-replica hash-seeded sign flip of
+  *    every dimension — an isometry (within-replica similarities exactly
+  *    preserved) that decorrelates replicas, instead of the replica mode's
+  *    1e-4 perturbation which leaves every vector with factor-1 near-exact
+  *    copies and grows the cosine pair/bucket gates ~factor^2.
   * Per-replica duplicate/near-duplicate structure is preserved in both
   * modes. This mode exists to measure the constant-density scaling curve
   * of the time-window and shingle operators (SCALE.md).
@@ -136,12 +141,31 @@ object GenScale {
     }
     write(docsN, "documents")
 
-    val embN = shifted(emb, "vec_id" -> vStride)
-      .withColumn("embedding",
-        when(col("__r") === 0, col("embedding"))
-          .otherwise(concat(
-            array((element_at(col("embedding"), 1) + col("__r").cast("float") * lit(1e-4f)).cast("float")),
-            slice(col("embedding"), 2, 1000000))))
+    val embN = if (constantDensity) {
+      // decorrelated replicas: flip each dimension's sign by a per-replica
+      // hash — a diagonal ±1 isometry, so every WITHIN-replica similarity
+      // is preserved exactly (s_i^2 = 1 in the dot) while the expected
+      // cross-replica cosine of the same source vector drops to ~0±1/√dim.
+      // The replica-mode 1e-4 perturbation keeps replicas ~identical, which
+      // collapses cosine-LSH buckets and makes the pair gates grow
+      // quadratically with the factor — a data-shape effect (measured
+      // 62-92x/decade on the sf10 sweep), not operator scaling; a real 10x
+      // embedding corpus is new directions, which this shape models.
+      shifted(emb, "vec_id" -> vStride)
+        .withColumn("embedding",
+          when(col("__r") === 0, col("embedding"))
+            .otherwise(expr(
+              """transform(embedding, (x, i) ->
+                |  CASE WHEN pmod(xxhash64(__r * 1024 + i), 2) = 0
+                |       THEN x ELSE -x END)""".stripMargin)))
+    } else {
+      shifted(emb, "vec_id" -> vStride)
+        .withColumn("embedding",
+          when(col("__r") === 0, col("embedding"))
+            .otherwise(concat(
+              array((element_at(col("embedding"), 1) + col("__r").cast("float") * lit(1e-4f)).cast("float")),
+              slice(col("embedding"), 2, 1000000))))
+    }
     write(embN, "embeddings")
 
     spark.stop()
