@@ -467,14 +467,41 @@ object SparkEntry {
       // assigned into the cluster space fit on the REST (frozen — the old
       // corpus is not re-clustered); a new vector drops on a >=-threshold
       // OLD neighbor or a smaller-id NEW neighbor. Old-vs-old, the
-      // unchanged quadratic bulk, is never paired.
+      // unchanged quadratic bulk, is never paired. The fit is computed
+      // ONCE and passed through the frozen-centroids parameter — the
+      // refresh path the operator advertises (the operator never re-fits).
       "q_incremental_semdedup" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val oldE = emb.where(col("vec_id") % 10 =!= 0)
+        val cents = Embeddings.kmeansCentroids(oldE, "vec", "vec_id",
+          k = 32, iterations = 1)
         Embeddings.incrementalSemanticDeduplicate(
-            emb.where(col("vec_id") % 10 === 0), emb.where(col("vec_id") % 10 =!= 0),
-            "vec", "vec_id", k = 32, threshold = 0.35)
+            emb.where(col("vec_id") % 10 === 0), oldE,
+            "vec", "vec_id", k = 32, threshold = 0.35, centroids = Some(cents))
+          .groupBy("cid")
+          .agg(count(lit(1)).cast("long").as("members"),
+            sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
+            sum(when(col("keep"), col("vec_id"))).cast("long").as("kept_id_sum"))
+          .orderBy("cid")
+      }),
+
+      // persisted SemDeDup model (build-once / refresh-many): the archive
+      // fit + assignment are written to disk (centroids + cid-partitioned
+      // members) and the refresh answers from the FILES, reading only the
+      // cells the slice touches — zero re-fit, zero archive re-assignment.
+      // Identical drop rule and fit, so it replays in the SAME DuckDB
+      // oracle as q_incremental_semdedup.
+      "q_semdedup_index" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val idx = java.nio.file.Files.createTempDirectory("graft_semdedup_idx_").toString
+        graft.sources.SemDedupIndex.build(
+          emb.where(col("vec_id") % 10 =!= 0), "vec", "vec_id", idx, k = 32)
+        graft.sources.SemDedupIndex.refresh(s, idx,
+            emb.where(col("vec_id") % 10 === 0), "vec", "vec_id", threshold = 0.35)
           .groupBy("cid")
           .agg(count(lit(1)).cast("long").as("members"),
             sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
@@ -3135,6 +3162,46 @@ object SparkEntry {
     // ALL vectors assigned into it, drop rule restricted to new-side
     // vectors against (old OR smaller-id new) same-cluster neighbors
     "q_incremental_semdedup" -> """
+      WITH eo AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id % 10 <> 0),
+      ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    vec_id % 10 = 0 AS isnew
+             FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM eo ORDER BY vec_id LIMIT 32),
+      a0 AS (SELECT vec_id, v, cid FROM (
+        SELECT eo.vec_id, eo.v, c0.cid,
+               row_number() OVER (PARTITION BY eo.vec_id
+                 ORDER BY round(list_cosine_similarity(eo.v, c0.cv) * 1e6) DESC, c0.cid) AS rn
+        FROM eo, c0) WHERE rn = 1),
+      dims AS (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a0),
+      sums AS (SELECT cid, i, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s_e6,
+                      COUNT(*) AS m
+               FROM dims GROUP BY cid, i),
+      c1 AS (SELECT cid, list(CAST(s_e6 AS DOUBLE) / (CAST(m AS DOUBLE) * 1e6)
+                              ORDER BY i) AS cv
+             FROM sums GROUP BY cid),
+      a1 AS (SELECT vec_id, isnew, cid FROM (
+        SELECT ea.vec_id, ea.isnew, c1.cid,
+               row_number() OVER (PARTITION BY ea.vec_id
+                 ORDER BY round(list_cosine_similarity(ea.v, c1.cv) * 1e6) DESC, c1.cid) AS rn
+        FROM ea, c1) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.isnew
+          AND (NOT b.isnew OR b.vec_id < a.vec_id)
+        JOIN ea x ON x.vec_id = a.vec_id
+        JOIN ea y ON y.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(x.v, y.v) * 1e6) >= 350000)
+      SELECT a1.cid, CAST(COUNT(*) AS BIGINT) AS members,
+             CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a1.vec_id END) AS BIGINT) AS kept_id_sum
+      FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
+      WHERE a1.isnew
+      GROUP BY a1.cid ORDER BY a1.cid""",
+    // the persisted-index refresh computes the IDENTICAL fit, assignment
+    // and drop rule as q_incremental_semdedup (spec-asserted row-equal),
+    // so the same replay is its oracle
+    "q_semdedup_index" -> """
       WITH eo AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings WHERE vec_id % 10 <> 0),
       ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

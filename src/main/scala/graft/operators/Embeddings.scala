@@ -793,22 +793,50 @@ object Embeddings {
     * Same micro-rounded drop rule and `maxClusterSize` fail-soft cap
     * (combined cluster size) as [[semanticDeduplicate]], so the gate
     * replays exactly in DuckDB.
+    *
+    * THE FROZEN FIT IS AN INPUT, not a per-call recomputation: pass
+    * `centroids` (a `(cid, cvec)` relation — [[kmeansCentroids]]' output,
+    * or `centroids/` of a persisted [[graft.sources.SemDedupIndex]]) and
+    * the old corpus is only scanned for assignment + pairing, never
+    * re-fit — refresh cost scales with the slice and the pairing join,
+    * not with `iterations` extra archive passes. When `centroids` is
+    * None, the fit is computed here from `oldEmb` (k, iterations) —
+    * identical results either way (the fit is deterministic;
+    * spec-asserted). For refreshes that should also skip the archive
+    * ASSIGNMENT scan, use [[graft.sources.SemDedupIndex]], which persists
+    * the assigned archive cid-partitioned and prunes pairing to the
+    * cells the new slice actually touches.
     */
   def incrementalSemanticDeduplicate(newEmb: DataFrame, oldEmb: DataFrame,
       vecCol: String, idCol: String, k: Int, threshold: Double,
-      iterations: Int = 1, maxClusterSize: Int = Int.MaxValue): DataFrame = {
+      iterations: Int = 1, maxClusterSize: Int = Int.MaxValue,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val reserved = Seq("cid", "keep", "__new", "__norm", "__drop", "__csize")
     for (df <- Seq(newEmb, oldEmb))
       require(!df.columns.exists(reserved.contains),
         s"incrementalSemanticDeduplicate reserves column names " +
           s"${reserved.mkString(", ")}; rename the input columns")
-    val cents = kmeansFit(oldEmb, vecCol, idCol, k, iterations)
+    val cents = centroids.map(collectCentroidFrame)
+      .getOrElse(kmeansFit(oldEmb, vecCol, idCol, k, iterations))
     val assignedAll = kmeansAssign(oldEmb, vecCol, cents)
       .select(col(idCol), col(vecCol), col("cid")).withColumn("__new", lit(false))
       .unionByName(kmeansAssign(newEmb, vecCol, cents)
         .select(col(idCol), col(vecCol), col("cid")).withColumn("__new", lit(true)))
       .withColumn("__norm", vecNorm(col(vecCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalDropKeep(assignedAll, idCol, vecCol, threshold, maxClusterSize)
+  }
+
+  /** The incremental drop/keep core shared by
+    * [[incrementalSemanticDeduplicate]] and the persisted
+    * [[graft.sources.SemDedupIndex.refresh]]: `assignedAll` carries
+    * (idCol, vecCol, cid, __new, __norm) for every vector eligible to
+    * pair (old members may be pre-pruned to the clusters the new slice
+    * touches — untouched clusters produce no candidate rows, so pruning
+    * never changes results). Returns (idCol, cid, keep) for `__new` rows.
+    */
+  private[graft] def incrementalDropKeep(assignedAll: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, maxClusterSize: Int): DataFrame = {
     val paired = capClusters(assignedAll, maxClusterSize)
     val dropped = droppedIds(paired.where(col("__new")), paired, idCol, vecCol,
       col("a.cid") === col("b.cid") &&
@@ -817,6 +845,15 @@ object Embeddings {
     withKeep(assignedAll.where(col("__new")).select(col(idCol), col("cid")),
       dropped, idCol)
   }
+
+  /** Collect a `(cid, cvec)` relation to the driver-side centroid seq the
+    * assignment kernels take — k·dim doubles, config-bounded (the k-means
+    * collect pattern). Parquet round-trips doubles exactly, so a fit
+    * persisted and re-read assigns bit-identically to the in-memory fit.
+    */
+  private[graft] def collectCentroidFrame(centroids: DataFrame): Seq[(Long, Seq[Double])] =
+    centroids.select(col("cid").cast("long"), col("cvec").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
 
   /** Shared SemDeDup machinery (batch + incremental forms). */
 
@@ -935,7 +972,7 @@ object Embeddings {
     */
   private[operators] val AssignLiteralMaxK = 64
 
-  private[operators] def kmeansAssign(embeddings: DataFrame, vecCol: String,
+  private[graft] def kmeansAssign(embeddings: DataFrame, vecCol: String,
       cents: Seq[(Long, Seq[Double])], forceBroadcast: Boolean = false): DataFrame = {
     val sorted = cents.sortBy(_._1)
     if (forceBroadcast || sorted.size > AssignLiteralMaxK) {

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Embeddings
+
+/** Persisted SemDeDup model — the build-once / refresh-many layout that
+  * makes [[Embeddings.incrementalSemanticDeduplicate]]'s advertised
+  * incrementality REAL at archive scale (the 100 TB pattern: one
+  * expensive clustering pass over the curated archive, then every corpus
+  * refresh costs O(new slice + touched cells), never O(archive)).
+  *
+  * Layout under `dir` (the [[AnnIndex]] model-as-data convention):
+  *  - `centroids/` — `(cid, cvec)` parquet, ≤ k rows (config-sized): the
+  *    FROZEN spherical-k-means fit ([[Embeddings.kmeansCentroids]]'
+  *    exact deterministic recipe);
+  *  - `members/` — `(id, vec)` parquet PARTITIONED BY `cid`: the archive
+  *    with its assignment materialized, so a refresh never re-assigns it.
+  *
+  * Why this beats the in-memory operator for refreshes: that path costs
+  * `iterations + 1` full archive scans per call (the Lloyd re-fit plus
+  * re-assignment) BEFORE any pairing happens. Here the fit is read (≤ k
+  * rows), the new slice is assigned with the same pure-map kernel, and
+  * pairing reads ONLY the `cid=` directories the slice actually touches
+  * — planning-time partition pruning, ≤ |distinct new cids| of ≤ k cells
+  * (spec-asserted on PartitionFilters). A 1%-of-archive slice that lands
+  * in 10% of the cells reads 10% of the archive bytes and zero
+  * fit/assignment passes.
+  *
+  * Determinism: build fits with [[Embeddings.kmeansCentroids]] and both
+  * build and refresh assign with the SAME micro-rounded argmax kernel
+  * the in-memory operator uses (parquet round-trips doubles exactly), so
+  * for the same (old, new, k, iterations, threshold) a refresh returns
+  * EXACTLY `incrementalSemanticDeduplicate(new, old, ...)` — row for
+  * row, spec-asserted — and replays in the same DuckDB oracle.
+  */
+object SemDedupIndex {
+
+  /** One clustering pass over the curated archive: fit k centroids
+    * (`iterations` Lloyd steps, or accept a pre-trained `(cid, cvec)`
+    * frame) and persist the fit plus the cid-partitioned assigned
+    * archive.
+    */
+  def build(embeddings: DataFrame, vecCol: String, idCol: String, dir: String,
+      k: Int, iterations: Int = 1, centroids: Option[DataFrame] = None): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = centroids.map(_.select(col("cid"), col("cvec")))
+      .getOrElse(Embeddings.kmeansCentroids(embeddings, vecCol, idCol, k, iterations))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val centSeq = Embeddings.collectCentroidFrame(
+      embeddings.sparkSession.read.parquet(s"$dir/centroids"))
+    // canonical (id, vec) on disk, whatever the build-time names were
+    Embeddings.kmeansAssign(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "vec", centSeq)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/members")
+  }
+
+  /** Deduplicate a refresh slice against the persisted archive: assign
+    * `newEmb` into the frozen fit (pure map), read ONLY the member cells
+    * those assignments touch, and apply the exact
+    * [[Embeddings.incrementalSemanticDeduplicate]] drop rule — a new
+    * vector drops iff a same-cluster OLD member, or a smaller-id NEW
+    * member, sits at cosine >= threshold. Returns (idCol, cid, keep) for
+    * the new slice. `maxClusterSize` caps the COMBINED (archive + slice)
+    * cluster size with the same fail-soft contract; the touched-cid list
+    * is a ≤ k bounded collect (the k-means pattern).
+    */
+  def refresh(spark: SparkSession, dir: String, newEmb: DataFrame,
+      vecCol: String, idCol: String, threshold: Double,
+      maxClusterSize: Int = Int.MaxValue): DataFrame = {
+    val reserved = Seq("cid", "keep", "__new", "__norm", "__drop", "__csize")
+    require(!newEmb.columns.exists(reserved.contains),
+      s"SemDedupIndex.refresh reserves column names ${reserved.mkString(", ")}; " +
+        "rename the input columns")
+    val centSeq = Embeddings.collectCentroidFrame(
+      spark.read.parquet(s"$dir/centroids"))
+    val assignedNew = Embeddings.kmeansAssign(newEmb, vecCol, centSeq)
+      .select(col(idCol), col(vecCol), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = assignedNew.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // partition-column types are inferred on read (small cids come back
+    // as INT) — cast restores the long cid the drop join keys on
+    val archive = spark.read.parquet(s"$dir/members")
+      .where(col("cid").isin(touched: _*))
+      .select(col("id").as(idCol), col("vec").as(vecCol),
+        col("cid").cast("long").as("cid"))
+    val assignedAll = archive.withColumn("__new", lit(false))
+      .unionByName(assignedNew.withColumn("__new", lit(true)))
+      .withColumn("__norm", Embeddings.vecNorm(col(vecCol)))
+    Embeddings.incrementalDropKeep(assignedAll, idCol, vecCol, threshold,
+      maxClusterSize)
+  }
+
+  /** Fold a (deduplicated) slice into the archive: assign through the
+    * frozen centroids and dynamic-partition-append — only `cid=`
+    * directories receiving rows gain a file, existing files are never
+    * touched, and the next [[refresh]] pairs against old ∪ appended
+    * exactly as a fresh [[build]] over the union would (spec-asserted).
+    * Callers normally append `refresh`'s keep=true rows; ids are not
+    * deduplicated (the usual parquet-append contract).
+    */
+  def append(spark: SparkSession, dir: String, newEmb: DataFrame,
+      vecCol: String, idCol: String): Unit = {
+    val centSeq = Embeddings.collectCentroidFrame(
+      spark.read.parquet(s"$dir/centroids"))
+    Embeddings.kmeansAssign(
+        newEmb.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "vec", centSeq)
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/members")
+  }
+}
