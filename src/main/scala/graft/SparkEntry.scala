@@ -661,10 +661,13 @@ object SparkEntry {
               .cast("long").as("pair_checksum"))
       }),
 
-      // skew-salted join: orders x lineitem through Joins.saltedJoin with
-      // a deliberately low hot threshold (orderkeys with >6 lineitems — the
-      // max-size orders, ~1/7 of keys — take the salted fan-out path, the
-      // rest join plain) so BOTH paths carry real rows. The result is
+      // skew-salted join: orders x lineitem through Joins.saltedJoin in
+      // AUTO-threshold mode — the hot cutoff is the p80 of the per-key
+      // count distribution (derived per run, so it stays selective at
+      // every SF with zero tuning; the sf10 sweep showed constants rot).
+      // On the TPC-H 1..7-lineitems-per-order shape p80 lands on 6, so the
+      // max-size orders (~1/7 of keys) take the salted fan-out path and
+      // the rest join plain — BOTH paths carry real rows. The result is
       // row-identical to the plain join by construction — the oracle
       // replays the plain join + aggregate.
       // edit-distance similarity self-join (PassJoin segment pigeonhole +
@@ -728,7 +731,7 @@ object SparkEntry {
         val ord = s.table("orders").select(
           col("o_orderkey").as("orderkey"), col("o_orderpriority"))
         Joins.saltedJoin(li, ord, Seq("orderkey"),
-            saltFactor = 4, hotKeyThreshold = 6L)
+            saltFactor = 4, hotKeyQuantile = 0.8)
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).cast("long").as("cnt"),
             sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
@@ -1388,11 +1391,14 @@ object SparkEntry {
             expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)").as("x_e6"))
           .orderBy("vec_id", "component")
       }),
+      // the O(n^2) baseline requires the explicit opt-in flag — this gate
+      // IS the baseline measurement, so it opts in
       "q_cosine_pairs" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
-        Embeddings.cosineNearDuplicatesExact(emb, "vec", "vec_id", 0.5)
+        Embeddings.cosineNearDuplicatesExact(emb, "vec", "vec_id", 0.5,
+            allowBruteForce = true)
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
       // LSH-bucketed scale path for the same detector: deterministic
@@ -2958,7 +2964,12 @@ object SparkEntry {
       FROM j GROUP BY source ORDER BY source""",
     // bigram replay: same pair construction, same bigram-start
     // denominator, same interpolation arithmetic (0.9 / (1.0 - 0.9)
-    // literals so the IEEE weights match bit-for-bit), same micro-round
+    // literals so the IEEE weights match bit-for-bit), same micro-round.
+    // The replay scores each DISTINCT bigram once (dlp) and weights it by
+    // the per-doc transition count — SUM(c * lp) over integer lp is
+    // exactly the per-occurrence sum, at distinct-bigram join cost
+    // instead of per-transition: the restructure that brings the sf1
+    // 19.7M-char corpus inside the oracle's 900 s budget (SCALE.md)
     "q_bigram_lp" -> """
       WITH t AS (
         SELECT doc_id,
@@ -2968,7 +2979,8 @@ object SparkEntry {
         SELECT doc_id, toks[i+1] AS prev, toks[i+2] AS cur
         FROM (SELECT doc_id, toks,
                      unnest(range(0, greatest(len(toks) - 1, 0))) AS i FROM t)),
-      bg AS (SELECT prev, cur, COUNT(*) AS cnt FROM pr GROUP BY prev, cur),
+      pc AS (SELECT doc_id, prev, cur, COUNT(*) AS c FROM pr GROUP BY doc_id, prev, cur),
+      bg AS (SELECT prev, cur, SUM(c) AS cnt FROM pc GROUP BY prev, cur),
       st AS (SELECT prev, SUM(cnt) AS s_cnt FROM bg GROUP BY prev),
       fs AS (SELECT doc_id, toks[1] AS tok FROM t WHERE len(toks) > 0),
       un AS (SELECT u_tok, SUM(c) AS u_cnt FROM (
@@ -2977,18 +2989,20 @@ object SparkEntry {
                SELECT tok, COUNT(*) FROM fs GROUP BY tok) u(u_tok, c)
              GROUP BY u_tok),
       tot AS (SELECT SUM(u_cnt) AS total FROM un),
-      ps AS (SELECT pr.doc_id,
-                    CAST(round(ln(0.9 * (CAST(bg.cnt AS DOUBLE) / CAST(st.s_cnt AS DOUBLE))
-                         + (1.0 - 0.9) * (CAST(un.u_cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)))
-                         * 1e6) AS BIGINT) AS lp
-             FROM pr JOIN bg ON pr.prev = bg.prev AND pr.cur = bg.cur
-                     JOIN st ON pr.prev = st.prev
-                     JOIN un ON pr.cur = un.u_tok, tot),
-      fsc AS (SELECT fs.doc_id,
-                     CAST(round(ln(CAST(un.u_cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+      dlp AS (SELECT bg.prev, bg.cur,
+                     CAST(round(ln(0.9 * (CAST(bg.cnt AS DOUBLE) / CAST(st.s_cnt AS DOUBLE))
+                          + (1.0 - 0.9) * (CAST(un.u_cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)))
                           * 1e6) AS BIGINT) AS lp
+              FROM bg JOIN st ON bg.prev = st.prev
+                      JOIN un ON bg.cur = un.u_tok, tot),
+      ps AS (SELECT pc.doc_id, SUM(pc.c) AS toks, SUM(pc.c * dlp.lp) AS lp_sum
+             FROM pc JOIN dlp ON pc.prev = dlp.prev AND pc.cur = dlp.cur
+             GROUP BY pc.doc_id),
+      fsc AS (SELECT fs.doc_id, 1 AS toks,
+                     CAST(round(ln(CAST(un.u_cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                          * 1e6) AS BIGINT) AS lp_sum
               FROM fs JOIN un ON fs.tok = un.u_tok, tot),
-      d AS (SELECT doc_id, COUNT(*) AS toks, SUM(lp) AS lp_sum
+      d AS (SELECT doc_id, SUM(toks) AS toks, SUM(lp_sum) AS lp_sum
             FROM (SELECT * FROM ps UNION ALL SELECT * FROM fsc) GROUP BY doc_id),
       j AS (SELECT doc.doc_id, doc.source,
                    coalesce(d.toks, 0) AS toks, coalesce(d.lp_sum, 0) AS lp_sum

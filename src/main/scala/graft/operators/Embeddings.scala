@@ -551,9 +551,20 @@ object Embeddings {
     * spec-asserted, and the DuckDB oracle is unchanged. Capped at 2M
     * vectors: beyond that neither the broadcast NOR an O(n^2) pair count
     * is viable — use the LSH path.
+    *
+    * `allowBruteForce = true` is REQUIRED: the quadratic path measures
+    * ~100x per data decade (SCALE.md), so it must never be the default
+    * reach a pipeline lands on by accident — callers opt in (baselines,
+    * recall audits, bounded slices) or get pointed at
+    * [[cosineNearDuplicates]], which returns the same >=-threshold pair
+    * semantics at bucketed cost.
     */
   def cosineNearDuplicatesExact(embeddings: DataFrame, vecCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, allowBruteForce: Boolean = false): DataFrame = {
+    require(allowBruteForce,
+      "cosineNearDuplicatesExact is the O(n^2) brute-force baseline (~100x per " +
+        "data decade); pass allowBruteForce = true to opt in, or use " +
+        "cosineNearDuplicates (LSH) — the scale path with the same semantics")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val selected = embeddings.select(col(idCol).cast("long"), col(vecCol))

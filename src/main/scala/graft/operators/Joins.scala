@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** Per-run [[saltedJoin]] telemetry, newest last in
-    * [[saltedJoinStatsSnapshot]]: how many hot keys were salted, whether
-    * the `maxHotKeys` cap engaged (heaviest-K kept, rest joined plain —
-    * result unchanged, but the threshold has stopped being selective), and
-    * the smallest kept count (every dropped key weighs ≤ this).
+  /** Per-run [[saltedJoin]] telemetry: how many hot keys were salted,
+    * whether the `maxHotKeys` cap engaged (heaviest-K kept, rest joined
+    * plain — result unchanged, but the threshold has stopped being
+    * selective), the smallest kept count (every dropped key weighs ≤
+    * this), and the threshold actually used (the quantile-derived value
+    * in auto mode). Delivered to the caller through `saltedJoin`'s
+    * `onStats` callback — the race-free attribution path; the process
+    * [[saltedJoinStatsSnapshot]] registry is ADVISORY ONLY (concurrent
+    * joins interleave entries).
     */
   final case class SaltedJoinStats(hotKeysKept: Int, overflowed: Boolean,
       minKeptCount: Long, hotKeyThreshold: Long)
@@ -40,7 +44,11 @@ object Joins {
     while (saltedJoinStatsRegistry.size > 64) saltedJoinStatsRegistry.pollFirst()
   }
 
-  /** Snapshot of recent [[saltedJoin]] runs' stats (oldest first). */
+  /** Snapshot of recent [[saltedJoin]] runs' stats (oldest first).
+    * ADVISORY: concurrent joins interleave entries, so a caller that needs
+    * to attribute stats to ITS join must use `saltedJoin`'s `onStats`
+    * callback instead of diffing this registry.
+    */
   def saltedJoinStatsSnapshot(): Seq[SaltedJoinStats] = {
     val b = Seq.newBuilder[SaltedJoinStats]
     saltedJoinStatsRegistry.forEach(s => b += s)
@@ -78,6 +86,21 @@ object Joins {
     * share a salt and stay on one task; for row-unique data (the common
     * case) hot keys spread uniformly.
     *
+    * @param hotKeyThreshold left-side row count above which a key takes
+    *            the salted path. The default `0` means DERIVE IT from the
+    *            key-count distribution itself — the `hotKeyQuantile`
+    *            quantile of per-key counts — so the same call stays
+    *            selective at every scale factor (a constant tuned at
+    *            sf0.1 qualified >1M keys at sf10: thresholds rot with
+    *            scale, quantiles don't). Pass a positive value to pin it.
+    * @param hotKeyQuantile quantile of the per-key count distribution
+    *            used as the auto threshold (keys STRICTLY ABOVE it salt).
+    *            0.9 salts at most the heaviest ~decile; on near-uniform
+    *            key counts the quantile sits at the maximum and nothing
+    *            salts — the correct no-op for unskewed data. Derivation
+    *            costs one quantile pass over the (already computed,
+    *            cached) key-count relation — key-cardinality-sized, never
+    *            a second scan of `left`.
     * @param how `"inner"` or `"left"` (unmatched left rows appear once,
     *            whatever their salt).
     * @param maxHotKeys cap on the hot-key set (it is materialized on the
@@ -95,13 +118,21 @@ object Joins {
     *            the sf10 sweep, where a gate threshold sized at sf0.1
     *            qualified >1M keys and the previous fail-fast require()
     *            aborted a join that was otherwise fine.
+    * @param onStats receives this run's [[SaltedJoinStats]] — the
+    *            race-free way to observe the derived threshold / overflow
+    *            under concurrent joins (the global snapshot interleaves).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      saltFactor: Int = 16, hotKeyThreshold: Long = 2000000,
-      how: String = "inner", maxHotKeys: Int = 1000000): DataFrame = {
+      saltFactor: Int = 16, hotKeyThreshold: Long = 0,
+      how: String = "inner", maxHotKeys: Int = 1000000,
+      hotKeyQuantile: Double = 0.9,
+      onStats: SaltedJoinStats => Unit = _ => ()): DataFrame = {
     require(keys.nonEmpty, "saltedJoin needs at least one key column")
     require(saltFactor >= 2, s"saltFactor must be >= 2, got $saltFactor")
-    require(hotKeyThreshold > 0, "hotKeyThreshold must be positive")
+    require(hotKeyThreshold >= 0,
+      "hotKeyThreshold must be positive (or 0 = derive from hotKeyQuantile)")
+    require(hotKeyQuantile > 0.0 && hotKeyQuantile < 1.0,
+      s"hotKeyQuantile must be in (0, 1), got $hotKeyQuantile")
     require(how == "inner" || how == "left",
       s"saltedJoin supports inner and left joins, got '$how'")
     // These helper names would silently collide with same-named payload
@@ -121,27 +152,39 @@ object Joins {
     // once per split (4 extra full left-side scans at scale otherwise).
     // Ordered by weight so a cap overflow keeps the HEAVIEST keys; the
     // orderBy+limit plans as TakeOrdered (bounded heap), never a full
-    // sort-collect of the qualifying set.
+    // sort-collect of the qualifying set. In auto mode the counts relation
+    // is cached so the quantile derivation and the candidate filter share
+    // one aggregation of `left`, not two.
     val spark = left.sparkSession
     val keyCols = keys.map(col)
-    val candidate = left.groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("__hot_cnt"))
-      .where(col("__hot_cnt") > hotKeyThreshold)
+    val counts = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__hot_cnt"))
+    val auto = hotKeyThreshold == 0
+    if (auto) counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr =
+      if (!auto) hotKeyThreshold
+      else counts
+        .agg(percentile_approx(col("__hot_cnt"), lit(hotKeyQuantile), lit(10000)))
+        .head().getLong(0)
+    val candidate = counts
+      .where(col("__hot_cnt") > thr)
       .orderBy(col("__hot_cnt").desc +: keyCols: _*)
       .limit(maxHotKeys + 1)
       .collect()
+    if (auto) counts.unpersist()
     val overflowed = candidate.length > maxHotKeys
     val hotRows = (if (overflowed) candidate.take(maxHotKeys) else candidate)
       .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
     val minKeptCount =
       if (hotRows.isEmpty) 0L else candidate(hotRows.length - 1).getLong(keys.length)
-    publishSaltedJoinStats(SaltedJoinStats(
+    val stats = SaltedJoinStats(
       hotKeysKept = hotRows.length, overflowed = overflowed,
-      minKeptCount = minKeptCount, hotKeyThreshold = hotKeyThreshold))
+      minKeptCount = minKeptCount, hotKeyThreshold = thr)
+    publishSaltedJoinStats(stats)
+    onStats(stats)
     if (overflowed)
       org.slf4j.LoggerFactory.getLogger(Joins.getClass).warn(
         s"saltedJoin: more than $maxHotKeys keys exceed hotKeyThreshold=" +
-          s"$hotKeyThreshold; salting only the $maxHotKeys heaviest " +
+          s"$thr; salting only the $maxHotKeys heaviest " +
           s"(min kept count $minKeptCount) and joining the rest plain. " +
           "The result is unchanged, but the threshold is no longer " +
           "selective — raise it so 'hot' means the actual outliers.")

@@ -91,8 +91,21 @@ object FilterStore {
     * propagates it), matching [[probeJoin]]'s inner-join semantics.
     */
   def probeCatalog(big: DataFrame, keyCol: String, hashCol: String,
-      catalog: DataFrame, containsFn: String): DataFrame = {
-    val blobs = catalog.select(col("key"), col("filter")).collect()
+      catalog: DataFrame, containsFn: String,
+      maxCatalogBytes: Long = 1L << 30): DataFrame = {
+    // cheap pre-collect guard: an oversized catalog fails with a clear
+    // message instead of OOMing the driver mid-collect (sum of blob sizes
+    // is one tiny agg over the catalog relation)
+    val projected = catalog.select(col("key"), col("filter"))
+    val stats = projected
+      .agg(count(lit(1)).cast("long"), sum(length(col("filter"))).cast("long"))
+      .head()
+    val totalBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    require(totalBytes <= maxCatalogBytes,
+      s"probeCatalog would collect ${stats.getLong(0)} blobs / $totalBytes bytes " +
+        s"to the driver (max $maxCatalogBytes); this catalog is too big for the " +
+        "broadcast-map path — use probeJoin, or raise maxCatalogBytes deliberately")
+    val blobs = projected.collect()
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
     val bc = big.sparkSession.sparkContext.broadcast(blobs)
     val blobCol = graft.operators.ColumnBridge.column(

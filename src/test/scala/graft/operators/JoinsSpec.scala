@@ -90,23 +90,68 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plain = left.join(right, Seq("k"), "inner")
     // threshold 9 qualifies all 201 keys; cap 3 keeps only the heaviest
     // (key 0 at 5000 rows, then keys 1 and 2 at 10 rows by the key
-    // tie-break) and joins the other 198 plain — same answer either way
-    val before = Joins.saltedJoinStatsSnapshot().length
+    // tie-break) and joins the other 198 plain — same answer either way.
+    // Stats arrive through onStats — per-call attribution, race-free under
+    // concurrent joins (the global snapshot is advisory only).
+    var s: Joins.SaltedJoinStats = null
     val salted = Joins.saltedJoin(left, right, Seq("k"),
-      saltFactor = 4, hotKeyThreshold = 9L, maxHotKeys = 3)
+      saltFactor = 4, hotKeyThreshold = 9L, maxHotKeys = 3, onStats = s = _)
     assert(sortedRows(salted) == sortedRows(plain))
-    val stats = Joins.saltedJoinStatsSnapshot().drop(before)
-    assert(stats.nonEmpty)
-    val s = stats.last
+    assert(s != null)
     assert(s.overflowed)
     assert(s.hotKeysKept == 3)
     assert(s.minKeptCount == 10L) // the lightest kept key has 10 left rows
     // a non-overflowing run reports cleanly too
-    val before2 = Joins.saltedJoinStatsSnapshot().length
+    var s2: Joins.SaltedJoinStats = null
     Joins.saltedJoin(left, right, Seq("k"),
-      saltFactor = 4, hotKeyThreshold = 100L).count()
-    val s2 = Joins.saltedJoinStatsSnapshot().drop(before2).last
+      saltFactor = 4, hotKeyThreshold = 100L, onStats = s2 = _).count()
     assert(!s2.overflowed && s2.hotKeysKept == 1 && s2.minKeptCount == 5000L)
+    // and the advisory registry still records runs (oldest first)
+    assert(Joins.saltedJoinStatsSnapshot().nonEmpty)
+  }
+
+  test("auto threshold: quantile-derived cutoff selects ~the heaviest decile at two SFs") {
+    val s = spark
+    import s.implicits._
+    // Zipf-ish key-count shape replicated at 1x and 10x "scale factors":
+    // 100 base keys where key k carries (k+1) left rows — the heaviest
+    // ~decile is keys 90..99. At 10x every key's count grows 10x (same
+    // shape, bigger corpus); a CONSTANT threshold tuned at 1x (say 90)
+    // would qualify nearly every key at 10x, but the quantile derivation
+    // keeps selecting ~the heaviest decile at both sizes.
+    def mk(scale: Int) =
+      (for (k <- 0 until 100; i <- 1 to (k + 1) * scale) yield (k.toLong, i))
+        .toDF("k", "lv")
+    val right = (0 until 100).map(k => (k.toLong, k * 10)).toDF("k", "rv")
+    for (scale <- Seq(1, 10)) {
+      val left = mk(scale)
+      var stats: Joins.SaltedJoinStats = null
+      val salted = Joins.saltedJoin(left, right, Seq("k"),
+        saltFactor = 4, hotKeyQuantile = 0.9, onStats = stats = _)
+      // correctness first: identical to the plain join at both sizes
+      assert(sortedRows(salted) == sortedRows(left.join(right, Seq("k"), "inner")))
+      // the derived cutoff sits at ~the p90 count (≈ 91*scale) and selects
+      // ~10 of the 100 keys — the heaviest decile, at BOTH scale factors
+      assert(stats.hotKeysKept >= 5 && stats.hotKeysKept <= 15,
+        s"scale=$scale selected ${stats.hotKeysKept} keys at threshold ${stats.hotKeyThreshold}")
+      assert(stats.hotKeyThreshold >= 85L * scale && stats.hotKeyThreshold <= 95L * scale,
+        s"scale=$scale derived ${stats.hotKeyThreshold}")
+      // a constant threshold tuned at 1x stops being selective at 10x —
+      // the failure mode auto mode exists to prevent
+      if (scale == 10) {
+        var fixed: Joins.SaltedJoinStats = null
+        Joins.saltedJoin(left, right, Seq("k"),
+          saltFactor = 4, hotKeyThreshold = 91L, onStats = fixed = _).count()
+        assert(fixed.hotKeysKept > 80,
+          s"constant threshold unexpectedly stayed selective: ${fixed.hotKeysKept}")
+      }
+    }
+    // near-uniform counts: the quantile sits at the max, nothing salts —
+    // the correct no-op for unskewed data
+    val uniform = (for (k <- 0 until 100; i <- 1 to 10) yield (k.toLong, i)).toDF("k", "lv")
+    var us: Joins.SaltedJoinStats = null
+    Joins.saltedJoin(uniform, right, Seq("k"), saltFactor = 4, onStats = us = _).count()
+    assert(us.hotKeysKept == 0, s"uniform data salted ${us.hotKeysKept} keys")
   }
 
   test("reserved helper names are rejected") {

@@ -282,11 +282,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vecs = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
       .toDF("vec_id", "vec")
     def norm(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
-    val blocked = Embeddings.cosineNearDuplicatesExact(vecs, "vec", "vec_id", 0.3)
+    val blocked = Embeddings.cosineNearDuplicatesExact(vecs, "vec", "vec_id", 0.3,
+        allowBruteForce = true)
       .collect().map(norm).sortBy(x => (x._1, x._2))
     val joined = Embeddings.cosineNearDuplicatesExactJoin(vecs, "vec", "vec_id", 0.3)
       .collect().map(norm).sortBy(x => (x._1, x._2))
     assert(blocked.nonEmpty && blocked.sameElements(joined))
+    // the quadratic path is opt-in ONLY: the default reach must refuse
+    // and point at the LSH scale path
+    val guard = intercept[IllegalArgumentException] {
+      Embeddings.cosineNearDuplicatesExact(vecs, "vec", "vec_id", 0.3)
+    }
+    assert(guard.getMessage.contains("allowBruteForce"))
   }
 
   test("embeddings: lsh near-duplicate pairs find identical vectors") {
@@ -2483,6 +2490,9 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fit.components.length == pin.components.length)
     fit.components.zip(pin.components).foreach { case (a, b) =>
       assert(a.sameElements(b)) }
+    // length asserted BEFORE zip — zip truncates to the common prefix, so
+    // a fit returning fewer eigenvalues would otherwise silently pass
+    assert(fit.eigenvalues.length == pin.eigenvalues.length)
     fit.eigenvalues.zip(pin.eigenvalues).foreach { case (a, b) =>
       assert(a == b, s"$a vs $b") }
   }

@@ -80,6 +80,14 @@ class FilterStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the whole probe is one scan: no BroadcastHashJoin / SortMergeJoin
     val plan = viaMap.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"catalog-map probe should not join:\n$plan")
+
+    // an oversized catalog refuses BEFORE collecting (clear message, not a
+    // driver OOM) and points callers at probeJoin
+    val guard = intercept[IllegalArgumentException] {
+      FilterStore.probeCatalog(keys, "grp", "h", cat, "xor16_filter_contains",
+        maxCatalogBytes = 16L)
+    }
+    assert(guard.getMessage.contains("probeJoin"), guard.getMessage)
   }
 
   test("bucketed tables join without an exchange") {
