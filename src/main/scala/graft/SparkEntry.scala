@@ -137,6 +137,25 @@ object SparkEntry {
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Recall-floor QUALITY check shared by the `q_recall_floor_*` gates:
+    * compute the [[Embeddings.recallReport]] rollup for a pinned ANN
+    * config, attach the pinned floor, and HARD-FAIL the gate when the
+    * floor is breached — so a recall regression turns the CORRECTNESS row
+    * red (gate error, no output written) instead of shipping silently,
+    * even if the oracle SQL were updated alongside the engine. Floors sit
+    * under the minimum measured across sf0.01 / sf0.1 / sf1cd (SCALE.md
+    * round-12 table).
+    */
+  private def recallFloor(approx: DataFrame, exact: DataFrame,
+      floorPpm: Long, config: String): DataFrame = {
+    val rep = Embeddings.recallReport(approx, exact)
+      .withColumn("floor_ppm", lit(floorPpm))
+    val mean = rep.head().getLong(1)
+    require(mean >= floorPpm,
+      s"ANN recall regression: $config mean recall $mean ppm < floor $floorPpm ppm")
+    rep
+  }
+
   def entry(spark: SparkSession): DataFrame = {
     prepare(spark, "/root/testdata/sf0.001")
     spark.sql(Sql.q1Agg)
@@ -1319,6 +1338,88 @@ object SparkEntry {
           Embeddings.ivfTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5,
             nlist = 16, nprobe = 4),
           Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5))
+      }),
+
+      // ---- recall-FLOOR quality gates: unlike the parity gates above,
+      // these assert the QUALITY claim itself — the gate hard-fails
+      // (recallFloor's require) when a config's recall drops below its
+      // pinned floor, so an ANN regression goes red in CORRECTNESS even
+      // though every individual stage would still replay "correctly".
+      // LSH multi-probe at its pinned config (prefixBits=4, probe radius
+      // 2): floor 0.80 under the 0.84/0.90/0.92 measured across SFs.
+      "q_recall_floor_lsh" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        recallFloor(
+          Embeddings.lshTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+            5, prefixBits = 4, multiProbe = 2),
+          Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5),
+          floorPpm = 800000L, config = "lsh prefixBits=4 multiProbe=2")
+      }),
+      // IVF at its pinned config (nlist=16, nprobe=4): floor 0.90 under
+      // the 0.92/1.00/1.00 measured across SFs.
+      "q_recall_floor_ivf" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        recallFloor(
+          Embeddings.ivfTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5,
+            nlist = 16, nprobe = 4),
+          Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5),
+          floorPpm = 900000L, config = "ivf nlist=16 nprobe=4")
+      }),
+      // Hamming prescreen at the gate config (k=5, candidates=20): recall
+      // decays with corpus size at a FIXED candidate budget (0.50/0.30/
+      // 0.20 measured — the saturation the telemetry warns about), so
+      // this floor is the catastrophic-regression backstop, not a tight
+      // quality bar; the tight bars live on the lsh/ivf/pq gates.
+      "q_recall_floor_hamming" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        recallFloor(
+          Embeddings.hammingTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+            k = 5, candidates = 20),
+          Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5),
+          floorPpm = 150000L, config = "hamming k=5 candidates=20")
+      }),
+      // PQ training lift: the Lloyd-trained codebooks must NOT score below
+      // the seed codebooks (the invariant AnnRecallAudit measured — the
+      // integer Lloyd update lifts recall at every configuration), and
+      // trained recall must clear its own floor. Two rows out (seed,
+      // trained) so the oracle certifies both chains' exact recall.
+      "q_recall_floor_pq" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val emb = s.table("embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+        val queries = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val exact = Embeddings.bruteForceTopK(emb, "vec", "vec_id",
+          queries, "qvec", "qid", 5)
+        val seed = Embeddings.recallReport(
+          Embeddings.pqTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+            5, m = 8, ksub = 16), exact)
+        val cb = Embeddings.pqCodebooksTrained(emb, "vec", "vec_id",
+          m = 8, ksub = 16, iterations = 1)
+        val trained = Embeddings.recallReport(
+          Embeddings.pqTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
+            5, m = 8, ksub = 16, codebooks = Some(cb)), exact)
+        val out = seed.withColumn("config", lit("pq_seed"))
+          .unionByName(trained.withColumn("config", lit("pq_trained")))
+          .select(col("config"), col("queries"), col("mean_recall_ppm"),
+            col("min_recall_ppm"), col("perfect_queries"))
+        val m = out.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+        require(m("pq_trained") >= m("pq_seed"),
+          s"PQ training no longer lifts recall: trained ${m("pq_trained")} ppm " +
+            s"< seed ${m("pq_seed")} ppm")
+        out.orderBy("config")
       }),
       // 1-bit sign quantization: the packed word + its popcount per vector
       // certify the exact bit layout (LSB-first within word) against a
@@ -4557,6 +4658,216 @@ object SparkEntry {
              CAST(MIN(recall_ppm) AS BIGINT) AS min_recall_ppm,
              CAST(SUM(CASE WHEN hits = ex THEN 1 ELSE 0 END) AS BIGINT) AS perfect_queries
       FROM pr""",
+    // recall-floor gates: the oracle certifies the exact recall rollup
+    // (and the pinned floor literal); the floor ASSERTION itself lives
+    // Spark-side in recallFloor's require — a breach turns the gate red
+    // before any output is written
+    "q_recall_floor_lsh" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${lshBucketCte(4)},
+      c AS (SELECT e.vec_id, e.v, bkt.b,
+        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range((SELECT dim FROM d)), x -> e.v[x + 1] * e.v[x + 1])),
+          (a, b) -> a + b)) AS nrm
+        FROM e JOIN bkt USING (vec_id)),
+      q AS (SELECT vec_id AS qid, v AS qv, b, nrm AS qnrm FROM c WHERE vec_id < 10),
+      exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range((SELECT dim FROM d)),
+                       x -> c.v[x + 1] * q.qv[x + 1])),
+                     (p, s) -> p + s) / (c.nrm * q.qnrm) DESC, c.vec_id) AS rank
+        FROM c, q WHERE c.vec_id != q.qid) t WHERE rank <= 5),
+      probes AS (SELECT m FROM (SELECT unnest(range(16)) AS m) WHERE bit_count(m) <= 2),
+      cand AS (SELECT q.qid, c.vec_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range((SELECT dim FROM d)),
+                   x -> c.v[x + 1] * q.qv[x + 1])),
+                 (p2, s2) -> p2 + s2) / (c.nrm * q.qnrm) AS sim
+        FROM q JOIN probes pr ON true
+             JOIN c ON c.b = xor(q.b::UBIGINT, pr.m::UBIGINT)::BIGINT
+        WHERE c.vec_id != q.qid),
+      approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM cand) t WHERE rank <= 5),
+      per AS (SELECT ex.query_id,
+              CAST(COUNT(*) AS BIGINT) AS ex_cnt,
+              CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM exact ex
+        LEFT JOIN approx a ON a.query_id = ex.query_id
+             AND a.neighbor_id = ex.neighbor_id
+        GROUP BY ex.query_id),
+      r AS (SELECT query_id, ex_cnt, hits, hits * 1000000 // ex_cnt AS ppm FROM per)
+      SELECT CAST(COUNT(*) AS BIGINT) AS queries,
+             CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+             CAST(MIN(ppm) AS BIGINT) AS min_recall_ppm,
+             CAST(SUM(CASE WHEN hits = ex_cnt THEN 1 ELSE 0 END) AS BIGINT) AS perfect_queries,
+             CAST(800000 AS BIGINT) AS floor_ppm
+      FROM r""",
+    "q_recall_floor_ivf" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e2.v, q.v) DESC, e2.vec_id) AS rank
+        FROM e e2, (SELECT * FROM e WHERE vec_id < 10) q
+        WHERE e2.vec_id != q.vec_id) WHERE rank <= 5),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      ea AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c) WHERE rn = 1),
+      qa AS (SELECT vec_id AS qid, v AS qv, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c WHERE e.vec_id < 10) WHERE rn <= 4),
+      approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT qa.qid AS query_id, ea.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qa.qid
+                 ORDER BY list_cosine_similarity(ea.v, qa.qv) DESC, ea.vec_id) AS rank
+        FROM ea JOIN qa ON ea.cid = qa.cid
+        WHERE ea.vec_id != qa.qid) WHERE rank <= 5),
+      pq AS (SELECT exact.query_id,
+               CAST(COUNT(*) AS BIGINT) AS ex,
+               CAST(SUM(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+             FROM exact LEFT JOIN approx
+               ON approx.query_id = exact.query_id AND approx.neighbor_id = exact.neighbor_id
+             GROUP BY exact.query_id),
+      pr AS (SELECT query_id, ex, hits, hits * 1000000 // ex AS recall_ppm FROM pq)
+      SELECT CAST(COUNT(*) AS BIGINT) AS queries,
+             CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+             CAST(MIN(recall_ppm) AS BIGINT) AS min_recall_ppm,
+             CAST(SUM(CASE WHEN hits = ex THEN 1 ELSE 0 END) AS BIGINT) AS perfect_queries,
+             CAST(900000 AS BIGINT) AS floor_ppm
+      FROM pr""",
+    "q_recall_floor_hamming" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e2.v, q.v) DESC, e2.vec_id) AS rank
+        FROM e e2, q WHERE e2.vec_id != q.vec_id) WHERE rank <= 5),
+      ham AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               len(list_filter(range(len(e.v)), j -> (e.v[j+1] > 0) <> (q.v[j+1] > 0))) AS hamming
+        FROM e, q WHERE e.vec_id != q.vec_id),
+      cand AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hr
+        FROM ham),
+      approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY list_cosine_similarity(e2.v, q2.v) DESC, c.neighbor_id) AS rank
+        FROM cand c JOIN e e2 ON e2.vec_id = c.neighbor_id JOIN q q2 ON q2.vec_id = c.query_id
+        WHERE c.hr <= 20) WHERE rank <= 5),
+      pq AS (SELECT exact.query_id,
+               CAST(COUNT(*) AS BIGINT) AS ex,
+               CAST(SUM(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+             FROM exact LEFT JOIN approx
+               ON approx.query_id = exact.query_id AND approx.neighbor_id = exact.neighbor_id
+             GROUP BY exact.query_id),
+      pr AS (SELECT query_id, ex, hits, hits * 1000000 // ex AS recall_ppm FROM pq)
+      SELECT CAST(COUNT(*) AS BIGINT) AS queries,
+             CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+             CAST(MIN(recall_ppm) AS BIGINT) AS min_recall_ppm,
+             CAST(SUM(CASE WHEN hits = ex THEN 1 ELSE 0 END) AS BIGINT) AS perfect_queries,
+             CAST(150000 AS BIGINT) AS floor_ppm
+      FROM pr""",
+    // seed AND Lloyd-trained PQ recall from one replay (the trained chain
+    // already materializes the seed encode enc0/cb0): per-config exact-vs-
+    // ADC-top-5 recall rollups, labeled rows — the Spark-side require
+    // asserts trained >= seed on these exact numbers
+    "q_recall_floor_pq" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.qid AS query_id, e2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(e2.v, q.qv) DESC, e2.vec_id) AS rank
+        FROM e e2, q WHERE e2.vec_id != q.qid) WHERE rank <= 5),
+      cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+              FROM e ORDER BY vec_id LIMIT 16),
+      subs AS (SELECT unnest(range(8)) AS j),
+      cb0 AS (SELECT subs.j, cbv.cid, list_slice(cbv.v, subs.j*8 + 1, subs.j*8 + 8) AS cv
+              FROM cbv, subs),
+      dist0 AS (SELECT e.vec_id, cb0.j, cb0.cid,
+        CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (e.v[cb0.j*8 + d + 1] - cb0.cv[d + 1]) * (e.v[cb0.j*8 + d + 1] - cb0.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT) AS d_e6
+        FROM e, cb0),
+      enc0 AS (SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d_e6, cid) AS rn
+        FROM dist0) WHERE rn = 1),
+      adc0 AS (SELECT q.qid, enc0.vec_id,
+        CAST(SUM(CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (q.qv[enc0.j*8 + d + 1] - cb0.cv[d + 1]) * (q.qv[enc0.j*8 + d + 1] - cb0.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT)) AS BIGINT) AS adc_e6
+        FROM q, enc0 JOIN cb0 ON cb0.j = enc0.j AND cb0.cid = enc0.cid
+        WHERE enc0.vec_id != q.qid
+        GROUP BY q.qid, enc0.vec_id),
+      approx0 AS (SELECT query_id, neighbor_id FROM (
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
+        FROM adc0) WHERE rank <= 5),
+      upd AS (SELECT enc0.j, enc0.cid, p.p,
+        CAST(SUM(CAST(round(e.v[enc0.j*8 + p.p + 1] * 1e6) AS BIGINT)) AS DOUBLE)
+          / (COUNT(*) * 1e6) AS val
+        FROM enc0 JOIN e ON e.vec_id = enc0.vec_id,
+             (SELECT unnest(range(8)) AS p) p
+        GROUP BY enc0.j, enc0.cid, p.p),
+      cbu AS (SELECT j, cid, list(val ORDER BY p) AS cv FROM upd GROUP BY j, cid),
+      cb AS (SELECT cb0.j, cb0.cid, coalesce(cbu.cv, cb0.cv) AS cv
+             FROM cb0 LEFT JOIN cbu ON cbu.j = cb0.j AND cbu.cid = cb0.cid),
+      dist AS (SELECT e.vec_id, cb.j, cb.cid,
+        CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (e.v[cb.j*8 + d + 1] - cb.cv[d + 1]) * (e.v[cb.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT) AS d_e6
+        FROM e, cb),
+      enc AS (SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d_e6, cid) AS rn
+        FROM dist) WHERE rn = 1),
+      adc AS (SELECT q.qid, enc.vec_id,
+        CAST(SUM(CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(8), d ->
+            (q.qv[enc.j*8 + d + 1] - cb.cv[d + 1]) * (q.qv[enc.j*8 + d + 1] - cb.cv[d + 1]))),
+          (a, b) -> a + b) * 1e6) AS BIGINT)) AS BIGINT) AS adc_e6
+        FROM q, enc JOIN cb ON cb.j = enc.j AND cb.cid = enc.cid
+        WHERE enc.vec_id != q.qid
+        GROUP BY q.qid, enc.vec_id),
+      approx1 AS (SELECT query_id, neighbor_id FROM (
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rank
+        FROM adc) WHERE rank <= 5),
+      roll AS (
+        SELECT 'pq_seed' AS config, ex.query_id,
+               CAST(COUNT(*) AS BIGINT) AS ex,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM exact ex LEFT JOIN approx0 a
+          ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+        GROUP BY ex.query_id
+        UNION ALL
+        SELECT 'pq_trained' AS config, ex.query_id,
+               CAST(COUNT(*) AS BIGINT) AS ex,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM exact ex LEFT JOIN approx1 a
+          ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+        GROUP BY ex.query_id),
+      pr AS (SELECT config, query_id, ex, hits, hits * 1000000 // ex AS ppm FROM roll)
+      SELECT config, CAST(COUNT(*) AS BIGINT) AS queries,
+             CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+             CAST(MIN(ppm) AS BIGINT) AS min_recall_ppm,
+             CAST(SUM(CASE WHEN hits = ex THEN 1 ELSE 0 END) AS BIGINT) AS perfect_queries
+      FROM pr GROUP BY config ORDER BY config""",
     // IVF cell routing composed with the PQ code/ADC replay: candidates
     // are the query's nprobe cells, scored by the integer ADC distance
     "q_ann_ivfpq" -> """
