@@ -15,10 +15,23 @@ import org.apache.spark.sql.SparkSession
   * 240s stopped fitting a cold pass once the suite grew past ~60 gates
   * (round 5 shipped a single-cold-pass bench that was unusable for
   * round-over-round comparison); set the env to override.
+  *
+  * `--warmup` (or SPARK_GRAFT_BENCH_WARMUP=1): before the timed passes,
+  * run EVERY gate once against a tiny fixture (SPARK_GRAFT_WARMUP_SF_DIR,
+  * default sf0.001) with timings discarded — JIT + codegen + parquet
+  * footer caches warm per-gate, not just per-JVM. This exists for the
+  * big-SF single-pass sweeps, where cold-start inflated 13 of the
+  * round-11 sf10 decade factors >2x and forced ad-hoc warm re-measures
+  * (SCALE.md); with warmup the sweep's factors are trustworthy directly.
+  * The driver's sf0.1 runs don't need it (min-of-3 already de-colds).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmup = args.contains("--warmup") ||
+      sys.env.get("SPARK_GRAFT_BENCH_WARMUP").exists(v => v == "1" || v == "true")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR",
+      "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val secondPassBudget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
       .getOrElse(math.max(240.0, 5.0 * SparkEntry.queries.size))
@@ -46,7 +59,8 @@ object Bench {
     val streamOperatorSec =
       scala.collection.mutable.Map.empty[String, Double].withDefaultValue(-1.0)
 
-    def pass(only: String => Boolean = _ => true): Seq[(String, Double)] = {
+    def pass(only: String => Boolean = _ => true,
+        dir: String = sfDir): Seq[(String, Double)] = {
       // drop cross-gate checkpoints so every pass pays each shared
       // relation's build exactly once (in its first consumer) — otherwise
       // the min-of passes would report only the checkpoint-read cost and
@@ -56,13 +70,15 @@ object Bench {
         val op0 = graft.streaming.FileStreams.operatorMsSnapshot
         val t0 = System.nanoTime()
         val ok = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          fn(spark, dir).write.format("noop").mode("overwrite").save(); true
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         val opSec = (graft.streaming.FileStreams.operatorMsSnapshot - op0) / 1e3
-        if (ok && opSec > 0) {
+        // a warmup pass at a different SF must not pollute the reported
+        // streaming operator minima
+        if (ok && opSec > 0 && dir == sfDir) {
           val prev = streamOperatorSec(name)
           streamOperatorSec(name) = if (prev < 0) opSec else math.min(prev, opSec)
         }
@@ -70,6 +86,13 @@ object Bench {
                                    // query's persisted frames pressure the next
         name -> (if (ok) dt else -1.0)
       }
+    }
+
+    if (warmup) {
+      val t0 = System.nanoTime()
+      val warmed = pass(dir = warmupDir)
+      System.err.println(f"[bench] warmup pass over ${warmed.size} gates at " +
+        f"$warmupDir in ${(System.nanoTime() - t0) / 1e9}%.1f s (timings discarded)")
     }
 
     // box-load context for cross-round comparisons: single passes swing
