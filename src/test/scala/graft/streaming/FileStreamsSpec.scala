@@ -266,6 +266,83 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"two-drain union != single drain: missing ${single -- union}, extra ${union -- single}")
   }
 
+  test("windowed top-k restart: two drains finalize the same windows as one") {
+    // the chained stateful aggs (count state + rank state) must carry
+    // cross-batch: windows whose events SPAN the restart may only close —
+    // and emit their top-k exactly once — after the second drain's
+    // watermark passes them
+    val batch = batchEvents()
+    val staged = java.nio.file.Files.createTempDirectory("graft_topk_stage_")
+    batch.repartitionByRange(2, col("ts")).write.mode("overwrite").parquet(staged.toString)
+    val parts = staged.toFile.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2)
+    val landing = java.nio.file.Files.createTempDirectory("graft_topk_landing_")
+    val sink = java.nio.file.Files.createTempDirectory("graft_topk_sink_")
+    val ck = java.nio.file.Files.createTempDirectory("graft_topk_ck_")
+    def drain(): DataFrame = FileStreams.runAvailableNow(
+      FileStreams.windowedTopK(
+        spark.readStream.schema(batch.schema).parquet(landing.toString),
+        "ts", "user_id", k = 5, "1 day", "1 hour"),
+      sinkDir = Some(sink), checkpointDir = Some(ck))
+    java.nio.file.Files.createSymbolicLink(
+      landing.resolve("part_00000.parquet"), parts(0).toPath): Unit
+    val first = drain().collect().map(_.toSeq).toSet
+    java.nio.file.Files.createSymbolicLink(
+      landing.resolve("part_00001.parquet"), parts(1).toPath): Unit
+    val unionDf = drain()
+    val union = unionDf.collect().map(_.toSeq).toSet
+    // no window's top-k emitted twice (set size == row count)
+    assert(unionDf.count() == union.size, "a closed window re-emitted after restart")
+    assert(first.subsetOf(union) && union.size > first.size)
+    val single = FileStreams.runAvailableNow(
+      FileStreams.windowedTopK(
+        FileStreams.tableStream(spark, dir, "events", Seq("ts")),
+        "ts", "user_id", k = 5, "1 day", "1 hour"))
+      .collect().map(_.toSeq).toSet
+    assert(union == single,
+      s"top-k two-drain union != single drain: missing ${single -- union}, extra ${union -- single}")
+  }
+
+  test("outer interval join restart: expired-unmatched state finalizes across drains") {
+    // cross-batch join-state eviction: a view whose 30-min window is still
+    // open at drain 1's watermark is STATE (no output); drain 2 must
+    // either match it or finalize it NULL-extended — and never twice. The
+    // two-drain union must equal the single drain row for row.
+    val batch = batchEvents()
+    val staged = java.nio.file.Files.createTempDirectory("graft_oj_stage_")
+    batch.repartitionByRange(2, col("ts")).write.mode("overwrite").parquet(staged.toString)
+    val parts = staged.toFile.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val landing = java.nio.file.Files.createTempDirectory("graft_oj_landing_")
+    val sink = java.nio.file.Files.createTempDirectory("graft_oj_sink_")
+    val ck = java.nio.file.Files.createTempDirectory("graft_oj_ck_")
+    def drain(): DataFrame = FileStreams.runAvailableNow(
+      FileStreams.streamIntervalJoinOuter(
+        spark.readStream.schema(batch.schema).parquet(landing.toString),
+        "ts", "event_type", "user_id", "view", "click", 1800000000L),
+      sinkDir = Some(sink), checkpointDir = Some(ck))
+    java.nio.file.Files.createSymbolicLink(
+      landing.resolve("part_00000.parquet"), parts(0).toPath): Unit
+    val firstDf = drain()
+    val first = firstDf.collect().map(_.toSeq)
+    java.nio.file.Files.createSymbolicLink(
+      landing.resolve("part_00001.parquet"), parts(1).toPath): Unit
+    val unionRows = drain().collect().map(_.toSeq)
+    val union = unionRows.toSet
+    assert(unionRows.length == union.size, "a join row re-emitted after restart")
+    assert(first.toSet.subsetOf(union) && union.size > first.length)
+    val singleRows = FileStreams.runAvailableNow(
+      FileStreams.streamIntervalJoinOuter(
+        FileStreams.tableStream(spark, dir, "events", Seq("ts")),
+        "ts", "event_type", "user_id", "view", "click", 1800000000L))
+      .collect().map(_.toSeq)
+    val single = singleRows.toSet
+    assert(union == single,
+      s"outer-join two-drain union != single drain: missing ${(single -- union).take(3)}, " +
+        s"extra ${(union -- single).take(3)}")
+    // both paths emitted real NULL-extended rows (the eviction under test)
+    assert(union.exists(r => r(2) == null), "no expired-unmatched rows — eviction untested")
+  }
+
   test("out-of-order file arrival drops late windows (watermark semantics, not a bug)") {
     val batch = batchEvents()
     // randomly split files span the whole time range: after the first
