@@ -35,7 +35,13 @@ object SparkEntry {
     "lineitem" -> Seq("l_shipdate"),
     "events" -> Seq("ts"))
 
-  private val prepared = scala.collection.mutable.Set[(SparkSession, String)]()
+  // the LAST-prepared dir per session — not a (session, dir) set: the temp
+  // views are named per TABLE, so preparing dir B replaces dir A's views,
+  // and a later call for dir A must re-register rather than early-return
+  // with B's views still bound (a set keyed on (session, dir) did exactly
+  // that — found when Bench's cross-SF warmup pass silently left the timed
+  // pass reading the warmup fixture's tables)
+  private val prepared = scala.collection.mutable.Map[SparkSession, String]()
 
   private val jaccardPairsCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
@@ -119,8 +125,8 @@ object SparkEntry {
     * (memoized: repeated queries in one session skip re-registration).
     */
   def prepare(spark: SparkSession, dir: String): SparkSession = synchronized {
-    if (prepared((spark, dir))) return spark
-    prepared += ((spark, dir))
+    if (prepared.get(spark).contains(dir)) return spark
+    prepared(spark) = dir
     GraftFunctions.registerAll(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { t =>

@@ -52,6 +52,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // the documented examples actually run
       val exampleSql = "SELECT bitfilters_duckdb_hash('v1.5.1', 42)"
       assert(spark.sql(exampleSql).head().getLong(0) != 0L)
+
+      // prepare() must re-register the table views when a session RETURNS
+      // to a dir after another dir replaced them (regression: a
+      // (session, dir)-keyed memo early-returned with the other dir's
+      // views still bound — Bench's cross-SF warmup pass then timed the
+      // warmup fixture's tables)
+      val dirA = "/root/testdata/sf0.001"
+      val dirB = "/root/testdata/sf0.01"
+      SparkEntry.prepare(spark, dirA)
+      val nA = spark.table("lineitem").count()
+      SparkEntry.prepare(spark, dirB)
+      val nB = spark.table("lineitem").count()
+      assert(nB > nA, s"sf0.01 should have more lineitems ($nB vs $nA)")
+      SparkEntry.prepare(spark, dirA)
+      assert(spark.table("lineitem").count() == nA,
+        "returning to dir A left dir B's views bound")
     } finally spark.stop()
   }
 }
