@@ -1379,22 +1379,25 @@ object SparkEntry {
           Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5),
           floorPpm = 900000L, config = "ivf nlist=16 nprobe=4")
       }),
-      // Hamming prescreen at the gate config (k=5, candidates=20): recall
-      // decays with corpus size at a FIXED candidate budget (0.50/0.30/
-      // 0.20 measured — the saturation the telemetry warns about), so
-      // this floor is the catastrophic-regression backstop, not a tight
-      // quality bar; the tight bars live on the lsh/ivf/pq gates.
+      // Hamming prescreen with a CORPUS-SCALED candidate budget
+      // (max(20, n/1000)): a fixed budget decays toward zero recall as
+      // the corpus grows (0.50/0.30/0.20 measured at 20 across SFs, 0.04
+      // at sf10cd — the saturation the telemetry warns about), which is
+      // exactly the production guidance this gate should encode: size
+      // the prescreen WITH the corpus. The floor stays a backstop, not a
+      // tight bar; the tight bars live on the lsh/ivf/pq gates.
       "q_recall_floor_hamming" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
         val queries = emb.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val budget = math.max(20L, emb.count() / 1000L).toInt
         recallFloor(
           Embeddings.hammingTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
-            k = 5, candidates = 20),
+            k = 5, candidates = budget),
           Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5),
-          floorPpm = 150000L, config = "hamming k=5 candidates=20")
+          floorPpm = 150000L, config = s"hamming k=5 candidates=$budget (n/1000)")
       }),
       // PQ training lift: the Lloyd-trained codebooks must NOT score below
       // the seed codebooks (the invariant AnnRecallAudit measured — the
@@ -4762,6 +4765,7 @@ object SparkEntry {
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                len(list_filter(range(len(e.v)), j -> (e.v[j+1] > 0) <> (q.v[j+1] > 0))) AS hamming
         FROM e, q WHERE e.vec_id != q.vec_id),
+      budget AS (SELECT greatest(20, COUNT(*) // 1000) AS b FROM e),
       cand AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hr
         FROM ham),
@@ -4770,7 +4774,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY c.query_id
                  ORDER BY list_cosine_similarity(e2.v, q2.v) DESC, c.neighbor_id) AS rank
         FROM cand c JOIN e e2 ON e2.vec_id = c.neighbor_id JOIN q q2 ON q2.vec_id = c.query_id
-        WHERE c.hr <= 20) WHERE rank <= 5),
+        WHERE c.hr <= (SELECT b FROM budget)) WHERE rank <= 5),
       pq AS (SELECT exact.query_id,
                CAST(COUNT(*) AS BIGINT) AS ex,
                CAST(SUM(CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits

@@ -181,10 +181,19 @@ object Graphs {
     // (the oracle replays DISTINCT edges). Out-degree rides a src-keyed
     // window on the SAME exchange that co-locates the edges for the
     // superstep joins — one pass, no self-join, no double edge build.
+    // DISK_ONLY: the edge table is the one data-sized checkpoint in the
+    // loop (the rank/base tables are 16 B/node). MEMORY_AND_DISK held its
+    // blocks inside the PROTECTED storage pool (storageFraction), and at
+    // sf10cd under an 8 GB driver the superstep hash aggregations then
+    // died with AGGREGATE_OUT_OF_MEMORY — execution could not evict below
+    // the protected floor. Disk-backed edge blocks cost one re-read per
+    // superstep join and free the whole unified pool for the aggregation
+    // (measured: 8 GB/32-thread sf10cd run fails before, passes after;
+    // SCALE.md round-12).
     import org.apache.spark.sql.expressions.Window
     val eDeg = e0.distinct()
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nodes = eDeg.select(col("src").as("node"))
       .union(eDeg.select(col("dst").as("node")))
       .distinct()
