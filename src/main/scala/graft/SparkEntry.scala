@@ -1399,11 +1399,18 @@ object SparkEntry {
           Embeddings.bruteForceTopK(emb, "vec", "vec_id", queries, "qvec", "qid", 5),
           floorPpm = 150000L, config = s"hamming k=5 candidates=$budget (n/1000)")
       }),
-      // PQ training lift: the Lloyd-trained codebooks must NOT score below
-      // the seed codebooks (the invariant AnnRecallAudit measured — the
-      // integer Lloyd update lifts recall at every configuration), and
-      // trained recall must clear its own floor. Two rows out (seed,
-      // trained) so the oracle certifies both chains' exact recall.
+      // PQ training quality: the hard invariant is Lloyd's guarantee —
+      // the trained codebooks' total quantization distortion must not
+      // exceed the seed codebooks' (deterministic at every corpus size;
+      // slack = rows·m e6-units covers the e6 integer rounding). The
+      // recall-lift form of the same claim is 20 000-ppm-granular at 10
+      // queries and flips on 2-hit noise (measured: spread queries at
+      // sf0.1 show seed 80 000 > trained 40 000 ppm on a REAL fixture,
+      // and replica-0 head queries at a cd fixture mismatch a mixture-
+      // trained codebook — SCALE.md round-12), so recall is reported as
+      // oracle-certified telemetry rather than gated. Two rows out
+      // (seed, trained) with exact recall AND exact distortion — a
+      // regression in either chain flips the DuckDB hash red.
       "q_recall_floor_pq" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
@@ -1412,22 +1419,27 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
         val exact = Embeddings.bruteForceTopK(emb, "vec", "vec_id",
           queries, "qvec", "qid", 5)
+        val cb0 = Embeddings.pqCodebooks(emb, "vec", "vec_id", m = 8, ksub = 16)
         val seed = Embeddings.recallReport(
           Embeddings.pqTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
-            5, m = 8, ksub = 16), exact)
+            5, m = 8, ksub = 16, codebooks = Some(cb0)), exact)
         val cb = Embeddings.pqCodebooksTrained(emb, "vec", "vec_id",
-          m = 8, ksub = 16, iterations = 1)
+          m = 8, ksub = 16, iterations = 1, seed = Some(cb0))
         val trained = Embeddings.recallReport(
           Embeddings.pqTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
             5, m = 8, ksub = 16, codebooks = Some(cb)), exact)
+        val d0 = Embeddings.pqDistortionE6(emb, "vec", cb0)
+        val d1 = Embeddings.pqDistortionE6(emb, "vec", cb)
+        val slackE6 = emb.count() * 8L
+        require(d1 <= d0 + slackE6,
+          s"Lloyd training INCREASED PQ distortion: trained $d1 e6 > " +
+            s"seed $d0 e6 + rounding slack $slackE6 — the update is broken")
         val out = seed.withColumn("config", lit("pq_seed"))
-          .unionByName(trained.withColumn("config", lit("pq_trained")))
+          .withColumn("distortion_e6", lit(d0))
+          .unionByName(trained.withColumn("config", lit("pq_trained"))
+            .withColumn("distortion_e6", lit(d1)))
           .select(col("config"), col("queries"), col("mean_recall_ppm"),
-            col("min_recall_ppm"), col("perfect_queries"))
-        val m = out.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-        require(m("pq_trained") >= m("pq_seed"),
-          s"PQ training no longer lifts recall: trained ${m("pq_trained")} ppm " +
-            s"< seed ${m("pq_seed")} ppm")
+            col("min_recall_ppm"), col("perfect_queries"), col("distortion_e6"))
         out.orderBy("config")
       }),
       // 1-bit sign quantization: the packed word + its popcount per vector
@@ -4872,12 +4884,20 @@ object SparkEntry {
         FROM exact ex LEFT JOIN approx1 a
           ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
         GROUP BY ex.query_id),
+      sdist AS (
+        SELECT 'pq_seed' AS config, CAST(SUM(md) AS BIGINT) AS distortion_e6 FROM (
+          SELECT vec_id, j, MIN(d_e6) AS md FROM dist0 GROUP BY vec_id, j)
+        UNION ALL
+        SELECT 'pq_trained' AS config, CAST(SUM(md) AS BIGINT) AS distortion_e6 FROM (
+          SELECT vec_id, j, MIN(d_e6) AS md FROM dist GROUP BY vec_id, j)),
       pr AS (SELECT config, query_id, ex, hits, hits * 1000000 // ex AS ppm FROM roll)
-      SELECT config, CAST(COUNT(*) AS BIGINT) AS queries,
+      SELECT pr.config, CAST(COUNT(*) AS BIGINT) AS queries,
              CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
              CAST(MIN(ppm) AS BIGINT) AS min_recall_ppm,
-             CAST(SUM(CASE WHEN hits = ex THEN 1 ELSE 0 END) AS BIGINT) AS perfect_queries
-      FROM pr GROUP BY config ORDER BY config""",
+             CAST(SUM(CASE WHEN hits = ex THEN 1 ELSE 0 END) AS BIGINT) AS perfect_queries,
+             CAST(MIN(sdist.distortion_e6) AS BIGINT) AS distortion_e6
+      FROM pr JOIN sdist ON sdist.config = pr.config
+      GROUP BY pr.config ORDER BY pr.config""",
     // IVF cell routing composed with the PQ code/ADC replay: candidates
     // are the query's nprobe cells, scored by the integer ADC distance
     "q_ann_ivfpq" -> """

@@ -1101,6 +1101,40 @@ object Embeddings {
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks))
 
+  /** Total PQ quantization distortion of a codebook over a corpus, in
+    * exact e6 integer units: `Σ_rows Σ_j round_e6(‖v_sub_j −
+    * cb_j[code_j(v)]‖²)` — [[PqAdcE6]] scored against the vector ITSELF
+    * (the corpus is both "query" and code, so the ADC distance IS the
+    * reconstruction error). This is the quantity Lloyd's update provably
+    * never increases: for fixed assignments the per-entry mean minimizes
+    * the summed squared distance, and re-assignment to the nearest entry
+    * only lowers it further — so `distortion(trained) ≤ distortion(seed)`
+    * DETERMINISTICALLY, at every corpus size and distribution. The
+    * recall-lift form of the same claim is statistical and noisy at small
+    * query counts (a 10-query probe has 20 000 ppm granularity — SCALE.md
+    * round-12 measured lift=false flips on real fixtures from 2-hit
+    * noise), which is why `q_recall_floor_pq` gates on THIS invariant and
+    * reports recall as oracle-certified telemetry.
+    *
+    * One light corpus pass (encode + score ride the scan inside codegen,
+    * single long per row into one global sum — no shuffle wider than the
+    * 8-byte partials). e6-rounding slack: each (row, subspace) term is
+    * exact-integer but rounds the true distance within ±0.5e-6, and the
+    * e6-integer centroid means sit within 0.5e-6 per coordinate of the
+    * true means, so callers comparing two codebooks should allow
+    * `rows × m` e6-units of slack — any real training defect overshoots
+    * that by orders of magnitude.
+    */
+  def pqDistortionE6(embeddings: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): Long = {
+    val row = embeddings.select(
+        ColumnBridge.column(PqAdcE6(
+          ColumnBridge.expression(pqEncode(col(vecCol), codebooks)),
+          ColumnBridge.expression(col(vecCol)), codebooks)).as("__d"))
+      .agg(coalesce(sum(col("__d")), lit(0L)).cast("long")).head()
+    row.getLong(0)
+  }
+
   /** Asymmetric-distance top-k over PQ codes: candidates are scored by
     * the integer ADC distance `Σ_j round_e6(‖q_sub_j − cb_j[code_j]‖²)`
     * against the RAW query vector (asymmetric: only the corpus is

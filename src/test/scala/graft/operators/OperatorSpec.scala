@@ -1087,6 +1087,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept(0)(1).toSeq == Seq(1.0, 2.0), "member-less entry must keep its seed")
   }
 
+  test("pqDistortionE6: exact by hand, Lloyd update never increases it, corrupt codebook overshoots") {
+    val sps = spark; import sps.implicits._
+    // same 5-vector fixture as the trained-codebook spec; seed codes are
+    // 1->(0,0) 2->(1,1) 3->(0,1) 4->(1,0) 5->(0,0) with per-(row,subspace)
+    // e6 distances 0,0 / 0,0 / 20000,50000 / 50000,50000 /
+    // 12500000,50000000 — total 62 670 000
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(5.0, 5.0, 0.0, 0.0)),
+      (3L, Seq(0.1, 0.1, 0.2, 0.1)),
+      (4L, Seq(4.9, 5.2, 9.8, 10.1)),
+      (5L, Seq(2.5, 2.5, 5.0, 5.0))
+    ).toDF("vec_id", "vec")
+    val cb0 = Embeddings.pqCodebooks(vecs, "vec", "vec_id", 2, 2)
+    val d0 = Embeddings.pqDistortionE6(vecs, "vec", cb0)
+    assert(d0 == 62670000L, s"seed distortion drifted: $d0")
+    // the q_recall_floor_pq invariant: one Lloyd iteration may not
+    // increase distortion beyond the rows*m e6-rounding slack (here it
+    // strictly decreases — the means absorb v3/v5's error)
+    val cb1 = Embeddings.pqCodebooksTrained(vecs, "vec", "vec_id", 2, 2, 1,
+      seed = Some(cb0))
+    val d1 = Embeddings.pqDistortionE6(vecs, "vec", cb1)
+    assert(d1 <= d0 + 5L * 2L, s"Lloyd increased distortion: $d1 > $d0")
+    assert(d1 < d0, s"this fixture's update strictly improves: $d1 vs $d0")
+    // a broken training step (all entries zeroed) overshoots the slack by
+    // orders of magnitude — the regression the gate's require catches
+    val corrupt = cb1.map(_.map(_.map(_ => 0.0)))
+    val dc = Embeddings.pqDistortionE6(vecs, "vec", corrupt)
+    assert(dc > d0 + 5L * 2L, s"corrupt codebook must overshoot: $dc")
+  }
+
   test("residual ivfpq: perfect residual codebook recovers the EXACT L2 ranking") {
     val sps = spark; import sps.implicits._
     // two far-apart cells whose vectors are centroid + a residual drawn
