@@ -142,6 +142,16 @@ object GraftFunctions {
     "strip_accents" -> FnDoc(
       arg("text - STRING value to accent-fold"),
       ex("SELECT strip_accents('mühleisen');")),
+    "collapse_ws" -> FnDoc(
+      arg("text - STRING to whitespace-collapse",
+        "trim - optional constant; nonzero also trims the ends (default 0)"),
+      ex("SELECT collapse_ws('a\\t b\\n\\nc ', 1); -- 'a b c'")),
+    "readability_counts" -> FnDoc(
+      arg("lowered_text - STRING, pre-lowercased document text"),
+      ex("SELECT readability_counts(lower(text)).words FROM documents;")),
+    "card_candidates" -> FnDoc(
+      arg("text - STRING to scan for Luhn-valid payment-card candidates"),
+      ex("SELECT card_candidates('card 4532 0151 1283 0366 end');")),
     "md5_prefix64" -> FnDoc(
       arg("text - STRING value to hash"),
       ex("SELECT md5_prefix64('hello');")),
@@ -340,6 +350,20 @@ object GraftFunctions {
     ("nfc_normalize",
       "nfc_normalize(text) - Unicode NFC composition (canonical composed form)",
       args => { arity("nfc_normalize", 1, args); graft.operators.NfcNormalizeExpr(args(0)) }),
+    ("collapse_ws",
+      "collapse_ws(text[, trim]) - regexp_replace(text, '\\s+', ' ') [+ trim] as one byte pass",
+      args => {
+        if (args.isEmpty || args.size > 2)
+          throw new IllegalArgumentException("collapse_ws takes 1-2 arguments")
+        val t = args.size == 2 && AggUtil.foldableLong(args(1), "trim") != 0L
+        graft.operators.CollapseWsExpr(args(0), t)
+      }),
+    ("readability_counts",
+      "readability_counts(lowered_text) - STRUCT<words,sentences,syllables> Flesch raw counts, one byte pass",
+      args => { arity("readability_counts", 1, args); graft.operators.ReadabilityCountsExpr(args(0)) }),
+    ("card_candidates",
+      "card_candidates(text) - ARRAY<STRING> Luhn-valid 13-19 digit card candidates in match order",
+      args => { arity("card_candidates", 1, args); graft.operators.CardCandidatesExpr(args(0)) }),
     ("strip_accents",
       "strip_accents(text) - NFD decompose and drop non-spacing marks (ligatures kept)",
       args => { arity("strip_accents", 1, args); graft.operators.StripAccentsExpr(args(0)) }),

@@ -1787,7 +1787,7 @@ object SparkEntry {
       // TextAnalysis.fingerprint stays covered by the certified hash vectors)
       "q_fingerprint" -> q("""
         SELECT doc_id,
-               substring(md5(regexp_replace(lower(text), '\\s+', ' ')), 1, 16) AS fp_md5,
+               substring(md5(collapse_ws(lower(text))), 1, 16) AS fp_md5,
                rolling_hash(text) AS fp_roll
         FROM documents ORDER BY doc_id""") _,
 

@@ -721,7 +721,8 @@ object Dedup {
   def flagContaminated(corpus: DataFrame, heldOut: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     import graft.functions.filters.{binaryFuse16Filter, binaryFuse16FilterContains}
-    val fp: Column => Column = t => portableHash64(regexp_replace(lower(t), "\\s+", " "))
+    val fp: Column => Column = t => portableHash64(ColumnBridge.column(
+      CollapseWsExpr(ColumnBridge.expression(lower(t)), trimEnds = false)))
     val filt = heldOut.agg(binaryFuse16Filter(fp(col(textCol))).as("__filt"))
     val heldFps = heldOut.select(fp(col(textCol)).as("__fp")).distinct()
     corpus

@@ -173,7 +173,8 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     call_function("bitfilters_duckdb_hash", lit("v1.5.1"),
-      regexp_replace(lower(text), lit("\\s+"), lit(" ")))
+      ColumnBridge.column(CollapseWsExpr(
+        ColumnBridge.expression(lower(text)), trimEnds = false)))
 
   /** Canonical text form for dedup/fingerprint keys: Unicode NFC compose,
     * lowercase, collapse whitespace runs to single spaces, trim. Every step
@@ -188,7 +189,10 @@ object TextAnalysis {
     val folded =
       if (accentFold) ColumnBridge.column(StripAccentsExpr(ColumnBridge.expression(nfc)))
       else nfc
-    trim(regexp_replace(lower(folded), lit("\\s+"), lit(" ")))
+    // one byte pass == trim(regexp_replace(lower, '\s+', ' ')) — the form
+    // the q_normalize oracle replays (TextKernels equality spec)
+    ColumnBridge.column(CollapseWsExpr(
+      ColumnBridge.expression(lower(folded)), trimEnds = true))
   }
 
   /** Conservative PII/URL scrubbing for training corpora: emails then URLs
@@ -207,7 +211,7 @@ object TextAnalysis {
     * dashes ignored): from the RIGHT, every second digit doubles (minus 9
     * past 9), total ≡ 0 mod 10. Pure HOF arithmetic — replays in SQL.
     */
-  private def luhnValid(cand: Column): Column = {
+  private[graft] def luhnValid(cand: Column): Column = {
     val digits = filter(split(cand, ""), ch => ch >= "0" && ch <= "9")
     val n = size(digits)
     val total = aggregate(
@@ -235,11 +239,14 @@ object TextAnalysis {
     */
   def redactPiiStrict(text: Column): Column = {
     val base = redactPii(text)
-    val ccCands = regexp_extract_all(base,
-      lit("[0-9](?:[0-9 -]{11,17})[0-9]"), lit(0))
-    val validCards = filter(ccCands, c =>
-      luhnValid(c) && size(filter(split(c, ""), ch => ch >= "0" && ch <= "9"))
-        .between(13, 19))
+    // candidate extraction + Luhn + digit-count as ONE byte scan — exactly
+    // filter(regexp_extract_all(base, '[0-9](?:[0-9 -]{11,17})[0-9]'),
+    //        c -> luhnValid(c) AND digits(c) BETWEEN 13 AND 19)
+    // (TextKernels equality spec pins the match-order + backtracking
+    // semantics; the HOF form allocated per-CHARACTER string arrays per
+    // candidate — the dominant cost on digit-dense corpora)
+    val validCards = ColumnBridge.column(CardCandidatesExpr(
+      ColumnBridge.expression(base)))
     val afterCc = aggregate(validCards, base, (acc, c) =>
       replace(acc, c, lit("<CARD>")))
     // phones need a '+' prefix or xxx-xxx-xxxx separators — a bare digit
@@ -276,7 +283,8 @@ object TextAnalysis {
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
       "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST: &amp;lt; -> &lt; stays literal
     ).foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    ColumnBridge.column(CollapseWsExpr(
+      ColumnBridge.expression(decoded), trimEnds = true))
   }
 
   /** Dataset-card summary: the one-table corpus overview every release
@@ -464,15 +472,18 @@ object TextAnalysis {
     * gate on `lang` first.
     */
   def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
-    val words = size(toks).cast("long")
-    val sentences = greatest(lit(1L),
-      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
-    val syllables = aggregate(toks, lit(0L), (acc, t) =>
-      acc + greatest(lit(1L),
-        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long")))
-    df.select(col(idCol), words.as("words"), sentences.as("sentences"),
-        syllables.as("syllables"))
+    // one byte pass per document (TextKernels) == the regex form the
+    // oracle replays: words = split(lower, '\s+') minus empties,
+    // sentences = greatest(1, count of [.!?] runs), syllables = per word
+    // max(1, [aeiouy] runs). The HOF form ran a regexp_extract_all PER
+    // TOKEN — a Matcher + match-list allocation per word (equality spec
+    // in TextKernelsSpec).
+    val counts = ColumnBridge.column(ReadabilityCountsExpr(
+      ColumnBridge.expression(lower(col(textCol)))))
+    df.select(col(idCol), counts.as("__rc"))
+      .select(col(idCol), col("__rc.words").as("words"),
+        greatest(lit(1L), col("__rc.sentences")).as("sentences"),
+        col("__rc.syllables").as("syllables"))
       .withColumn("flesch_e3", when(col("words") === 0, lit(null).cast("long"))
         .otherwise(round((lit(206.835)
           - lit(1.015) * col("words").cast("double") / col("sentences").cast("double")
