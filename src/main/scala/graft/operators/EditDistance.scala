@@ -123,17 +123,39 @@ object EditDistance {
     * for shared-prefix key dictionaries where segment cells degenerate).
     */
   def join(left: DataFrame, right: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1, method: String = "segment"): DataFrame = {
+      maxDist: Int = 1, method: String = "segment"): DataFrame =
+    joinImpl(left, right, idCol, strCol, maxDist, method, selfCanonical = false)
+
+  /** `selfCanonical` (self joins only): keep a candidate (i, j) only when
+    * i < j, BEFORE the distinct/verify — halving both — and drop self
+    * matches. Lossless because every true pair reaches the candidate union
+    * in both orientations: deletion keys are orientation-symmetric; for
+    * segments, long-long pairs appear both ways in the forward branch,
+    * long-short pairs once in forward (long indexed) and once flipped in
+    * reverse, short-short pairs both ways in the bounded cross join.
+    */
+  private def joinImpl(left: DataFrame, right: DataFrame, idCol: String,
+      strCol: String, maxDist: Int, method: String,
+      selfCanonical: Boolean): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(method == "segment" || method == "deletion",
       s"method must be 'segment' or 'deletion', got '$method'")
     require(method != "deletion" || maxDist <= 2,
       s"deletion neighborhoods support maxDist <= 2, got $maxDist")
     val k = maxDist
+    // Each side feeds the candidate explode AND the verify join-back (and
+    // the segment method probes `a` twice more) — without a materialization
+    // the upstream relation (often an aggregation building the dictionary)
+    // re-executes once per consumer: measured 2.4x wall on q_editdist_names.
+    // localCheckpoint (MEMORY_AND_DISK, spills) is sized for this operator's
+    // domain — key dictionaries, not documents (see method scaladoc); swap
+    // for checkpoint(dir) under executor-loss-prone dynamic allocation.
+    // A self join (same DataFrame object) materializes only once.
     val a = left.select(col(idCol).as("__id"), col(strCol).as("__s"),
-      length(col(strCol)).as("__l"))
-    val b = right.select(col(idCol).as("__id"), col(strCol).as("__s"),
-      length(col(strCol)).as("__l"))
+      length(col(strCol)).as("__l")).localCheckpoint()
+    val b = if (right eq left) a
+      else right.select(col(idCol).as("__id"), col(strCol).as("__s"),
+        length(col(strCol)).as("__l")).localCheckpoint()
 
     val candidates = if (method == "deletion") deletionCandidatePairs(a, b, k)
     else {
@@ -148,25 +170,24 @@ object EditDistance {
       forward.union(reverse).union(shorts)
     }
 
-    candidates
+    val oriented = if (selfCanonical) candidates.where(col("__ida") < col("__idb"))
+      else candidates
+    oriented
       .where(col("__ida").isNotNull && col("__idb").isNotNull)
       .distinct()
-      .join(left.select(col(idCol).as("__ida"), col(strCol).as("__sa")), "__ida")
-      .join(right.select(col(idCol).as("__idb"), col(strCol).as("__sb")), "__idb")
+      .join(a.select(col("__id").as("__ida"), col("__s").as("__sa")), "__ida")
+      .join(b.select(col("__id").as("__idb"), col("__s").as("__sb")), "__idb")
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
         levenshtein(col("__sa"), col("__sb"), k).cast("long").as("dist"))
       .where(col("dist") >= 0)
   }
 
   /** Self-join form for fuzzy-key dedup: unordered pairs (id_a < id_b)
-    * within `maxDist`. Every true pair is found in at least one probe
-    * direction; the canonical ordering + distinct dedupes the other.
+    * within `maxDist`. Candidates are canonicalized (id_a < id_b) before
+    * the distinct/verify — see [[joinImpl]]'s `selfCanonical` — so the
+    * output is already one row per unordered pair, no post-distinct.
     */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, method: String = "segment"): DataFrame =
-    join(df, df, idCol, strCol, maxDist, method)
-      .where(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
-      .distinct()
+    joinImpl(df, df, idCol, strCol, maxDist, method, selfCanonical = true)
 }
