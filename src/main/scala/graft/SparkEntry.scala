@@ -113,10 +113,53 @@ object SparkEntry {
       })
     }
 
+  private val preparedGraphCache =
+    scala.collection.mutable.Map[(SparkSession, String), Graphs.PreparedGraph]()
+
+  /** The purchase graph PREPARED for iterative analytics (simple edges +
+    * out-degree, checkpointed once — [[Graphs.prepareGraph]]), shared by
+    * `q_graph_stats`, `q_pagerank` and `q_ppr`: a pipeline derives the
+    * adjacency relation once and runs every graph analysis against it.
+    * The checkpointed blocks are reclaimed by the ContextCleaner once the
+    * cache entry is dropped and the plans referencing them are gone.
+    */
+  private def sharedPreparedGraph(s: SparkSession, dir: String): Graphs.PreparedGraph =
+    synchronized {
+      preparedGraphCache.getOrElseUpdate((s, dir),
+        Graphs.prepareGraph(sharedPurchaseEdges(s, dir), "src", "dst",
+          undirected = true))
+    }
+
+  private val bpeMergesCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  /** Learned BPE merge table (6 merges over `documents`), shared by the
+    * `q_bpe` and `q_bpe_encode` gates — the same checkpoint-the-expensive-
+    * relation pattern as [[sharedJaccardPairs]]: training drives ~2 jobs
+    * per merge step (pair-count argmax + vocab re-materialization), and a
+    * real pipeline trains its tokenizer once and ships the merge table to
+    * every consumer. The table itself is tiny (one row per merge); what
+    * the checkpoint saves is re-RUNNING the training loop per consumer.
+    */
+  private def sharedBpeMerges(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      bpeMergesCache.getOrElseUpdate((s, dir), {
+        val path = new java.io.File(sharedRelDir,
+          "bpe_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          .getAbsolutePath
+        Vocab.bpeMerges(s.table("documents"), "text", numMerges = 6)
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      })
+    }
+
   /** Drop every shared gate checkpoint (see [[sharedJaccardPairs]]). */
   def clearSharedRelations(): Unit = synchronized {
     jaccardPairsCache.clear()
     purchaseEdgesCache.clear()
+    preparedGraphCache.clear()
+    bpeMergesCache.clear()
     deleteRecursively(sharedRelDir)
     sharedRelDir.mkdirs(): Unit
   }
@@ -372,8 +415,7 @@ object SparkEntry {
       // whole iterative training run (counts, tie-breaks, merge order)
       "q_bpe" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        Vocab.bpeMerges(s.table("documents"), "text", numMerges = 6)
-          .orderBy("step")
+        sharedBpeMerges(s, dir).orderBy("step")
       }),
       // the inference side of the tokenizer: corpus token frequencies
       // after applying the learned merge table (the vocab report shipped
@@ -383,7 +425,7 @@ object SparkEntry {
       // replays training AND the per-word merge walk
       "q_bpe_encode" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val merges = Vocab.bpeMerges(s.table("documents"), "text", numMerges = 6)
+        val merges = sharedBpeMerges(s, dir)
         Vocab.bpeTokenCounts(s.table("documents"), "text", merges)
           .orderBy(col("cnt").desc, col("tok")).limit(20)
       }),
@@ -2590,8 +2632,8 @@ object SparkEntry {
       // replays every iteration exactly via an unrolled CTE chain.
       "q_pagerank" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val edges = sharedPurchaseEdges(s, dir)
-        Graphs.pageRank(edges, "src", "dst", iterations = 5, undirected = true)
+        Graphs.pageRank(sharedPreparedGraph(s, dir), iterations = 5,
+            dampingPpm = 850000L, trackConvergence = false, tolerancePpb = 0L)
           .orderBy(col("rank_ppb").desc, col("node")).limit(25)
       }),
 
@@ -2610,8 +2652,7 @@ object SparkEntry {
       // partial aggregates; top-25 degrees by node count
       "q_graph_stats" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        Graphs.degreeDistribution(sharedPurchaseEdges(s, dir), "src", "dst",
-            undirected = true)
+        Graphs.degreeDistribution(sharedPreparedGraph(s, dir))
           .orderBy(col("nodes").desc, col("degree")).limit(25)
       }),
 
@@ -2620,11 +2661,11 @@ object SparkEntry {
       // neighborhood; 3 unrolled iterations, same ppb integer contract
       "q_ppr" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val edges = sharedPurchaseEdges(s, dir)
         val seeds = s.sql(
           "SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0")
-        Graphs.personalizedPageRank(edges, "src", "dst", seeds, "node",
-            iterations = 3, undirected = true)
+        Graphs.personalizedPageRank(sharedPreparedGraph(s, dir), seeds, "node",
+            iterations = 3, dampingPpm = 850000L, trackConvergence = false,
+            tolerancePpb = 0L)
           .where(col("rank_ppb") > 0)
           .orderBy(col("rank_ppb").desc, col("node")).limit(25)
       }),

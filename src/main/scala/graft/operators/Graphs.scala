@@ -123,6 +123,17 @@ object Graphs {
       .agg(count(lit(1)).cast("long").as("nodes"))
   }
 
+  /** Degree distribution read off a [[PreparedGraph]]: the adjacency
+    * relation already carries each node's out-degree, so the histogram is
+    * one distinct over the checkpointed edges plus one tiny aggregate —
+    * no re-derivation of the simple graph. Identical to
+    * [[degreeDistribution(edges*]] over the same inputs (spec-pinned).
+    */
+  def degreeDistribution(g: PreparedGraph): DataFrame =
+    g.eDeg.select(col("src").as("node"), col("deg").as("degree")).distinct()
+      .groupBy("degree")
+      .agg(count(lit(1)).cast("long").as("nodes"))
+
   /** Co-occurrence edge construction: items sharing a group become an
     * edge weighted by how many groups contain both — the standard way a
     * pipeline DERIVES a graph (co-purchase, co-citation, token
@@ -165,35 +176,85 @@ object Graphs {
       .where(col("weight") >= minWeight)
   }
 
-  private def runPageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, dampingPpm: Long, undirected: Boolean,
-      seedsOpt: Option[DataFrame], trackConvergence: Boolean = false,
-      tolerancePpb: Long = 0L): DataFrame = {
-    require(iterations >= 1 && iterations <= 100, "iterations must be in [1, 100]")
-    require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm must be in [0, 10^6]")
-    require(tolerancePpb >= 0, "tolerancePpb must be >= 0")
+  /** A graph PREPARED for iterative analytics: the simple (deduplicated)
+    * edge relation with each edge's source out-degree, materialized once
+    * (DISK_ONLY localCheckpoint — see [[prepareGraph]]). Derive it once
+    * per graph and run [[pageRank]], [[personalizedPageRank]] and
+    * [[degreeDistribution]] against it; the raw-edge overloads re-derive
+    * it on every call, which a pipeline running several analyses over the
+    * same link graph should not pay (the distinct+degree pass is the one
+    * data-sized job in the whole family).
+    *
+    * `eDeg` schema: (src BIGINT, dst BIGINT, deg BIGINT).
+    */
+  final case class PreparedGraph private[operators] (eDeg: DataFrame,
+      undirected: Boolean)
 
+  /** Build a [[PreparedGraph]]: collapse multi-edges to the simple graph
+    * (PageRank and the degree histogram are defined on it; the oracles
+    * replay DISTINCT edges), attach each source's out-degree, and
+    * materialize the result once.
+    *
+    * Out-degree is a node-keyed partial aggregate joined back on `src` —
+    * same exchange count as the former src-window form but no per-
+    * partition sort, and the join leaves the relation co-located on `src`
+    * for the superstep joins.
+    *
+    * DISK_ONLY: the edge table is the one data-sized checkpoint in the
+    * superstep loop (the rank/base tables are 16 B/node). MEMORY_AND_DISK
+    * held its blocks inside the PROTECTED storage pool (storageFraction),
+    * and at sf10cd under an 8 GB driver the superstep hash aggregations
+    * then died with AGGREGATE_OUT_OF_MEMORY — execution could not evict
+    * below the protected floor. Disk-backed edge blocks cost one re-read
+    * per superstep join and free the whole unified pool for the
+    * aggregation (measured: 8 GB/32-thread sf10cd run fails before,
+    * passes after; SCALE.md round-12). Swap localCheckpoint for reliable
+    * checkpoint() under executor-loss-prone dynamic allocation.
+    */
+  def prepareGraph(edges: DataFrame, srcCol: String, dstCol: String,
+      undirected: Boolean = false): PreparedGraph = {
     val directed = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e0 = if (undirected) directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
              else directed
-    // multi-edges collapse: PageRank is defined on the simple graph here
-    // (the oracle replays DISTINCT edges). Out-degree rides a src-keyed
-    // window on the SAME exchange that co-locates the edges for the
-    // superstep joins — one pass, no self-join, no double edge build.
-    // DISK_ONLY: the edge table is the one data-sized checkpoint in the
-    // loop (the rank/base tables are 16 B/node). MEMORY_AND_DISK held its
-    // blocks inside the PROTECTED storage pool (storageFraction), and at
-    // sf10cd under an 8 GB driver the superstep hash aggregations then
-    // died with AGGREGATE_OUT_OF_MEMORY — execution could not evict below
-    // the protected floor. Disk-backed edge blocks cost one re-read per
-    // superstep join and free the whole unified pool for the aggregation
-    // (measured: 8 GB/32-thread sf10cd run fails before, passes after;
-    // SCALE.md round-12).
-    import org.apache.spark.sql.expressions.Window
-    val eDeg = e0.distinct()
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+    val dedup = e0.distinct()
+    val degrees = dedup.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    val eDeg = dedup.join(degrees, Seq("src"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    PreparedGraph(eDeg, undirected)
+  }
+
+  /** [[pageRank]] over a [[PreparedGraph]] — skips the per-call
+    * distinct+degree+checkpoint derivation.
+    */
+  def pageRank(g: PreparedGraph, iterations: Int, dampingPpm: Long,
+      trackConvergence: Boolean, tolerancePpb: Long): DataFrame =
+    runPrepared(g.eDeg, iterations, dampingPpm, None, trackConvergence,
+      tolerancePpb)
+
+  /** [[personalizedPageRank]] over a [[PreparedGraph]]. */
+  def personalizedPageRank(g: PreparedGraph, seeds: DataFrame,
+      seedCol: String, iterations: Int, dampingPpm: Long,
+      trackConvergence: Boolean, tolerancePpb: Long): DataFrame =
+    runPrepared(g.eDeg, iterations, dampingPpm,
+      Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
+      trackConvergence, tolerancePpb)
+
+  private def runPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingPpm: Long, undirected: Boolean,
+      seedsOpt: Option[DataFrame], trackConvergence: Boolean = false,
+      tolerancePpb: Long = 0L): DataFrame =
+    runPrepared(prepareGraph(edges, srcCol, dstCol, undirected).eDeg,
+      iterations, dampingPpm, seedsOpt, trackConvergence, tolerancePpb)
+
+  private def runPrepared(eDeg: DataFrame,
+      iterations: Int, dampingPpm: Long,
+      seedsOpt: Option[DataFrame], trackConvergence: Boolean,
+      tolerancePpb: Long): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, "iterations must be in [1, 100]")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm must be in [0, 10^6]")
+    require(tolerancePpb >= 0, "tolerancePpb must be >= 0")
+
     val nodes = eDeg.select(col("src").as("node"))
       .union(eDeg.select(col("dst").as("node")))
       .distinct()
@@ -231,6 +292,16 @@ object Graphs {
     var performed = 0
     var lastDelta = -1L
     var converged = false
+    // Lineage is cut every SECOND superstep, not every one: each eager
+    // localCheckpoint is its own Spark job, and at benchmark scale the
+    // per-job floor (scheduling + AQE stage planning + the materialization
+    // itself), not data, dominates a superstep. One job materializing two
+    // chained supersteps halves that floor while the logical plan stays
+    // bounded at two join+agg levels (the growth that motivated per-step
+    // cuts — "step 5 was 3× step 1" — was unbounded persist-only lineage).
+    // Convergence-checked runs (tolerancePpb > 0) keep per-step cuts: the
+    // delta join needs BOTH sides materialized every step anyway.
+    val checkpointInterval = if (tolerancePpb > 0) 1 else 2
     while (performed < iterations && !converged) {
       // superseded two steps back: the new checkpoint is materialized
       // (localCheckpoint is eager), `prev` stays for the delta check —
@@ -242,14 +313,16 @@ object Graphs {
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div deg")).as("inc"))
-      ranks = base
+      val next = base
         .join(contrib, Seq("node"), "left")
         .select(col("node"), (
           expr(s"((${1000000L - dampingPpm}L * tele) div 1000000L)") +
           expr(s"(${dampingPpm}L * coalesce(inc, 0L)) div 1000000L")).as("rank"))
-        .localCheckpoint()
-      if (stale != null) stale.unpersist()
       performed += 1
+      val cut = performed % checkpointInterval == 0 || performed == iterations
+      ranks = if (cut) next.localCheckpoint() else next
+      // an uncut `stale` is a plain plan — unpersist is a harmless no-op
+      if (stale != null) stale.unpersist()
       // convergence-driven early stop: same bounded join as the opt-in
       // telemetry, run per step only when a tolerance is set
       if (tolerancePpb > 0) {

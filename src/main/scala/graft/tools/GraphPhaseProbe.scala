@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Phase-level timing for the pagerank gate: edge parquet read,
+  * prepareGraph, and each power-iteration superstep, so gate wall time
+  * decomposes instead of being guessed at.
+  */
+object GraphPhaseProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[phase] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+    graft.SparkEntry.prepare(spark, sfDir)
+    // warm pass
+    graft.SparkEntry.queries("q_pagerank")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    graft.SparkEntry.clearSharedRelations()
+    spark.catalog.clearCache()
+
+    val edges = timed("edges (orders join lineitem)") {
+      val df = spark.sql(
+        """SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""")
+      df.write.mode("overwrite").parquet("/tmp/graph_probe_edges")
+      spark.read.parquet("/tmp/graph_probe_edges")
+    }
+    val g = timed("prepareGraph") {
+      graft.operators.Graphs.prepareGraph(edges, "src", "dst", undirected = true)
+    }
+    println(s"[phase] eDeg rows = ${g.eDeg.count()}")
+    timed("nodes distinct") {
+      g.eDeg.select(col("src")).distinct().count(): Unit
+    }
+    for (iters <- Seq(1, 2, 3, 4, 5)) {
+      timed(s"pageRank iters=$iters") {
+        graft.operators.Graphs.pageRank(g, iters, 850000L, false, 0L)
+          .orderBy(col("rank_ppb").desc, col("node")).limit(25)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}

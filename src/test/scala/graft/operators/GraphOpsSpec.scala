@@ -185,6 +185,36 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tol.find(t => t._1 == 1L && t._2 == 4000L).get._3 == 20.0)
   }
 
+  test("prepared graph: pagerank/ppr/degree-distribution equal the raw-edge paths") {
+    val s = spark
+    import s.implicits._
+    // asymmetric graph with a multi-edge and a dangling node (4)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    for (und <- Seq(false, true)) {
+      val g = Graphs.prepareGraph(edges, "src", "dst", undirected = und)
+      val prRaw = Graphs.pageRank(edges, "src", "dst", 4, undirected = und)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val prPrep = Graphs.pageRank(g, 4, dampingPpm = 850000L,
+          trackConvergence = false, tolerancePpb = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(prPrep == prRaw, s"pagerank undirected=$und")
+      val seeds = Seq(1L, 4L).toDF("node")
+      val pprRaw = Graphs.personalizedPageRank(edges, "src", "dst", seeds,
+          "node", 3, undirected = und)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val pprPrep = Graphs.personalizedPageRank(g, seeds, "node", 3,
+          dampingPpm = 850000L, trackConvergence = false, tolerancePpb = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pprPrep == pprRaw, s"ppr undirected=$und")
+      val ddRaw = Graphs.degreeDistribution(edges, "src", "dst", undirected = und)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val ddPrep = Graphs.degreeDistribution(g)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(ddPrep == ddRaw, s"degree distribution undirected=$und")
+    }
+  }
+
   test("degree distribution: histogram exact, undirected doubles endpoints, multi-edges collapse") {
     val s = spark
     import s.implicits._
