@@ -597,12 +597,14 @@ object Dedup {
       // checkpoint dir and swap for checkpoint() if that matters. The
       // checkpointed RDDs are reclaimed by the ContextCleaner once
       // unreferenced.)
-      // the changed-row count rides the SAME job that materializes the
-      // round's cache (observe + count): a separate `where(changed)
-      // .isEmpty` probe was a second action per round, and on the
-      // CONVERGED round (no changed rows anywhere) isEmpty's escalating
-      // partition scans walked the whole relation once more
-      val obs = org.apache.spark.sql.Observation()
+      // convergence probe stays a SEPARATE cheap action (isEmpty over the
+      // changed rows): on non-converged rounds it short-circuits after the
+      // first changed row and the NEXT round's propagation job finishes
+      // materializing the cache while doing its own work — one pipelined
+      // pass. An observe()+count() variant (metric riding the
+      // materialization) measured 19% SLOWER on q_keep_best at sf1cd: the
+      // unconditional count() is a full extra pass over the cached
+      // relation every round.
       val next = (if (!shortcut) propd else {
         val p = propd.localCheckpoint()
         p.join(
@@ -611,12 +613,8 @@ object Dedup {
           .select(col("id"),
             coalesce(col("__jump"), col("label")).as("label"),
             (col("changed") || coalesce(col("__jump"), col("label")) < col("label")).as("changed"))
-      }).observe(obs, sum(when(col("changed"), 1L).otherwise(0L)).as("nchanged"))
-        .persist(lvl)
-      next.count(): Unit // materialize the cache; fires the observation
-      // sum over zero rows is null: an empty labels relation is converged
-      converged = obs.get.get("nchanged").flatMap(Option(_))
-        .forall(_.asInstanceOf[Long] == 0L)
+      }).persist(lvl)
+      converged = next.where(col("changed")).isEmpty
       // unpersist the handle that was persisted (a projection of it would
       // not match the cache entry and the old round's data would leak)
       cached.unpersist()
