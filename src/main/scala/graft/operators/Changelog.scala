@@ -62,7 +62,7 @@ object Changelog {
                    seqCols: Seq[String], isDelete: Column): DataFrame = {
     require(base.columns.sorted.sameElements(changes.columns.sorted),
       s"base/changes schemas differ: ${base.columns.mkString(",")} vs ${changes.columns.mkString(",")}")
-    compactLatest(base.select(changes.columns.map(col): _*).union(changes),
+    compactLatest(base.select(changes.columns.toIndexedSeq.map(col): _*).union(changes),
       keyCols, seqCols, isDelete)
   }
 }

@@ -50,7 +50,7 @@ object Ids {
         d.withColumnRenamed(c, s"__nk_$c"))
       val cond = orderCols.map(c => col(c) <=> col(s"__nk_$c")).reduce(_ && _)
       return df.join(renamed, cond)
-        .select(df.columns.map(col) :+ col(idCol): _*)
+        .select(df.columns.toIndexedSeq.map(col) :+ col(idCol): _*)
     }
     val p = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions

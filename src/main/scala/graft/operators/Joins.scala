@@ -202,7 +202,7 @@ object Joins {
     // Deterministic per-row salt: content hash of every left column. Safe
     // under task retry and partitioning changes (unlike rand()).
     val saltedLeft = leftHot.withColumn(
-      "__salt", pmod(xxhash64(leftHot.columns.map(col) :+ lit(0x5a17ed): _*),
+      "__salt", pmod(xxhash64(leftHot.columns.toIndexedSeq.map(col) :+ lit(0x5a17ed): _*),
         lit(saltFactor.toLong)))
     val saltedRight = rightHot.withColumn(
       "__salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))

@@ -86,7 +86,7 @@ object AnnIndex {
     val probed = qCells.select(col("cid").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     val cells = spark.read.parquet(s"$dir/cells")
-      .where(col("cid").isin(probed: _*))
+      .where(col("cid").isin(probed.toIndexedSeq: _*))
       .withColumn("cid", col("cid").cast("long"))
     val cands = cells
       .join(broadcast(qCells.withColumn("cid", col("cid").cast("long"))), "cid")

@@ -39,7 +39,7 @@ object JsonlIngest {
         from_json(col("value"), withCorrupt, Map(
           "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("__r"))
-      .select(col("__raw") +: withCorrupt.fieldNames.map(f => col(s"__r.$f")): _*)
+      .select(col("__raw") +: withCorrupt.fieldNames.toIndexedSeq.map(f => col(s"__r.$f")): _*)
   }
 
   /** (good rows without the quarantine column, quarantined raw lines).
@@ -74,7 +74,7 @@ object JsonlIngest {
           "mode" -> "PERMISSIVE",
           "sep" -> delimiter,
           "columnNameOfCorruptRecord" -> CorruptCol)).as("__r"))
-      .select(col("__raw") +: withCorrupt.fieldNames.map(f => col(s"__r.$f")): _*)
+      .select(col("__raw") +: withCorrupt.fieldNames.toIndexedSeq.map(f => col(s"__r.$f")): _*)
   }
 
   def ingestCsv(spark: SparkSession, path: String, schema: StructType,

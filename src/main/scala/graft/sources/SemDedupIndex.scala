@@ -84,7 +84,7 @@ object SemDedupIndex {
     // partition-column types are inferred on read (small cids come back
     // as INT) — cast restores the long cid the drop join keys on
     val archive = spark.read.parquet(s"$dir/members")
-      .where(col("cid").isin(touched: _*))
+      .where(col("cid").isin(touched.toIndexedSeq: _*))
       .select(col("id").as(idCol), col("vec").as(vecCol),
         col("cid").cast("long").as("cid"))
     val assignedAll = archive.withColumn("__new", lit(false))
