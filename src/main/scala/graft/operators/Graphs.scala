@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   * reliable checkpoint() in fault-tolerant production runs) and each of
   * the `iterations` supersteps joins it against the 16 B/node rank
   * table, which is the only thing that reshuffles per step. Supersteps
-  * are materialized with their lineage cut: persist() alone leaves the
-  * logical plan growing one join+agg level per iteration, so
-  * analyzer/optimizer/AQE driver time grows with the iteration count
-  * (measured: step 5 was 3× step 1) — GraphX checkpoints supersteps for
-  * the same reason. Dangling mass (nodes with no out-edges) is dropped,
+  * are materialized with their lineage cut every SECOND iteration:
+  * persist() alone leaves the logical plan growing one join+agg level
+  * per iteration, so analyzer/optimizer/AQE driver time grows with the
+  * iteration count (measured: step 5 was 3× step 1) — GraphX
+  * checkpoints supersteps for the same reason — while cutting EVERY
+  * step pays a per-job floor that dominates at bench scale (interval 2:
+  * −23%/−40% pagerank/ppr at sf1cd; the 8 GB sf10cd stress probe still
+  * completes by spilling — SCALE.md round-12 session-4). Dangling mass
+  * (nodes with no out-edges) is dropped,
   * the classic simplification; feed an undirected graph
   * (`undirected = true` emits each edge both ways) when mass
   * conservation matters.
