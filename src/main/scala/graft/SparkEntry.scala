@@ -98,7 +98,7 @@ object SparkEntry {
     * a real pipeline derives the link graph once and runs every graph
     * analysis against the materialized edge table.
     */
-  private def sharedPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     synchronized {
       purchaseEdgesCache.getOrElseUpdate((s, dir), {
         val path = new java.io.File(sharedRelDir,
@@ -158,6 +158,9 @@ object SparkEntry {
   def clearSharedRelations(): Unit = synchronized {
     jaccardPairsCache.clear()
     purchaseEdgesCache.clear()
+    // prepared graphs hold checkpointed RDD blocks, not parquet files —
+    // release them eagerly (ContextCleaner would wait for a driver GC)
+    preparedGraphCache.values.foreach(_.unpersist())
     preparedGraphCache.clear()
     bpeMergesCache.clear()
     deleteRecursively(sharedRelDir)

@@ -189,10 +189,39 @@ object Graphs {
     * same link graph should not pay (the distinct+degree pass is the one
     * data-sized job in the whole family).
     *
-    * `eDeg` schema: (src BIGINT, dst BIGINT, deg BIGINT).
+    * `eDeg` schema: (src BIGINT, dst BIGINT, deg BIGINT); `nodes` is the
+    * checkpointed node set (src ∪ dst — sinks included), so per-analysis
+    * teleport bases start from a materialized node-sized relation instead
+    * of re-running the edge-sized distinct. `undirected` is provenance
+    * metadata (how eDeg was derived), not consulted by the analyses —
+    * callers gating on mass-conservation assumptions can check it.
     */
   final case class PreparedGraph private[operators] (eDeg: DataFrame,
-      undirected: Boolean)
+      nodes: DataFrame, undirected: Boolean) {
+
+    /** Release the checkpointed blocks NOW (the ContextCleaner would
+      * otherwise wait for a driver GC to notice the RDDs are
+      * unreferenced — a long-lived session rebuilding graphs can
+      * accumulate edge-table copies in spark.local.dir meanwhile). The
+      * PreparedGraph is unusable afterwards: local checkpoints have no
+      * lineage to recompute from.
+      */
+    def unpersist(): Unit =
+      Seq(eDeg, nodes).foreach(Graphs.unpersistCheckpointed)
+  }
+
+  /** Drop a checkpointed frame's RDD blocks — Dataset.unpersist only
+    * consults the CacheManager (persist()/cache() entries), so it is a
+    * no-op for localCheckpoint's RDD-level persistence. Root-only match:
+    * a derived plan CONTAINS its base's LogicalRDD, and unpersisting that
+    * would free blocks still in use.
+    */
+  private[operators] def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false): Unit
+      case _ => ()
+    }
 
   /** Build a [[PreparedGraph]]: collapse multi-edges to the simple graph
     * (PageRank and the degree histogram are defined on it; the oracles
@@ -225,7 +254,14 @@ object Graphs {
     val degrees = dedup.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
     val eDeg = dedup.join(degrees, Seq("src"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    PreparedGraph(eDeg, undirected)
+    // node set checkpointed too (16 B/node): every analysis's teleport
+    // base starts here, and without the cut each pageRank/ppr call would
+    // re-run this edge-sized distinct — paid once per graph instead
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    PreparedGraph(eDeg, nodes, undirected)
   }
 
   /** [[pageRank]] over a [[PreparedGraph]] — skips the per-call
@@ -233,14 +269,14 @@ object Graphs {
     */
   def pageRank(g: PreparedGraph, iterations: Int, dampingPpm: Long,
       trackConvergence: Boolean, tolerancePpb: Long): DataFrame =
-    runPrepared(g.eDeg, iterations, dampingPpm, None, trackConvergence,
+    runPrepared(g, iterations, dampingPpm, None, trackConvergence,
       tolerancePpb)
 
   /** [[personalizedPageRank]] over a [[PreparedGraph]]. */
   def personalizedPageRank(g: PreparedGraph, seeds: DataFrame,
       seedCol: String, iterations: Int, dampingPpm: Long,
       trackConvergence: Boolean, tolerancePpb: Long): DataFrame =
-    runPrepared(g.eDeg, iterations, dampingPpm,
+    runPrepared(g, iterations, dampingPpm,
       Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
       trackConvergence, tolerancePpb)
 
@@ -248,10 +284,10 @@ object Graphs {
       iterations: Int, dampingPpm: Long, undirected: Boolean,
       seedsOpt: Option[DataFrame], trackConvergence: Boolean = false,
       tolerancePpb: Long = 0L): DataFrame =
-    runPrepared(prepareGraph(edges, srcCol, dstCol, undirected).eDeg,
+    runPrepared(prepareGraph(edges, srcCol, dstCol, undirected),
       iterations, dampingPpm, seedsOpt, trackConvergence, tolerancePpb)
 
-  private def runPrepared(eDeg: DataFrame,
+  private def runPrepared(g: PreparedGraph,
       iterations: Int, dampingPpm: Long,
       seedsOpt: Option[DataFrame], trackConvergence: Boolean,
       tolerancePpb: Long): DataFrame = {
@@ -259,9 +295,8 @@ object Graphs {
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm must be in [0, 10^6]")
     require(tolerancePpb >= 0, "tolerancePpb must be >= 0")
 
-    val nodes = eDeg.select(col("src").as("node"))
-      .union(eDeg.select(col("dst").as("node")))
-      .distinct()
+    val eDeg = g.eDeg
+    val nodes = g.nodes
 
     // per-node teleport share in ppb; the denominator is a single-row
     // broadcast (no collect — the count stays inside the plan)
@@ -307,10 +342,12 @@ object Graphs {
     // delta join needs BOTH sides materialized every step anyway.
     val checkpointInterval = if (tolerancePpb > 0) 1 else 2
     while (performed < iterations && !converged) {
-      // superseded two steps back: the new checkpoint is materialized
-      // (localCheckpoint is eager), `prev` stays for the delta check —
-      // without the unpersist, executor storage pins one 16 B/node table
-      // PER iteration (100 tables at iterations=100)
+      // the rank table superseded two steps back is released NOW
+      // (unpersistCheckpointed — a root-only RDD-block drop; uncut stales
+      // are plain plans and no-op): without it, executor storage pins one
+      // 16 B/node table per CUT until a driver GC lets the ContextCleaner
+      // catch up (≥50 tables at iterations=100). `prev` stays for the
+      // delta check.
       val stale = prev
       prev = ranks
       val contrib = eDeg
@@ -323,10 +360,14 @@ object Graphs {
           expr(s"((${1000000L - dampingPpm}L * tele) div 1000000L)") +
           expr(s"(${dampingPpm}L * coalesce(inc, 0L)) div 1000000L")).as("rank"))
       performed += 1
-      val cut = performed % checkpointInterval == 0 || performed == iterations
+      // the penultimate step is also cut when convergence TELEMETRY is on
+      // without a tolerance: the final l1Delta joins ranks against prev,
+      // and an uncut prev would silently recompute a whole superstep
+      // inside the telemetry join
+      val cut = performed % checkpointInterval == 0 || performed == iterations ||
+        (trackConvergence && tolerancePpb == 0 && performed == iterations - 1)
       ranks = if (cut) next.localCheckpoint() else next
-      // an uncut `stale` is a plain plan — unpersist is a harmless no-op
-      if (stale != null) stale.unpersist()
+      if (stale != null) unpersistCheckpointed(stale)
       // convergence-driven early stop: same bounded join as the opt-in
       // telemetry, run per step only when a tolerance is set
       if (tolerancePpb > 0) {
@@ -343,7 +384,10 @@ object Graphs {
       statsRegistry.addLast(PageRankStats(performed, n, d))
       while (statsRegistry.size() > StatsRegistryCap) statsRegistry.pollFirst()
     }
-    if (prev != null) prev.unpersist()
+    if (prev != null) unpersistCheckpointed(prev)
+    // the returned frame roots at the final rank checkpoint; the per-call
+    // teleport base is no longer reachable from it
+    unpersistCheckpointed(base)
     ranks.select(col("node"), col("rank").as("rank_ppb"))
   }
 }

@@ -21,8 +21,10 @@ object GateProbe {
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val gates = args.toSeq.filter(graft.SparkEntry.queries.contains)
-    require(gates.nonEmpty, s"no known gates among: ${args.mkString(",")}")
+    val unknown = args.toSeq.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown gate(s): ${unknown.mkString(", ")}")
+    val gates = args.toSeq
+    require(gates.nonEmpty, "usage: GateProbe <gate> [gate...]")
     // one warm pass (discarded) so JIT/codegen/footers don't skew pass 1
     graft.SparkEntry.clearSharedRelations()
     gates.foreach { g =>
@@ -36,16 +38,21 @@ object GateProbe {
       graft.SparkEntry.clearSharedRelations()
       gates.foreach { g =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(g)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        times(g) = dt :: times(g)
-        spark.catalog.clearCache()
+        // a failing gate records no timing but must not abort the probe —
+        // the already-collected measurements are the point
+        try {
+          graft.SparkEntry.queries(g)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          times(g) = ((System.nanoTime() - t0) / 1e9) :: times(g)
+        } catch { case e: Throwable =>
+          System.err.println(s"[probe] $g FAILED: ${e.getMessage}")
+        } finally spark.catalog.clearCache()
       }
     }
     gates.foreach { g =>
       val ts = times(g)
-      println(f"[probe] $g%-24s min=${ts.min}%.3f avg=${ts.sum / ts.size}%.3f passes=${ts.size}")
+      if (ts.isEmpty) println(f"[probe] $g%-24s FAILED every pass")
+      else println(f"[probe] $g%-24s min=${ts.min}%.3f avg=${ts.sum / ts.size}%.3f passes=${ts.size}")
     }
     spark.stop()
   }

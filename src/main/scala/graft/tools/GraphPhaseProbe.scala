@@ -34,12 +34,10 @@ object GraphPhaseProbe {
     graft.SparkEntry.clearSharedRelations()
     spark.catalog.clearCache()
 
+    // the gate's own shared edge relation — duplicating its derivation SQL
+    // here would let the probe silently measure a different graph
     val edges = timed("edges (orders join lineitem)") {
-      val df = spark.sql(
-        """SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
-           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""")
-      df.write.mode("overwrite").parquet("/tmp/graph_probe_edges")
-      spark.read.parquet("/tmp/graph_probe_edges")
+      graft.SparkEntry.sharedPurchaseEdges(spark, sfDir)
     }
     val g = timed("prepareGraph") {
       graft.operators.Graphs.prepareGraph(edges, "src", "dst", undirected = true)
