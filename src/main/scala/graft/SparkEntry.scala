@@ -154,7 +154,17 @@ object SparkEntry {
       })
     }
 
-  /** Drop every shared gate checkpoint (see [[sharedJaccardPairs]]). */
+  /** Drop every shared gate checkpoint (see [[sharedJaccardPairs]]).
+    *
+    * HAZARD — results still held across a clear: gates whose returned
+    * frame is a LIVE plan over a shared relation (e.g. `q_graph_stats`
+    * aggregates the cached PreparedGraph's `eDeg` directly, unlike
+    * `q_pagerank`/`q_ppr` whose results root at their own final rank
+    * checkpoint) become unexecutable after the clear — local checkpoints
+    * have no lineage to recompute from, and the parquet-backed shared
+    * relations are deleted from disk. Execute (collect/write) every held
+    * gate result BEFORE clearing; Bench/Verify and the probes all do.
+    */
   def clearSharedRelations(): Unit = synchronized {
     jaccardPairsCache.clear()
     purchaseEdgesCache.clear()

@@ -188,13 +188,24 @@ object Embeddings {
     * (see [[hammingRunStatsSnapshot]]); `saturated` after an action means
     * the top-k consumed the whole prescreen budget — raise `candidates`.
     *
+    * `candidates <= 0` derives a CORPUS-SCALED budget, max(4k, n/1000):
+    * a fixed budget decays toward zero recall as the corpus grows (the
+    * prescreen keeps a constant slice of an ever-larger ranking —
+    * measured 0.50/0.30/0.20 at budget 20 across sf0.01/sf0.1/sf1cd and
+    * 0.04 at sf10cd, SCALE.md round-12), so the default must grow with n
+    * or every caller inherits the trap the `q_recall_floor_hamming` gate
+    * escaped. Deriving n costs one `count()` over the embeddings relation
+    * (metadata-cheap on parquet scans, one pass otherwise) — callers that
+    * already know n, or want a fixed budget, pass `candidates` explicitly.
+    *
     * Ids must be integral (they ride the heap as BIGINT payloads).
     */
   def hammingTopK(embeddings: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
       k: Int, candidates: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = if (candidates <= 0) 4 * k else candidates
+    val c = if (candidates <= 0) derivedHammingBudget(k, embeddings.count())
+            else candidates
     require(c >= k, s"candidates ($c) must be >= k ($k)")
     val idType = embeddings.schema(idCol).dataType
     val stats = newHammingRunStats(embeddings.sparkSession)
@@ -236,6 +247,15 @@ object Embeddings {
       .select(col(queryIdCol).as("query_id"), col("rank"),
         col(idCol).as("neighbor_id"), col("sim"), col("hamming"))
   }
+
+  /** The default [[hammingTopK]] prescreen budget for a corpus of `n`
+    * vectors: max(4k, n/1000) — the same rule `q_recall_floor_hamming`
+    * replays in its oracle. Clamped into Int (a > 2·10^12-row corpus
+    * saturates at Int.MaxValue, where the prescreen is no longer the
+    * memory-bound path anyway).
+    */
+  private[graft] def derivedHammingBudget(k: Int, n: Long): Int =
+    math.max(4L * k, n / 1000L).min(Int.MaxValue).toInt
 
   /** Shared per-query ranking stage for the ANN paths: reduce a
     * `(queryIdCol, idCol, sim)` candidate relation to each query's top-k

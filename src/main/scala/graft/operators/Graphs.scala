@@ -283,9 +283,18 @@ object Graphs {
   private def runPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPpm: Long, undirected: Boolean,
       seedsOpt: Option[DataFrame], trackConvergence: Boolean = false,
-      tolerancePpb: Long = 0L): DataFrame =
-    runPrepared(prepareGraph(edges, srcCol, dstCol, undirected),
-      iterations, dampingPpm, seedsOpt, trackConvergence, tolerancePpb)
+      tolerancePpb: Long = 0L): DataFrame = {
+    // the per-call PreparedGraph is released eagerly once the run returns:
+    // the result roots at its own final rank checkpoint, so the graph's
+    // eDeg/nodes blocks are unreachable from it, and without the release a
+    // long-lived session calling the raw-edge overloads repeatedly would
+    // accumulate edge-table copies in spark.local.dir until a driver GC
+    // lets the ContextCleaner notice
+    val g = prepareGraph(edges, srcCol, dstCol, undirected)
+    try runPrepared(g, iterations, dampingPpm, seedsOpt, trackConvergence,
+      tolerancePpb)
+    finally g.unpersist()
+  }
 
   private def runPrepared(g: PreparedGraph,
       iterations: Int, dampingPpm: Long,

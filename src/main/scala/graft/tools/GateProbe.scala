@@ -2,6 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+import scala.util.control.NonFatal
+
 /** Ad-hoc per-gate timing probe: runs the named gates (args) against
   * SPARK_GRAFT_SF_DIR with Bench's noop-sink discipline, min-of-N
   * (SPARK_GRAFT_PROBE_PASSES, default 3), clearing shared relations
@@ -30,7 +32,9 @@ object GateProbe {
     gates.foreach { g =>
       try graft.SparkEntry.queries(g)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[probe] warm $g: $e") }
+      // NonFatal only: after an OutOfMemoryError or other fatal JVM error
+      // every later timing would run in a corrupted JVM — let those abort
+      catch { case NonFatal(e) => System.err.println(s"[probe] warm $g: $e") }
       spark.catalog.clearCache()
     }
     val times = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
@@ -44,7 +48,7 @@ object GateProbe {
           graft.SparkEntry.queries(g)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           times(g) = ((System.nanoTime() - t0) / 1e9) :: times(g)
-        } catch { case e: Throwable =>
+        } catch { case NonFatal(e) =>
           System.err.println(s"[probe] $g FAILED: ${e.getMessage}")
         } finally spark.catalog.clearCache()
       }

@@ -2370,6 +2370,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hamming top-k: default candidate budget is corpus-scaled, max(4k, n/1000)") {
+    // the derivation rule itself, pinned at two corpus sizes each side of
+    // the crossover: small corpora keep the 4k floor, large corpora scale
+    // with n (a fixed default decays to zero recall as n grows — SCALE.md
+    // round-12 measured 0.04 at sf10cd under fixed 20)
+    assert(Embeddings.derivedHammingBudget(k = 5, n = 2000L) == 20)    // floor: 4k > n/1000
+    assert(Embeddings.derivedHammingBudget(k = 5, n = 200000L) == 200) // scaled: n/1000
+    assert(Embeddings.derivedHammingBudget(k = 10, n = 39999L) == 40)  // floor edge
+    assert(Embeddings.derivedHammingBudget(k = 10, n = 41000L) == 41)  // just past it
+    // and the operator actually uses it: candidates = 0 on a 10-vector
+    // corpus derives 4k = 8 >= corpus, so the default must reproduce
+    // brute force exactly (same shape as the full-budget assertion above)
+    val sps = spark; import sps.implicits._
+    val vecs = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1.0) + (if ((i + j) % 3 == 0) 0.5 else -0.25)))
+    }.toDF("vec_id", "vec")
+    val queries = vecs.where($"vec_id" < 2).select($"vec_id".as("qid"), $"vec".as("qvec"))
+    val dflt = Embeddings.hammingTopK(vecs, "vec", "vec_id", queries, "qvec", "qid", k = 2)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val brute = Embeddings.bruteForceTopK(vecs, "vec", "vec_id", queries, "qvec", "qid", 2)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(dflt == brute)
+  }
+
   test("mmr rerank: diversity beats redundancy, lambda=1 is relevance order, cap guards") {
     val sps = spark; import sps.implicits._
     // query along +x; a and b nearly identical high-relevance, c orthogonal-ish
