@@ -18,6 +18,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional streaming state-store backend override (hdfs | rocksdb):
+    // flips every q_stream_* gate's provider via the session knob
+    // FileStreams.runAvailableNow resolves — used to hold the streaming
+    // oracles green under RocksDB as well as the default provider
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .foreach(spark.conf.set("graft.streaming.stateStore", _))
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -197,14 +197,17 @@ object Graphs {
     * callers gating on mass-conservation assumptions can check it.
     */
   final case class PreparedGraph private[operators] (eDeg: DataFrame,
-      nodes: DataFrame, undirected: Boolean) {
+      nodes: DataFrame, undirected: Boolean, reliable: Boolean = false) {
 
     /** Release the checkpointed blocks NOW (the ContextCleaner would
       * otherwise wait for a driver GC to notice the RDDs are
       * unreferenced — a long-lived session rebuilding graphs can
-      * accumulate edge-table copies in spark.local.dir meanwhile). The
-      * PreparedGraph is unusable afterwards: local checkpoints have no
-      * lineage to recompute from.
+      * accumulate edge-table copies in spark.local.dir meanwhile). For a
+      * `reliable` graph this deletes the checkpoint FILES instead (the
+      * cleaner never touches them unless
+      * `spark.cleaner.referenceTracking.cleanCheckpoints` is on). The
+      * PreparedGraph is unusable afterwards: checkpoints have no lineage
+      * to recompute from.
       */
     def unpersist(): Unit =
       Seq(eDeg, nodes).foreach(Graphs.unpersistCheckpointed)
@@ -214,14 +217,32 @@ object Graphs {
     * consults the CacheManager (persist()/cache() entries), so it is a
     * no-op for localCheckpoint's RDD-level persistence. Root-only match:
     * a derived plan CONTAINS its base's LogicalRDD, and unpersisting that
-    * would free blocks still in use.
+    * would free blocks still in use. Reliably-checkpointed frames hold
+    * files, not blocks — those are deleted (the superstep loop would
+    * otherwise leave one stale rank-table directory per cut under the
+    * checkpoint dir until application end).
     */
   private[operators] def unpersistCheckpointed(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false): Unit
+        lr.rdd.unpersist(false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true): Unit
+        }
       case _ => ()
     }
+
+  /** Cut lineage: reliable `checkpoint()` (files under the context's
+    * checkpoint dir — survives executor loss) when `reliable`, else
+    * `localCheckpoint` at `level` (executor-local blocks — cheapest, but
+    * one lost executor invalidates the frame mid-loop).
+    */
+  private def cutLineage(df: DataFrame, reliable: Boolean,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint(true, level)
 
   /** Build a [[PreparedGraph]]: collapse multi-edges to the simple graph
     * (PageRank and the degree histogram are defined on it; the oracles
@@ -241,27 +262,44 @@ object Graphs {
     * below the protected floor. Disk-backed edge blocks cost one re-read
     * per superstep join and free the whole unified pool for the
     * aggregation (measured: 8 GB/32-thread sf10cd run fails before,
-    * passes after; SCALE.md round-12). Swap localCheckpoint for reliable
-    * checkpoint() under executor-loss-prone dynamic allocation.
+    * passes after; SCALE.md round-12).
+    *
+    * `checkpointDir` switches the graph — and every superstep lineage cut
+    * the analyses make over it — to RELIABLE checkpointing
+    * (`sparkContext.setCheckpointDir` + `Dataset.checkpoint()`): blocks
+    * become files under the dir, so a lost executor costs a file re-read
+    * instead of invalidating the adjacency mid-iteration. Use it on real
+    * clusters under executor-loss-prone dynamic allocation; local/static
+    * deployments keep the cheaper executor-local blocks (None). Same
+    * memory shape as DISK_ONLY — nothing sits in the storage pool the
+    * superstep aggregations need (the round-12 8 GB lesson), re-verified
+    * under the constrained probe (SCALE.md round-13). The caller owns the
+    * directory's lifecycle: stale superstep cuts are deleted eagerly as
+    * the loop advances and [[PreparedGraph.unpersist]] deletes the graph's
+    * own files, but the dir itself (and the files of any result frame
+    * still held) remains until the caller removes it.
     */
   def prepareGraph(edges: DataFrame, srcCol: String, dstCol: String,
-      undirected: Boolean = false): PreparedGraph = {
+      undirected: Boolean = false,
+      checkpointDir: Option[String] = None): PreparedGraph = {
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val directed = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e0 = if (undirected) directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
              else directed
     val dedup = e0.distinct()
     val degrees = dedup.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
-    val eDeg = dedup.join(degrees, Seq("src"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val eDeg = cutLineage(dedup.join(degrees, Seq("src")), reliable,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // node set checkpointed too (16 B/node): every analysis's teleport
     // base starts here, and without the cut each pageRank/ppr call would
     // re-run this edge-sized distinct — paid once per graph instead
-    val nodes = eDeg.select(col("src").as("node"))
-      .union(eDeg.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
-    PreparedGraph(eDeg, nodes, undirected)
+    val nodes = cutLineage(
+      eDeg.select(col("src").as("node"))
+        .union(eDeg.select(col("dst").as("node")))
+        .distinct(), reliable)
+    PreparedGraph(eDeg, nodes, undirected, reliable)
   }
 
   /** [[pageRank]] over a [[PreparedGraph]] — skips the per-call
@@ -309,7 +347,7 @@ object Graphs {
 
     // per-node teleport share in ppb; the denominator is a single-row
     // broadcast (no collect — the count stays inside the plan)
-    val base = (seedsOpt match {
+    val base = cutLineage(seedsOpt match {
       case None =>
         val nRow = nodes.agg(count(lit(1)).as("n"))
         nodes.crossJoin(broadcast(nRow))
@@ -323,7 +361,7 @@ object Graphs {
           .select(col("node"),
             when(col("__isSeed").isNotNull, expr("1000000000L div ns"))
               .otherwise(lit(0L)).as("tele"))
-    }).localCheckpoint()
+    }, g.reliable)
 
     // Σ|rank − prev| over the two materialized 16 B/node tables — one
     // cheap node-keyed join; an empty graph aggregates zero rows, so the
@@ -335,7 +373,8 @@ object Graphs {
       (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
     }
 
-    var ranks = base.select(col("node"), col("tele").as("rank")).localCheckpoint()
+    var ranks = cutLineage(
+      base.select(col("node"), col("tele").as("rank")), g.reliable)
     var prev: DataFrame = null
     var performed = 0
     var lastDelta = -1L
@@ -375,7 +414,7 @@ object Graphs {
       // inside the telemetry join
       val cut = performed % checkpointInterval == 0 || performed == iterations ||
         (trackConvergence && tolerancePpb == 0 && performed == iterations - 1)
-      ranks = if (cut) next.localCheckpoint() else next
+      ranks = if (cut) cutLineage(next, g.reliable) else next
       if (stale != null) unpersistCheckpointed(stale)
       // convergence-driven early stop: same bounded join as the opt-in
       // telemetry, run per step only when a tolerance is set

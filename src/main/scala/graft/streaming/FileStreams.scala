@@ -129,8 +129,38 @@ object FileStreams {
       mode: OutputMode = OutputMode.Append,
       sinkDir: Option[Path] = None,
       checkpointDir: Option[Path] = None,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      stateStore: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
+    // State-store BACKEND: the default HDFS-backed provider holds every
+    // partition's full state map ON-HEAP (disk is only the commit log), so
+    // executor heap must scale with the key universe — fine for the
+    // watermark-bounded gates here, wrong for the 100 TB streaming shape
+    // (dedup/session key universes >> heap). "rocksdb" switches the query
+    // to RocksDBStateStoreProvider: state lives off-heap/on-disk per
+    // partition with a block-cache working set, heap stays O(cache), and
+    // changelog/snapshot files still ride the same checkpoint location.
+    // Like `statePartitions`, the provider is pinned by the FIRST
+    // checkpoint (offset-log metadata) — pass it on the first drain; a
+    // resume under a different provider refuses rather than corrupts.
+    // Resolution: explicit param > session conf `graft.streaming.stateStore`
+    // (lets a pipeline/Verify run flip EVERY streaming query to RocksDB
+    // without threading the knob through each call) > engine default.
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val requested = stateStore.orElse(spark.conf.getOption("graft.streaming.stateStore"))
+    val prevProvider = requested.map { s =>
+      val cls = s.toLowerCase match {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case "hdfs" =>
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        case other => throw new IllegalArgumentException(
+          s"stateStore must be 'hdfs' or 'rocksdb', got '$other'")
+      }
+      val old = spark.conf.getOption(providerConf)
+      spark.conf.set(providerConf, cls)
+      old
+    }
     // State-partition sizing: a stateful streaming query FREEZES its state
     // partition count at the first checkpoint (it rides the offset-log
     // metadata; later conf changes are ignored on resume), and every
@@ -166,8 +196,14 @@ object FileStreams {
         .start()
       started.awaitTermination()
       started
-    } finally prevShuffle.foreach(old =>
-      spark.conf.set("spark.sql.shuffle.partitions", old))
+    } finally {
+      prevShuffle.foreach(old =>
+        spark.conf.set("spark.sql.shuffle.partitions", old))
+      prevProvider.foreach {
+        case Some(old) => spark.conf.set(providerConf, old)
+        case None => spark.conf.unset(providerConf)
+      }
+    }
     // operator-cost meter: the engine's own per-batch triggerExecution
     // clock, summed over this drain (AvailableNow drains stay far under the
     // recentProgress retention cap)

@@ -23,6 +23,10 @@ object GateProbe {
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional streaming state-store backend (hdfs | rocksdb) — same knob
+    // as Verify, for provider A/B timing of the q_stream_* gates
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .foreach(spark.conf.set("graft.streaming.stateStore", _))
     val unknown = args.toSeq.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown gate(s): ${unknown.mkString(", ")}")
     val gates = args.toSeq

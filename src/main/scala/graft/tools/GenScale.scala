@@ -35,11 +35,28 @@ import org.apache.spark.sql.functions._
   *    per-shingle doc frequency stays at the source distribution (the
   *    replica mode shares ~all shingles across replicas, inflating
   *    in-bucket pair emission toward factor^2);
-  *  - embeddings: replicas r>0 get a per-replica hash-seeded sign flip of
-  *    every dimension — an isometry (within-replica similarities exactly
-  *    preserved) that decorrelates replicas, instead of the replica mode's
-  *    1e-4 perturbation which leaves every vector with factor-1 near-exact
-  *    copies and grows the cosine pair/bucket gates ~factor^2.
+  *  - embeddings: replicas r>0 get a per-replica seeded random ROTATION
+  *    (dense orthonormal Q_r, Gram-Schmidt over seeded Gaussians) — an
+  *    isometry (within-replica similarities preserved, so each replica's
+  *    near-dup/ANN structure replicates replica 0's) that decorrelates
+  *    replicas (expected cross-replica cosine ~0 ± 1/sqrt(dim)), instead
+  *    of the replica mode's 1e-4 perturbation which leaves every vector
+  *    with factor-1 near-exact copies and grows the cosine pair/bucket
+  *    gates ~factor^2. Earlier cd fixtures used a per-dimension sign flip
+  *    (also an isometry, and bit-exact) — but diag(+-1) maps every PQ
+  *    subspace onto itself reflected, so the corpus became an ANTIPODAL
+  *    mixture per subspace and a codebook trained on the mixture was
+  *    genuinely worse for single-replica queries (the q_recall_floor_pq
+  *    red at sf10cd, SCALE.md round-12). A dense rotation mixes
+  *    dimensions ACROSS subspaces: each replica's subvector marginals are
+  *    random projections of the (near-isotropic, unit-norm) source cloud,
+  *    so the mixture matches each replica's distribution and training on
+  *    it helps every replica's queries — the distribution-preserving
+  *    decorrelation a real 10x embedding corpus has. The rotation is
+  *    exact in real arithmetic; in float it perturbs within-replica sims
+  *    by ~1e-6 relative (vs the thresholds' 0.3+ scale), which moves no
+  *    gate semantics (every gate is oracle-replayed on the fixture
+  *    itself) and keeps per-replica pair counts scale-linear.
   * Per-replica duplicate/near-duplicate structure is preserved in both
   * modes. This mode exists to measure the constant-density scaling curve
   * of the time-window and shingle operators (SCALE.md).
@@ -47,6 +64,36 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> [factor] [constant-density]
   */
 object GenScale {
+
+  /** Deterministic random rotation: Gram-Schmidt orthonormalization of a
+    * seeded Gaussian matrix. Rows are orthonormal, so y = Q·x preserves
+    * all inner products exactly in real arithmetic. With overwhelming
+    * probability the Gaussian rows are linearly independent; the nudge
+    * below guards the measure-zero degenerate draw without changing the
+    * distribution meaningfully.
+    */
+  private[tools] def rotationMatrix(dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    val m = Array.fill(dim, dim)(rnd.nextGaussian())
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < a.length) { s += a(k) * b(k); k += 1 }
+      s
+    }
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val d = dot(m(i), m(j))
+        var k = 0
+        while (k < dim) { m(i)(k) -= d * m(j)(k); k += 1 }
+      }
+      var n = math.sqrt(dot(m(i), m(i)))
+      if (n < 1e-9) { m(i)(i % dim) += 1.0; n = math.sqrt(dot(m(i), m(i))) }
+      var k = 0
+      while (k < dim) { m(i)(k) /= n; k += 1 }
+    }
+    m
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val dstDir = args(1)
@@ -142,22 +189,35 @@ object GenScale {
     write(docsN, "documents")
 
     val embN = if (constantDensity) {
-      // decorrelated replicas: flip each dimension's sign by a per-replica
-      // hash — a diagonal ±1 isometry, so every WITHIN-replica similarity
-      // is preserved exactly (s_i^2 = 1 in the dot) while the expected
-      // cross-replica cosine of the same source vector drops to ~0±1/√dim.
-      // The replica-mode 1e-4 perturbation keeps replicas ~identical, which
-      // collapses cosine-LSH buckets and makes the pair gates grow
-      // quadratically with the factor — a data-shape effect (measured
-      // 62-92x/decade on the sf10 sweep), not operator scaling; a real 10x
-      // embedding corpus is new directions, which this shape models.
+      // decorrelated replicas: rotate replica r's vectors by a seeded
+      // dense orthonormal Q_r (see the header comment for why a rotation
+      // and not the former sign flip — diag(±1) made the corpus an
+      // antipodal mixture per PQ subspace). Q_r is deterministic in r, so
+      // regeneration is reproducible. Generator-side UDF: a 64x64 matvec
+      // has no builtin Column form, and this code never runs in the
+      // engine's query path.
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val rots = (1 until factor).map(r => r -> rotationMatrix(dim, 0x9e3779b9L * r)).toMap
+      val bRots = spark.sparkContext.broadcast(rots)
+      val rotate = udf { (v: Seq[Float], r: Int) =>
+        val q = bRots.value(r)
+        val d = v.length
+        val out = new Array[Float](d)
+        var i = 0
+        while (i < d) {
+          val row = q(i)
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += row(j) * v(j); j += 1 }
+          out(i) = s.toFloat
+          i += 1
+        }
+        out
+      }
       shifted(emb, "vec_id" -> vStride)
         .withColumn("embedding",
           when(col("__r") === 0, col("embedding"))
-            .otherwise(expr(
-              """transform(embedding, (x, i) ->
-                |  CASE WHEN pmod(xxhash64(__r * 1024 + i), 2) = 0
-                |       THEN x ELSE -x END)""".stripMargin)))
+            .otherwise(rotate(col("embedding"), col("__r").cast("int"))))
     } else {
       shifted(emb, "vec_id" -> vStride)
         .withColumn("embedding",

@@ -39,8 +39,15 @@ object GraphPhaseProbe {
     val edges = timed("edges (orders join lineitem)") {
       graft.SparkEntry.sharedPurchaseEdges(spark, sfDir)
     }
+    // SPARK_GRAFT_RELIABLE_CKDIR switches the family to reliable
+    // checkpointing (files under the dir) — used to re-verify the
+    // DISK_ONLY memory trade under the constrained-heap probe in the
+    // cluster-survivable mode as well
+    val ckDir = sys.env.get("SPARK_GRAFT_RELIABLE_CKDIR")
+    ckDir.foreach(d => println(s"[phase] reliable checkpoints -> $d"))
     val g = timed("prepareGraph") {
-      graft.operators.Graphs.prepareGraph(edges, "src", "dst", undirected = true)
+      graft.operators.Graphs.prepareGraph(edges, "src", "dst",
+        undirected = true, checkpointDir = ckDir)
     }
     println(s"[phase] eDeg rows = ${g.eDeg.count()}")
     timed("nodes distinct") {

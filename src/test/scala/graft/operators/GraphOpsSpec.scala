@@ -61,6 +61,41 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2L) > r(1L)) // 2 receives 1's damped mass on top of base
   }
 
+  test("reliable checkpointDir: pagerank + ppr + unpersist equal the local-checkpoint path") {
+    val s = spark
+    import s.implicits._
+    val edges = (for (i <- 0L until 60L) yield (i, (i * 11 + 5) % 60)).toDF("src", "dst")
+    val seeds = Seq(3L, 7L).toDF("node")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck_")
+    val local = Graphs.prepareGraph(edges, "src", "dst", undirected = true)
+    val rel = Graphs.prepareGraph(edges, "src", "dst", undirected = true,
+      checkpointDir = Some(ckDir.toString))
+    assert(rel.reliable && !local.reliable)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // integer arithmetic end to end, so the two paths must agree EXACTLY —
+    // pagerank (even iterations: interval-2 cuts) and ppr (seeded base)
+    assert(rows(Graphs.pageRank(rel, 4, 850000L, trackConvergence = false, 0L)) ==
+           rows(Graphs.pageRank(local, 4, 850000L, trackConvergence = false, 0L)))
+    assert(rows(Graphs.personalizedPageRank(rel, seeds, "node", 3, 850000L,
+             trackConvergence = false, 0L)) ==
+           rows(Graphs.personalizedPageRank(local, seeds, "node", 3, 850000L,
+             trackConvergence = false, 0L)))
+    // the runs' checkpoint files exist under the caller's dir...
+    def fileCount: Int = {
+      val walk = java.nio.file.Files.walk(ckDir)
+      try walk.filter(java.nio.file.Files.isRegularFile(_)).count().toInt
+      finally walk.close()
+    }
+    assert(fileCount > 0, "reliable mode wrote no checkpoint files")
+    // ...and unpersist() deletes the graph's own files eagerly (result
+    // frames already collected above; their stale cuts were deleted by
+    // the loop as it advanced)
+    rel.unpersist()
+    local.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(ckDir.toFile)
+  }
+
   test("pagerank: partition-count invariant (pure integer arithmetic)") {
     val s = spark
     import s.implicits._

@@ -230,7 +230,15 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"min-watermark eviction drifted: got ${emitted.toSeq.sorted}")
   }
 
-  test("two drains with a checkpoint restart: union of emissions == single drain") {
+  // The three restart specs run under BOTH state-store backends: the
+  // HDFS-backed default and RocksDB (the 100 TB path — state off-heap, see
+  // runAvailableNow). Restart-resume is the behavior most sensitive to a
+  // provider swap (state survives through provider snapshot/changelog
+  // files), and each spec's final union == single-drain assertion compares
+  // the named provider against a DEFAULT-provider single drain — so it is
+  // also a cross-provider equality check.
+  for (provider <- Seq("hdfs", "rocksdb"))
+  test(s"two drains with a checkpoint restart: union of emissions == single drain [$provider]") {
     val batch = batchEvents()
     // production landing shape: batch 1 lands, the query drains and STOPS;
     // batch 2 (later event times) lands after a restart from the same
@@ -246,7 +254,7 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       FileStreams.windowedEventCounts(
         spark.readStream.schema(batch.schema).parquet(landing.toString),
         "ts", "event_type", "1 day", "1 hour"),
-      sinkDir = Some(sink), checkpointDir = Some(ck))
+      sinkDir = Some(sink), checkpointDir = Some(ck), stateStore = Some(provider))
     // drain 1: only the earlier event-time file is staged
     java.nio.file.Files.createSymbolicLink(
       landing.resolve("part_00000.parquet"), parts(0).toPath): Unit
@@ -266,7 +274,8 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"two-drain union != single drain: missing ${single -- union}, extra ${union -- single}")
   }
 
-  test("windowed top-k restart: two drains finalize the same windows as one") {
+  for (provider <- Seq("hdfs", "rocksdb"))
+  test(s"windowed top-k restart: two drains finalize the same windows as one [$provider]") {
     // the chained stateful aggs (count state + rank state) must carry
     // cross-batch: windows whose events SPAN the restart may only close —
     // and emit their top-k exactly once — after the second drain's
@@ -283,7 +292,7 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       FileStreams.windowedTopK(
         spark.readStream.schema(batch.schema).parquet(landing.toString),
         "ts", "user_id", k = 5, "1 day", "1 hour"),
-      sinkDir = Some(sink), checkpointDir = Some(ck))
+      sinkDir = Some(sink), checkpointDir = Some(ck), stateStore = Some(provider))
     java.nio.file.Files.createSymbolicLink(
       landing.resolve("part_00000.parquet"), parts(0).toPath): Unit
     val first = drain().collect().map(_.toSeq).toSet
@@ -303,7 +312,8 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top-k two-drain union != single drain: missing ${single -- union}, extra ${union -- single}")
   }
 
-  test("outer interval join restart: expired-unmatched state finalizes across drains") {
+  for (provider <- Seq("hdfs", "rocksdb"))
+  test(s"outer interval join restart: expired-unmatched state finalizes across drains [$provider]") {
     // cross-batch join-state eviction: a view whose 30-min window is still
     // open at drain 1's watermark is STATE (no output); drain 2 must
     // either match it or finalize it NULL-extended — and never twice. The
@@ -319,7 +329,7 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       FileStreams.streamIntervalJoinOuter(
         spark.readStream.schema(batch.schema).parquet(landing.toString),
         "ts", "event_type", "user_id", "view", "click", 1800000000L),
-      sinkDir = Some(sink), checkpointDir = Some(ck))
+      sinkDir = Some(sink), checkpointDir = Some(ck), stateStore = Some(provider))
     java.nio.file.Files.createSymbolicLink(
       landing.resolve("part_00000.parquet"), parts(0).toPath): Unit
     val firstDf = drain()
