@@ -117,17 +117,28 @@ object SparkEntry {
     scala.collection.mutable.Map[(SparkSession, String), Graphs.PreparedGraph]()
 
   /** The purchase graph PREPARED for iterative analytics (simple edges +
-    * out-degree, checkpointed once — [[Graphs.prepareGraph]]), shared by
-    * `q_graph_stats`, `q_pagerank` and `q_ppr`: a pipeline derives the
-    * adjacency relation once and runs every graph analysis against it.
-    * The checkpointed blocks are reclaimed by the ContextCleaner once the
-    * cache entry is dropped and the plans referencing them are gone.
+    * out-degree), shared by `q_graph_stats`, `q_pagerank` and `q_ppr` —
+    * since round 13 as a PERSISTED [[sources.GraphIndex]] artifact rather
+    * than an in-session localCheckpoint: the derive-once pass lands in
+    * parquet, so "prepare once per graph" holds ACROSS sessions (the
+    * SemDedupIndex pattern), a degree-only analysis like `q_graph_stats`
+    * never takes a checkpoint at all, and the superstep joins re-read
+    * edge bytes from disk — the exact trade the former DISK_ONLY
+    * checkpoint made deliberately (round-12: loop-invariant data-sized
+    * relations must stay out of the storage pool the loop's aggregations
+    * need). Measured cost parity in SCALE.md round-13.
     */
   private def sharedPreparedGraph(s: SparkSession, dir: String): Graphs.PreparedGraph =
     synchronized {
-      preparedGraphCache.getOrElseUpdate((s, dir),
-        Graphs.prepareGraph(sharedPurchaseEdges(s, dir), "src", "dst",
-          undirected = true))
+      preparedGraphCache.getOrElseUpdate((s, dir), {
+        val path = new java.io.File(sharedRelDir,
+          "graph_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          .getAbsolutePath
+        sources.GraphIndex.build(sharedPurchaseEdges(s, dir), "src", "dst",
+          path, undirected = true)
+        sources.GraphIndex.load(s, path)
+      })
     }
 
   private val bpeMergesCache =
@@ -168,8 +179,9 @@ object SparkEntry {
   def clearSharedRelations(): Unit = synchronized {
     jaccardPairsCache.clear()
     purchaseEdgesCache.clear()
-    // prepared graphs hold checkpointed RDD blocks, not parquet files —
-    // release them eagerly (ContextCleaner would wait for a driver GC)
+    // shared prepared graphs are GraphIndex-backed (parquet under
+    // sharedRelDir, deleted below); unpersist() releases any
+    // checkpoint blocks a non-persisted graph would hold (no-op here)
     preparedGraphCache.values.foreach(_.unpersist())
     preparedGraphCache.clear()
     bpeMergesCache.clear()

@@ -234,6 +234,15 @@ object Graphs {
       case _ => ()
     }
 
+  /** A [[PreparedGraph]] over already-persisted relations (the
+    * [[graft.sources.GraphIndex]] load path): the parquet files are the
+    * lineage cut, so no checkpoint is taken and `unpersist()` no-ops
+    * (root plans are relations, not LogicalRDDs).
+    */
+  private[graft] def fromPersisted(eDeg: DataFrame, nodes: DataFrame,
+      undirected: Boolean): PreparedGraph =
+    PreparedGraph(eDeg, nodes, undirected)
+
   /** Cut lineage: reliable `checkpoint()` (files under the context's
     * checkpoint dir — survives executor loss) when `reliable`, else
     * `localCheckpoint` at `level` (executor-local blocks — cheapest, but

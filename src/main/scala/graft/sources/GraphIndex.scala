@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graphs
+
+/** Persisted prepared graph — [[Graphs.prepareGraph]]'s derive-once
+  * discipline made durable ACROSS sessions (the [[SemDedupIndex]] /
+  * [[AnnIndex]] model-as-data convention): the one data-sized pass in the
+  * graph family (simple-graph distinct + out-degree) runs at `build` and
+  * lands in parquet; every later session — or every analysis that never
+  * needs an in-memory checkpoint at all, like a degree histogram — just
+  * reads it.
+  *
+  * Layout under `dir`:
+  *  - `edges/` — `(src BIGINT, dst BIGINT, deg BIGINT)`: the simple
+  *    (deduplicated) edge relation with each edge's source out-degree —
+  *    exactly [[Graphs.PreparedGraph]]'s `eDeg` schema;
+  *  - `nodes/` — `(node BIGINT)`: src ∪ dst, sinks included;
+  *  - `meta/`  — one row `(undirected BOOLEAN)`: provenance, as on the
+  *    in-memory form.
+  *
+  * [[load]] returns a [[Graphs.PreparedGraph]] whose relations scan the
+  * parquet directly — the files ARE the lineage cut, so nothing is
+  * re-derived and nothing sits in executor storage (the superstep joins
+  * re-read edge bytes from disk each iteration, the same trade the
+  * DISK_ONLY in-memory checkpoint makes deliberately — SCALE.md
+  * round-12). Identical analysis results to the in-memory prepare are
+  * spec-pinned (integer arithmetic end to end). `unpersist()` on a loaded
+  * graph is a no-op: the caller owns the directory's lifecycle.
+  */
+object GraphIndex {
+
+  /** Derive the simple graph + degrees from raw `edges(srcCol, dstCol)`
+    * and persist. One distinct + one degree aggregate + the write — the
+    * same jobs the in-memory prepare runs, plus the parquet sink.
+    */
+  def build(edges: DataFrame, srcCol: String, dstCol: String, dir: String,
+      undirected: Boolean = false): Unit = {
+    val spark = edges.sparkSession
+    val directed = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e0 = if (undirected)
+      directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+    else directed
+    val dedup = e0.distinct()
+    val degrees = dedup.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    dedup.join(degrees, Seq("src"))
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    // node set read back off the WRITTEN edges (not the pre-write plan),
+    // so the two relations can never drift
+    val eDeg = spark.read.parquet(s"$dir/edges")
+    eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node")))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/nodes")
+    spark.range(1).select(lit(undirected).as("undirected"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** A [[Graphs.PreparedGraph]] over the persisted relations — feed it to
+    * [[Graphs.pageRank]]/[[Graphs.personalizedPageRank]]/
+    * [[Graphs.degreeDistribution]] exactly like an in-memory prepare.
+    */
+  def load(spark: SparkSession, dir: String): Graphs.PreparedGraph = {
+    val undirected = spark.read.parquet(s"$dir/meta")
+      .head().getBoolean(0)
+    Graphs.fromPersisted(
+      spark.read.parquet(s"$dir/edges"),
+      spark.read.parquet(s"$dir/nodes"),
+      undirected)
+  }
+}
