@@ -116,28 +116,39 @@ object SparkEntry {
   private val preparedGraphCache =
     scala.collection.mutable.Map[(SparkSession, String), Graphs.PreparedGraph]()
 
+  private val graphIndexPathCache =
+    scala.collection.mutable.Map[(SparkSession, String), String]()
+
   /** The purchase graph PREPARED for iterative analytics (simple edges +
-    * out-degree), shared by `q_graph_stats`, `q_pagerank` and `q_ppr` —
-    * since round 13 as a PERSISTED [[sources.GraphIndex]] artifact rather
-    * than an in-session localCheckpoint: the derive-once pass lands in
-    * parquet, so "prepare once per graph" holds ACROSS sessions (the
-    * SemDedupIndex pattern), a degree-only analysis like `q_graph_stats`
-    * never takes a checkpoint at all, and the superstep joins re-read
-    * edge bytes from disk — the exact trade the former DISK_ONLY
-    * checkpoint made deliberately (round-12: loop-invariant data-sized
-    * relations must stay out of the storage pool the loop's aggregations
-    * need). Measured cost parity in SCALE.md round-13.
+    * out-degree, DISK_ONLY-checkpointed once — [[Graphs.prepareGraph]]),
+    * shared by `q_pagerank` and `q_ppr`: the superstep loops want the
+    * relation as compact local row blocks (parquet-backed supersteps
+    * measured ~2x slower at sf1cd — SCALE.md round-13).
     */
   private def sharedPreparedGraph(s: SparkSession, dir: String): Graphs.PreparedGraph =
     synchronized {
-      preparedGraphCache.getOrElseUpdate((s, dir), {
+      preparedGraphCache.getOrElseUpdate((s, dir),
+        Graphs.prepareGraph(sharedPurchaseEdges(s, dir), "src", "dst",
+          undirected = true))
+    }
+
+  /** The purchase graph's PERSISTED [[sources.GraphIndex]] artifact,
+    * written once per (session, dir) FROM the shared prepared graph
+    * (write-only — no re-derivation), so "prepare once per graph" holds
+    * ACROSS sessions too (the SemDedupIndex pattern): a later session —
+    * or a degree-only analysis like `q_graph_stats` — loads the parquet
+    * and never takes a checkpoint; a later session's superstep runs load
+    * it `pin = true` and skip the distinct+degree shuffle.
+    */
+  private def sharedGraphIndexPath(s: SparkSession, dir: String): String =
+    synchronized {
+      graphIndexPathCache.getOrElseUpdate((s, dir), {
         val path = new java.io.File(sharedRelDir,
           "graph_" + java.security.MessageDigest.getInstance("MD5")
             .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
           .getAbsolutePath
-        sources.GraphIndex.build(sharedPurchaseEdges(s, dir), "src", "dst",
-          path, undirected = true)
-        sources.GraphIndex.load(s, path)
+        sources.GraphIndex.persist(sharedPreparedGraph(s, dir), path)
+        path
       })
     }
 
@@ -179,11 +190,12 @@ object SparkEntry {
   def clearSharedRelations(): Unit = synchronized {
     jaccardPairsCache.clear()
     purchaseEdgesCache.clear()
-    // shared prepared graphs are GraphIndex-backed (parquet under
-    // sharedRelDir, deleted below); unpersist() releases any
-    // checkpoint blocks a non-persisted graph would hold (no-op here)
+    // shared loop graphs are PINNED GraphIndex loads: release their
+    // local blocks eagerly (ContextCleaner would wait for a driver GC);
+    // the parquet artifact itself lives under sharedRelDir, deleted below
     preparedGraphCache.values.foreach(_.unpersist())
     preparedGraphCache.clear()
+    graphIndexPathCache.clear()
     bpeMergesCache.clear()
     deleteRecursively(sharedRelDir)
     sharedRelDir.mkdirs(): Unit
@@ -2677,7 +2689,10 @@ object SparkEntry {
       // partial aggregates; top-25 degrees by node count
       "q_graph_stats" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        Graphs.degreeDistribution(sharedPreparedGraph(s, dir))
+        // degree-only: reads the persisted GraphIndex unpinned — one
+        // parquet pass, no checkpoint taken at all (the loop gates pin)
+        Graphs.degreeDistribution(
+            sources.GraphIndex.load(s, sharedGraphIndexPath(s, dir)))
           .orderBy(col("nodes").desc, col("degree")).limit(25)
       }),
 

@@ -235,13 +235,20 @@ object Graphs {
     }
 
   /** A [[PreparedGraph]] over already-persisted relations (the
-    * [[graft.sources.GraphIndex]] load path): the parquet files are the
-    * lineage cut, so no checkpoint is taken and `unpersist()` no-ops
-    * (root plans are relations, not LogicalRDDs).
+    * [[graft.sources.GraphIndex]] load path). Unpinned, the parquet files
+    * are the lineage cut — no checkpoint is taken and `unpersist()`
+    * no-ops (root plans are relations, not LogicalRDDs). Pinned, the
+    * relations are re-materialized as local blocks (DISK_ONLY edges,
+    * default-level nodes — the prepareGraph layout) for superstep loops.
     */
   private[graft] def fromPersisted(eDeg: DataFrame, nodes: DataFrame,
-      undirected: Boolean): PreparedGraph =
-    PreparedGraph(eDeg, nodes, undirected)
+      undirected: Boolean, pin: Boolean = false): PreparedGraph =
+    if (pin) PreparedGraph(
+      cutLineage(eDeg, reliable = false,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY),
+      cutLineage(nodes, reliable = false),
+      undirected)
+    else PreparedGraph(eDeg, nodes, undirected)
 
   /** Cut lineage: reliable `checkpoint()` (files under the context's
     * checkpoint dir — survives executor loss) when `reliable`, else

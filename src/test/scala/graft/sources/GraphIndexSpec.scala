@@ -65,6 +65,25 @@ class GraphIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     loaded.unpersist()
     assert(loaded.eDeg.count() > 0 && loaded.nodes.count() > 0)
     mem.unpersist()
+    // pinned load: identical relations and analysis results, but rooted
+    // at local blocks (LogicalRDD) like the in-memory prepare — the shape
+    // the superstep gates use
+    val pinned = GraphIndex.load(spark, s"$dir/g", pin = true)
+    assert(rows(pinned.eDeg) == rows(loaded.eDeg))
+    assert(rows(Graphs.pageRank(pinned, 4, 850000L, trackConvergence = false, 0L)) ==
+           rows(Graphs.pageRank(loaded, 4, 850000L, trackConvergence = false, 0L)))
+    assert(pinned.eDeg.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    pinned.unpersist()
+    // persist(preparedGraph) — the write-only path — round-trips to the
+    // same artifact as build() over the same raw edges
+    val mem2 = Graphs.prepareGraph(raw, "a", "b", undirected = true)
+    GraphIndex.persist(mem2, s"$dir/gp")
+    val loadedP = GraphIndex.load(spark, s"$dir/gp")
+    assert(loadedP.undirected)
+    assert(rows(loadedP.eDeg) == rows(loaded.eDeg))
+    assert(rows(loadedP.nodes) == rows(loaded.nodes))
+    mem2.unpersist()
   }
 
   test("directed build preserves direction and meta") {
