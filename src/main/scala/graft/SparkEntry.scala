@@ -1893,6 +1893,32 @@ object SparkEntry {
             sum("doc_id").cast("long").as("id_sum"))
           .orderBy("split")
       }),
+      // LEAKAGE-SAFE split (r13): exact-duplicate clusters land wholly in
+      // one split — split decision hashes the group label, singletons
+      // their own id. The gate hard-fails if ANY group spans two splits
+      // (the eval-contamination invariant, checked live), then rolls up
+      // per split; the oracle replays clusters (recursive CTE), the
+      // grouped hash split, and the rollup.
+      "q_leakage_split" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val d = s.table("documents").select(col("doc_id"), md5(col("text")).as("h"))
+        val pairs = d.as("a").join(d.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        val clusters = Dedup.nearDuplicateClusters(pairs)
+        val out = Sampling.assignSplitsByGroup(s.table("documents"), "doc_id",
+          clusters, "id", "label")
+        val leaked = out
+          .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+          .groupBy("label").agg(countDistinct(col("split")).as("ns"))
+          .where(col("ns") > 1).count()
+        require(leaked == 0,
+          s"leakage-safe split LEAKED $leaked groups across splits")
+        out.groupBy("split")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .orderBy("split")
+      }),
       // target-mixture rebalance: integer-ppm quota arithmetic, binding
       // stratum fixes the scale, per-stratum content-hash prefix keeps
       // the mix exact without upsampling
@@ -5507,6 +5533,29 @@ object SparkEntry {
                CAST(('0x' || substring(md5(text || 'graft-split'), 1, 15)) AS BIGINT)
                  / 1152921504606846976.0 AS u
         FROM documents)
+      SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM u GROUP BY 1 ORDER BY 1""",
+    // leakage-safe split: exact-dup clusters via the recursive reach CTE
+    // (q_dedup_clusters' replay), split hashed on the group key
+    // (min-label, singletons their own doc_id), same md5 thresholds
+    "q_leakage_split" -> """
+      WITH RECURSIVE p AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+      e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+      reach(src, dst) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+      lab AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src),
+      u AS (
+        SELECT d.doc_id,
+               CAST(('0x' || substring(md5(
+                 CAST(COALESCE(lab.label, d.doc_id) AS VARCHAR) || 'graft-split'), 1, 15)) AS BIGINT)
+                 / 1152921504606846976.0 AS u
+        FROM documents d LEFT JOIN lab ON lab.id = d.doc_id)
       SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
              CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM u GROUP BY 1 ORDER BY 1""",

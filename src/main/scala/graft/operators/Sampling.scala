@@ -84,6 +84,40 @@ object Sampling {
     df.withColumn(labelCol, label)
   }
 
+  /** LEAKAGE-SAFE split assignment: every member of a group — a
+    * near-duplicate cluster, a URL host, an author — lands in the SAME
+    * split, so eval examples never have near-copies in train. Splitting
+    * each ROW independently ([[assignSplits]] on a row key) silently
+    * breaks exactly when dedup matters most: two near-identical documents
+    * hash to different splits and the eval set is contaminated. Here the
+    * split decision hashes the GROUP label; rows absent from `groups`
+    * form singleton groups keyed by their own id, so the output is total
+    * over `df` and degenerates to the plain row split when `groups` is
+    * empty.
+    *
+    * `groups` is an (id, label) relation — [[Dedup.nearDuplicateClusters]]
+    * emits exactly this shape. Same determinism contract as
+    * [[assignSplits]]: row-local after one id-keyed left join,
+    * partitioning-invariant, append-stable AS LONG AS group labels are
+    * (min-label clusters stay stable while the minimum member stays; a
+    * refresh that merges two clusters moves the larger label's members —
+    * the unavoidable cost of keeping the no-leakage invariant true on the
+    * merged corpus).
+    */
+  def assignSplitsByGroup(df: DataFrame, idCol: String,
+      groups: DataFrame, gIdCol: String = "id", gLabelCol: String = "label",
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = "graft-split", labelCol: String = "split"): DataFrame = {
+    val reserved = Seq("__gid", "__glabel", "__gkey")
+    require(!df.columns.exists(reserved.contains),
+      s"assignSplitsByGroup reserves ${reserved.mkString(", ")}; rename the inputs")
+    val g = groups.select(col(gIdCol).as("__gid"), col(gLabelCol).as("__glabel"))
+    val keyed = df.join(g, df(idCol) === col("__gid"), "left")
+      .withColumn("__gkey", coalesce(col("__glabel"), df(idCol)).cast("string"))
+    assignSplits(keyed, "__gkey", splits, salt, labelCol)
+      .drop("__gid", "__glabel", "__gkey")
+  }
+
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
     * chosen by content-hash order — a deterministic stratified sample.
     * `uniqueCol` breaks ties between rows with IDENTICAL key content

@@ -1960,6 +1960,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("group-aware split: groups never span splits, singletons fall back to row split") {
+    val df = spark.range(0, 1000).select(col("id").as("doc_id"),
+      concat(lit("doc body number "), col("id")).as("text"))
+    val sps = spark; import sps.implicits._
+    // 100 groups of 3 (ids 0..299 -> label = id % 100), rest singleton
+    val groups = spark.range(0, 300)
+      .select(col("id"), (col("id") % 100).as("label"))
+      .toDF("id", "label")
+    val out = Sampling.assignSplitsByGroup(df, "doc_id", groups)
+    assert(out.count() == 1000) // total over df, grouped or not
+    // the invariant: no group's members land in two different splits
+    val leaked = out.join(groups.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .groupBy("label").agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count()
+    assert(leaked == 0, s"$leaked groups split across splits")
+    // ungrouped rows get exactly the singleton (own-id) assignment —
+    // equal to assignSplits keyed on the id itself
+    val single = Sampling.assignSplits(df.where(col("doc_id") >= 300), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val viaGroup = out.where(col("doc_id") >= 300)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(single == viaGroup)
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplitsByGroup(df.withColumn("__gkey", lit(1)), "doc_id", groups)
+    }
+  }
+
   test("embedding normalize + int8 quantize") {
     val r = spark.sql("SELECT array(3.0D, -4.0D, 0.0D) AS vec, array(0.0D, 0.0D) AS zvec")
       .select(Embeddings.normalize(col("vec")).as("n"),
