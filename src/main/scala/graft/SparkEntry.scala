@@ -1609,13 +1609,17 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("pairs"))
       }),
       // LSH-bucketed scale path for the same detector: deterministic
-      // (fixed splitmix hyperplane seed), pinned like q_ann_lsh; candidate
-      // recall vs the exact gate is visible in the pair count
+      // (fixed splitmix hyperplane seed); since r13 the prefix width is
+      // CORPUS-DERIVED (smallest p in [4,16] with avg bucket <= 500 —
+      // the oracle replays the same integer rule), because a fixed
+      // width's in-bucket verify grows quadratically with the corpus
+      // (measured >21x/decade at sf100cd under prefixBits=4; the derived
+      // width bounds verify work at ~250·n pairs, linear)
       "q_cosine_lsh" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
-        Embeddings.cosineNearDuplicates(emb, "vec", "vec_id", 0.3, prefixBits = 4)
+        Embeddings.cosineNearDuplicates(emb, "vec", "vec_id", 0.3)
           .agg(count(lit(1)).cast("long").as("pairs"),
             sum("id1").cast("long").as("id1_sum"),
             sum("id2").cast("long").as("id2_sum"))
@@ -2990,6 +2994,52 @@ object SparkEntry {
     * the bucket needs only planes j < prefixBits). Replaces the former
     * golden pins for the LSH gates.
     */
+  /** [[lshBucketCte]] with the prefix width DERIVED from the corpus the
+    * way [[Embeddings.derivedPrefixBits]] does (smallest p in [4,16]
+    * with ceil(n/2^p) <= targetBucket, pure integer arithmetic): planes
+    * are generated for the full 16-bit budget and filtered to j < p, so
+    * the counter-based plane stream stays identical to the static form
+    * for the first p planes.
+    */
+  private def lshBucketCteDerived(targetBucket: Int = 500, seed: Long = 42L): String = s"""
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+      pb AS (SELECT COALESCE(MIN(p), 16) AS p
+             FROM (SELECT unnest(range(4, 17)) AS p) ps, nn
+             WHERE (nn.n + (1::BIGINT << p) - 1) // (1::BIGINT << p) <= $targetBucket),
+      d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+      idx AS (SELECT j.j, i.i, (j.j * d.dim + i.i + 1) AS k
+              FROM d, (SELECT unnest(range(16)) AS j) j,
+                   (SELECT unnest(range((SELECT dim FROM d))) AS i) i
+              WHERE j.j < (SELECT p FROM pb)),
+      st AS (SELECT j, i,
+        CAST((($seed::HUGEINT + k::HUGEINT * 11400714819323198485::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS UBIGINT) AS s FROM idx),
+      sm1 AS (SELECT j, i, CAST(xor(s, s >> 30) AS HUGEINT) AS z FROM st),
+      sm2 AS (SELECT j, i, CAST(
+          ((z % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+           + (((z // 4294967296::HUGEINT) * 13787848793156543929::HUGEINT)
+              % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+          % 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM sm1),
+      sm3 AS (SELECT j, i, CAST(xor(z, z >> 27) AS HUGEINT) AS z FROM sm2),
+      sm4 AS (SELECT j, i, CAST(
+          ((z % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+           + (((z // 4294967296::HUGEINT) * 10723151780598845931::HUGEINT)
+              % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+          % 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM sm3),
+      sm5 AS (SELECT j, i, xor(z, z >> 31) AS z FROM sm4),
+      pl AS (SELECT j, list(CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
+                            ORDER BY i) AS pv
+             FROM sm5 GROUP BY j),
+      hdots AS (SELECT e.vec_id, pl.j,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range((SELECT dim FROM d)), x -> e.v[x + 1] * pl.pv[x + 1])),
+          (a, b) -> a + b) AS dot
+        FROM e, pl),
+      bkt AS (SELECT vec_id,
+                     CAST(SUM(CASE WHEN dot > 0
+                              THEN 1 << ((SELECT p FROM pb) - 1 - j) ELSE 0 END) AS BIGINT) AS b
+              FROM hdots GROUP BY vec_id)"""
+
   private def lshBucketCte(prefixBits: Int, seed: Long = 42L): String = s"""
       d AS (SELECT len(v) AS dim FROM e LIMIT 1),
       idx AS (SELECT j.j, i.i, (j.j * d.dim + i.i + 1) AS k
@@ -5168,7 +5218,7 @@ object SparkEntry {
     // the >= threshold test cannot ULP-flip between engines
     "q_cosine_lsh" -> s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      ${lshBucketCte(4)},
+      ${lshBucketCteDerived()},
       n AS (SELECT e.vec_id, e.v, bkt.b,
         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(range((SELECT dim FROM d)), x -> e.v[x + 1] * e.v[x + 1])),

@@ -248,6 +248,19 @@ object Embeddings {
         col(idCol).as("neighbor_id"), col("sim"), col("hamming"))
   }
 
+  /** The default [[cosineNearDuplicates]] bucket width for a corpus of
+    * `n` vectors: the smallest prefixBits in [4, 16] whose AVERAGE
+    * bucket, ceil(n / 2^p), is at most `targetBucket` rows — pure
+    * integer arithmetic so any SQL engine replays it bit-for-bit (a
+    * float log2 form can land a ULP either side of an integer at exact
+    * powers of two). 16 caps the width: past 65k buckets, hyperplane
+    * prefix bits stop being independent enough to keep splitting
+    * real clusters.
+    */
+  private[graft] def derivedPrefixBits(n: Long, targetBucket: Long = 500L): Int =
+    (4 to 16).find(p => (n + (1L << p) - 1) / (1L << p) <= targetBucket)
+      .getOrElse(16)
+
   /** The default [[hammingTopK]] prescreen budget for a corpus of `n`
     * vectors: max(4k, n/1000) — the same rule `q_recall_floor_hamming`
     * replays in its oracle. Clamped into Int (a > 2·10^12-row corpus
@@ -662,10 +675,21 @@ object Embeddings {
     * values are bit-identical to the naive form.
     */
   def cosineNearDuplicates(embeddings: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, prefixBits: Int = 8, seed: Long = 42L): DataFrame = {
+      threshold: Double, prefixBits: Int = 0, seed: Long = 42L): DataFrame = {
+    // prefixBits <= 0 derives a CORPUS-SCALED bucket width (r13): at a
+    // FIXED width the expected bucket size grows linearly with the
+    // corpus and the in-bucket verify grows QUADRATICALLY — measured at
+    // the third decade (sf100cd, 2M vectors, prefixBits=4 -> 125k-row
+    // buckets): the gate ran >30 min vs 84 s at 200k, >21x/decade. The
+    // derived width keeps the average bucket at <= targetBucket rows, so
+    // verify work stays ~targetBucket*n/2 — linear in the corpus. Wider
+    // buckets trade candidate recall for that bound; pass prefixBits
+    // explicitly to pin either side of the trade.
+    val p = if (prefixBits <= 0) derivedPrefixBits(embeddings.count())
+            else prefixBits
     val sigged = embeddings
       .withColumn("__bucket",
-        shiftrightunsigned(hyperplaneSignature(col(vecCol), 64, seed), 64 - prefixBits))
+        shiftrightunsigned(hyperplaneSignature(col(vecCol), 64, seed), 64 - p))
       .withColumn("__norm", vecNorm(col(vecCol)))
     sigged.as("a").join(sigged.as("b"),
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -1960,6 +1960,27 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cosine LSH: derived prefixBits keeps avg bucket <= 500, floors at 4, caps at 16") {
+    // the rule, pinned either side of each boundary (pure integer — the
+    // DuckDB oracle replays the identical ceil-division search)
+    assert(Embeddings.derivedPrefixBits(500L) == 4)      // tiny corpus: floor
+    assert(Embeddings.derivedPrefixBits(8000L) == 4)     // 8000/16 = 500: still 4
+    assert(Embeddings.derivedPrefixBits(8001L) == 5)     // one over: widen
+    assert(Embeddings.derivedPrefixBits(2000000L) == 12) // 2M/4096 = 489
+    assert(Embeddings.derivedPrefixBits(Long.MaxValue / 4) == 16) // cap
+    // default (prefixBits = 0) derives: on a small corpus that means the
+    // 4-bit floor — coarser buckets than any explicit wider setting, so
+    // the candidate set is a superset and the found pair set must match
+    // the explicit prefixBits = 4 run exactly
+    val sps = spark; import sps.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 3 + j) + (if (j == i % 8) 1.5 else 0.0)))
+    }.toDF("vec_id", "vec")
+    def pairs(p: Int) = Embeddings.cosineNearDuplicates(vecs, "vec", "vec_id", 0.8, prefixBits = p)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(0) == pairs(4))
+  }
+
   test("group-aware split: groups never span splits, singletons fall back to row split") {
     val df = spark.range(0, 1000).select(col("id").as("doc_id"),
       concat(lit("doc body number "), col("id")).as("text"))

@@ -11,6 +11,10 @@ sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 timeout_s = float(os.environ.get("ORACLE_TIMEOUT", "0"))
 
 con = duckdb.connect()
+# ORACLE_THREADS caps DuckDB's parallelism so a replay can run beside a
+# timing sweep without polluting it (default: all cores)
+if os.environ.get("ORACLE_THREADS"):
+    con.execute(f"SET threads = {int(os.environ['ORACLE_THREADS'])}")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     src = f"{p}/*.parquet" if os.path.isdir(p) else p  # Spark writes parquet DIRS
