@@ -553,13 +553,16 @@ object SparkEntry {
       // pruning — keep the smallest-id member of every semantic-duplicate
       // ball. Assignment argmax and the drop threshold are micro-rounded
       // on both sides, so the cross-engine compare is integer-robust.
-      // k=32 keeps clusters small the way SemDeDup sizes them (pair work
-      // is n^2/k; k=8 at sf1 meant 2500-member clusters and 25M pairs).
+      // k = 0 exercises the CORPUS-DERIVED default (clamp(ceil(n/5000),
+      // 1, 65536)) — a fixed k measured 23.9x/decade at sf100cd because
+      // occupancy n/k grew linearly and within-cell pairing quadratically;
+      // the derived rule pins occupancy, and the oracle replays it from
+      // COUNT(*).
       "q_semdedup" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
-        Embeddings.semanticDeduplicate(emb, "vec", "vec_id", k = 32, threshold = 0.35)
+        Embeddings.semanticDeduplicate(emb, "vec", "vec_id", k = 0, threshold = 0.35)
           .groupBy("cid")
           .agg(count(lit(1)).cast("long").as("members"),
             sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
@@ -574,16 +577,18 @@ object SparkEntry {
       // unchanged quadratic bulk, is never paired. The fit is computed
       // ONCE and passed through the frozen-centroids parameter — the
       // refresh path the operator advertises (the operator never re-fits).
+      // k = 0: the fit derives k from the OLD slice's count (the
+      // occupancy-pinned SemDeDup sizing rule), replayed by the oracle.
       "q_incremental_semdedup" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val emb = s.table("embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
         val oldE = emb.where(col("vec_id") % 10 =!= 0)
         val cents = Embeddings.kmeansCentroids(oldE, "vec", "vec_id",
-          k = 32, iterations = 1)
+          k = 0, iterations = 1)
         Embeddings.incrementalSemanticDeduplicate(
             emb.where(col("vec_id") % 10 === 0), oldE,
-            "vec", "vec_id", k = 32, threshold = 0.35, centroids = Some(cents))
+            "vec", "vec_id", k = 0, threshold = 0.35, centroids = Some(cents))
           .groupBy("cid")
           .agg(count(lit(1)).cast("long").as("members"),
             sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
@@ -603,7 +608,7 @@ object SparkEntry {
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
         val idx = java.nio.file.Files.createTempDirectory("graft_semdedup_idx_").toString
         graft.sources.SemDedupIndex.build(
-          emb.where(col("vec_id") % 10 =!= 0), "vec", "vec_id", idx, k = 32)
+          emb.where(col("vec_id") % 10 =!= 0), "vec", "vec_id", idx, k = 0)
         graft.sources.SemDedupIndex.refresh(s, idx,
             emb.where(col("vec_id") % 10 === 0), "vec", "vec_id", threshold = 0.35)
           .groupBy("cid")
@@ -3425,10 +3430,15 @@ object SparkEntry {
       ORDER BY d.doc_id LIMIT 20""",
     // SemDeDup: the q_kmeans assignment chain, then the per-cluster drop
     // rule — a vector is dropped iff a same-cluster smaller-id neighbor has
-    // round(sim*1e6) >= 350000 (threshold 0.35 micro-rounded, as in Spark)
+    // round(sim*1e6) >= 350000 (threshold 0.35 micro-rounded, as in Spark).
+    // k is the CORPUS-DERIVED default replayed from COUNT(*):
+    // clamp(ceil(n/5000), 1, 65536), pure integer arithmetic (kk CTE)
     "q_semdedup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 32),
+      kk AS (SELECT LEAST(((SELECT COUNT(*) FROM e) + 4999) // 5000, 65536) AS k),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM (
+               SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+             WHERE rn <= (SELECT k FROM kk)),
       a0 AS (SELECT vec_id, v, cid FROM (
         SELECT e.vec_id, e.v, c0.cid,
                row_number() OVER (PARTITION BY e.vec_id
@@ -3459,14 +3469,19 @@ object SparkEntry {
       GROUP BY a1.cid ORDER BY a1.cid""",
     // incremental SemDeDup: the kmeans chain fit on the OLD slice only,
     // ALL vectors assigned into it, drop rule restricted to new-side
-    // vectors against (old OR smaller-id new) same-cluster neighbors
+    // vectors against (old OR smaller-id new) same-cluster neighbors.
+    // k derives from the OLD slice's COUNT(*) (the fit corpus):
+    // clamp(ceil(n/5000), 1, 65536)
     "q_incremental_semdedup" -> """
       WITH eo AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings WHERE vec_id % 10 <> 0),
       ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                     vec_id % 10 = 0 AS isnew
              FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, v AS cv FROM eo ORDER BY vec_id LIMIT 32),
+      kk AS (SELECT LEAST(((SELECT COUNT(*) FROM eo) + 4999) // 5000, 65536) AS k),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM (
+               SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM eo)
+             WHERE rn <= (SELECT k FROM kk)),
       a0 AS (SELECT vec_id, v, cid FROM (
         SELECT eo.vec_id, eo.v, c0.cid,
                row_number() OVER (PARTITION BY eo.vec_id
@@ -3506,7 +3521,10 @@ object SparkEntry {
       ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                     vec_id % 10 = 0 AS isnew
              FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, v AS cv FROM eo ORDER BY vec_id LIMIT 32),
+      kk AS (SELECT LEAST(((SELECT COUNT(*) FROM eo) + 4999) // 5000, 65536) AS k),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM (
+               SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM eo)
+             WHERE rn <= (SELECT k FROM kk)),
       a0 AS (SELECT vec_id, v, cid FROM (
         SELECT eo.vec_id, eo.v, c0.cid,
                row_number() OVER (PARTITION BY eo.vec_id

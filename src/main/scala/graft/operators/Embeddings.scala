@@ -722,6 +722,10 @@ object Embeddings {
     * posexplode + partially-aggregated groupBy(cid, dim) shuffle carrying
     * only k·dim rows per map partition. One driver action per iteration,
     * like every production Lloyd's.
+    *
+    * `k <= 0` derives k from the corpus count via [[derivedSemDedupK]]
+    * (clamp(ceil(n/5000), 1, 65536) — occupancy-bounded, replayable from
+    * `COUNT(*)` in any SQL engine).
     */
   def kmeansLloyd(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, iterations: Int = 1): DataFrame = {
@@ -731,7 +735,8 @@ object Embeddings {
 
   /** The trained centroids themselves as a (cid, cvec) frame — feed this
     * to [[ivfTopK]]'s `centroids` parameter for Lloyd-balanced IVF cells.
-    * Same determinism contract as [[kmeansLloyd]].
+    * Same determinism contract as [[kmeansLloyd]], including the
+    * `k <= 0` corpus-derived default.
     */
   def kmeansCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, iterations: Int = 1): DataFrame = {
@@ -792,7 +797,11 @@ object Embeddings {
     * literals (zero shuffle); candidate generation is ONE cid-keyed
     * self-join, quadratic only within a cluster — SemDeDup's own contract
     * (k grows with corpus size to keep clusters bounded; the paper runs
-    * k=50k over 5B embeddings). Norms are projected once per vector before
+    * k=50k over 5B embeddings). `k <= 0` applies exactly that contract
+    * as the default: [[derivedSemDedupK]] sizes k from the corpus count
+    * so occupancy (and with it the quadratic pairing term) stays pinned
+    * — a fixed k measured 23.9x/decade at the third fixture decade.
+    * Norms are projected once per vector before
     * the join, and dropped ids collapse through DISTINCT before the final
     * id-keyed join, so in-cluster pair fan-out never reaches the output.
     *
@@ -861,6 +870,10 @@ object Embeddings {
     * ASSIGNMENT scan, use [[graft.sources.SemDedupIndex]], which persists
     * the assigned archive cid-partitioned and prunes pairing to the
     * cells the new slice actually touches.
+    *
+    * `k <= 0` (used only when `centroids` is None) derives k from the
+    * OLD corpus's count via [[derivedSemDedupK]] — the fit corpus is the
+    * one whose occupancy the rule bounds.
     */
   def incrementalSemanticDeduplicate(newEmb: DataFrame, oldEmb: DataFrame,
       vecCol: String, idCol: String, k: Int, threshold: Double,
@@ -992,10 +1005,31 @@ object Embeddings {
       .select(col("cid"), col("rnk"), col(idCol), col("sim_e6"))
   }
 
+  /** The corpus-derived k for the SemDeDup family when the caller passes
+    * `k <= 0`: `clamp(ceil(n / targetOccupancy), 1, 65536)` — SemDeDup's
+    * own sizing contract (cluster count grows with the corpus so that
+    * occupancy n/k, and with it the quadratic within-cell pair work,
+    * stays bounded; the paper runs k=50k over 5B embeddings). Pure
+    * integer arithmetic, so any SQL engine replays it bit-for-bit from
+    * `COUNT(*)` — the [[derivedPrefixBits]] discipline. Fixed-k gates
+    * measured 23.9x/decade at sf100cd (occupancy linear, pairing
+    * quadratic in occupancy); with occupancy pinned at `targetOccupancy`
+    * the pairing term is ~(targetOccupancy/2)·n — volume-linear. The
+    * 65536 cap keeps the driver-held centroid matrix config-bounded
+    * (the k-means collect pattern); corpora past ~327M vectors should
+    * set k per corpus (hierarchical / coarse-quantizer training).
+    */
+  private[graft] def derivedSemDedupK(n: Long, targetOccupancy: Long = 5000L): Int = {
+    require(n >= 1, s"corpus must be non-empty, got n=$n")
+    math.min((n + targetOccupancy - 1) / targetOccupancy, 65536L).toInt
+  }
+
   private def kmeansFit(embeddings: DataFrame, vecCol: String, idCol: String,
-      k: Int, iterations: Int): Seq[(Long, Seq[Double])] = {
-    require(k >= 1, "k must be >= 1")
+      k0: Int, iterations: Int): Seq[(Long, Seq[Double])] = {
     require(iterations >= 0, "iterations must be >= 0")
+    // k <= 0 derives the SemDeDup sizing rule from the corpus count —
+    // one column-pruned count() action, paid only on the derived path
+    val k = if (k0 > 0) k0 else derivedSemDedupK(embeddings.count())
     var cents: Seq[(Long, Seq[Double])] =
       embeddings.orderBy(col(idCol)).limit(k)
         .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))

@@ -40,11 +40,13 @@ object SemDedupIndex {
   /** One clustering pass over the curated archive: fit k centroids
     * (`iterations` Lloyd steps, or accept a pre-trained `(cid, cvec)`
     * frame) and persist the fit plus the cid-partitioned assigned
-    * archive.
+    * archive. `k <= 0` derives k from the archive count
+    * ([[Embeddings.derivedSemDedupK]]: clamp(ceil(n/5000), 1, 65536) —
+    * occupancy-pinned so the refresh pairing stays volume-linear,
+    * replayable from `COUNT(*)`).
     */
   def build(embeddings: DataFrame, vecCol: String, idCol: String, dir: String,
       k: Int, iterations: Int = 1, centroids: Option[DataFrame] = None): Unit = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val cents = centroids.map(_.select(col("cid"), col("cvec")))
       .getOrElse(Embeddings.kmeansCentroids(embeddings, vecCol, idCol, k, iterations))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
