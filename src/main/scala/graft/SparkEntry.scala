@@ -133,12 +133,16 @@ object SparkEntry {
     }
 
   /** The purchase graph's PERSISTED [[sources.GraphIndex]] artifact,
-    * written once per (session, dir) FROM the shared prepared graph
-    * (write-only — no re-derivation), so "prepare once per graph" holds
+    * written once per (session, dir), so "prepare once per graph" holds
     * ACROSS sessions too (the SemDedupIndex pattern): a later session —
     * or a degree-only analysis like `q_graph_stats` — loads the parquet
     * and never takes a checkpoint; a later session's superstep runs load
-    * it `pin = true` and skip the distinct+degree shuffle.
+    * it `pin = true` and skip the distinct+degree shuffle. If a loop gate
+    * already prepared the graph in-memory, the artifact is a write-only
+    * [[sources.GraphIndex.persist]] of it; otherwise it is BUILT straight
+    * from the edges (same distinct+degree jobs, parquet sink instead of
+    * checkpoint blocks) — a degree-only session never materializes a
+    * checkpoint it won't iterate on.
     */
   private def sharedGraphIndexPath(s: SparkSession, dir: String): String =
     synchronized {
@@ -147,7 +151,11 @@ object SparkEntry {
           "graph_" + java.security.MessageDigest.getInstance("MD5")
             .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
           .getAbsolutePath
-        sources.GraphIndex.persist(sharedPreparedGraph(s, dir), path)
+        preparedGraphCache.get((s, dir)) match {
+          case Some(g) => sources.GraphIndex.persist(g, path)
+          case None => sources.GraphIndex.build(sharedPurchaseEdges(s, dir),
+            "src", "dst", path, undirected = true)
+        }
         path
       })
     }
@@ -190,9 +198,11 @@ object SparkEntry {
   def clearSharedRelations(): Unit = synchronized {
     jaccardPairsCache.clear()
     purchaseEdgesCache.clear()
-    // shared loop graphs are PINNED GraphIndex loads: release their
-    // local blocks eagerly (ContextCleaner would wait for a driver GC);
-    // the parquet artifact itself lives under sharedRelDir, deleted below
+    // shared loop graphs hold local checkpoint blocks (the in-memory
+    // prepareGraph this session, or a pinned GraphIndex load in a later
+    // one): release them eagerly (ContextCleaner would wait for a driver
+    // GC); the parquet artifact itself lives under sharedRelDir, deleted
+    // below
     preparedGraphCache.values.foreach(_.unpersist())
     preparedGraphCache.clear()
     graphIndexPathCache.clear()
@@ -2731,7 +2741,9 @@ object SparkEntry {
       "q_graph_stats" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         // degree-only: reads the persisted GraphIndex unpinned — one
-        // parquet pass, no checkpoint taken at all (the loop gates pin)
+        // parquet pass; the artifact is built straight from the edges
+        // when no loop gate prepared the graph first, so a degree-only
+        // session takes no checkpoint at all (the loop gates pin)
         Graphs.degreeDistribution(
             sources.GraphIndex.load(s, sharedGraphIndexPath(s, dir)))
           .orderBy(col("nodes").desc, col("degree")).limit(25)

@@ -294,12 +294,38 @@ object Graphs {
     * the loop advances and [[PreparedGraph.unpersist]] deletes the graph's
     * own files, but the dir itself (and the files of any result frame
     * still held) remains until the caller removes it.
+    *
+    * The context checkpoint dir is a GLOBAL: `setCheckpointDir` affects
+    * every `Dataset.checkpoint` in the SparkContext. Spark isolates each
+    * call under a fresh per-context UUID subdir, and our deletions only
+    * ever remove files the owning RDD reports (`getCheckpointFile`), so
+    * interleaved reliable graphs sharing ONE parent dir are safe — but a
+    * second prepare requesting a DIFFERENT parent would silently redirect
+    * the first graph's still-running superstep cuts into a dir its caller
+    * never agreed to (and may delete wholesale). Guarded: if the context
+    * already has a checkpoint dir, it must sit under the requested parent
+    * or this call throws.
     */
   def prepareGraph(edges: DataFrame, srcCol: String, dstCol: String,
       undirected: Boolean = false,
       checkpointDir: Option[String] = None): PreparedGraph = {
     val reliable = checkpointDir.isDefined
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { dir =>
+      val sc = edges.sparkSession.sparkContext
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(sc.hadoopConfiguration)
+      val requested = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+      sc.getCheckpointDir.foreach { cur =>
+        val curParent = new org.apache.hadoop.fs.Path(cur).getParent
+        require(fs.makeQualified(curParent) == requested,
+          s"prepareGraph(checkpointDir=$dir): the SparkContext checkpoint dir " +
+            s"is global and already set under $curParent; concurrent reliable " +
+            "graphs (and any other Dataset.checkpoint user) must share one " +
+            "parent dir, else this call would redirect their in-flight " +
+            "checkpoints into a directory another caller owns and may delete")
+      }
+      sc.setCheckpointDir(dir)
+    }
     val directed = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e0 = if (undirected) directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))

@@ -96,7 +96,10 @@ object Sampling {
     * empty.
     *
     * `groups` is an (id, label) relation — [[Dedup.nearDuplicateClusters]]
-    * emits exactly this shape. Same determinism contract as
+    * emits exactly this shape. An id appearing twice (a buggy upstream
+    * putting a row in two clusters) collapses to its MIN label before the
+    * join, so the output is always row-preserving over `df`, never
+    * silently duplicated. Same determinism contract as
     * [[assignSplits]]: row-local after one id-keyed left join,
     * partitioning-invariant, append-stable AS LONG AS group labels are
     * (min-label clusters stay stable while the minimum member stays; a
@@ -111,7 +114,12 @@ object Sampling {
     val reserved = Seq("__gid", "__glabel", "__gkey")
     require(!df.columns.exists(reserved.contains),
       s"assignSplitsByGroup reserves ${reserved.mkString(", ")}; rename the inputs")
+    // one label per id, deterministically (MIN), BEFORE the join: an id
+    // carried twice by a buggy upstream (e.g. a row in two clusters)
+    // would otherwise duplicate output rows silently — the left join
+    // must be row-preserving over df
     val g = groups.select(col(gIdCol).as("__gid"), col(gLabelCol).as("__glabel"))
+      .groupBy("__gid").agg(min(col("__glabel")).as("__glabel"))
     val keyed = df.join(g, df(idCol) === col("__gid"), "left")
       .withColumn("__gkey", coalesce(col("__glabel"), df(idCol)).cast("string"))
     assignSplits(keyed, "__gkey", splits, salt, labelCol)

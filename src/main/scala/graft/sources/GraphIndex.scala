@@ -32,6 +32,18 @@ import graft.operators.Graphs
   */
 object GraphIndex {
 
+  /** The three relations are written non-atomically (edges, nodes, meta);
+    * `meta` doubles as the COMPLETION MARKER — it is deleted before the
+    * first overwrite and written last, so a build/persist that dies
+    * mid-way leaves an artifact [[load]] refuses (missing `meta` path)
+    * instead of a readable-but-torn mix of new edges and stale nodes.
+    */
+  private def clearCompletionMarker(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true): Unit
+  }
+
   /** Derive the simple graph + degrees from raw `edges(srcCol, dstCol)`
     * and persist. One distinct + one degree aggregate + the write — the
     * same jobs the in-memory prepare runs, plus the parquet sink.
@@ -39,6 +51,7 @@ object GraphIndex {
   def build(edges: DataFrame, srcCol: String, dstCol: String, dir: String,
       undirected: Boolean = false): Unit = {
     val spark = edges.sparkSession
+    clearCompletionMarker(spark, dir)
     val directed = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e0 = if (undirected)
@@ -67,6 +80,7 @@ object GraphIndex {
     * (spec-pinned).
     */
   def persist(g: Graphs.PreparedGraph, dir: String): Unit = {
+    clearCompletionMarker(g.eDeg.sparkSession, dir)
     g.eDeg.select(col("src"), col("dst"), col("deg"))
       .write.mode("overwrite").parquet(s"$dir/edges")
     g.nodes.select(col("node"))

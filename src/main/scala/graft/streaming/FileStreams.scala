@@ -146,6 +146,12 @@ object FileStreams {
     // Resolution: explicit param > session conf `graft.streaming.stateStore`
     // (lets a pipeline/Verify run flip EVERY streaming query to RocksDB
     // without threading the knob through each call) > engine default.
+    // CONCURRENCY CAVEAT: the override is the session-global provider key,
+    // set for this drain and restored in the finally — a streaming query
+    // STARTED concurrently on the same SparkSession during the drain would
+    // capture the temporary value and freeze it into its own checkpoint.
+    // This helper assumes the session starts one streaming query at a time
+    // (Spark offers no per-query provider option to scope it tighter).
     val providerConf = "spark.sql.streaming.stateStore.providerClass"
     val requested = stateStore.orElse(spark.conf.getOption("graft.streaming.stateStore"))
     val prevProvider = requested.map { s =>
