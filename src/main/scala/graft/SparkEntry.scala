@@ -1938,6 +1938,33 @@ object SparkEntry {
             sum("doc_id").cast("long").as("id_sum"))
           .orderBy("split")
       }),
+      // LEAKAGE-SAFE split over NEAR-duplicate clusters (r14): the leak
+      // that motivates group-aware splitting is near-copies crossing
+      // splits, so the groups here come from the REAL pipeline — portable
+      // MinHash-LSH pairs -> connected components -> grouped hash split.
+      // Same hard zero-leakage require as q_leakage_split; the oracle
+      // replays the ENTIRE chain (shingles -> signatures -> bands ->
+      // pairs -> recursive components -> md5 split hash -> rollup).
+      "q_leakage_split_near" -> ((s: SparkSession, dir: String) => {
+        prepare(s, dir)
+        val pairs = Dedup.minHashNearDuplicates(s.table("documents"), "text",
+            "doc_id", numHashes = 128, bands = 32, shingleSize = 3,
+            threshold = 0.2, portable = true)
+          .select(col("id1"), col("id2"))
+        val clusters = Dedup.nearDuplicateClusters(pairs)
+        val out = Sampling.assignSplitsByGroup(s.table("documents"), "doc_id",
+          clusters, "id", "label")
+        val leaked = out
+          .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+          .groupBy("label").agg(countDistinct(col("split")).as("ns"))
+          .where(col("ns") > 1).count()
+        require(leaked == 0,
+          s"near-dup leakage-safe split LEAKED $leaked clusters across splits")
+        out.groupBy("split")
+          .agg(count(lit(1)).cast("long").as("docs"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .orderBy("split")
+      }),
       // target-mixture rebalance: integer-ppm quota arithmetic, binding
       // stratum fixes the scale, per-stratum content-hash prefix keeps
       // the mix exact without upsampling
@@ -5624,6 +5651,27 @@ object SparkEntry {
         SELECT a.doc_id AS id1, b.doc_id AS id2
         FROM documents a JOIN documents b
           ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+      e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+      reach(src, dst) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+      lab AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src),
+      u AS (
+        SELECT d.doc_id,
+               CAST(('0x' || substring(md5(
+                 CAST(COALESCE(lab.label, d.doc_id) AS VARCHAR) || 'graft-split'), 1, 15)) AS BIGINT)
+                 / 1152921504606846976.0 AS u
+        FROM documents d LEFT JOIN lab ON lab.id = d.doc_id)
+      SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM u GROUP BY 1 ORDER BY 1""",
+    // near-dup leakage-safe split: the full portable-minhash pair chain
+    // (shared CTEs), components via recursive min-reachable-id, then the
+    // SAME grouped md5 split hash and rollup as q_leakage_split
+    "q_leakage_split_near" -> s"""
+      WITH RECURSIVE $minhashPairCtes,
+      p AS (SELECT id1, id2 FROM est WHERE je >= 0.2),
       e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
       reach(src, dst) AS (
         SELECT a, a FROM e
