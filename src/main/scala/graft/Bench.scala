@@ -24,12 +24,29 @@ import org.apache.spark.sql.SparkSession
   * round-11 sf10 decade factors >2x and forced ad-hoc warm re-measures
   * (SCALE.md); with warmup the sweep's factors are trustworthy directly.
   * The driver's sf0.1 runs don't need it (min-of-3 already de-colds).
+  *
+  * `--isolated` (or SPARK_GRAFT_BENCH_ISOLATED=1): after the suite
+  * passes, re-probe gates one at a time — forced GC + short settle
+  * before each of 3 reps, min reported — and emit the result as a
+  * SECOND column (`isolated`/`isolated_sec`) next to the in-suite one.
+  * In-suite numbers carry neighbors' GC debt and suite-position noise
+  * (round 13 measured +5..13%% total drift on unchanged code while every
+  * flagged gate re-probed at parity in isolation); the isolated column
+  * is the round-over-round comparable one, now recorded in the artifact
+  * instead of reconstructed ad hoc in SCALE.md prose. Shared relations
+  * stay warm from the suite passes, so isolated = per-gate steady state
+  * excluding one-time shared builds. SPARK_GRAFT_BENCH_PRIOR=<path to a
+  * previous bench JSON line> restricts the re-probe to gates whose
+  * in-suite min regressed >1.25x vs that artifact's isolated (preferred)
+  * or in-suite column — the cheap attribution mode.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmup = args.contains("--warmup") ||
       sys.env.get("SPARK_GRAFT_BENCH_WARMUP").exists(v => v == "1" || v == "true")
+    val isolated = args.contains("--isolated") ||
+      sys.env.get("SPARK_GRAFT_BENCH_ISOLATED").exists(v => v == "1" || v == "true")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR",
       "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -103,6 +120,9 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
+    // isolated column, filled after the suite passes when --isolated is on
+    var isolatedResults: Seq[(String, Double)] = Nil
+
     def jsonLine(results: Seq[(String, Double)], iters: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -118,7 +138,13 @@ object Bench {
         .filter { case (k, v) => v >= 0 && streamOperatorSec.contains(k) }
         .map(_._2).sum
       val harnessTotal = math.max(0.0, streamWall - opTotal)
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"loadavg_1m":$loadAvg%.2f,"stream_operator":$ops,"stream_operator_sec":$opTotal%.3f,"stream_harness_sec":$harnessTotal%.3f}"""
+      val iso = if (isolatedResults.isEmpty) "" else {
+        val m = isolatedResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+        val isoTotal = isolatedResults.map(_._2).filter(_ >= 0).sum
+        f""","isolated":$m,"isolated_sec":$isoTotal%.3f"""
+      }
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"loadavg_1m":$loadAvg%.2f,"stream_operator":$ops,"stream_operator_sec":$opTotal%.3f,"stream_harness_sec":$harnessTotal%.3f$iso}"""
     }
 
     // per-query minimum over up to 3 passes: single passes swing ±30% on
@@ -171,6 +197,56 @@ object Bench {
         }
         System.err.println(s"[bench] noisy-trim pass over ${noisy.size} queries: " +
           noisy.toSeq.sorted.mkString(", "))
+      }
+    }
+
+    if (isolated) {
+      // prior artifact (optional): restrict the re-probe to the gates that
+      // actually regressed >1.25x vs it — prefer its isolated column (the
+      // comparable one) and fall back to in-suite for older artifacts
+      def priorColumn(text: String, key: String): Map[String, Double] = {
+        val start = text.indexOf("\"" + key + "\":{")
+        if (start < 0) Map.empty
+        else {
+          val body = text.substring(start + key.length + 4,
+            text.indexOf("}", start))
+          "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+      val prior: Map[String, Double] = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+        .flatMap { p =>
+          try {
+            val text = scala.io.Source.fromFile(p).mkString
+            val iso = priorColumn(text, "isolated")
+            Some(if (iso.nonEmpty) iso else priorColumn(text, "queries"))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] prior artifact unreadable ($p): ${e.getMessage}")
+            None
+          }
+        }.getOrElse(Map.empty)
+      val targets = results.collect {
+        case (k, v) if v >= 0 &&
+          (prior.isEmpty || prior.get(k).exists(pv => pv > 0 && v > pv * 1.25)) => k
+      }
+      System.err.println(s"[bench] isolated re-probe: ${targets.size} gates" +
+        (if (prior.nonEmpty) s" (>1.25x vs prior of ${prior.size})" else " (no prior: all)"))
+      val fns = SparkEntry.queries
+      isolatedResults = targets.map { name =>
+        val times = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          System.gc()
+          Thread.sleep(50)
+          val t0 = System.nanoTime()
+          val ok = try {
+            fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] isolated $name failed: ${e.getMessage}"); false
+          }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        val good = times.filter(_ >= 0)
+        name -> (if (good.nonEmpty) good.min else -1.0)
       }
     }
 
