@@ -827,12 +827,22 @@ object SparkEntry {
       // physical file of a range-clustered copy, then answer a key-set
       // lookup by reading ONLY candidate files (no false negatives; the
       // exact semi-join removes filter FPs). Row-identical to the
-      // full-scan semi-join, which is what the oracle replays.
+      // full-scan semi-join, which is what the oracle replays. The
+      // range-cluster file count derives from VOLUME (~750k rows/file,
+      // floor 8, cap 2048) — the production contract: file SIZE stays
+      // bounded while the count grows linearly, so the staging write's
+      // parallelism scales with the data instead of funnelling 600M rows
+      // through 8 tasks (a fixed count was the same corpus-independent-
+      // literal trap as the LSH width/semdedup k), and the per-file index
+      // stays over right-sized files, never an exploding tiny-file
+      // inventory (the anti-pattern regime; SCALE.md r14).
       "q_skipping_index" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
         val tmpData = java.nio.file.Files.createTempDirectory("graft_skip_data_").toString
         val tmpIdx = java.nio.file.Files.createTempDirectory("graft_skip_idx_").toString
-        s.table("lineitem").repartitionByRange(8, col("l_orderkey"))
+        val rows = s.table("lineitem").count()
+        val parts = math.min(2048L, math.max(8L, (rows + 749999L) / 750000L)).toInt
+        s.table("lineitem").repartitionByRange(parts, col("l_orderkey"))
           .write.mode("overwrite").parquet(tmpData)
         graft.sources.SkippingIndex.build(s, tmpData, "l_orderkey", tmpIdx)
         val keys = s.table("orders").where(col("o_orderkey") % 97 === 0)

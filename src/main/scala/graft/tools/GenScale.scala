@@ -61,7 +61,17 @@ import org.apache.spark.sql.functions._
   * modes. This mode exists to measure the constant-density scaling curve
   * of the time-window and shingle operators (SCALE.md).
   *
-  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> [factor] [constant-density]
+  * A `hold-files` flag (composable with `constant-density`) repartitions
+  * every output table to its SOURCE's parquet file count before writing —
+  * the fixture otherwise multiplies FILE COUNT with the factor (each
+  * replica's partitions write their own files), which conflates "more
+  * data" with "more, smaller files". Real deployments size files up /
+  * keep file size bounded as data grows; hold-files produces that regime
+  * (same file count, factor-times-bigger files) so per-file and
+  * listing-shaped costs can be measured under the production contract.
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> [factor]
+  *        [constant-density] [hold-files]
   */
 object GenScale {
 
@@ -98,7 +108,9 @@ object GenScale {
     val srcDir = args(0)
     val dstDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    val constantDensity = args.length > 3 && args(3) == "constant-density"
+    val flags = args.drop(3).toSet
+    val constantDensity = flags.contains("constant-density")
+    val holdFiles = flags.contains("hold-files")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -133,7 +145,15 @@ object GenScale {
       out
     }
     def write(df: DataFrame, t: String): Unit = {
-      df.drop("__r").write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+      val out0 = df.drop("__r")
+      val out = if (!holdFiles) out0 else {
+        val f = new java.io.File(s"$srcDir/$t.parquet")
+        val n = if (f.isDirectory)
+          math.max(1, f.listFiles().count(_.getName.endsWith(".parquet")))
+        else 1
+        out0.repartition(n)
+      }
+      out.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
       println(s"[genscale] $t: ${spark.read.parquet(s"$dstDir/$t.parquet").count()} rows")
     }
 
