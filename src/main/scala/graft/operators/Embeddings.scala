@@ -261,6 +261,20 @@ object Embeddings {
     (4 to 16).find(p => (n + (1L << p) - 1) / (1L << p) <= targetBucket)
       .getOrElse(16)
 
+  /** The default [[ivfTopK]] cell count for a corpus of `n` vectors when
+    * the caller passes `nlist <= 0`: the smallest power of two whose cell
+    * occupancy ceil(n/2^p) is at most 2^p — i.e. 2^p ≈ ceil(sqrt(n)) —
+    * balancing the coarse-quantizer scan (n·nlist-shaped in training /
+    * per-query centroid ranking) against cell size (per-probe scan cost).
+    * The classic FAISS sizing heuristic, as a pure integer ladder so any
+    * SQL engine replays it from `COUNT(*)` with no float-sqrt ULP risk.
+    * Capped at 2^16 cells: past ~4B vectors the coarse quantizer should
+    * be trained hierarchically, a per-corpus call.
+    */
+  private[graft] def derivedNlist(n: Long): Int =
+    1 << (0 to 16).find(p => (n + (1L << p) - 1) / (1L << p) <= (1L << p))
+      .getOrElse(16)
+
   /** The default [[hammingTopK]] prescreen budget for a corpus of `n`
     * vectors: max(4k, n/1000) — the same rule `q_recall_floor_hamming`
     * replays in its oracle. Clamped into Int (a > 2·10^12-row corpus
@@ -470,15 +484,22 @@ object Embeddings {
       multiProbe: Int = 0): DataFrame = {
     require(multiProbe >= 0 && multiProbe <= 2,
       "multiProbe must be 0, 1 or 2 (beyond 2 probe the exact path instead)")
-    val bucket = (sig: Column) => shiftrightunsigned(sig, 64 - prefixBits)
+    // prefixBits <= 0 derives the width from the corpus count (avg bucket
+    // <= 500 rows — the cosineNearDuplicates rule): a fixed width makes
+    // the per-query candidate set n/2^p, linear in the corpus; the
+    // derived width pins it. Recall-sensitive callers set it explicitly
+    // (wider buckets = more recall, more scan) — the knob is a
+    // recall/latency trade, the DEFAULT must not decay with n.
+    val p = if (prefixBits > 0) prefixBits else derivedPrefixBits(embeddings.count())
+    val bucket = (sig: Column) => shiftrightunsigned(sig, 64 - p)
     val embB = embeddings.withColumn("__bucket", bucket(hyperplaneSignature(col(vecCol), 64, seed)))
     val qryB0 = queries.withColumn("__bucket", bucket(hyperplaneSignature(col(queryVecCol), 64, seed)))
-    // flip-masks for Hamming balls of radius <= multiProbe over prefixBits
+    // flip-masks for Hamming balls of radius <= multiProbe over the width
     val masks: Seq[Long] = 0L +: (multiProbe match {
       case 0 => Seq.empty
-      case 1 => (0 until prefixBits).map(i => 1L << i)
-      case _ => (0 until prefixBits).map(i => 1L << i) ++
-        (for (i <- 0 until prefixBits; j <- i + 1 until prefixBits)
+      case 1 => (0 until p).map(i => 1L << i)
+      case _ => (0 until p).map(i => 1L << i) ++
+        (for (i <- 0 until p; j <- i + 1 until p)
           yield (1L << i) | (1L << j))
     })
     val qryB =
@@ -557,7 +578,13 @@ object Embeddings {
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val cents = centroids.getOrElse(seedCentroids(embeddings, vecCol, idCol, nlist))
+    // nlist <= 0 (and no centroids given) derives ~sqrt(n) cells from the
+    // corpus count ([[derivedNlist]]): a fixed nlist makes every probe
+    // scan nprobe/nlist of the CORPUS — linear in n — where sqrt-sized
+    // cells keep per-probe work ~nprobe·sqrt(n)
+    val nl = if (nlist > 0 || centroids.isDefined) nlist
+             else derivedNlist(embeddings.count())
+    val cents = centroids.getOrElse(seedCentroids(embeddings, vecCol, idCol, nl))
       .select(col("cid"), col("cvec"))
     val cells = assignCells(embeddings, idCol, vecCol, cents, 1)
     val qCells = assignCells(queries, queryIdCol, queryVecCol, cents, nprobe)

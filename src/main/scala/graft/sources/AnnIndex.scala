@@ -36,9 +36,12 @@ object AnnIndex {
     */
   def build(embeddings: DataFrame, vecCol: String, idCol: String, dir: String,
       nlist: Int, centroids: Option[DataFrame] = None): Unit = {
-    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    // nlist <= 0 (and no centroids given) derives ~sqrt(n) cells from the
+    // corpus count — [[Embeddings.derivedNlist]], the ivfTopK default
+    val nl = if (nlist > 0 || centroids.isDefined) nlist
+             else Embeddings.derivedNlist(embeddings.count())
     val cents = centroids.getOrElse(
-      Embeddings.seedCentroids(embeddings, vecCol, idCol, nlist))
+      Embeddings.seedCentroids(embeddings, vecCol, idCol, nl))
       .select(col("cid"), col("cvec"))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     // canonical (id, vec) column names on disk, whatever the input called

@@ -1981,6 +1981,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(0) == pairs(4))
   }
 
+  test("ANN derived defaults: lsh prefixBits<=0 and ivf nlist<=0 derive from the corpus") {
+    // derivedNlist: smallest power of two with occupancy <= cell count
+    // (2^p ~ sqrt(n)), the pure-integer FAISS sizing ladder
+    assert(Embeddings.derivedNlist(1L) == 1)
+    assert(Embeddings.derivedNlist(2L) == 2)       // ceil(2/1)=2 > 1; p=1: 1 <= 2
+    assert(Embeddings.derivedNlist(500L) == 32)    // sf0.01 corpus
+    assert(Embeddings.derivedNlist(2000000L) == 2048) // sf100cd: sqrt(2M)=1414
+    assert(Embeddings.derivedNlist(Long.MaxValue / 4) == 65536) // cap
+    val sps = spark; import sps.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 5 + j) + (if (j == i % 8) 2.0 else 0.0)))
+    }.toDF("vec_id", "vec")
+    val qs = vecs.limit(3).select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // derived == explicit at the value the rule yields for n=60 (p=3: 8)
+    assert(Embeddings.derivedNlist(60L) == 8)
+    assert(rows(Embeddings.ivfTopK(vecs, "vec", "vec_id", qs, "qvec", "qid",
+        k = 3, nlist = 0).select("query_id", "rank", "neighbor_id"))
+      == rows(Embeddings.ivfTopK(vecs, "vec", "vec_id", qs, "qvec", "qid",
+        k = 3, nlist = 8).select("query_id", "rank", "neighbor_id")))
+    // lshTopK: prefixBits <= 0 derives the 4-bit floor on a tiny corpus
+    assert(rows(Embeddings.lshTopK(vecs, "vec", "vec_id", qs, "qvec", "qid",
+        k = 3, prefixBits = 0).select("query_id", "rank", "neighbor_id"))
+      == rows(Embeddings.lshTopK(vecs, "vec", "vec_id", qs, "qvec", "qid",
+        k = 3, prefixBits = 4).select("query_id", "rank", "neighbor_id")))
+  }
+
   test("semdedup: derived k pins occupancy at 5000, clamps to 65536, derived == explicit") {
     // the rule, pinned either side of each boundary (pure integer — the
     // DuckDB oracle replays ((n + 4999) // 5000) LEAST 65536 verbatim)
