@@ -563,8 +563,8 @@ object SparkEntry {
       // pruning — keep the smallest-id member of every semantic-duplicate
       // ball. Assignment argmax and the drop threshold are micro-rounded
       // on both sides, so the cross-engine compare is integer-robust.
-      // k = 0 exercises the CORPUS-DERIVED default (clamp(ceil(n/5000),
-      // 1, 65536)) — a fixed k measured 23.9x/decade at sf100cd because
+      // k = 0 exercises the CORPUS-DERIVED default (clamp(ceil(n/1000),
+      // 32, 65536)) — a fixed k measured 23.9x/decade at sf100cd because
       // occupancy n/k grew linearly and within-cell pairing quadratically;
       // the derived rule pins occupancy, and the oracle replays it from
       // COUNT(*).
@@ -3481,10 +3481,10 @@ object SparkEntry {
     // rule — a vector is dropped iff a same-cluster smaller-id neighbor has
     // round(sim*1e6) >= 350000 (threshold 0.35 micro-rounded, as in Spark).
     // k is the CORPUS-DERIVED default replayed from COUNT(*):
-    // clamp(ceil(n/5000), 1, 65536), pure integer arithmetic (kk CTE)
+    // clamp(ceil(n/1000), 32, 65536), pure integer arithmetic (kk CTE)
     "q_semdedup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      kk AS (SELECT LEAST(((SELECT COUNT(*) FROM e) + 4999) // 5000, 65536) AS k),
+      kk AS (SELECT GREATEST(LEAST(((SELECT COUNT(*) FROM e) + 999) // 1000, 65536), 32) AS k),
       c0 AS (SELECT vec_id AS cid, v AS cv FROM (
                SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
              WHERE rn <= (SELECT k FROM kk)),
@@ -3520,14 +3520,14 @@ object SparkEntry {
     // ALL vectors assigned into it, drop rule restricted to new-side
     // vectors against (old OR smaller-id new) same-cluster neighbors.
     // k derives from the OLD slice's COUNT(*) (the fit corpus):
-    // clamp(ceil(n/5000), 1, 65536)
+    // clamp(ceil(n/1000), 32, 65536)
     "q_incremental_semdedup" -> """
       WITH eo AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings WHERE vec_id % 10 <> 0),
       ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                     vec_id % 10 = 0 AS isnew
              FROM embeddings),
-      kk AS (SELECT LEAST(((SELECT COUNT(*) FROM eo) + 4999) // 5000, 65536) AS k),
+      kk AS (SELECT GREATEST(LEAST(((SELECT COUNT(*) FROM eo) + 999) // 1000, 65536), 32) AS k),
       c0 AS (SELECT vec_id AS cid, v AS cv FROM (
                SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM eo)
              WHERE rn <= (SELECT k FROM kk)),
@@ -3570,7 +3570,7 @@ object SparkEntry {
       ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                     vec_id % 10 = 0 AS isnew
              FROM embeddings),
-      kk AS (SELECT LEAST(((SELECT COUNT(*) FROM eo) + 4999) // 5000, 65536) AS k),
+      kk AS (SELECT GREATEST(LEAST(((SELECT COUNT(*) FROM eo) + 999) // 1000, 65536), 32) AS k),
       c0 AS (SELECT vec_id AS cid, v AS cv FROM (
                SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM eo)
              WHERE rn <= (SELECT k FROM kk)),

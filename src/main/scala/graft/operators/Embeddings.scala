@@ -751,7 +751,7 @@ object Embeddings {
     * like every production Lloyd's.
     *
     * `k <= 0` derives k from the corpus count via [[derivedSemDedupK]]
-    * (clamp(ceil(n/5000), 1, 65536) — occupancy-bounded, replayable from
+    * (clamp(ceil(n/1000), 32, 65536) — occupancy-bounded, replayable from
     * `COUNT(*)` in any SQL engine).
     */
   def kmeansLloyd(embeddings: DataFrame, vecCol: String, idCol: String,
@@ -1033,7 +1033,7 @@ object Embeddings {
   }
 
   /** The corpus-derived k for the SemDeDup family when the caller passes
-    * `k <= 0`: `clamp(ceil(n / targetOccupancy), 1, 65536)` — SemDeDup's
+    * `k <= 0`: `clamp(ceil(n / targetOccupancy), 32, 65536)` — SemDeDup's
     * own sizing contract (cluster count grows with the corpus so that
     * occupancy n/k, and with it the quadratic within-cell pair work,
     * stays bounded; the paper runs k=50k over 5B embeddings). Pure
@@ -1041,14 +1041,26 @@ object Embeddings {
     * `COUNT(*)` — the [[derivedPrefixBits]] discipline. Fixed-k gates
     * measured 23.9x/decade at sf100cd (occupancy linear, pairing
     * quadratic in occupancy); with occupancy pinned at `targetOccupancy`
-    * the pairing term is ~(targetOccupancy/2)·n — volume-linear. The
-    * 65536 cap keeps the driver-held centroid matrix config-bounded
-    * (the k-means collect pattern); corpora past ~327M vectors should
-    * set k per corpus (hierarchical / coarse-quantizer training).
+    * the pairing term is ~(targetOccupancy/2)·n — volume-linear.
+    *
+    * The two clamps are load-bearing, both measured (SCALE.md r14):
+    *  - FLOOR 32: the pairing self-join is keyed on cid, so k IS its
+    *    maximum parallelism — a first-cut occupancy-5000 rule gave k=4
+    *    at 20k vectors and ran 5.3x SLOWER than k=32 (28 of 32 cores
+    *    idle + 8x the pairs). Below the floor, extra cells cost nothing
+    *    (a 32-cell fit is trivial at any n) and buy full task fan-out.
+    *  - occupancy 1000, not the paper-ish 5000: a candidate PAIR (join
+    *    row + dim-wide dot) is ~two orders of magnitude more expensive
+    *    than one kernel cosine in the assignment map, so trading
+    *    assignment cost (n·k, up 5x) for pairing cost (n·occ/2, down
+    *    5x) wins until n·k rivals pairs by that ratio (~10^9 vectors).
+    *  - cap 65536 keeps the driver-held centroid matrix config-bounded
+    *    (the k-means collect pattern); corpora past the cap should set
+    *    k per corpus (hierarchical / coarse-quantizer training).
     */
-  private[graft] def derivedSemDedupK(n: Long, targetOccupancy: Long = 5000L): Int = {
+  private[graft] def derivedSemDedupK(n: Long, targetOccupancy: Long = 1000L): Int = {
     require(n >= 1, s"corpus must be non-empty, got n=$n")
-    math.min((n + targetOccupancy - 1) / targetOccupancy, 65536L).toInt
+    math.max(32L, math.min((n + targetOccupancy - 1) / targetOccupancy, 65536L)).toInt
   }
 
   private def kmeansFit(embeddings: DataFrame, vecCol: String, idCol: String,

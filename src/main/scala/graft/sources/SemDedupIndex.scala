@@ -41,7 +41,7 @@ object SemDedupIndex {
     * (`iterations` Lloyd steps, or accept a pre-trained `(cid, cvec)`
     * frame) and persist the fit plus the cid-partitioned assigned
     * archive. `k <= 0` derives k from the archive count
-    * ([[Embeddings.derivedSemDedupK]]: clamp(ceil(n/5000), 1, 65536) —
+    * ([[Embeddings.derivedSemDedupK]]: clamp(ceil(n/1000), 32, 65536) —
     * occupancy-pinned so the refresh pairing stays volume-linear,
     * replayable from `COUNT(*)`).
     */

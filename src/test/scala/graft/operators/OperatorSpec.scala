@@ -2009,37 +2009,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         k = 3, prefixBits = 4).select("query_id", "rank", "neighbor_id")))
   }
 
-  test("semdedup: derived k pins occupancy at 5000, clamps to 65536, derived == explicit") {
+  test("semdedup: derived k pins occupancy at 1000, clamps to [32, 65536], derived == explicit") {
     // the rule, pinned either side of each boundary (pure integer — the
-    // DuckDB oracle replays ((n + 4999) // 5000) LEAST 65536 verbatim)
-    assert(Embeddings.derivedSemDedupK(1L) == 1)
-    assert(Embeddings.derivedSemDedupK(5000L) == 1)
-    assert(Embeddings.derivedSemDedupK(5001L) == 2)          // one over: split
-    assert(Embeddings.derivedSemDedupK(2000000L) == 400)     // the sf100cd corpus
+    // DuckDB oracle replays GREATEST(LEAST((n+999)//1000, 65536), 32))
+    assert(Embeddings.derivedSemDedupK(1L) == 32)            // parallelism floor
+    assert(Embeddings.derivedSemDedupK(32000L) == 32)        // 32000/1000 = floor
+    assert(Embeddings.derivedSemDedupK(32001L) == 33)        // one over: split
+    assert(Embeddings.derivedSemDedupK(2000000L) == 2000)    // the sf100cd corpus
     assert(Embeddings.derivedSemDedupK(Long.MaxValue / 4) == 65536) // driver cap
     intercept[IllegalArgumentException] { Embeddings.derivedSemDedupK(0L) }
     // k = 0 threads the derived value through the SAME kmeansFit the
-    // explicit path uses: multi-cluster equality on a 10500-row corpus
-    // (derived k = 3), assignment-only so the spec stays cheap
+    // explicit path uses: equality at the floor (n = 10500 -> k = 32),
+    // assignment-only so the spec stays cheap
     val sps = spark; import sps.implicits._
     val many = sps.range(0, 10500).select(col("id").as("vec_id"),
       array((col("id") % 7).cast("double"), (col("id") % 11).cast("double"),
         lit(1.0)).as("vec"))
     val derived = Embeddings.kmeansLloyd(many, "vec", "vec_id", k = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val explicitK = Embeddings.kmeansLloyd(many, "vec", "vec_id", k = 3)
+    val explicitK = Embeddings.kmeansLloyd(many, "vec", "vec_id", k = 32)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(derived == explicitK)
-    assert(derived.values.toSet.size == 3, s"expected 3 live clusters")
-    // and the semdedup wiring itself: k = 0 == k = derived on a small
-    // corpus (derived k = 1 — the full pairwise degenerate is exercised)
+    assert(derived.values.toSet.size > 1, "expected multiple live clusters")
+    // and the semdedup wiring itself: k = 0 == k = 32 on a small corpus
+    // (n < k: the fit deterministically keeps all n seed vectors)
     val six = sps.createDataFrame(Seq(
       (1L, Seq(1.0, 0.0, 0.1)), (2L, Seq(0.0, 1.0, 0.1)),
       (3L, Seq(0.99, 0.01, 0.1)), (4L, Seq(0.01, 0.99, 0.1))
     )).toDF("vec_id", "vec")
     val d0 = Embeddings.semanticDeduplicate(six, "vec", "vec_id", k = 0, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-    val d1 = Embeddings.semanticDeduplicate(six, "vec", "vec_id", k = 1, threshold = 0.95)
+    val d1 = Embeddings.semanticDeduplicate(six, "vec", "vec_id", k = 32, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(d0 == d1)
   }
