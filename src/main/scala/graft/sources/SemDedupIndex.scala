@@ -52,10 +52,16 @@ object SemDedupIndex {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val centSeq = Embeddings.collectCentroidFrame(
       embeddings.sparkSession.read.parquet(s"$dir/centroids"))
-    // canonical (id, vec) on disk, whatever the build-time names were
+    // canonical (id, vec) on disk, whatever the build-time names were.
+    // repartition BY CID before the dynamic-partition write: without it
+    // every write task opens a file per cid it sees — tasks x k files
+    // (57,600 at the sf100cd derived k=1800, measured the dominant build
+    // cost; invisible at k=32) — where the cid shuffle makes each task
+    // own ~k/tasks cells and the file count collapses to ~k
     Embeddings.kmeansAssign(
         embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "vec", centSeq)
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/members")
   }
 
@@ -111,6 +117,7 @@ object SemDedupIndex {
     Embeddings.kmeansAssign(
         newEmb.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "vec", centSeq)
+      .repartition(col("cid")) // one owner task per cell (see build)
       .write.mode("append").partitionBy("cid").parquet(s"$dir/members")
   }
 }

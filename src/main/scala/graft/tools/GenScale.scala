@@ -146,12 +146,27 @@ object GenScale {
     }
     def write(df: DataFrame, t: String): Unit = {
       val out0 = df.drop("__r")
-      val out = if (!holdFiles) out0 else {
-        val f = new java.io.File(s"$srcDir/$t.parquet")
-        val n = if (f.isDirectory)
-          math.max(1, f.listFiles().count(_.getName.endsWith(".parquet")))
+      val srcFile = new java.io.File(s"$srcDir/$t.parquet")
+      def bytes(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
+      val out = if (holdFiles) {
+        val n = if (srcFile.isDirectory)
+          math.max(1, srcFile.listFiles().count(_.getName.endsWith(".parquet")))
         else 1
         out0.repartition(n)
+      } else {
+        // production layout by DEFAULT: ~128 MB target files, count
+        // scaling with bytes. The source tables are single-file, and a
+        // broadcast crossJoin preserves that partitioning — r14 found
+        // the sf100cd fixture written as 1-2 files per table, which (a)
+        // serialized generation itself and (b) capped every downstream
+        // scan-riding stage at bytes/128MB row-group splits (the
+        // embeddings table: 503 MB -> 4 tasks on a 32-core box; at
+        // sf10cd, 51 MB -> ONE task), silently throttling the very
+        // stages the fixtures exist to measure.
+        val target = math.min(4096L,
+          math.max(1L, bytes(srcFile) * factor / (128L << 20))).toInt
+        if (target > 1) out0.repartition(target) else out0
       }
       out.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
       println(s"[genscale] $t: ${spark.read.parquet(s"$dstDir/$t.parquet").count()} rows")
