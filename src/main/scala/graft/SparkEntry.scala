@@ -55,6 +55,22 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  /** Materialize a SMALL gate result (aggregates / limits — config-bounded
+    * row counts) as a local-relation frame so the gate's staging temp dirs
+    * can be deleted BEFORE it returns. A lazily returned plan pins its
+    * staged files: every run of a staging gate then leaks a full table
+    * copy (11 GB per q_skipping_index run at sf100cd — a double-pass probe
+    * filled the disk, r14). The collect is bounded by the gate's own
+    * output contract (1-row checksums, per-group rollups, top-k).
+    */
+  private def localResult(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  private def deleteDirs(dirs: String*): Unit =
+    dirs.foreach(d => deleteRecursively(new java.io.File(d)))
+
   /** Exact 3-shingle Jaccard/containment pair relation over `documents`,
     * shared by the `q_ngram_jaccard` and `q_containment` gates. Built once
     * per (session, dir) and MATERIALIZED TO PARQUET (not `.persist`):
@@ -619,13 +635,16 @@ object SparkEntry {
         val idx = java.nio.file.Files.createTempDirectory("graft_semdedup_idx_").toString
         graft.sources.SemDedupIndex.build(
           emb.where(col("vec_id") % 10 =!= 0), "vec", "vec_id", idx, k = 0)
-        graft.sources.SemDedupIndex.refresh(s, idx,
+        val res = graft.sources.SemDedupIndex.refresh(s, idx,
             emb.where(col("vec_id") % 10 === 0), "vec", "vec_id", threshold = 0.35)
           .groupBy("cid")
           .agg(count(lit(1)).cast("long").as("members"),
             sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept"),
             sum(when(col("keep"), col("vec_id"))).cast("long").as("kept_id_sum"))
           .orderBy("cid")
+        val out = localResult(s, res) // <= k rows; frees the staged index
+        deleteDirs(idx)
+        out
       }),
 
       // BM25 corpus search: top-20 docs for a 3-term query. Scores are
@@ -847,10 +866,18 @@ object SparkEntry {
         graft.sources.SkippingIndex.build(s, tmpData, "l_orderkey", tmpIdx)
         val keys = s.table("orders").where(col("o_orderkey") % 97 === 0)
           .select(col("o_orderkey").cast("long"))
-        graft.sources.SkippingIndex.prunedRead(s, tmpData, tmpIdx, "l_orderkey", keys)
+        val res = graft.sources.SkippingIndex
+          .prunedRead(s, tmpData, tmpIdx, "l_orderkey", keys)
           .agg(count(lit(1)).cast("long").as("n_rows"),
             sum("l_orderkey").cast("long").as("key_sum"),
             sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("price_e2"))
+        // materialize the 1-row result so the staged copy can be DELETED
+        // before returning — a lazily returned frame would pin the temp
+        // dirs, and each gate run leaks a full lineitem copy (11 GB at
+        // sf100cd; a TimeGates double-pass filled the disk, r14)
+        val out = localResult(s, res)
+        deleteDirs(tmpData, tmpIdx)
+        out
       }),
 
       "q_salted_join" -> ((s: SparkSession, dir: String) => {
@@ -886,7 +913,7 @@ object SparkEntry {
           s.table("orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
           "graft_b_orders", "l_orderkey", 8, sortCols = Seq("l_orderkey"),
           path = Some(s"$base/orders"))
-        graft.sources.BucketedTables.bucketedJoin(s,
+        val res = graft.sources.BucketedTables.bucketedJoin(s,
             "graft_b_lineitem", "graft_b_orders", Seq("l_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).cast("long").as("cnt"),
@@ -895,6 +922,9 @@ object SparkEntry {
             (sum(col("l_orderkey") % lit(1000003L)) % lit(1000003L))
               .cast("long").as("key_checksum"))
           .orderBy(col("o_orderpriority"))
+        val out = localResult(s, res) // per-priority rollup; frees the copies
+        deleteDirs(base)
+        out
       }),
 
       // distribution drift: view-event values vs purchase-event values
@@ -1143,12 +1173,15 @@ object SparkEntry {
         // catalog-map probe (no join, blob read in place): the joined-blob
         // path re-copies each nation's filter per row — 197x/decade on the
         // sf10 sweep; this path is the 100 TB shape
-        graft.sources.FilterStore.probeCatalog(cust, "c_nationkey", "h",
+        val res = graft.sources.FilterStore.probeCatalog(cust, "c_nationkey", "h",
             graft.sources.FilterStore.read(s, path), "xor16_filter_contains")
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).cast("long").as("cnt"),
             sum("c_custkey").cast("long").as("key_sum"))
           .orderBy("c_nationkey")
+        val out = localResult(s, res) // per-nation rollup; frees the catalog
+        deleteDirs(path)
+        out
       }),
 
       // --- dedup operators ----------------------------------------------
@@ -1352,9 +1385,13 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
         val idx = java.nio.file.Files.createTempDirectory("graft_ann_idx_").toString
         graft.sources.AnnIndex.build(emb, "vec", "vec_id", idx, nlist = 16)
-        graft.sources.AnnIndex.query(s, idx, queries, "qvec", "qid", k = 5, nprobe = 4)
+        val res = graft.sources.AnnIndex
+          .query(s, idx, queries, "qvec", "qid", k = 5, nprobe = 4)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy("query_id", "rank")
+        val out = localResult(s, res) // 10 queries x k rows; frees the index
+        deleteDirs(idx)
+        out
       }),
       // product quantization: deterministic seed codebooks (16 lowest-id
       // vectors, 8 subspaces of dim 8), e6-integer encode + ADC scoring —
@@ -2254,11 +2291,14 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("n_chars",
             org.apache.spark.sql.types.LongType)))
         val (good, bad) = graft.sources.JsonlIngest.ingest(s, tmp, schema)
-        good.agg(count(lit(1)).cast("long").as("good_rows"),
+        val res = good.agg(count(lit(1)).cast("long").as("good_rows"),
             sum("doc_id").cast("long").as("id_sum"),
             countDistinct("source").cast("long").as("sources"))
           .crossJoin(bad.agg(count(lit(1)).cast("long").as("quarantined"),
             sum(length(col("raw_line"))).cast("long").as("quarantine_chars")))
+        val out = localResult(s, res) // 1-row checksum; frees the staged text
+        deleteDirs(tmp)
+        out
       }),
       // strict PII scrub on deterministically injected payloads: the
       // engine must pass the valid card, keep the Luhn-failed one, catch
@@ -2296,11 +2336,14 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("n_chars",
             org.apache.spark.sql.types.LongType)))
         val (good, bad) = graft.sources.JsonlIngest.ingestCsv(s, tmp, schema)
-        good.agg(count(lit(1)).cast("long").as("good_rows"),
+        val res = good.agg(count(lit(1)).cast("long").as("good_rows"),
             sum("doc_id").cast("long").as("id_sum"),
             sum("n_chars").cast("long").as("chars_sum"))
           .crossJoin(bad.agg(count(lit(1)).cast("long").as("quarantined"),
             sum(length(col("raw_line"))).cast("long").as("quarantine_chars")))
+        val out = localResult(s, res) // 1-row checksum; frees the staged text
+        deleteDirs(tmp)
+        out
       }),
       // readability: Flesch reading ease with heuristic vowel-group
       // syllables, per-doc integers + e3 score replayed exactly
