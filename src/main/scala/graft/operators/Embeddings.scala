@@ -1501,9 +1501,28 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
     math.sqrt(acc)
   }
 
+  // per-thread sim scratch (k doubles): expression instances are
+  // per-task in practice, but local mode gives no hard guarantee —
+  // ThreadLocal keeps the buffer race-free either way
+  @transient private lazy val simBuf = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](cids.length)
+  }
+
   /** Public entry shared by interpreted eval and generated code. A null
     * element short-circuits to the smallest cid — the literal path's
     * all-sims-null tie-break (see class doc).
+    *
+    * Two passes over the centroids: raw similarities first (pure
+    * multiply-adds), then the exact micro-rounded argmax over ONLY the
+    * centroids within 2e-6 of the raw maximum. HALF_UP e6-rounding is
+    * monotone with r(x) in [x-0.5, x+0.5] micro-units, so a sim more
+    * than 1e-6 below the max STRICTLY under-rounds it and can neither
+    * win nor tie — the 2e-6 screen is a safe superset (NaN maxima
+    * disable the screen: every comparison with NaN is false, so all
+    * candidates reach the exact path). This removes the per-centroid
+    * BigDecimal round that dominated derived-k assignment (k·n calls —
+    * 4e9 at sf100cd, measured r14) without changing one assignment:
+    * the rounding applied to surviving candidates is bit-identical.
     */
   def assign(arr: ArrayData): Long = {
     val n = arr.numElements()
@@ -1518,10 +1537,32 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
     i = 0
     while (i < n) { vn += v(i) * v(i); i += 1 }
     val vnorm = math.sqrt(vn)
-    var bestE6 = 0L
-    var bestSim = 0.0
-    var bestCid = 0L
-    var first = true
+    if (exact) {
+      // raw-double argmax under Spark's sort total order (Double.compare:
+      // NaN greatest, -0.0 < 0.0), ties to the smallest cid — replicates
+      // `row_number() OVER (ORDER BY sim DESC, cid) = 1` bit for bit
+      var bestSim = 0.0
+      var bestCid = 0L
+      var first = true
+      var c = 0
+      while (c < cids.length) {
+        val cv = centroids(c)
+        val len = math.min(n, cv.length) // == vec_dot's min-length contract
+        var dot = 0.0
+        var j = 0
+        while (j < len) { dot += v(j) * cv(j); j += 1 }
+        val sim = dot / (vnorm * norms(c))
+        if (first || java.lang.Double.compare(sim, bestSim) > 0) {
+          bestSim = sim; bestCid = cids(c); first = false
+        }
+        c += 1
+      }
+      return bestCid
+    }
+    // pass 1: raw sims + raw max (plain >, so a NaN max only arises when
+    // every sim is NaN — either way the screen below then keeps all)
+    val sims = simBuf.get()
+    var rawMax = Double.NegativeInfinity
     var c = 0
     while (c < cids.length) {
       val cv = centroids(c)
@@ -1530,14 +1571,19 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
       var j = 0
       while (j < len) { dot += v(j) * cv(j); j += 1 }
       val sim = dot / (vnorm * norms(c))
-      if (exact) {
-        // raw-double argmax under Spark's sort total order (Double.compare:
-        // NaN greatest, -0.0 < 0.0), ties to the smallest cid — replicates
-        // `row_number() OVER (ORDER BY sim DESC, cid) = 1` bit for bit
-        if (first || java.lang.Double.compare(sim, bestSim) > 0) {
-          bestSim = sim; bestCid = cids(c); first = false
-        }
-      } else {
+      sims(c) = sim
+      if (sim > rawMax) rawMax = sim
+      c += 1
+    }
+    val cut = rawMax - 2e-6
+    var bestE6 = 0L
+    var bestCid = 0L
+    var first = true
+    c = 0
+    while (c < cids.length) {
+      val sim = sims(c)
+      // NaN sims always enter (NaN < cut is false): exact-path parity
+      if (!(sim < cut)) {
         val x = sim * 1e6
         // Spark Round(double): NaN/Inf pass through, else shortest-decimal
         // BigDecimal HALF_UP; the long cast is the JVM d2l (NaN→0,
