@@ -108,6 +108,50 @@ object SparkEntry {
   private val purchaseEdgesCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
+  private val minhashPairsCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  /** FIXED filesystem location of the staged portable-minhash pair list —
+    * the one shared relation the DuckDB oracles read back directly
+    * (`read_parquet`), so unlike every other checkpoint it cannot live
+    * under the per-run temp [[sharedRelDir]]: the oracle replay runs in a
+    * separate process AFTER Verify exits, against the same path embedded
+    * in the oracle SQL. Each Verify/Bench run overwrites it for its own
+    * fixture before its own oracle replay (the driver runs them
+    * sequentially); replaying an oracle against a stage written for a
+    * DIFFERENT fixture hash-mismatches loudly rather than passing.
+    */
+  private val minhashPairsStagePath = "/tmp/graft_stage/minhash_pairs"
+
+  /** Portable MinHash-LSH near-dup pair relation over `documents`
+    * (threshold 0.2, 128 hashes / 32 bands / 3-shingles), built once per
+    * (session, dir), STAGED at [[minhashPairsStagePath]] and shared by
+    * `q_minhash_near_dup`, `q_minhash_fast` and `q_leakage_split_near` —
+    * the suite's most expensive recomputed relation (the split gate alone
+    * re-ran the whole signature pipeline, ~5 s at sf0.1).
+    *
+    * Verification chain: `q_minhash_near_dup`'s oracle replays the ENTIRE
+    * portable pipeline independently in DuckDB and anti-joins the staged
+    * file both ways — any missing/extra/mis-estimated pair turns that gate
+    * red — so the downstream consumers replay over a pair list the oracle
+    * has verified PAIR BY PAIR (stronger than the old count-only check),
+    * and the split oracle no longer re-runs an O(corpus) minhash chain in
+    * single-node DuckDB (the sf1cd replay-timeout class, SCALE.md r14).
+    */
+  private def sharedMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      minhashPairsCache.getOrElseUpdate((s, dir), {
+        new java.io.File(minhashPairsStagePath).getParentFile.mkdirs()
+        Dedup.minHashNearDuplicates(s.table("documents"), "text", "doc_id",
+            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2,
+            portable = true)
+          .select(col("id1"), col("id2"),
+            round(col("jaccard_est") * lit(1e6)).cast("long").as("je_e6"))
+          .write.mode("overwrite").parquet(minhashPairsStagePath)
+        s.read.parquet(minhashPairsStagePath)
+      })
+    }
+
   /** Distinct customer↔supplier purchase edges (parity-encoded node ids),
     * shared by the `q_pagerank` and `q_ppr` gates — the same
     * checkpoint-the-expensive-relation pattern as [[sharedJaccardPairs]]:
@@ -214,6 +258,9 @@ object SparkEntry {
   def clearSharedRelations(): Unit = synchronized {
     jaccardPairsCache.clear()
     purchaseEdgesCache.clear()
+    // cache only — the staged FILES stay: the DuckDB oracle replay reads
+    // them after this process exits (see minhashPairsStagePath)
+    minhashPairsCache.clear()
     // shared loop graphs hold local checkpoint blocks (the in-memory
     // prepareGraph this session, or a pinned GraphIndex load in a later
     // one): release them eagerly (ContextCleaner would wait for a driver
@@ -923,6 +970,11 @@ object SparkEntry {
               .cast("long").as("key_checksum"))
           .orderBy(col("o_orderpriority"))
         val out = localResult(s, res) // per-priority rollup; frees the copies
+        // drop the catalog entries BEFORE their external locations vanish:
+        // leaving graft_b_* registered at deleted paths makes any catalog
+        // or table access between gate runs hit a missing-path error
+        s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+        s.sql("DROP TABLE IF EXISTS graft_b_orders")
         deleteDirs(base)
         out
       }),
@@ -1193,12 +1245,21 @@ object SparkEntry {
             "CAST(duplicate_docs AS BIGINT) AS duplicate_docs")
       }),
       // portable=true => md5-prefix hashes + affine mod-2^61-1 permutations,
-      // so the DuckDB oracle recomputes the identical signatures/fingerprints
+      // so the DuckDB oracle recomputes the identical signatures/fingerprints.
+      // The gate is the PRODUCER + verifier of the staged pair list
+      // (sharedMinhashPairs): its Spark side stages and summarizes the
+      // relation; its oracle replays the whole pipeline independently and
+      // anti-joins the staged file both ways, so stage_missing/stage_extra
+      // are genuinely computed on the DuckDB side (trivially 0 here — the
+      // stage IS this pipeline's output) and any staging corruption turns
+      // the hash compare red before a downstream consumer trusts the file.
       "q_minhash_near_dup" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        Dedup.minHashNearDuplicates(s.table("documents"), "text", "doc_id",
-            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2, portable = true)
-          .agg(count(lit(1)).cast("long").as("pairs"))
+        sharedMinhashPairs(s, dir)
+          .agg(count(lit(1)).cast("long").as("pairs"),
+            sum(col("id1") * lit(3L) + col("id2")).cast("long").as("pair_sum"),
+            sum(col("je_e6")).cast("long").as("est_e6_sum"),
+            lit(0L).as("stage_missing"), lit(0L).as("stage_extra"))
       }),
       // refresh-time near-dup: a 10% "new" slice banded against the other
       // 90% — only new-vs-old collisions are examined, never old-vs-old.
@@ -1234,14 +1295,16 @@ object SparkEntry {
         val planted = eligible.as("a").join(eligible.as("b"),
             col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        def pairs(portable: Boolean) =
-          Dedup.minHashNearDuplicates(docs, "text", "doc_id",
-              numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2,
-              portable = portable)
-            .select(col("id1"), col("id2"))
+        val fastPairs = Dedup.minHashNearDuplicates(docs, "text", "doc_id",
+            numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.2,
+            portable = false)
+          .select(col("id1"), col("id2"))
+        // the portable side comes from the staged shared relation — same
+        // config, already oracle-verified pair-by-pair (q_minhash_near_dup)
+        val portablePairs = sharedMinhashPairs(s, dir).select(col("id1"), col("id2"))
         planted
-          .join(pairs(portable = false).withColumn("__f", lit(1)), Seq("id1", "id2"), "left")
-          .join(pairs(portable = true).withColumn("__p", lit(1)), Seq("id1", "id2"), "left")
+          .join(fastPairs.withColumn("__f", lit(1)), Seq("id1", "id2"), "left")
+          .join(portablePairs.withColumn("__p", lit(1)), Seq("id1", "id2"), "left")
           .agg(count(lit(1)).cast("long").as("planted_pairs"),
             coalesce(sum(when(col("__f").isNull, 1L).otherwise(0L)), lit(0L))
               .cast("long").as("fast_missing"),
@@ -1990,14 +2053,17 @@ object SparkEntry {
       // splits, so the groups here come from the REAL pipeline — portable
       // MinHash-LSH pairs -> connected components -> grouped hash split.
       // Same hard zero-leakage require as q_leakage_split; the oracle
-      // replays the ENTIRE chain (shingles -> signatures -> bands ->
-      // pairs -> recursive components -> md5 split hash -> rollup).
+      // replays components + split hash + rollup over the STAGED pair
+      // artifact (verified pair-by-pair by q_minhash_near_dup's oracle).
       "q_leakage_split_near" -> ((s: SparkSession, dir: String) => {
         prepare(s, dir)
-        val pairs = Dedup.minHashNearDuplicates(s.table("documents"), "text",
-            "doc_id", numHashes = 128, bands = 32, shingleSize = 3,
-            threshold = 0.2, portable = true)
-          .select(col("id1"), col("id2"))
+        // pairs from the STAGED shared relation (verified pair-by-pair by
+        // q_minhash_near_dup's oracle): both engines read the same parquet,
+        // so the DuckDB replay runs components+split over the artifact
+        // instead of recomputing an O(corpus) minhash chain single-node —
+        // the sf1cd oracle-timeout class (SCALE.md r14) and ~5 s of
+        // per-gate recompute at sf0.1 both gone
+        val pairs = sharedMinhashPairs(s, dir).select(col("id1"), col("id2"))
         val clusters = Dedup.nearDuplicateClusters(pairs)
         val out = Sampling.assignSplitsByGroup(s.table("documents"), "doc_id",
           clusters, "id", "label")
@@ -4604,21 +4670,37 @@ object SparkEntry {
     // full independent replication of the portable MinHash-LSH pipeline:
     // string shingles -> md5-prefix 60-bit hashes -> the SAME affine
     // permutations (constants embedded below from MinHashPerm.params) ->
-    // 32x4 band slices -> candidate pairs -> signature-estimate filter
+    // 32x4 band slices -> candidate pairs -> signature-estimate filter —
+    // PLUS a pair-by-pair verification of the staged artifact the
+    // downstream gates consume: count/checksum columns come from the
+    // independent replay, and the two anti-join columns count replay
+    // pairs absent from the stage / stage rows absent from the replay
+    // (a je_e6 mismatch counts on both sides). All five must match the
+    // Spark side (whose stage_missing/stage_extra are definitionally 0).
     "q_minhash_near_dup" -> s"""
-      WITH $minhashPairCtes
-      SELECT CAST(COUNT(*) AS BIGINT) AS pairs FROM est WHERE je >= 0.2""",
-    // same portable replay, restricted to cross-slice pairs: the full
-    // pipeline's candidate set intersected with (one side new, one side
-    // old) is exactly the incremental operator's collision set
+      WITH $minhashPairCtes,
+      p AS (SELECT id1, id2, CAST(round(je * 1e6) AS BIGINT) AS je_e6
+            FROM est WHERE je >= 0.2),
+      st AS (SELECT id1, id2, je_e6
+             FROM read_parquet('$minhashPairsStagePath/*.parquet'))
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS pairs,
+             (SELECT CAST(SUM(id1 * 3 + id2) AS BIGINT) FROM p) AS pair_sum,
+             (SELECT CAST(SUM(je_e6) AS BIGINT) FROM p) AS est_e6_sum,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT id1, id2, je_e6 FROM p EXCEPT SELECT id1, id2, je_e6 FROM st)) AS stage_missing,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT id1, id2, je_e6 FROM st EXCEPT SELECT id1, id2, je_e6 FROM p)) AS stage_extra""",
+    // cross-slice restriction of the STAGED pair artifact: the full
+    // pipeline's pair set intersected with (one side new, one side old)
+    // is exactly the incremental operator's collision set, and the stage
+    // is verified pair-by-pair by q_minhash_near_dup's full replay
     "q_incremental_dedup" -> s"""
-      WITH $minhashPairCtes
       SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
              CAST(SUM(CASE WHEN id1 % 10 = 0 THEN id1 * 3 + id2
                            ELSE id2 * 3 + id1 END) AS BIGINT) AS pair_sum,
-             CAST(SUM(CAST(round(je * 1e6) AS BIGINT)) AS BIGINT) AS est_e6_sum
-      FROM est
-      WHERE je >= 0.2 AND ((id1 % 10 = 0) <> (id2 % 10 = 0))""",
+             CAST(SUM(je_e6) AS BIGINT) AS est_e6_sum
+      FROM read_parquet('$minhashPairsStagePath/*.parquet')
+      WHERE (id1 % 10 = 0) <> (id2 % 10 = 0)""",
     // cross-mode recall gate: exact-duplicate pairs among shingle-eligible
     // docs MUST be recovered by both the fast (xxhash64/splitmix) and the
     // portable (md5/affine) pipelines — identical text => identical
@@ -5719,12 +5801,15 @@ object SparkEntry {
       SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
              CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM u GROUP BY 1 ORDER BY 1""",
-    // near-dup leakage-safe split: the full portable-minhash pair chain
-    // (shared CTEs), components via recursive min-reachable-id, then the
-    // SAME grouped md5 split hash and rollup as q_leakage_split
+    // near-dup leakage-safe split: components via recursive
+    // min-reachable-id over the STAGED pair artifact (which
+    // q_minhash_near_dup's oracle verifies pair-by-pair against its full
+    // independent minhash replay), then the SAME grouped md5 split hash
+    // and rollup as q_leakage_split — the oracle no longer recomputes an
+    // O(corpus) minhash chain single-node (the sf1cd timeout class)
     "q_leakage_split_near" -> s"""
-      WITH RECURSIVE $minhashPairCtes,
-      p AS (SELECT id1, id2 FROM est WHERE je >= 0.2),
+      WITH RECURSIVE
+      p AS (SELECT id1, id2 FROM read_parquet('$minhashPairsStagePath/*.parquet')),
       e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
       reach(src, dst) AS (
         SELECT a, a FROM e
