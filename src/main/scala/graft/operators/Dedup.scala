@@ -776,9 +776,17 @@ object Dedup {
     * Pick the smallest `blocks` whose key space comfortably exceeds the
     * corpus size; `maxBucketSize` + the `graft_lsh_buckets` telemetry
     * remain the fail-soft backstop for adversarial corpora (identical
-    * fingerprints collide in EVERY scheme). `blocks = 0` (the default)
-    * auto-selects `max(6, maxHamming + 1)` — the smallest recall-exact
-    * layout with at least ~32-bit keys. (The pre-round-6 fixed 4x16
+    * fingerprints collide in EVERY scheme). `blocks <= 0` (the default)
+    * DERIVES the layout from the corpus count ([[derivedSimHashBlocks]],
+    * round 15): the smallest recall-exact split whose narrowest band key
+    * still carries `min(56, max(30, ceil(log2 n) + 10))` bits, so expected
+    * random key collisions stay ~n/2^11 pairs per band at ANY corpus size
+    * — n <= ~2M docs keeps the familiar 6-block / C(6,3)=20-band / ~32-bit
+    * layout, 1e8–1e9 docs widen to 8 blocks / 56 bands / 40-bit keys, and
+    * nothing needs a manual widen past 1e9 (the fixed-literal decay class
+    * the round-13/14 audits kept catching). Since recall is exactly 1.0
+    * for every valid layout, the derived choice changes candidate volume
+    * only, never the verified pair set. (The pre-round-6 fixed 4x16
     * layout was silently recall-lossy for maxHamming > 3; the pigeonhole
     * precondition is now enforced.)
     *
@@ -788,11 +796,62 @@ object Dedup {
     * 8-byte fingerprint rides INSIDE the bucket rows: the hamming verify
     * is one xor+popcount, so there is nothing to gain from a join-back.
     */
+  /** Corpus-derived Manku block count (see [[simHashNearDuplicates]]):
+    * the smallest `b > maxHamming` whose NARROWEST band key — the sum of
+    * the `b - maxHamming` smallest block widths, since blocks split 64
+    * bits near-equally — carries at least
+    * `min(56, max(30, ceil(log2 n) + 10))` bits. At that width the
+    * expected random-pair collisions per band are ~n^2 / 2^(kb+1) <=
+    * n/2^11 (~0.05% of the corpus), so spurious candidate volume stays
+    * LINEAR in n across the bands at any scale; the 30-bit floor
+    * reproduces the long-measured 6-block layout for every corpus up to
+    * ~2M docs.
+    *
+    * The search is bounded by a band BUDGET: a layout emits
+    * C(b, b - maxHamming) bands, which explodes combinatorially once
+    * maxHamming is large (b = 27 at maxHamming = 12 would mean 17M bands
+    * — found the hard way as a driver OOM building the band columns, and
+    * even ~2k bands breaks whole-stage codegen: every band key is a
+    * generated shift/or/and expression column). Only layouts within
+    * `maxBands = 128` bands are considered — each band is both an
+    * expression column AND an n-row slice of the band shuffle, so the
+    * budget is a real per-row cost bound, not just a compiler limit —
+    * and when no feasible layout reaches the key-width target, the
+    * budget-feasible layout with the WIDEST narrow key wins (ties ->
+    * fewer blocks). For maxHamming = 3 the budget still admits the
+    * 10-block / C(10,3) = 120-band / 43-bit-key layout, enough for ~1e10
+    * docs (expected collisions per band n^2/2^44 ~ 0.5% of n there).
+    */
+  private[graft] def derivedSimHashBlocks(n: Long, maxHamming: Int,
+      maxBands: Long = 128L): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1)
+    val kb = math.min(56, math.max(30, ceilLog2 + 10))
+    def bands(b: Int): Long = { // C(b, b - maxHamming), early-exit over budget
+      val k = math.min(maxHamming, b - maxHamming)
+      var r = 1L
+      var i = 1
+      while (i <= k) {
+        r = r * (b - k + i) / i // exact: prefix products are binomials
+        if (r > maxBands) return maxBands + 1
+        i += 1
+      }
+      r
+    }
+    def minKey(b: Int): Int = {
+      val sizes = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+      sizes.sorted.take(b - maxHamming).sum
+    }
+    // b = maxHamming + 1 is always feasible (maxHamming + 1 bands)
+    val feasible = (maxHamming + 1 to 64).filter(bands(_) <= maxBands)
+    feasible.find(minKey(_) >= kb).getOrElse(feasible.maxBy(minKey))
+  }
+
   def simHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, portable: Boolean = false,
       maxBucketSize: Int = Int.MaxValue, blocks: Int = 0): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
-    val nBlocks = if (blocks == 0) math.max(6, maxHamming + 1) else blocks
+    val nBlocks = if (blocks > 0) blocks
+      else derivedSimHashBlocks(df.count(), maxHamming)
     require(nBlocks > maxHamming && nBlocks <= 64,
       s"need maxHamming < blocks <= 64 for pigeonhole recall, got blocks=$nBlocks maxHamming=$maxHamming")
     val fps = simHashFingerprints(df, textCol, idCol, portable)

@@ -172,6 +172,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(legacy.nonEmpty, "fixture must produce some near-dup pairs")
     assert(pairSet(6) == legacy)
     assert(pairSet(7) == legacy)
+    // derived default (blocks = 0) — same pair set again
+    assert(Dedup.simHashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == legacy)
+  }
+
+  test("simhash: derived block count — boundary pins and invariants") {
+    // 30-bit floor: every corpus up to ~4M docs keeps the measured 6-block
+    // layout (narrowest 3-of-6 key = 10+10+11 = 31 bits >= 30)
+    assert(Dedup.derivedSimHashBlocks(2L, 3) == 6)
+    assert(Dedup.derivedSimHashBlocks(60000L, 3) == 6)        // driver SF
+    assert(Dedup.derivedSimHashBlocks(600000L, 3) == 6)       // bench SF
+    assert(Dedup.derivedSimHashBlocks(1L << 21, 3) == 6)      // kb=31 boundary
+    // kb=32 needs 7 blocks (narrowest 4-of-7 key = 9*3+10 = 37)
+    assert(Dedup.derivedSimHashBlocks((1L << 21) + 1, 3) == 7)
+    // third/fourth decade: 1e8 docs -> kb=37 and 1e9 -> kb=40, both
+    // needing the 8-block / C(8,3)=56-band / 40-bit-key layout
+    assert(Dedup.derivedSimHashBlocks(100000000L, 3) == 8)
+    assert(Dedup.derivedSimHashBlocks(1000000000L, 3) == 8)
+    // the derived layout is always a valid pigeonhole split within the
+    // band budget (C(b, b-mh) <= 128)
+    for (n <- Seq(2L, 1L << 21, 1L << 40, Long.MaxValue); mh <- Seq(0, 3, 12, 40)) {
+      val b = Dedup.derivedSimHashBlocks(n, mh)
+      assert(b > mh && b <= 64, s"n=$n mh=$mh -> b=$b")
+    }
+    // huge n at mh=3: the 56-bit target is unreachable within the band
+    // budget (C(24,3)=2024) — widest feasible narrow key wins: 10 blocks,
+    // C(10,3)=120 bands, 43-bit narrow key (6*6+7)
+    assert(Dedup.derivedSimHashBlocks(Long.MaxValue, 3) == 10)
+    // large maxHamming: mh=12 -> b in 13..14 feasible (C(15,3)=455 over
+    // budget), minKey 4/8 -> 14 blocks; mh=40 -> only b=41 feasible
+    // (C(42,2)=861 over budget) -> 41
+    assert(Dedup.derivedSimHashBlocks(Long.MaxValue, 12) == 14)
+    assert(Dedup.derivedSimHashBlocks(Long.MaxValue, 40) == 41)
   }
 
   test("embeddings: cosine + brute-force top-k correctness") {
