@@ -125,12 +125,44 @@ object FileStreams {
     * final watermark survives in the restored state store and finalizes
     * in drain 2 with its full cross-drain count.
     */
+  /** Derived state-store backend (round 15, same derived-default
+    * discipline as the LSH width / IVF nlist / SemDeDup k knobs): pick
+    * RocksDB when the projected on-heap state no longer fits comfortably.
+    *
+    * The HDFS-backed provider holds every partition's full state map
+    * on-heap — measured ~140 B/key at 50M distinct keys (~7 GB state,
+    * SCALE.md round-14, where the default provider OOMs a 2 GB heap and
+    * RocksDB completes at 308 MB) — and during snapshot commit briefly
+    * holds map copies, all inside the same unified pool the query's
+    * shuffles and aggregations need. The rule caps projected state at a
+    * QUARTER of the executor heap: `expectedStateKeys * 140 > heap / 4`
+    * -> `"rocksdb"`, else `"hdfs"`. At the r14 crossover this picks
+    * RocksDB two decades before the OOM (50M keys projects 7 GB vs a
+    * 0.5 GB budget on a 2 GB heap); watermark-bounded gates (thousands
+    * of keys) stay on the cheaper on-heap provider.
+    *
+    * `heapBytes` defaults to this JVM's max heap — the executor IS the
+    * driver in local mode; on a real cluster pass the executor heap.
+    */
+  def autoStateStoreChoice(expectedStateKeys: Long,
+      heapBytes: Long = Runtime.getRuntime.maxMemory): String = {
+    require(expectedStateKeys >= 0, "expectedStateKeys must be >= 0")
+    require(heapBytes > 0, "heapBytes must be > 0")
+    if (expectedStateKeys > heapBytes / 4 / StatePerKeyBytes) "rocksdb" else "hdfs"
+  }
+
+  /** Measured on-heap bytes per state key under the HDFS-backed provider
+    * (50M keys ~> 7 GB, SCALE.md round-14 state-store crossover probe).
+    */
+  private[graft] val StatePerKeyBytes = 140L
+
   def runAvailableNow(stream: DataFrame,
       mode: OutputMode = OutputMode.Append,
       sinkDir: Option[Path] = None,
       checkpointDir: Option[Path] = None,
       statePartitions: Option[Int] = None,
-      stateStore: Option[String] = None): DataFrame = {
+      stateStore: Option[String] = None,
+      expectedStateKeys: Long = -1L): DataFrame = {
     val spark = stream.sparkSession
     // State-store BACKEND: the default HDFS-backed provider holds every
     // partition's full state map ON-HEAP (disk is only the commit log), so
@@ -155,13 +187,24 @@ object FileStreams {
     val providerConf = "spark.sql.streaming.stateStore.providerClass"
     val requested = stateStore.orElse(spark.conf.getOption("graft.streaming.stateStore"))
     val prevProvider = requested.map { s =>
-      val cls = s.toLowerCase match {
+      // "auto" derives the backend from the caller's distinct-state-key
+      // estimate ([[autoStateStoreChoice]]). Without an estimate it keeps
+      // the on-heap provider: every helper here is watermark-BOUNDED
+      // state (thousands of keys), the regime where hdfs wins — but a
+      // pipeline streaming an UNBOUNDED key universe (full-corpus dedup)
+      // must pass `expectedStateKeys`, or the choice that matters most at
+      // 100 TB silently defaults into the provider that OOMs there.
+      val resolved = if (s.equalsIgnoreCase("auto")) {
+        if (expectedStateKeys >= 0) autoStateStoreChoice(expectedStateKeys)
+        else "hdfs"
+      } else s
+      val cls = resolved.toLowerCase match {
         case "rocksdb" =>
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         case "hdfs" =>
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
         case other => throw new IllegalArgumentException(
-          s"stateStore must be 'hdfs' or 'rocksdb', got '$other'")
+          s"stateStore must be 'hdfs', 'rocksdb' or 'auto', got '$other'")
       }
       val old = spark.conf.getOption(providerConf)
       spark.conf.set(providerConf, cls)

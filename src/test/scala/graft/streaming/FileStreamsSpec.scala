@@ -563,4 +563,32 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("source"), md5(col("text")).as("fp")).distinct()
     assert(out.collect().map(_.toSeq).toSet == expected.collect().map(_.toSeq).toSet)
   }
+
+  test("auto state store: derived choice == explicit on both sides of the threshold") {
+    // pure rule, both sides of the r14-measured crossover: 140 B/key vs a
+    // quarter of the heap. 2 GB heap -> budget 0.5 GB -> threshold ~3.8M
+    // keys; the 50M-key r14 fixture projects 7 GB and must pick rocksdb.
+    val heap2g = 2L * 1024 * 1024 * 1024
+    assert(FileStreams.autoStateStoreChoice(10000L, heap2g) == "hdfs")
+    assert(FileStreams.autoStateStoreChoice(50000000L, heap2g) == "rocksdb")
+    val boundary = heap2g / 4 / 140L
+    assert(FileStreams.autoStateStoreChoice(boundary, heap2g) == "hdfs")
+    assert(FileStreams.autoStateStoreChoice(boundary + 1, heap2g) == "rocksdb")
+    // live drains: "auto" resolves per the SAME rule and the drained
+    // result matches the explicit provider on each side. Small estimate
+    // -> hdfs side; huge estimate -> rocksdb side (forced low even under
+    // a big test heap by the rule itself: Long.MaxValue/140 keys exceeds
+    // any heap budget).
+    def counts(store: Option[String], keys: Long = -1L) = FileStreams.runAvailableNow(
+      FileStreams.windowedEventCounts(
+        FileStreams.tableStream(spark, dir, "events", Seq("ts")),
+        "ts", "event_type", "1 day", "1 hour"),
+      stateStore = store, expectedStateKeys = keys)
+      .collect().map(_.toSeq).toSet
+    val viaHdfs = counts(Some("hdfs"))
+    assert(counts(Some("auto"), keys = 100L) == viaHdfs)
+    assert(counts(Some("auto")) == viaHdfs) // no estimate: bounded-state default
+    val viaRocks = counts(Some("rocksdb"))
+    assert(counts(Some("auto"), keys = Long.MaxValue / FileStreams.StatePerKeyBytes) == viaRocks)
+  }
 }
