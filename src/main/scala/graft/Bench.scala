@@ -218,16 +218,22 @@ object Bench {
         .flatMap { p =>
           try {
             val text = scala.io.Source.fromFile(p).mkString
-            val iso = priorColumn(text, "isolated")
-            Some(if (iso.nonEmpty) iso else priorColumn(text, "queries"))
+            // per-gate merge, isolated preferred: a prior produced by a
+            // RESTRICTED (SPARK_GRAFT_BENCH_PRIOR) run carries a PARTIAL
+            // isolated column, and a wholesale iso-else-queries choice
+            // would silently drop every gate absent from it from
+            // attribution coverage round over round — fall back to the
+            // prior's in-suite value gate by gate instead
+            Some(priorColumn(text, "queries") ++ priorColumn(text, "isolated"))
           } catch { case e: Throwable =>
             System.err.println(s"[bench] prior artifact unreadable ($p): ${e.getMessage}")
             None
           }
         }.getOrElse(Map.empty)
       val targets = results.collect {
+        // gates the prior never saw (new this round) are re-probed too
         case (k, v) if v >= 0 &&
-          (prior.isEmpty || prior.get(k).exists(pv => pv > 0 && v > pv * 1.25)) => k
+          (prior.isEmpty || prior.get(k).forall(pv => pv <= 0 || v > pv * 1.25)) => k
       }
       System.err.println(s"[bench] isolated re-probe: ${targets.size} gates" +
         (if (prior.nonEmpty) s" (>1.25x vs prior of ${prior.size})" else " (no prior: all)"))

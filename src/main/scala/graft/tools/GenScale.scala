@@ -70,8 +70,12 @@ import org.apache.spark.sql.functions._
   * (same file count, factor-times-bigger files) so per-file and
   * listing-shaped costs can be measured under the production contract.
   *
+  * A `tables=a,b,c` flag restricts output to the named tables (strides
+  * still read only what those tables need) — for partial fourth-decade
+  * fixtures that fit the box where the full factor-10 database would not.
+  *
   * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> [factor]
-  *        [constant-density] [hold-files]
+  *        [constant-density] [hold-files] [tables=a,b,c]
   */
 object GenScale {
 
@@ -111,6 +115,17 @@ object GenScale {
     val flags = args.drop(3).toSet
     val constantDensity = flags.contains("constant-density")
     val holdFiles = flags.contains("hold-files")
+    // `tables=a,b,c` restricts output to the named tables — the
+    // fourth-decade probes (minhash / semdedup, SCALE.md round-15) need a
+    // 10x documents+embeddings slice of sf100cd, and a full sf1000cd
+    // fixture (150 GB) does not fit this box. Strides still come from the
+    // source tables actually read, so the slice's keys line up with a
+    // hypothetical full fixture.
+    val only: Set[String] = flags.collectFirst {
+      case f if f.startsWith("tables=") =>
+        f.stripPrefix("tables=").split(",").map(_.trim).filter(_.nonEmpty).toSet
+    }.getOrElse(Set.empty)
+    def want(t: String): Boolean = only.isEmpty || only(t)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -173,25 +188,29 @@ object GenScale {
     }
 
     // shared dims, copied as-is
-    Seq("region", "nation").foreach(t => write(src(t).withColumn("__r", lit(0)), t))
+    Seq("region", "nation").foreach(t =>
+      if (want(t)) write(src(t).withColumn("__r", lit(0)), t))
 
-    val cust = src("customer"); val cStride = stride(cust, "c_custkey")
-    val supp = src("supplier"); val sStride = stride(supp, "s_suppkey")
-    val part = src("part"); val pStride = stride(part, "p_partkey")
-    val ord = src("orders"); val oStride = stride(ord, "o_orderkey")
-    val ev = src("events")
-    val eStride = stride(ev, "event_id"); val uStride = stride(ev, "user_id")
-    val docs = src("documents"); val dStride = stride(docs, "doc_id")
-    val emb = src("embeddings"); val vStride = stride(emb, "vec_id")
+    // lazy: a `tables=` slice must not read (or stride-scan) tables it
+    // never writes
+    lazy val cust = src("customer"); lazy val cStride = stride(cust, "c_custkey")
+    lazy val supp = src("supplier"); lazy val sStride = stride(supp, "s_suppkey")
+    lazy val part = src("part"); lazy val pStride = stride(part, "p_partkey")
+    lazy val ord = src("orders"); lazy val oStride = stride(ord, "o_orderkey")
+    lazy val ev = src("events")
+    lazy val eStride = stride(ev, "event_id"); lazy val uStride = stride(ev, "user_id")
+    lazy val docs = src("documents"); lazy val dStride = stride(docs, "doc_id")
+    lazy val emb = src("embeddings"); lazy val vStride = stride(emb, "vec_id")
 
-    write(shifted(cust, "c_custkey" -> cStride), "customer")
-    write(shifted(supp, "s_suppkey" -> sStride), "supplier")
-    write(shifted(part, "p_partkey" -> pStride), "part")
-    write(shifted(ord, "o_orderkey" -> oStride, "o_custkey" -> cStride), "orders")
-    write(shifted(src("lineitem"),
+    if (want("customer")) write(shifted(cust, "c_custkey" -> cStride), "customer")
+    if (want("supplier")) write(shifted(supp, "s_suppkey" -> sStride), "supplier")
+    if (want("part")) write(shifted(part, "p_partkey" -> pStride), "part")
+    if (want("orders"))
+      write(shifted(ord, "o_orderkey" -> oStride, "o_custkey" -> cStride), "orders")
+    if (want("lineitem")) write(shifted(src("lineitem"),
       "l_orderkey" -> oStride, "l_partkey" -> pStride, "l_suppkey" -> sStride), "lineitem")
-    val evShifted = shifted(ev, "event_id" -> eStride, "user_id" -> uStride)
-    val evOut = if (!constantDensity) evShifted else {
+    lazy val evShifted = shifted(ev, "event_id" -> eStride, "user_id" -> uStride)
+    lazy val evOut = if (!constantDensity) evShifted else {
       // constant rate: replica r lives in its own (span + 1 day) time slab
       // (ts may be TIMESTAMP or TIMESTAMP_NTZ depending on the source dir —
       // sessions run UTC, so casting through TIMESTAMP is value-preserving)
@@ -202,9 +221,9 @@ object GenScale {
       evShifted.withColumn("ts",
         timestamp_micros(unix_micros(col("ts").cast("timestamp")) + col("__r") * slabUs))
     }
-    write(evOut, "events")
+    if (want("events")) write(evOut, "events")
 
-    val docsN = if (constantDensity) {
+    lazy val docsN = if (constantDensity) {
       // disjoint shingles: every whitespace token gets a per-replica prefix
       // (r0 keeps the source text verbatim); duplicate structure within a
       // replica is unchanged, cross-replica shingle sharing drops to zero
@@ -221,9 +240,9 @@ object GenScale {
         .withColumn("n_chars", col("n_chars") + length(col("__prefix")))
         .drop("__prefix")
     }
-    write(docsN, "documents")
+    if (want("documents")) write(docsN, "documents")
 
-    val embN = if (constantDensity) {
+    lazy val embN = if (constantDensity) {
       // decorrelated replicas: rotate replica r's vectors by a seeded
       // dense orthonormal Q_r (see the header comment for why a rotation
       // and not the former sign flip — diag(±1) made the corpus an
@@ -261,7 +280,7 @@ object GenScale {
               array((element_at(col("embedding"), 1) + col("__r").cast("float") * lit(1e-4f)).cast("float")),
               slice(col("embedding"), 2, 1000000))))
     }
-    write(embN, "embeddings")
+    if (want("embeddings")) write(embN, "embeddings")
 
     spark.stop()
   }

@@ -16,7 +16,7 @@ import graft.operators.Embeddings
   * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf100cd SPARK_DRIVER_MEM=48g \
   *        tools/run_main.sh graft.tools.SemDedupPhaseProbe
   */
-object SemDedupPhases {
+object SemDedupPhaseProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
