@@ -209,9 +209,21 @@ object Graphs {
       * PreparedGraph is unusable afterwards: checkpoints have no lineage
       * to recompute from.
       */
-    def unpersist(): Unit =
+    def unpersist(): Unit = {
       Seq(eDeg, nodes).foreach(Graphs.unpersistCheckpointed)
+      if (reliable) Graphs.liveReliableGraphs.remove(this): Unit
+    }
   }
+
+  /** Reliable [[PreparedGraph]]s not yet unpersisted (identity-keyed —
+    * DataFrames don't define value equality, and two graphs over equal
+    * frames are still two independent lifecycles). While one is live the
+    * context checkpoint dir must stay under its parent; once all are
+    * released, [[prepareGraph]] may move the dir (see its Scaladoc).
+    */
+  private val liveReliableGraphs =
+    java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[PreparedGraph, java.lang.Boolean]())
 
   /** Drop a checkpointed frame's RDD blocks — Dataset.unpersist only
     * consults the CacheManager (persist()/cache() entries), so it is a
@@ -315,14 +327,22 @@ object Graphs {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(sc.hadoopConfiguration)
       val requested = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+      // the shared-parent requirement applies only WHILE a reliable graph
+      // is outstanding: once every earlier one is unpersisted there are no
+      // in-flight checkpoints to redirect, and pinning the context to its
+      // first parent dir forever would hard-fail sequential different-dir
+      // use that is perfectly safe (setCheckpointDir is re-issuable)
       sc.getCheckpointDir.foreach { cur =>
         val curParent = new org.apache.hadoop.fs.Path(cur).getParent
-        require(fs.makeQualified(curParent) == requested,
+        require(fs.makeQualified(curParent) == requested ||
+            liveReliableGraphs.isEmpty,
           s"prepareGraph(checkpointDir=$dir): the SparkContext checkpoint dir " +
-            s"is global and already set under $curParent; concurrent reliable " +
-            "graphs (and any other Dataset.checkpoint user) must share one " +
-            "parent dir, else this call would redirect their in-flight " +
-            "checkpoints into a directory another caller owns and may delete")
+            s"is global and already set under $curParent with a reliable " +
+            "graph still live; concurrent reliable graphs (and any other " +
+            "Dataset.checkpoint user) must share one parent dir, else this " +
+            "call would redirect their in-flight checkpoints into a " +
+            "directory another caller owns and may delete — unpersist() the " +
+            "earlier graphs first")
       }
       sc.setCheckpointDir(dir)
     }
@@ -341,7 +361,9 @@ object Graphs {
       eDeg.select(col("src").as("node"))
         .union(eDeg.select(col("dst").as("node")))
         .distinct(), reliable)
-    PreparedGraph(eDeg, nodes, undirected, reliable)
+    val g = PreparedGraph(eDeg, nodes, undirected, reliable)
+    if (reliable) liveReliableGraphs.add(g): Unit
+    g
   }
 
   /** [[pageRank]] over a [[PreparedGraph]] — skips the per-call

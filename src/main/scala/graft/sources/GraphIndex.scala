@@ -45,8 +45,24 @@ object GraphIndex {
   }
 
   /** Derive the simple graph + degrees from raw `edges(srcCol, dstCol)`
-    * and persist. One distinct + one degree aggregate + the write — the
-    * same jobs the in-memory prepare runs, plus the parquet sink.
+    * and persist.
+    *
+    * ONE full-data exchange + ONE sort (round 15): the raw edges are
+    * hash-partitioned by `src` once, sorted within partitions by
+    * `(src, dst)` once, and both derivations ride that single pass —
+    * dedup is `row_number() over (partition by src, dst)` = 1 (src-only
+    * partitioning co-locates equal `(src, dst)` rows), and the out-degree
+    * is a src-partition count window whose required `src` ordering is a
+    * PREFIX of the ordering the dedup window already established, so
+    * Catalyst plans no second exchange, no second sort, no join, and no
+    * spill-prone 2^26-entry hash tables. The former distinct → groupBy →
+    * join form paid an `(src, dst)` exchange plus an `src` exchange of
+    * the full deduped relation plus two sort-merge sorts; A/B at 117M
+    * mirrored edges: 14.3 s vs 20.6 s, identical output (tools/GraphBuildAB,
+    * SCALE.md round-15 — third decade re-measured there too).
+    * Trade-off: the exchange carries RAW (pre-dedup) rows —
+    * an input with heavy multi-edge duplication shuffles the duplicates;
+    * pre-`distinct` such inputs before `build` if that dominates.
     */
   def build(edges: DataFrame, srcCol: String, dstCol: String, dir: String,
       undirected: Boolean = false): Unit = {
@@ -57,9 +73,13 @@ object GraphIndex {
     val e0 = if (undirected)
       directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
     else directed
-    val dedup = e0.distinct()
-    val degrees = dedup.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
-    dedup.join(degrees, Seq("src"))
+    val w = org.apache.spark.sql.expressions.Window
+    e0.repartition(col("src"))
+      .withColumn("__rn", row_number().over(
+        w.partitionBy(col("src"), col("dst")).orderBy(col("src"))))
+      .where(col("__rn") === 1).drop("__rn")
+      .withColumn("deg",
+        count(lit(1)).over(w.partitionBy(col("src"))).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/edges")
     // node set read back off the WRITTEN edges (not the pre-write plan),
     // so the two relations can never drift
