@@ -171,16 +171,30 @@ object GenScale {
         out0.repartition(n)
       } else {
         // production layout by DEFAULT: ~128 MB target files, count
-        // scaling with bytes. The source tables are single-file, and a
+        // scaling with bytes, FLOORED at the core count once the table
+        // has >= 4 MB per core. The source tables are single-file, and a
         // broadcast crossJoin preserves that partitioning — r14 found
         // the sf100cd fixture written as 1-2 files per table, which (a)
         // serialized generation itself and (b) capped every downstream
         // scan-riding stage at bytes/128MB row-group splits (the
         // embeddings table: 503 MB -> 4 tasks on a 32-core box; at
         // sf10cd, 51 MB -> ONE task), silently throttling the very
-        // stages the fixtures exist to measure.
+        // stages the fixtures exist to measure. The floor matters
+        // because a BYTES-ONLY 128 MB target re-creates that throttle
+        // at probe scale: Spark writes 128 MB parquet ROW GROUPS, so a
+        // 128 MB file is one row group = one scan task no matter how
+        // small maxSplitBytes gets — 503 MB would become 4 files = 4
+        // tasks again. At a real deployment's table sizes
+        // (bytes/128MB >> cores) the floor is inert and pure 128 MB
+        // files win; at probe scale it keeps every core fed, which is
+        // the property that actually holds at 100 TB.
+        val b = bytes(srcFile) * factor
+        val cores = spark.sparkContext.defaultParallelism.toLong
+        // 1 MB minimum file size: dims (region/nation) stay single-file,
+        // everything big enough to measure scans against gets core-fed
+        val floor = math.min(cores, b / (1L << 20))
         val target = math.min(4096L,
-          math.max(1L, bytes(srcFile) * factor / (128L << 20))).toInt
+          math.max(math.max(1L, floor), b / (128L << 20))).toInt
         if (target > 1) out0.repartition(target) else out0
       }
       out.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
