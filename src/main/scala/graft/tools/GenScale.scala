@@ -159,16 +159,37 @@ object GenScale {
         }).toSeq :+ col("__r"): _*)
       out
     }
+    // each table's cluster key: multi-file outputs are RANGE-partitioned
+    // on it (each file owns a contiguous key span), matching how
+    // production lakes lay tables out (key/time-clustered writes) AND
+    // keeping parquet encodings dense — a keyless round-robin
+    // repartition scatters rows randomly, and the first native sf100cd
+    // cut came out 47% bigger than the single-file fixture purely from
+    // destroyed delta/dict locality (lineitem +61%, orders +87%)
+    val clusterKey = Map(
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
     def write(df: DataFrame, t: String): Unit = {
       val out0 = df.drop("__r")
       val srcFile = new java.io.File(s"$srcDir/$t.parquet")
       def bytes(f: java.io.File): Long =
         if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
+      def parted(n: Int): DataFrame =
+        if (n <= 1) out0
+        else clusterKey.get(t) match {
+          // sortWithinPartitions matters as much as the ranges: the range
+          // shuffle alone leaves rows arbitrarily ordered inside each file
+          case Some(k) => out0.repartitionByRange(n, col(k))
+            .sortWithinPartitions(col(k))
+          case None => out0.repartition(n)
+        }
       val out = if (holdFiles) {
         val n = if (srcFile.isDirectory)
           math.max(1, srcFile.listFiles().count(_.getName.endsWith(".parquet")))
         else 1
-        out0.repartition(n)
+        parted(n)
       } else {
         // production layout by DEFAULT: ~128 MB target files, count
         // scaling with bytes, FLOORED at the core count once the table
@@ -195,7 +216,7 @@ object GenScale {
         val floor = math.min(cores, b / (1L << 20))
         val target = math.min(4096L,
           math.max(math.max(1L, floor), b / (128L << 20))).toInt
-        if (target > 1) out0.repartition(target) else out0
+        parted(target)
       }
       out.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
       println(s"[genscale] $t: ${spark.read.parquet(s"$dstDir/$t.parquet").count()} rows")
