@@ -4673,23 +4673,29 @@ object SparkEntry {
     // 32x4 band slices -> candidate pairs -> signature-estimate filter —
     // PLUS a pair-by-pair verification of the staged artifact the
     // downstream gates consume: count/checksum columns come from the
-    // independent replay, and the two anti-join columns count replay
+    // independent replay, and the two outer-join columns count replay
     // pairs absent from the stage / stage rows absent from the replay
-    // (a je_e6 mismatch counts on both sides). All five must match the
-    // Spark side (whose stage_missing/stage_extra are definitionally 0).
+    // (a je_e6 mismatch fails the 3-column join key, so it counts on
+    // both sides). All five must match the Spark side (whose
+    // stage_missing/stage_extra are definitionally 0). One FULL OUTER
+    // JOIN, not per-column scalar subqueries: DuckDB re-inlines a CTE
+    // per reference, and five subqueries re-ran the whole minhash chain
+    // enough times to blow the sf1cd ORACLE_TIMEOUT=300 (the join form
+    // replays once: 130 s there).
     "q_minhash_near_dup" -> s"""
       WITH $minhashPairCtes,
       p AS (SELECT id1, id2, CAST(round(je * 1e6) AS BIGINT) AS je_e6
             FROM est WHERE je >= 0.2),
       st AS (SELECT id1, id2, je_e6
              FROM read_parquet('$minhashPairsStagePath/*.parquet'))
-      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS pairs,
-             (SELECT CAST(SUM(id1 * 3 + id2) AS BIGINT) FROM p) AS pair_sum,
-             (SELECT CAST(SUM(je_e6) AS BIGINT) FROM p) AS est_e6_sum,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM
-                (SELECT id1, id2, je_e6 FROM p EXCEPT SELECT id1, id2, je_e6 FROM st)) AS stage_missing,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM
-                (SELECT id1, id2, je_e6 FROM st EXCEPT SELECT id1, id2, je_e6 FROM p)) AS stage_extra""",
+      SELECT CAST(COUNT(CASE WHEN pid1 IS NOT NULL THEN 1 END) AS BIGINT) AS pairs,
+             CAST(SUM(pid1 * 3 + pid2) AS BIGINT) AS pair_sum,
+             CAST(SUM(pje) AS BIGINT) AS est_e6_sum,
+             CAST(COUNT(CASE WHEN pid1 IS NOT NULL AND sid1 IS NULL THEN 1 END) AS BIGINT) AS stage_missing,
+             CAST(COUNT(CASE WHEN pid1 IS NULL THEN 1 END) AS BIGINT) AS stage_extra
+      FROM (SELECT p.id1 AS pid1, p.id2 AS pid2, p.je_e6 AS pje, st.id1 AS sid1
+            FROM p FULL OUTER JOIN st
+              ON p.id1 = st.id1 AND p.id2 = st.id2 AND p.je_e6 = st.je_e6)""",
     // cross-slice restriction of the STAGED pair artifact: the full
     // pipeline's pair set intersected with (one side new, one side old)
     // is exactly the incremental operator's collision set, and the stage
