@@ -180,29 +180,33 @@ object SparkEntry {
     scala.collection.mutable.Map[(SparkSession, String), String]()
 
   /** The purchase graph PREPARED for iterative analytics (simple edges +
-    * out-degree, DISK_ONLY-checkpointed once — [[Graphs.prepareGraph]]),
-    * shared by `q_pagerank` and `q_ppr`: the superstep loops want the
-    * relation as compact local row blocks (parquet-backed supersteps
-    * measured ~2x slower at sf1cd — SCALE.md round-13).
+    * out-degree as DISK_ONLY blocks), shared by `q_pagerank` and `q_ppr`:
+    * the superstep loops want the relation as compact local row blocks
+    * (parquet-backed supersteps measured ~2x slower at sf1cd — SCALE.md
+    * round-13). Round 15: routed THROUGH the durable artifact —
+    * [[sharedGraphIndexPath]] builds it once (one-exchange derivation) and
+    * the loop gates pin its parquet into blocks — instead of
+    * [[Graphs.prepareGraph]] re-running the same distinct+degree jobs
+    * into checkpoints the artifact build had already done for
+    * `q_graph_stats`; the derivation now runs exactly once per
+    * (session, fixture) no matter which graph gate goes first.
     */
   private def sharedPreparedGraph(s: SparkSession, dir: String): Graphs.PreparedGraph =
     synchronized {
       preparedGraphCache.getOrElseUpdate((s, dir),
-        Graphs.prepareGraph(sharedPurchaseEdges(s, dir), "src", "dst",
-          undirected = true))
+        sources.GraphIndex.load(s, sharedGraphIndexPath(s, dir), pin = true))
     }
 
   /** The purchase graph's PERSISTED [[sources.GraphIndex]] artifact,
     * written once per (session, dir), so "prepare once per graph" holds
     * ACROSS sessions too (the SemDedupIndex pattern): a later session —
     * or a degree-only analysis like `q_graph_stats` — loads the parquet
-    * and never takes a checkpoint; a later session's superstep runs load
-    * it `pin = true` and skip the distinct+degree shuffle. If a loop gate
-    * already prepared the graph in-memory, the artifact is a write-only
-    * [[sources.GraphIndex.persist]] of it; otherwise it is BUILT straight
-    * from the edges (same distinct+degree jobs, parquet sink instead of
-    * checkpoint blocks) — a degree-only session never materializes a
-    * checkpoint it won't iterate on.
+    * and never takes a checkpoint; superstep runs load it `pin = true`
+    * and skip the distinct+degree shuffle. The artifact
+    * is BUILT straight from the edges (the one-exchange derivation,
+    * parquet sink) — a degree-only session never materializes blocks it
+    * won't iterate on, and since r15 the loop gates pin THIS artifact
+    * ([[sharedPreparedGraph]]) rather than deriving a second copy.
     */
   private def sharedGraphIndexPath(s: SparkSession, dir: String): String =
     synchronized {
@@ -211,11 +215,8 @@ object SparkEntry {
           "graph_" + java.security.MessageDigest.getInstance("MD5")
             .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
           .getAbsolutePath
-        preparedGraphCache.get((s, dir)) match {
-          case Some(g) => sources.GraphIndex.persist(g, path)
-          case None => sources.GraphIndex.build(sharedPurchaseEdges(s, dir),
-            "src", "dst", path, undirected = true)
-        }
+        sources.GraphIndex.build(sharedPurchaseEdges(s, dir),
+          "src", "dst", path, undirected = true)
         path
       })
     }
