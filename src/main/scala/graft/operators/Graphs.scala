@@ -256,9 +256,21 @@ object Graphs {
   private[graft] def fromPersisted(eDeg: DataFrame, nodes: DataFrame,
       undirected: Boolean, pin: Boolean = false): PreparedGraph =
     if (pin) PreparedGraph(
-      cutLineage(eDeg, reliable = false,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY),
-      cutLineage(nodes, reliable = false),
+      // re-establish the prepare-time clustering before pinning: a parquet
+      // scan advertises NO partitioning, so blocks cut straight off the
+      // read would make every superstep re-exchange the full edge table
+      // per iteration (measured 2.7x on q_ppr at sf1cd) — whereas a
+      // checkpoint of repartition(src) is a LogicalRDD that KEEPS
+      // HashPartitioning(src), and the per-iteration rank join plans
+      // exchange-free on the edge side, same as the in-memory prepare
+      // ...and the src SORT alongside it: the in-memory prepare's edge
+      // table is a sort-merge-join output, so its checkpoint also
+      // advertises src ordering and the per-iteration rank joins skip
+      // the edge-side sort — without it every superstep re-sorts the
+      // full edge table (the residual 2x on q_ppr after the partition fix)
+      cutLineage(eDeg.repartition(col("src")).sortWithinPartitions(col("src")),
+        reliable = false, org.apache.spark.storage.StorageLevel.DISK_ONLY),
+      cutLineage(nodes.repartition(col("node")), reliable = false),
       undirected)
     else PreparedGraph(eDeg, nodes, undirected)
 
