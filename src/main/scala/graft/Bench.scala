@@ -50,6 +50,11 @@ object Bench {
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR",
       "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local-iteration aid only (never set by the driver): restrict the
+    // suite to a comma-separated gate subset. Shared-relation accounting
+    // keeps the suite semantics (cleared per pass, built by first consumer).
+    val onlyGates: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val secondPassBudget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
       .getOrElse(math.max(240.0, 5.0 * SparkEntry.queries.size))
     val spark = SparkSession.builder()
@@ -83,7 +88,9 @@ object Bench {
       // the min-of passes would report only the checkpoint-read cost and
       // the build would vanish from the totals
       SparkEntry.clearSharedRelations()
-      SparkEntry.queries.toSeq.sortBy(_._1).filter(p => only(p._1)).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(p => onlyGates.forall(_.contains(p._1)))
+        .filter(p => only(p._1)).map { case (name, fn) =>
         val op0 = graft.streaming.FileStreams.operatorMsSnapshot
         val t0 = System.nanoTime()
         val ok = try {

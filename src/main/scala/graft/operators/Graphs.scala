@@ -362,10 +362,28 @@ object Graphs {
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e0 = if (undirected) directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
              else directed
-    val dedup = e0.distinct()
-    val degrees = dedup.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
-    val eDeg = cutLineage(dedup.join(degrees, Seq("src")), reliable,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // ONE full-data exchange + ONE sort (the GraphIndex.build derivation,
+    // round 15): hash-partition by src once, sort within partitions by
+    // (src, dst) once, and ride that single pass for BOTH the simple-graph
+    // dedup (row_number over (src, dst) — src-only partitioning already
+    // co-locates equal pairs) and the out-degree (src-partition count
+    // window whose required ordering is a prefix of the dedup's). The
+    // former distinct -> groupBy -> join form paid an (src, dst) exchange
+    // plus an src exchange of the deduped relation plus two sorts (A/B at
+    // 117M mirrored edges: 14.3 s vs 20.6 s, identical output —
+    // tools/GraphBuildAB, SCALE.md round-15). Bonus for superstep loops:
+    // the checkpoint below then advertises HashPartitioning(src) + (src,
+    // dst) ordering, so per-iteration rank joins plan exchange-free and
+    // sort-free on the edge side with no separate re-clustering pass.
+    val w = org.apache.spark.sql.expressions.Window
+    val eDeg = cutLineage(
+      e0.repartition(col("src"))
+        .withColumn("__rn", row_number().over(
+          w.partitionBy(col("src"), col("dst")).orderBy(col("src"))))
+        .where(col("__rn") === 1).drop("__rn")
+        .withColumn("deg",
+          count(lit(1)).over(w.partitionBy(col("src"))).cast("long")),
+      reliable, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // node set checkpointed too (16 B/node): every analysis's teleport
     // base starts here, and without the cut each pageRank/ppr call would
     // re-run this edge-sized distinct — paid once per graph instead
