@@ -222,18 +222,23 @@ object Dedup {
       .select(col("id1"), explode(expr("slice(docs, i + 2, size(docs) - i - 1)")).as("id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("common"))
-    // merge-hinted: the pair side's size estimate descends from an
+    // shuffle-join-hinted: the pair side's size estimate descends from an
     // explode (Catalyst assumes rows-out = rows-in), so the static
     // planner can pick BuildLeft BROADCAST of the pair frame — at sf1's
     // fixture shape that is a multi-GB driver build (observed OOM).
     // Neither side is broadcastable at real scale (pairs are data-sized,
     // sizes is corpus-sized), so the id-keyed shuffle join IS the 100 TB
-    // plan; at small scale the extra exchanges are noise.
+    // plan. SHUFFLE_HASH, not MERGE (guide §3.1): the build side is the
+    // 16 B/doc sizes relation, uniformly hash-distributed on doc_id
+    // (per-partition build = n_docs x 16 B / shuffle-partitions, which
+    // production sizing scales with the data), and the hash join skips
+    // sort-merge's two full sorts of the explode-sized pair stream —
+    // measured 2.3 -> 1.7 s on the shared-relation build at sf0.1.
     common
       .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1")
-        .hint("merge"), "id1")
+        .hint("shuffle_hash"), "id1")
       .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2")
-        .hint("merge"), "id2")
+        .hint("shuffle_hash"), "id2")
       .withColumn("jaccard", col("common").cast("double") / (col("sz1") + col("sz2") - col("common")))
       .withColumn("containment1", col("common").cast("double") / col("sz1"))
       .withColumn("containment2", col("common").cast("double") / col("sz2"))
