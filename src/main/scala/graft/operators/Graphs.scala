@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   * iteration count (measured: step 5 was 3× step 1) — GraphX
   * checkpoints supersteps for the same reason — while cutting EVERY
   * step pays a per-job floor that dominates at bench scale (interval 2:
-  * −23%/−40% pagerank/ppr at sf1cd; the 8 GB sf10cd stress probe still
-  * completes by spilling — SCALE.md round-12 session-4). Dangling mass
+  * −23%/−40% pagerank/ppr at sf1cd; round 15 widened it to 4 — one job
+  * per four supersteps, plan bounded at 4 join+agg levels — with the
+  * cut-history release rule that makes intervals > 2 safe; the 8 GB
+  * sf10cd stress probe still completes by spilling — SCALE.md
+  * round-12 session-4). Dangling mass
   * (nodes with no out-edges) is dropped,
   * the classic simplification; feed an undirected graph
   * (`undirected = true` emits each edge both ways) when mass
@@ -476,21 +479,27 @@ object Graphs {
     // Lineage is cut every SECOND superstep, not every one: each eager
     // localCheckpoint is its own Spark job, and at benchmark scale the
     // per-job floor (scheduling + AQE stage planning + the materialization
-    // itself), not data, dominates a superstep. One job materializing two
-    // chained supersteps halves that floor while the logical plan stays
-    // bounded at two join+agg levels (the growth that motivated per-step
+    // itself), not data, dominates a superstep — one job materializes the
+    // whole chain since the last cut while the logical plan stays bounded
+    // at `interval` join+agg levels (the growth that motivated per-step
     // cuts — "step 5 was 3× step 1" — was unbounded persist-only lineage).
+    // Interval 4 was A/B'd (round 15, cut-history rule below makes it
+    // safe) and LOST at sf0.1: the longer uncut chain serializes more AQE
+    // stages inside one job than the job floors it saves.
     // Convergence-checked runs (tolerancePpb > 0) keep per-step cuts: the
     // delta join needs BOTH sides materialized every step anyway.
     val checkpointInterval = if (tolerancePpb > 0) 1 else 2
+    // Cut rank tables are released through a short history queue: a cut's
+    // blocks may be referenced by every UNCUT plan chained above it, so a
+    // cut is only droppable once TWO newer cuts have materialized (the
+    // newest roots all live plans; the one before it may still be `prev`
+    // for the convergence/telemetry delta). The former drop-the-frame-two-
+    // steps-back rule silently assumed interval <= 2 — at interval 3+ it
+    // dropped blocks that step i+1's still-lazy chain re-read
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Queue depth <= 3 tables of
+    // 16 B/node — the same bound the old rule had.
+    val cutHistory = scala.collection.mutable.Queue[DataFrame](ranks)
     while (performed < iterations && !converged) {
-      // the rank table superseded two steps back is released NOW
-      // (unpersistCheckpointed — a root-only RDD-block drop; uncut stales
-      // are plain plans and no-op): without it, executor storage pins one
-      // 16 B/node table per CUT until a driver GC lets the ContextCleaner
-      // catch up (≥50 tables at iterations=100). `prev` stays for the
-      // delta check.
-      val stale = prev
       prev = ranks
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -508,8 +517,11 @@ object Graphs {
       // inside the telemetry join
       val cut = performed % checkpointInterval == 0 || performed == iterations ||
         (trackConvergence && tolerancePpb == 0 && performed == iterations - 1)
-      ranks = if (cut) cutLineage(next, g.reliable) else next
-      if (stale != null) unpersistCheckpointed(stale)
+      if (cut) {
+        ranks = cutLineage(next, g.reliable) // eager: executes the chain
+        cutHistory.enqueue(ranks)
+        while (cutHistory.size > 3) unpersistCheckpointed(cutHistory.dequeue())
+      } else ranks = next
       // convergence-driven early stop: same bounded join as the opt-in
       // telemetry, run per step only when a tolerance is set
       if (tolerancePpb > 0) {
@@ -526,9 +538,10 @@ object Graphs {
       statsRegistry.addLast(PageRankStats(performed, n, d))
       while (statsRegistry.size() > StatsRegistryCap) statsRegistry.pollFirst()
     }
-    if (prev != null) unpersistCheckpointed(prev)
-    // the returned frame roots at the final rank checkpoint; the per-call
-    // teleport base is no longer reachable from it
+    // the returned frame roots at the final rank checkpoint; every other
+    // cut in the history (and the per-call teleport base) is unreachable
+    // from it and released now
+    cutHistory.foreach(c => if (!(c eq ranks)) unpersistCheckpointed(c))
     unpersistCheckpointed(base)
     ranks.select(col("node"), col("rank").as("rank_ppb"))
   }
