@@ -787,7 +787,20 @@ object SparkEntry {
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.StreamingEwma.ewmaStream(ev, alphaPpm = 300000L).toDF(),
             mode = org.apache.spark.sql.streaming.OutputMode.Append(),
-            statePartitions = Some(8))
+            // 4 state partitions across ALL q_stream_* gates (round 15,
+            // was 8): every micro-batch pays a fixed commit (delta write
+            // + fsync) PER STORE INSTANCE — a stream-stream join commits
+            // stores x partitions files even on the no-data finalize
+            // batch (probed: stateCommit 2.3 s of a 3.8 s trigger at 8
+            // partitions). Watermark-bounded gate state is a few
+            // thousand keys, so 4 partitions keeps per-partition state
+            // trivially small while halving the per-batch commit floor
+            // (A/B at sf0.1: join gate 2.9/2.1 -> 2.3/1.8 s; 2 and 4
+            // statistically tied, 16 worse). Sized by STATE VOLUME, not
+            // core count — production unbounded-state pipelines size
+            // partitions from their key estimate, same discipline as
+            // autoStateStoreChoice.
+            statePartitions = Some(4))
           .agg(count(lit(1)).cast("long").as("points"),
             countDistinct(col("k")).cast("long").as("keys"),
             sum("ewmaE6").cast("long").as("ewma_sum"),
@@ -1860,7 +1873,7 @@ object SparkEntry {
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.windowedEventCounts(
               ev, "ts", "event_type", "1 day", "1 hour"),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .orderBy("w_us", "event_type")
       }),
       // per-window value histogram (streaming drift monitor): mergeable
@@ -1873,7 +1886,7 @@ object SparkEntry {
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.windowedHistogram(
               ev, "ts", "x", 50, 0.0, 50000.0, "1 day", "1 hour"),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .orderBy("w_us", "slot")
       }),
       // per-window top-k heavy hitters as CHAINED stateful aggregations
@@ -1886,7 +1899,7 @@ object SparkEntry {
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.windowedTopK(
               ev, "ts", "user_id", 5, "1 day", "1 hour"),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .orderBy("w_us", "rank")
       }),
       // stream-static enrichment: the events stream broadcast-joins the
@@ -1900,7 +1913,7 @@ object SparkEntry {
             graft.streaming.FileStreams.enrichedWindowedStats(
               ev, "ts", "value", "user_id",
               s.table("customer"), "c_custkey", "c_mktsegment"),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .orderBy("w_us", "segment")
       }),
       // stream-stream interval self-join: view->click attribution pairs
@@ -1913,7 +1926,7 @@ object SparkEntry {
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.streamIntervalJoin(
               ev, "ts", "event_type", "user_id", "view", "click", 1800000000L),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .agg(count(lit(1)).cast("long").as("pairs"),
             countDistinct(col("user_id")).cast("long").as("users"),
             sum("dt_us").cast("long").as("dt_sum"))
@@ -1928,7 +1941,7 @@ object SparkEntry {
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.streamIntervalJoinOuter(
               ev, "ts", "event_type", "user_id", "view", "click", 1800000000L),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .agg(sum(when(col("r_us").isNotNull, 1L).otherwise(0L)).cast("long").as("pairs"),
             sum(when(col("r_us").isNull, 1L).otherwise(0L)).cast("long").as("expired_unmatched"),
             countDistinct(col("user_id")).cast("long").as("users"),
@@ -1945,7 +1958,7 @@ object SparkEntry {
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.StreamingSessions.streamingSessionStats(
               ev, "user_id", "ts", gap = "30 minutes", watermark = "1 hour"),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .agg(count(lit(1)).cast("long").as("sessions"),
             sum("n_events").cast("long").as("events"),
             sum(unix_micros(col("session_end")) - unix_micros(col("session_start")))
@@ -1961,7 +1974,7 @@ object SparkEntry {
           .select(col("source"), md5(col("text")).as("fp"))
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.distinctKeys(docs, Seq("source", "fp")),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .groupBy("source").agg(count(lit(1)).cast("long").as("n_unique"))
           .orderBy("source")
       }),
@@ -1975,7 +1988,7 @@ object SparkEntry {
         graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.FileStreams.distinctKeysWithinWatermark(
               ev, "ts", Seq("user_id", "event_type"), "1 day"),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .groupBy("event_type").agg(count(lit(1)).cast("long").as("n_keys"))
           .orderBy("event_type")
       }),
@@ -1991,7 +2004,7 @@ object SparkEntry {
         val filters = graft.streaming.FileStreams.runAvailableNow(
             graft.streaming.StreamingFilters.windowedKeyFilters(
               ev, "ts", "h", "1 day", "1 hour", numSectors = 1024),
-            statePartitions = Some(8))
+            statePartitions = Some(4))
           .select(unix_micros(col("window.start")).as("w_us"),
             col("filter"), col("events").cast("long").as("events"))
         val keys = s.table("events")
