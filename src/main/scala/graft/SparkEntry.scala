@@ -328,10 +328,15 @@ object SparkEntry {
       floorPpm: Long, config: String): DataFrame = {
     val rep = Embeddings.recallReport(approx, exact)
       .withColumn("floor_ppm", lit(floorPpm))
-    val mean = rep.head().getLong(1)
+    // materialize the 1-row report ONCE: the floor check is an eager
+    // head() and the gate's returned frame executes again downstream —
+    // uncached that re-ran the whole approx + exact-brute-force pipeline
+    // per gate (guide §1.2; halves every q_recall_floor_* gate)
+    val local = localResult(approx.sparkSession, rep)
+    val mean = local.head().getLong(1)
     require(mean >= floorPpm,
       s"ANN recall regression: $config mean recall $mean ppm < floor $floorPpm ppm")
-    rep
+    local
   }
 
   def entry(spark: SparkSession): DataFrame = {
@@ -1677,9 +1682,11 @@ object SparkEntry {
         val trained = Embeddings.recallReport(
           Embeddings.pqTopK(emb, "vec", "vec_id", queries, "qvec", "qid",
             5, m = 8, ksub = 16, codebooks = Some(cb)), exact)
-        val d0 = Embeddings.pqDistortionE6(emb, "vec", cb0)
-        val d1 = Embeddings.pqDistortionE6(emb, "vec", cb)
-        val slackE6 = emb.count() * 8L
+        // one fused pass for both distortions + the slack denominator
+        // (was three full corpus scans — guide §1.2)
+        val (Seq(d0, d1), nRows) =
+          Embeddings.pqDistortionsE6(emb, "vec", Seq(cb0, cb))
+        val slackE6 = nRows * 8L
         require(d1 <= d0 + slackE6,
           s"Lloyd training INCREASED PQ distortion: trained $d1 e6 > " +
             s"seed $d0 e6 + rounding slack $slackE6 — the update is broken")

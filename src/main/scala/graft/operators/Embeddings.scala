@@ -1243,13 +1243,30 @@ object Embeddings {
     * that by orders of magnitude.
     */
   def pqDistortionE6(embeddings: DataFrame, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): Long = {
-    val row = embeddings.select(
+      codebooks: Array[Array[Array[Double]]]): Long =
+    pqDistortionsE6(embeddings, vecCol, Seq(codebooks))._1.head
+
+  /** [[pqDistortionE6]] for SEVERAL codebooks in ONE corpus pass, plus
+    * the row count (the e6-slack denominator) from the same aggregate —
+    * a seed-vs-trained comparison (q_recall_floor_pq) previously paid
+    * three full passes (two distortions + count) for values one
+    * aggregation computes together (guide §1.2: don't re-scan for
+    * columns one pass can carry).
+    */
+  def pqDistortionsE6(embeddings: DataFrame, vecCol: String,
+      codebooksSeq: Seq[Array[Array[Array[Double]]]]): (Seq[Long], Long) = {
+    require(codebooksSeq.nonEmpty, "need at least one codebook set")
+    val scored = embeddings.select(codebooksSeq.zipWithIndex.map {
+      case (cb, i) =>
         ColumnBridge.column(PqAdcE6(
-          ColumnBridge.expression(pqEncode(col(vecCol), codebooks)),
-          ColumnBridge.expression(col(vecCol)), codebooks)).as("__d"))
-      .agg(coalesce(sum(col("__d")), lit(0L)).cast("long")).head()
-    row.getLong(0)
+          ColumnBridge.expression(pqEncode(col(vecCol), cb)),
+          ColumnBridge.expression(col(vecCol)), cb)).as(s"__d$i")
+    }: _*)
+    val aggs = codebooksSeq.indices.map(i =>
+        coalesce(sum(col(s"__d$i")), lit(0L)).cast("long").as(s"__s$i")) :+
+      count(lit(1)).cast("long").as("__n")
+    val row = scored.agg(aggs.head, aggs.tail: _*).head()
+    (codebooksSeq.indices.map(row.getLong), row.getLong(codebooksSeq.size))
   }
 
   /** Asymmetric-distance top-k over PQ codes: candidates are scored by
