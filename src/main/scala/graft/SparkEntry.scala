@@ -984,7 +984,7 @@ object SparkEntry {
         // ever reads (l_orderkey, l_extendedprice), so the range-clustered
         // staging copy carries just those two columns — the range shuffle,
         // the staged write, the index-build scan and the pruned read all
-        // move ~8x fewer bytes than staging all 16 lineitem columns, and
+        // move ~5x fewer bytes than staging all 11 lineitem columns, and
         // the result (an aggregate over exactly these columns) is unchanged
         s.table("lineitem").select(col("l_orderkey"), col("l_extendedprice"))
           .repartitionByRange(parts, col("l_orderkey"))
