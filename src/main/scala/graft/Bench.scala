@@ -263,7 +263,15 @@ object Bench {
       }
     }
 
+    // the one-line stdout contract: print + flush BEFORE spark.stop() and
+    // the runner's own banners, so a runner timeout or truncated capture
+    // after this point can never lose the line (BENCH_r14.json's tail was
+    // cut mid-JSON and the whole round-over-round comparison computed
+    // nothing); every pass's provisional line is also on stderr above,
+    // `iterations` records which pass count the minima came from —
+    // min-of-2 vs min-of-3 artifacts are not directly comparable
     println(jsonLine(results, iters))
+    System.out.flush()
     spark.stop()
   }
 }

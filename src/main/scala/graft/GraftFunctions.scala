@@ -491,6 +491,15 @@ object GraftFunctions {
           "Prefer spark.sql.extensions=graft.GraftSparkExtensions for production plans.")
       spark.experimental.extraOptimizations = rules :+ graft.plans.FoldSingleRowJoin
     }
+    // nanos-rebuild pushdown: on this fallback path the rule runs post-
+    // optimization, where filters already sit directly above the scans —
+    // the added plain-column bound is still extracted into PushedFilters
+    // at physical planning (FileSourceStrategy reads the OPTIMIZED plan)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.PushNanosTimestampFilters)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushNanosTimestampFilters
+    }
   }
 }
 
@@ -507,5 +516,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // inside the operator-optimization batch: runs to fixed point with
     // pushdown/pruning, so rewritten filters reach the scans
     extensions.injectOptimizerRule(_ => graft.plans.FoldSingleRowJoin)
+    extensions.injectOptimizerRule(_ => graft.plans.PushNanosTimestampFilters)
   }
 }

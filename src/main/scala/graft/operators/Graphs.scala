@@ -32,12 +32,15 @@ import org.apache.spark.sql.functions._
   * per iteration, so analyzer/optimizer/AQE driver time grows with the
   * iteration count (measured: step 5 was 3× step 1) — GraphX
   * checkpoints supersteps for the same reason — while cutting EVERY
-  * step pays a per-job floor that dominates at bench scale (interval 2:
-  * −23%/−40% pagerank/ppr at sf1cd; round 15 widened it to 4 — one job
-  * per four supersteps, plan bounded at 4 join+agg levels — with the
-  * cut-history release rule that makes intervals > 2 safe; the 8 GB
-  * sf10cd stress probe still completes by spilling — SCALE.md
-  * round-12 session-4). Dangling mass
+  * step pays a per-job floor that dominates at bench scale. The
+  * interval is 2 (−23%/−40% pagerank/ppr at sf1cd vs 1); round 15
+  * A/B'd 4 twice and it LOST (a longer uncut chain serializes more AQE
+  * stages inside one job than the job floors it saves: pagerank
+  * 3.3/4.0 s at 2 vs 4.4/5.9 s at 4), but kept the cut-history release
+  * queue that makes intervals > 2 SAFE to try (the old release rule
+  * dropped checkpoint blocks still referenced by lazy uncut chains);
+  * the 8 GB sf10cd stress probe still completes by spilling — SCALE.md
+  * round-12 session-4. Dangling mass
   * (nodes with no out-edges) is dropped,
   * the classic simplification; feed an undirected graph
   * (`undirected = true` emits each edge both ways) when mass
@@ -292,10 +295,12 @@ object Graphs {
     * replay DISTINCT edges), attach each source's out-degree, and
     * materialize the result once.
     *
-    * Out-degree is a node-keyed partial aggregate joined back on `src` —
-    * same exchange count as the former src-window form but no per-
-    * partition sort, and the join leaves the relation co-located on `src`
-    * for the superstep joins.
+    * Dedup and out-degree share ONE src-keyed exchange + sort (round 15):
+    * a `row_number` window over (src, dst) collapses multi-edges and a
+    * `count` window over src attaches the degree, both riding the same
+    * partitioning — see the inline comment at the derivation below. The
+    * checkpointed relation stays clustered on `src` for the superstep
+    * joins.
     *
     * DISK_ONLY: the edge table is the one data-sized checkpoint in the
     * superstep loop (the rank/base tables are 16 B/node). MEMORY_AND_DISK

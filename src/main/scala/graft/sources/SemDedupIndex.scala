@@ -47,11 +47,20 @@ object SemDedupIndex {
     */
   def build(embeddings: DataFrame, vecCol: String, idCol: String, dir: String,
       k: Int, iterations: Int = 1, centroids: Option[DataFrame] = None): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val cents = centroids.map(_.select(col("cid"), col("cvec")))
       .getOrElse(Embeddings.kmeansCentroids(embeddings, vecCol, idCol, k, iterations))
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    val centSeq = Embeddings.collectCentroidFrame(
-      embeddings.sparkSession.read.parquet(s"$dir/centroids"))
+    // collect the fit ONCE and write the artifact FROM the collected rows
+    // (round 16, guide §1.2): the shipped chain wrote the fit, then READ
+    // THE PARQUET BACK to collect it — one read job per build for bytes
+    // already on the driver. Parquet round-trips doubles exactly, so
+    // assigning from the in-memory fit is bit-identical to assigning from
+    // the re-read artifact (the contract the old read-back was defending;
+    // SemDedupIndexSpec pins refresh == in-memory row for row).
+    val centSeq = Embeddings.collectCentroidFrame(cents)
+    centSeq.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     // canonical (id, vec) on disk, whatever the build-time names were.
     // repartition BY CID before the dynamic-partition write: without it
     // every write task opens a file per cid it sees — tasks x k files

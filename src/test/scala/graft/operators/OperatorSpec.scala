@@ -1151,6 +1151,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dc > d0 + 5L * 2L, s"corrupt codebook must overshoot: $dc")
   }
 
+  test("pqDistortionsE6: fused multi-codebook pass equals per-codebook scalars + count") {
+    // round-16 advisor ask: the multi-codebook fusion (one corpus pass for
+    // N distortions + the row count, q_recall_floor_pq's shape) had no
+    // direct spec — a column-index slip would only surface via the gate
+    val sps = spark; import sps.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(5.0, 5.0, 0.0, 0.0)),
+      (3L, Seq(0.1, 0.1, 0.2, 0.1)),
+      (4L, Seq(4.9, 5.2, 9.8, 10.1)),
+      (5L, Seq(2.5, 2.5, 5.0, 5.0))
+    ).toDF("vec_id", "vec")
+    val cb0 = Embeddings.pqCodebooks(vecs, "vec", "vec_id", 2, 2)
+    val cb1 = Embeddings.pqCodebooksTrained(vecs, "vec", "vec_id", 2, 2, 1,
+      seed = Some(cb0))
+    val (ds, n) = Embeddings.pqDistortionsE6(vecs, "vec", Seq(cb0, cb1))
+    assert(n == 5L)
+    assert(ds == Seq(
+      Embeddings.pqDistortionE6(vecs, "vec", cb0),
+      Embeddings.pqDistortionE6(vecs, "vec", cb1)),
+      s"fused $ds drifted from the single-codebook passes")
+    assert(ds.head == 62670000L) // pins the seed value the scalar test uses
+    // empty-corpus edge: distortions coalesce to 0, count is 0
+    val (d0e, n0) = Embeddings.pqDistortionsE6(
+      vecs.where(lit(false)), "vec", Seq(cb0))
+    assert(d0e == Seq(0L) && n0 == 0L)
+  }
+
   test("residual ivfpq: perfect residual codebook recovers the EXACT L2 ranking") {
     val sps = spark; import sps.implicits._
     // two far-apart cells whose vectors are centroid + a residual drawn

@@ -579,16 +579,45 @@ class FileStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // -> hdfs side; huge estimate -> rocksdb side (forced low even under
     // a big test heap by the rule itself: Long.MaxValue/140 keys exceeds
     // any heap budget).
+    // statePartitions pinned: this test exercises the BACKEND choice only
+    // (an estimate of Long.MaxValue/140 keys would otherwise also derive
+    // the 32768-partition state fan-out — pathological in local[4])
     def counts(store: Option[String], keys: Long = -1L) = FileStreams.runAvailableNow(
       FileStreams.windowedEventCounts(
         FileStreams.tableStream(spark, dir, "events", Seq("ts")),
         "ts", "event_type", "1 day", "1 hour"),
-      stateStore = store, expectedStateKeys = keys)
+      statePartitions = Some(4), stateStore = store, expectedStateKeys = keys)
       .collect().map(_.toSeq).toSet
     val viaHdfs = counts(Some("hdfs"))
     assert(counts(Some("auto"), keys = 100L) == viaHdfs)
     assert(counts(Some("auto")) == viaHdfs) // no estimate: bounded-state default
     val viaRocks = counts(Some("rocksdb"))
     assert(counts(Some("auto"), keys = Long.MaxValue / FileStreams.StatePerKeyBytes) == viaRocks)
+  }
+
+  test("derived state partitions: volume rule, floor and cap; drained result matches explicit") {
+    // pure rule (round 16 — replaces the hardcoded Some(4) at the gates):
+    // floor 4 below the volume knee, one partition per 64 MB of projected
+    // state past it, capped at 32768
+    assert(FileStreams.derivedStatePartitions(0L) == 4)
+    assert(FileStreams.derivedStatePartitions(100000L) == 4) // 14 MB state
+    val target = FileStreams.TargetStateBytesPerPartition
+    val keysPerPart = target / FileStreams.StatePerKeyBytes // ~479k keys
+    assert(FileStreams.derivedStatePartitions(keysPerPart * 4) == 4)
+    assert(FileStreams.derivedStatePartitions(keysPerPart * 4 + 1) == 5)
+    assert(FileStreams.derivedStatePartitions(keysPerPart * 100) == 100)
+    assert(FileStreams.derivedStatePartitions(Long.MaxValue / 1000) ==
+      FileStreams.MaxStatePartitions)
+    intercept[IllegalArgumentException](FileStreams.derivedStatePartitions(-1L))
+    // live drain: an estimate-derived partition count produces the same
+    // emitted set as the explicit count it derives to (output-invariance
+    // of the state fan-out — the r15 A/B's correctness side)
+    def counts(explicit: Option[Int], keys: Long) = FileStreams.runAvailableNow(
+      FileStreams.windowedEventCounts(
+        FileStreams.tableStream(spark, dir, "events", Seq("ts")),
+        "ts", "event_type", "1 day", "1 hour"),
+      statePartitions = explicit, expectedStateKeys = keys)
+      .collect().map(_.toSeq).toSet
+    assert(counts(None, keys = 5000L) == counts(Some(4), keys = -1L))
   }
 }
