@@ -1097,8 +1097,17 @@ object Embeddings {
     * kernel. Both paths compute the IDENTICAL micro-rounded argmax
     * (spec-asserted on near-tie fixtures), so the oracle replay and all
     * results are path-independent.
+    *
+    * 64 → 4 in round 16: same-JVM A/Bs at dim=64 measured the literal
+    * path SLOWER at every probed k — k=32 lloyd-update 0.56 vs 0.33 s,
+    * k=8 assignment 0.18 vs 0.14 s warm (tools/SemDedupGatePhases) —
+    * the k·dim literal tree's analysis/codegen cost exceeds what the
+    * inline expression saves, and the kernel's tight matrix loop is no
+    * slower per row. The literal form is kept only for trivial fits
+    * (k <= 4), where a couple of structs beat shipping a matrix into
+    * the task binary.
     */
-  private[operators] val AssignLiteralMaxK = 64
+  private[operators] val AssignLiteralMaxK = 4
 
   private[graft] def kmeansAssign(embeddings: DataFrame, vecCol: String,
       cents: Seq[(Long, Seq[Double])], forceBroadcast: Boolean = false): DataFrame = {

@@ -66,13 +66,31 @@ object SemDedupIndex {
     // every write task opens a file per cid it sees — tasks x k files
     // (57,600 at the sf100cd derived k=1800, measured the dominant build
     // cost; invisible at k=32) — where the cid shuffle makes each task
-    // own ~k/tasks cells and the file count collapses to ~k
+    // own ~k/tasks cells and the file count collapses to ~k. The task
+    // COUNT is derived too (round 16): the default shuffle fan-out gave
+    // every task ~one cell and the per-task commit overhead dominated at
+    // bench scale (0.93 -> 0.62 s at k=32 with 4 tasks, same ~k files;
+    // tools/SemDedupGatePhases) — [[writeTasks]] packs ~8 occupancy-
+    // pinned cells per task so tasks carry real data at every k.
     Embeddings.kmeansAssign(
         embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "vec", centSeq)
-      .repartition(col("cid"))
+      .repartition(writeTasks(centSeq.size), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/members")
   }
+
+  /** Write fan-out for the cid-partitioned members write: ~[[CellsPerWriteTask]]
+    * cells per task. k is occupancy-pinned (cells ≈ n/1000 under the
+    * derived-k rule), so k/8 tracks data volume: ~8000 rows per task at
+    * the default occupancy, clamped to [4, 2048] (floor keeps small
+    * builds off a single slow task, cap bounds the shuffle fan-out; a
+    * 65536-cell archive writes from 2048 tasks of 32 cells each). File
+    * count stays ~k — each cell's rows land in one task either way.
+    */
+  private def writeTasks(k: Int): Int =
+    math.max(4, math.min(2048, (k + CellsPerWriteTask - 1) / CellsPerWriteTask))
+
+  private val CellsPerWriteTask = 8
 
   /** Deduplicate a refresh slice against the persisted archive: assign
     * `newEmb` into the frozen fit (pure map), read ONLY the member cells
@@ -126,7 +144,7 @@ object SemDedupIndex {
     Embeddings.kmeansAssign(
         newEmb.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "vec", centSeq)
-      .repartition(col("cid")) // one owner task per cell (see build)
+      .repartition(writeTasks(centSeq.size), col("cid")) // ~8 cells/task (see build)
       .write.mode("append").partitionBy("cid").parquet(s"$dir/members")
   }
 }
